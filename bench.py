@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end through the noop sink (full compute,
+no write cost). BASELINE.md's bar: within 2× of plain PySpark doing
+the same work — our operators ARE declarative PySpark plans, so the
+comparison is plan quality (pushdown, broadcast, shuffle count), not
+framework overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "stream_fold",
+    "stream_envelope",
+    "write_pos_dedup",
+    "span_coalesce",
+    "hydration_join",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "late_shipment_priority",
+    "window_sessions",
+    "window_tumbling_hourly",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "text_quality",
+    "text_token_count",
+    "similarity_topk_bruteforce",
+    "similarity_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    from propulsion_spark import get_spark
+    from propulsion_spark.operators import load_all
+
+    registry = load_all()
+    spark = get_spark("propulsion-bench")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        # warm the file listing/footer cache out of the timing? No —
+        # measure cold per query, as the driver does.
+        t0 = time.time()
+        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,259 @@
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline surface (exact hash, MinHash+LSH, SimHash).
+
+All hashing is built from md5 (available and bit-identical in both
+Spark and DuckDB), so every stage is oracle-checkable. Spark-side
+everything stays in whole-stage codegen: higher-order array functions
+(transform/array_min/aggregate), no Python UDFs, and the only shuffles
+are the groupBy/join on the dedup keys themselves — the minimum any
+dedup needs. At 100 TB the LSH band join is the standard scale path:
+candidates are generated per band bucket instead of O(n²).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from propulsion_spark import load_table
+from propulsion_spark.operators import register
+
+# 64-bit portable hash: first 15 hex digits of md5 → BIGINT (60 bits).
+SPARK_H64 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+DUCK_H64 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def normalized(dialect: str, col: str = "text") -> str:
+    """lower + trim + collapse-whitespace, expressed per dialect.
+
+    Spark SQL string literals process backslash escapes ('\\\\s+' in SQL
+    text); DuckDB literals do not, and its regexp_replace needs the 'g'
+    flag to replace all matches (Spark replaces all by default).
+    """
+    if dialect == "spark":
+        return f"lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
+    return f"lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
+
+
+# MinHash family: h_k(x) = h(x) XOR seed_k (one md5 per shingle, K cheap mixes).
+NUM_HASHES = 8
+BANDS = 2  # 2 bands × 4 rows — biased to high-similarity pairs
+SEEDS = [0] + [
+    int.from_bytes(hashlib.md5(f"propulsion-seed-{k}".encode()).digest()[:7], "big")
+    for k in range(1, NUM_HASHES)
+]
+SHINGLE = 5  # character shingles
+MH_NAMES = [f"mh{k}" for k in range(NUM_HASHES)]
+ROWS_PER_BAND = NUM_HASHES // BANDS
+BAND_DEFS = [
+    (f"b{b}", MH_NAMES[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND])
+    for b in range(BANDS)
+]
+
+
+# ------------------------------------------------------------ exact dedup
+@register(
+    "dedup_exact",
+    f"""
+SELECT md5({normalized('duck')}) AS fp,
+       min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    doc="Exact dedup: group by content hash of normalized text, keep the "
+    "lowest doc_id. Hash-groupBy shuffles once on the fingerprint.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", F.expr(f"md5({normalized('spark')})"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+# ----------------------------------------------------------- minhash sigs
+def _shingle_hashes(dialect: str) -> str:
+    """Expression for the array of 64-bit shingle hashes over ``norm``."""
+    if dialect == "spark":
+        shingles = (
+            f"transform(sequence(1, greatest(length(norm) - {SHINGLE - 1}, 1)),"
+            f" i -> substring(norm, i, {SHINGLE}))"
+        )
+        return f"transform({shingles}, s -> {SPARK_H64.format(x='s')})"
+    shingles = (
+        f"list_transform(generate_series(1, greatest(length(norm) - {SHINGLE - 1}, 1)),"
+        f" i -> substr(norm, CAST(i AS INT), {SHINGLE}))"
+    )
+    return f"list_transform({shingles}, s -> {DUCK_H64.format(x='s')})"
+
+
+def _minhash_cols(dialect: str) -> list[str]:
+    """Min over seed-mixed shingle hashes; ``hs`` computed once upstream."""
+    if dialect == "spark":
+        return [
+            f"array_min(transform(hs, h -> h ^ {seed})) AS mh{k}"
+            for k, seed in enumerate(SEEDS)
+        ]
+    return [
+        f"list_min(list_transform(hs, h -> xor(h, {seed}))) AS mh{k}"
+        for k, seed in enumerate(SEEDS)
+    ]
+
+
+_DUCK_SIGS = f"""
+  SELECT doc_id, {', '.join(_minhash_cols('duck'))}
+  FROM (
+    SELECT doc_id, {_shingle_hashes('duck')} AS hs
+    FROM (SELECT doc_id, {normalized('duck')} AS norm FROM documents)
+  )
+"""
+
+
+@register(
+    "dedup_minhash_signatures",
+    _DUCK_SIGS,
+    doc=f"MinHash signatures: {SHINGLE}-char shingles → 64-bit hash → "
+    f"{NUM_HASHES} xor-mixed min-hashes per doc. Pure map stage (no shuffle); "
+    "JVM-side higher-order functions, one md5 per shingle.",
+)
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("norm", F.expr(normalized("spark")))
+        .withColumn("hs", F.expr(_shingle_hashes("spark")))
+    )
+    return docs.selectExpr("doc_id", *_minhash_cols("spark"))
+
+
+def minhash_with_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = q_dedup_minhash_signatures(spark, sf_dir)
+    for name, cols in BAND_DEFS:
+        df = df.withColumn(name, F.concat_ws("_", *cols))
+    return df
+
+
+_DUCK_SIGS_BANDED = f"""
+sigs AS (
+  SELECT *, {', '.join(f"concat_ws('_', {', '.join(cols)}) AS {name}" for name, cols in BAND_DEFS)}
+  FROM ({_DUCK_SIGS})
+)
+"""
+
+_MATCHES = "+".join(
+    f"(CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END)" for k in range(NUM_HASHES)
+)
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+WITH {_DUCK_SIGS_BANDED}
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(({_MATCHES}) AS DOUBLE) / {NUM_HASHES} AS est_jaccard
+FROM sigs a JOIN sigs b
+  ON a.doc_id < b.doc_id AND ({' OR '.join(f'a.{name} = b.{name}' for name, _ in BAND_DEFS)})
+WHERE ({_MATCHES}) >= {NUM_HASHES // 2}
+""",
+    doc="MinHash-LSH candidate pairs: band-bucket self-join (shuffle on band "
+    "key, never O(n²)), then estimated-Jaccard cutoff at 0.5. "
+    "The 100 TB scale path for near-dup detection.",
+)
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_with_bands(spark, sf_dir)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    band_match = None
+    for name, _ in BAND_DEFS:
+        cond = F.col(f"a.{name}") == F.col(f"b.{name}")
+        band_match = cond if band_match is None else (band_match | cond)
+    matches = None
+    for k in range(NUM_HASHES):
+        term = F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1).otherwise(0)
+        matches = term if matches is None else (matches + term)
+    return (
+        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & band_match)
+        .withColumn("matches", matches)
+        .filter(F.col("matches") >= NUM_HASHES // 2)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            (F.col("matches").cast("double") / NUM_HASHES).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------- simhash
+SIMHASH_BITS = 16
+
+
+def _token_hashes(dialect: str) -> str:
+    """Array of 64-bit hashes of whitespace tokens of ``text``."""
+    if dialect == "spark":
+        toks = "split(lower(trim(text)), '\\\\s+')"
+        return f"transform({toks}, t -> {SPARK_H64.format(x='t')})"
+    toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    return f"list_transform({toks}, t -> {DUCK_H64.format(x='t')})"
+
+
+def _simhash_over_th(dialect: str) -> str:
+    """16-bit simhash given a precomputed hash array column ``th``: per
+    bit, majority vote of token-hash bits (+1/−1), weighted by token
+    frequency. ``th`` is computed once upstream (one md5 per token)."""
+    if dialect == "spark":
+        bit_sums = [
+            f"aggregate(th, 0L, (acc, h) -> acc + (CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+            for b in range(SIMHASH_BITS)
+        ]
+    else:
+        bit_sums = [
+            f"list_sum(list_transform(th, h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+            for b in range(SIMHASH_BITS)
+        ]
+    terms = [
+        f"(CASE WHEN ({s}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b, s in enumerate(bit_sums)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_DUCK_SIMHASH = f"""
+  SELECT doc_id, {_simhash_over_th('duck')} AS simhash
+  FROM (SELECT doc_id, {_token_hashes('duck')} AS th FROM documents)
+"""
+
+
+@register(
+    "dedup_simhash",
+    _DUCK_SIMHASH,
+    doc=f"SimHash fingerprints: {SIMHASH_BITS}-bit majority-vote of token-hash "
+    "bits. Map-only (no shuffle); near-dups land at small hamming distance.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "th", F.expr(_token_hashes("spark"))
+    )
+    return docs.selectExpr("doc_id", f"{_simhash_over_th('spark')} AS simhash")
+
+
+@register(
+    "dedup_simhash_buckets",
+    f"""
+SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper
+FROM ({_DUCK_SIMHASH})
+GROUP BY simhash
+HAVING count(*) > 1
+""",
+    doc="SimHash collision buckets: documents sharing an identical "
+    "fingerprint are duplicate candidates; keep the lowest doc_id.",
+)
+def q_dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = q_dedup_simhash(spark, sf_dir)
+    return (
+        sims.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )

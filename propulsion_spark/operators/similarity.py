@@ -1,0 +1,221 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant is the 100 TB scale path (candidates per hyperplane-sign bucket
+instead of a full cross join).
+
+Float determinism vs the oracle: per-element products are computed in
+double (IEEE-identical in Spark and DuckDB), summed exactly as
+DECIMAL(20,12) (order-insensitive), and only then divided/sqrt'd —
+scalar double ops on identical operands, so the cosine values are
+bit-identical across engines and the top-k ranking is stable.
+
+Spark-side the fold is `aggregate(zip_with(...))` — JVM higher-order
+functions inside whole-stage codegen, no Python, no explode shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from propulsion_spark import load_table
+from propulsion_spark.operators import register
+
+DIM = 64
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+
+
+def _spark_dot(a: str, b: str) -> F.Column:
+    prods = F.zip_with(
+        F.col(a),
+        F.col(b),
+        lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(20,12)"),
+    )
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(20,12)"),
+        lambda acc, p: (acc + p).cast("decimal(20,12)"),
+    ).cast("double")
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {DIM}), "
+        f"i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(20,12)))) AS DOUBLE)"
+    )
+
+
+_DUCK_NORMED = f"""
+normed AS (
+  SELECT vec_id, label, embedding,
+         sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+)
+"""
+
+
+def _spark_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.withColumn("nrm", F.sqrt(_spark_dot("embedding", "embedding")))
+
+
+# ------------------------------------------------- brute-force top-k
+@register(
+    "similarity_topk_bruteforce",
+    f"""
+WITH {_DUCK_NORMED}
+SELECT query_id, neighbor_id, rank, cosine
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC,
+                      c.vec_id) AS BIGINT) AS rank
+  FROM normed q JOIN normed c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+) WHERE rank <= {TOP_K}
+""",
+    doc=f"Brute-force cosine top-{TOP_K}: query set broadcast against all "
+    "candidates, exact decimal dot products, windowed rank. The "
+    "correctness baseline for ANN variants.",
+)
+def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    normed = _spark_normed(spark, sf_dir)
+    q = (
+        normed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    pairs = normed.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cosine = _spark_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+# ------------------------------------- LSH-bucketed ANN (scale path)
+N_PLANES = 8
+# Deterministic pseudo-random hyperplanes: component (p, d) derived from
+# md5 so both engines materialize identical planes.
+_PLANES = [
+    [
+        (int.from_bytes(hashlib.md5(f"plane-{p}-{d}".encode()).digest()[:8], "big") % 2001)
+        / 1000.0
+        - 1.0
+        for d in range(DIM)
+    ]
+    for p in range(N_PLANES)
+]
+
+
+def _spark_bucket_expr() -> str:
+    bits = []
+    for p, plane in enumerate(_PLANES):
+        arr = f"array({', '.join(f'{w!r}D' for w in plane)})"
+        dot = (
+            f"aggregate(zip_with(embedding, {arr}, (x, y) -> "
+            f"CAST(CAST(x AS DOUBLE) * y AS DECIMAL(20,12))), "
+            f"CAST(0 AS DECIMAL(20,12)), (acc, v) -> CAST(acc + v AS DECIMAL(20,12)))"
+        )
+        bits.append(f"(CASE WHEN CAST({dot} AS DOUBLE) > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def _duck_bucket_expr() -> str:
+    bits = []
+    for p, plane in enumerate(_PLANES):
+        arr = f"[{', '.join(repr(w) for w in plane)}]::DOUBLE[]"
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {DIM}), "
+            f"i -> CAST(CAST(embedding[i] AS DOUBLE) * ({arr})[i] AS DECIMAL(20,12))))"
+        )
+        bits.append(f"(CASE WHEN CAST({dot} AS DOUBLE) > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+@register(
+    "similarity_lsh_buckets",
+    f"""
+SELECT vec_id, {_duck_bucket_expr()} AS bucket
+FROM embeddings
+""",
+    doc=f"Random-hyperplane LSH bucketing: {N_PLANES} sign bits → bucket id. "
+    "Map-only; at scale, ANN search joins within buckets (plus neighbor "
+    "probes) instead of the full cross join.",
+)
+def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.selectExpr("vec_id", f"{_spark_bucket_expr()} AS bucket")
+
+
+@register(
+    "similarity_lsh_topk",
+    f"""
+WITH {_DUCK_NORMED},
+bucketed AS (
+  SELECT *, {_duck_bucket_expr()} AS bucket FROM normed
+)
+SELECT query_id, neighbor_id, rank, cosine
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC,
+                      c.vec_id) AS BIGINT) AS rank
+  FROM bucketed q JOIN bucketed c ON c.vec_id != q.vec_id AND c.bucket = q.bucket
+  WHERE q.vec_id < {N_QUERIES}
+) WHERE rank <= {TOP_K}
+""",
+    doc="ANN top-k within LSH buckets: the scale variant — candidates share "
+    "the query's hyperplane-sign bucket, so the join shuffles on bucket id "
+    "and work is O(n·bucket_size) not O(n²). Recall measured against "
+    "similarity_topk_bruteforce.",
+)
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    normed = _spark_normed(spark, sf_dir).withColumn(
+        "bucket", F.expr(_spark_bucket_expr())
+    )
+    q = (
+        normed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    pairs = normed.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id")) & (F.col("bucket") == F.col("q_bucket")),
+    )
+    cosine = _spark_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )

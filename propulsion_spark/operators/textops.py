@@ -1,0 +1,180 @@
+"""Text-analysis operators over ``documents``: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All map-only (no shuffle) and fully declarative — built-in string/regex
+functions inside whole-stage codegen; a 100 TB corpus runs these at
+scan speed. Ratios divide identical integers in both engines, so the
+double results are bit-identical for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from propulsion_spark import load_table
+from propulsion_spark.operators import register
+from propulsion_spark.operators.dedup import DUCK_H64, SPARK_H64, normalized
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+_BPE_RE_SPARK = "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]'"
+_BPE_RE_DUCK = "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'"
+
+
+def _toks(dialect: str) -> str:
+    if dialect == "spark":
+        return "split(lower(trim(text)), '\\\\s+')"
+    return "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+# ------------------------------------------------------- token counting
+@register(
+    "text_token_count",
+    f"""
+SELECT doc_id,
+       CAST(length({_toks('duck')}) AS BIGINT) AS ws_tokens,
+       CAST(length(regexp_extract_all(text, {_BPE_RE_DUCK})) AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS chars
+FROM documents
+""",
+    doc="Token counting: whitespace tokens + a BPE-ish regex pre-tokenizer "
+    "(letter runs / digit runs / single symbols).",
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"CAST(size({_toks('spark')}) AS BIGINT) AS ws_tokens",
+        f"CAST(size(regexp_extract_all(text, {_BPE_RE_SPARK}, 0)) AS BIGINT) AS bpe_tokens",
+        "CAST(length(text) AS BIGINT) AS chars",
+    )
+
+
+# ------------------------------------------------------ quality scoring
+_QUALITY_SPARK = [
+    f"size({_toks('spark')}) AS n_tokens",
+    "length(regexp_replace(text, '[^A-Za-z]', '')) / length(text) AS alpha_ratio",
+    f"size(filter({_toks('spark')}, t -> t IN ({_SW_LIST}))) / size({_toks('spark')}) AS stopword_ratio",
+    f"length(regexp_replace(text, '\\\\s', '')) / size({_toks('spark')}) AS avg_token_len",
+]
+
+_QUALITY_DUCK = f"""
+  CAST(length({_toks('duck')}) AS INT) AS n_tokens,
+  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) AS alpha_ratio,
+  length(list_filter({_toks('duck')}, t -> t IN ({_SW_LIST}))) / length({_toks('duck')}) AS stopword_ratio,
+  length(regexp_replace(text, '\\s', '', 'g')) / length({_toks('duck')}) AS avg_token_len
+"""
+
+
+@register(
+    "text_quality",
+    f"""
+SELECT doc_id, n_tokens,
+       alpha_ratio, stopword_ratio, avg_token_len,
+       0.4 * alpha_ratio + 0.4 * least(stopword_ratio * 10, 1.0)
+           + 0.2 * (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+           AS quality
+FROM (SELECT doc_id, {_QUALITY_DUCK} FROM documents)
+""",
+    doc="Quality scoring: alphabetic ratio, stopword ratio, token-length "
+    "stats folded into a [0,1] score — the classic pre-training filter "
+    "features (C4/Gopher-style heuristics).",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.selectExpr("doc_id", *_QUALITY_SPARK)
+    return base.selectExpr(
+        "doc_id",
+        "n_tokens",
+        "alpha_ratio",
+        "stopword_ratio",
+        "avg_token_len",
+        "0.4 * alpha_ratio + 0.4 * least(stopword_ratio * 10, 1.0)"
+        " + 0.2 * (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)"
+        " AS quality",
+    )
+
+
+# ------------------------------------------------- language-ID heuristic
+@register(
+    "text_lang_id",
+    f"""
+SELECT doc_id, lang,
+       CASE WHEN stop_ratio >= 0.04 THEN 'en' ELSE 'unk' END AS predicted,
+       (lang = (CASE WHEN stop_ratio >= 0.04 THEN 'en' ELSE 'unk' END)) AS hit
+FROM (
+  SELECT doc_id, lang,
+         length(list_filter({_toks('duck')}, t -> t IN ({_SW_LIST})))
+             / length({_toks('duck')}) AS stop_ratio
+  FROM documents
+)
+""",
+    doc="Language-ID n-gram/stopword heuristic: English-stopword density "
+    "threshold (the fixture text is synthetic, so this checks the operator "
+    "plumbing and determinism, not linguistic accuracy).",
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"size(filter({_toks('spark')}, t -> t IN ({_SW_LIST})))"
+        f" / size({_toks('spark')}) AS stop_ratio",
+    )
+    pred = F.when(F.col("stop_ratio") >= 0.04, F.lit("en")).otherwise(F.lit("unk"))
+    return base.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted"),
+        (F.col("lang") == pred).alias("hit"),
+    )
+
+
+# ------------------------------------------------------- fingerprinting
+@register(
+    "text_fingerprint",
+    f"""
+SELECT doc_id,
+       {DUCK_H64.format(x=normalized('duck'))} AS fp64,
+       {DUCK_H64.format(x=f"substr({normalized('duck')}, 1, 100)")} AS fp_prefix
+FROM documents
+""",
+    doc="Document fingerprinting: 64-bit content hash of normalized text "
+    "plus a 100-char-prefix hash (cheap containment/near-head signal).",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"{SPARK_H64.format(x=normalized('spark'))} AS fp64",
+        f"{SPARK_H64.format(x='substring(' + normalized('spark') + ', 1, 100)')} AS fp_prefix",
+    )
+
+
+# --------------------------------------------------- per-language rollup
+@register(
+    "text_lang_stats",
+    f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CAST(length({_toks('duck')}) AS BIGINT)) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang
+""",
+    doc="Corpus rollup per language: doc/char/token totals — the shape of "
+    "every corpus-composition report over a crawl.",
+)
+def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", F.expr(f"size({_toks('spark')})").cast("long"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
