@@ -28,6 +28,32 @@ __version__ = "0.1.0"
 
 from propulsion_spark.session import get_spark  # noqa: F401
 
+_SHIPPED: set[str] = set()
+
+
+def ensure_shipped(spark) -> None:
+    """Make this package importable inside Spark's Python workers.
+
+    Executor-side code (grouped-map handlers, the stateful kernel)
+    pickles closures that reference this module by name; workers must
+    be able to import it. On a cluster this is the --py-files story;
+    here we zip the package once per SparkContext and addPyFile it, so
+    the engine works regardless of the driver process's cwd/sys.path.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(tempfile.gettempdir(), f"propulsion_spark_{os.getpid()}")
+    zip_path = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir), "propulsion_spark")
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(app_id)
+
 TABLES = (
     "region",
     "nation",

@@ -1,0 +1,9 @@
+from propulsion_spark.sources.feed import (  # noqa: F401
+    Batch,
+    FeedSource,
+    PeriodicSource,
+    SinglePassFeedSource,
+    TailingFeedSource,
+)
+from propulsion_spark.sources.json_source import JsonSource  # noqa: F401
+from propulsion_spark.sources.memory import MemorySource  # noqa: F401

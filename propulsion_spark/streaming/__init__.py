@@ -1,0 +1,8 @@
+from propulsion_spark.streaming.checkpoints import CheckpointStore  # noqa: F401
+from propulsion_spark.streaming.positions import PositionsTable  # noqa: F401
+from propulsion_spark.streaming.sinks import (  # noqa: F401
+    BatchedSink,
+    HandlerResult,
+    OutcomeKind,
+    StreamsSink,
+)

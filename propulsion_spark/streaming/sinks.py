@@ -1,0 +1,338 @@
+"""Sink factories — the engine's public processing surface
+(SURVEY.md §2.2 P17; ref: src/Propulsion/Sinks.fs:38-127).
+
+``StreamsSink.start_concurrent(handle)`` is the analog of
+``Factory.StartConcurrent``: per-stream ordered dispatch of event
+spans to a user handler, with write-position dedup, slicing,
+outcome classification and stats. Spark plays the scheduler
+(ref Ingester/Submitter/Scheduler/Dispatcher are *not* re-implemented
+— SURVEY §7 design stance):
+
+- admission/read-ahead   → maxOffsetsPerTrigger / maxFilesPerTrigger
+- per-partition fairness → task scheduling
+- busy-lock (≤1 handler per stream) → one task owns a key group per
+  micro-batch (``groupBy(stream).applyInPandas``)
+- batch completion       → micro-batch commit
+
+The handler is the UDF (ref: src/Propulsion/Sinks.fs:73-87):
+``handle(stream_name: str, events: pd.DataFrame) -> (outcome, next_pos)``
+running as an Arrow-batched grouped-map function on executors.
+
+Dedup/progress is durable in :class:`PositionsTable`; only the head
+*contiguous* span from the write position is dispatched per batch
+(gapped suffixes wait for redelivery — at-least-once, same contract as
+the reference with ``requireAll``; the stateful kernel in
+``state_kernel.py`` is the gap-buffering variant).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from propulsion_spark.streaming.positions import PositionsTable
+
+
+class OutcomeKind:
+    """ref: OutcomeKind classification, src/Propulsion/Streams.fs:295-306."""
+
+    OK = "ok"
+    DUPLICATE = "duplicate"  # everything below write-pos (ref: CosmosStoreSink.fs:40-120)
+    PARTIAL_DUPLICATE = "partial_duplicate"
+    PREFIX_MISSING = "prefix_missing"  # head span starts above write-pos
+    TIMEOUT = "timeout"
+    RATE_LIMITED = "rate_limited"
+    EXN = "exn"
+    MALFORMED = "malformed"  # poison stream (ref: Streams.fs:166, write = -3)
+
+
+class MalformedStreamError(Exception):
+    """Raise from a handler to quarantine the stream."""
+
+
+@dataclass
+class HandlerResult:
+    outcome: str
+    next_pos: Optional[int] = None
+    info: str = ""
+
+
+OUTCOME_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_name", T.StringType(), False),
+        T.StructField("prev_pos", T.LongType(), False),
+        T.StructField("pos", T.LongType(), False),
+        T.StructField("revision", T.LongType(), False),
+        T.StructField("malformed", T.BooleanType(), False),
+        T.StructField("outcome", T.StringType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("n_deduped", T.LongType(), False),
+        T.StructField("info", T.StringType(), True),
+        T.StructField("latency_ms", T.DoubleType(), False),
+    ]
+)
+
+Handler = Callable[[str, pd.DataFrame], "tuple[str, int] | HandlerResult"]
+
+
+def _classify_exception(ex: Exception) -> str:
+    name = type(ex).__name__.lower()
+    if isinstance(ex, MalformedStreamError):
+        return OutcomeKind.MALFORMED
+    if "timeout" in name:
+        return OutcomeKind.TIMEOUT
+    if "ratelimit" in name or "throttl" in name:
+        return OutcomeKind.RATE_LIMITED
+    return OutcomeKind.EXN
+
+
+def _make_grouped_handler(
+    handle: Handler, max_events: int, max_bytes: int, require_all: bool
+):
+    """Build the executor-side per-stream function. Pure closure over
+    picklable config; uses the same span semantics as the pure kernel."""
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.monotonic()
+        stream = pdf["stream_name"].iloc[0]
+        write_pos = int(pdf["_pos"].iloc[0]) if pd.notna(pdf["_pos"].iloc[0]) else 0
+        total = len(pdf)
+        pdf = pdf.sort_values("idx").drop_duplicates("idx", keep="first")
+        live = pdf[pdf["idx"] >= write_pos]
+        n_dedup = total - len(live)
+
+        def out(outcome, pos, n, info="", revision=0, malformed=False):
+            return pd.DataFrame(
+                [
+                    {
+                        "stream_name": stream,
+                        "prev_pos": write_pos,
+                        "pos": int(pos),
+                        "revision": int(revision),
+                        "malformed": bool(malformed),
+                        "outcome": outcome,
+                        "n_events": int(n),
+                        "n_deduped": int(n_dedup),
+                        "info": info,
+                        "latency_ms": (time.monotonic() - t0) * 1000.0,
+                    }
+                ]
+            )
+
+        if live.empty:
+            return out(OutcomeKind.DUPLICATE, write_pos, 0)
+        head_start = int(live["idx"].iloc[0])
+        if head_start > write_pos:
+            # gap below the head span: PrefixMissing — report, don't dispatch
+            # (ref: CosmosStoreSink PrefixMissing / requireAll gap guard)
+            if require_all:
+                return out(
+                    OutcomeKind.PREFIX_MISSING,
+                    write_pos,
+                    0,
+                    info=f"gap {write_pos}..{head_start}",
+                )
+        # head contiguous span from head_start
+        idx = live["idx"].to_numpy()
+        run_len = 1
+        while run_len < len(idx) and idx[run_len] == idx[run_len - 1] + 1:
+            run_len += 1
+        span = live.iloc[:run_len]
+        # slice to max_events / max_bytes, always ≥1 event (ref: Streams.fs:89-107)
+        if len(span) > max_events:
+            span = span.iloc[:max_events]
+        if "size" in span.columns and max_bytes > 0:
+            csum = span["size"].fillna(0).cumsum()
+            keep = max(1, int((csum <= max_bytes).sum()))
+            span = span.iloc[:keep]
+        try:
+            res = handle(stream, span)
+        except Exception as ex:  # noqa: BLE001 — outcome classification
+            kind = _classify_exception(ex)
+            malformed = kind == OutcomeKind.MALFORMED
+            return out(kind, write_pos, 0, info=repr(ex)[:500], malformed=malformed)
+        if isinstance(res, HandlerResult):
+            outcome, next_pos, info = res.outcome, res.next_pos, res.info
+        else:
+            outcome, next_pos = res
+            info = ""
+        if next_pos is None:
+            next_pos = int(span["idx"].iloc[-1]) + 1
+        if next_pos < write_pos:
+            outcome = OutcomeKind.DUPLICATE
+            next_pos = write_pos
+        elif n_dedup > 0 and outcome == OutcomeKind.OK:
+            outcome = OutcomeKind.PARTIAL_DUPLICATE
+        return out(outcome, next_pos, len(span), info=info)
+
+    return process
+
+
+@dataclass
+class SinkStats:
+    """Outcome/latency accumulation (ref: Scheduling.Stats,
+    src/Propulsion/Streams.fs:606-707). Updated driver-side from the
+    (small) per-batch outcome aggregates."""
+
+    outcomes: dict[str, int] = field(default_factory=dict)
+    events: int = 0
+    deduped: int = 0
+    batches: int = 0
+    failing_streams: dict[str, int] = field(default_factory=dict)
+
+    def record(self, agg_rows: list) -> None:
+        self.batches += 1
+        for r in agg_rows:
+            self.outcomes[r["outcome"]] = self.outcomes.get(r["outcome"], 0) + r["n"]
+            self.events += r["n_events"]
+            self.deduped += r["n_deduped"]
+
+    def record_failures(self, streams: list[str]) -> None:
+        for s in streams:
+            self.failing_streams[s] = self.failing_streams.get(s, 0) + 1
+        for s in list(self.failing_streams):
+            if s not in streams:
+                del self.failing_streams[s]
+
+    def as_dict(self) -> dict:
+        return {
+            "batches": self.batches,
+            "events": self.events,
+            "deduped": self.deduped,
+            "outcomes": dict(self.outcomes),
+            "failing": dict(self.failing_streams),
+        }
+
+
+class StreamsSink:
+    """Per-stream ordered sink (Factory.StartConcurrent analog)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        handle: Handler,
+        positions: PositionsTable,
+        max_events: int = 16384,
+        max_bytes: int = 1024 * 1024 - 4096,  # ref defaults: Sync.fs:54
+        require_all: bool = False,
+    ):
+        from propulsion_spark import ensure_shipped
+
+        ensure_shipped(spark)
+        self.spark = spark
+        self.handle = handle
+        self.positions = positions
+        self.max_events = max_events
+        self.max_bytes = max_bytes
+        self.require_all = require_all
+        self.stats = SinkStats()
+
+    @classmethod
+    def start_concurrent(
+        cls,
+        spark: SparkSession,
+        handle: Handler,
+        positions_path: str,
+        **kw,
+    ) -> "StreamsSink":
+        return cls(spark, handle, PositionsTable(spark, positions_path), **kw)
+
+    # -- one micro-batch ---------------------------------------------------
+    def process_batch(self, df: DataFrame, batch_id: int = 0) -> DataFrame:
+        """Dispatch one micro-batch of envelope rows; returns the outcome
+        table (one row per touched stream) after persisting progress."""
+        pos = self.positions.read().select(
+            "stream_name", F.col("pos").alias("_pos"), F.col("malformed").alias("_mal")
+        )
+        work = (
+            df.join(F.broadcast(pos), "stream_name", "left")
+            .filter(~F.coalesce(F.col("_mal"), F.lit(False)))
+        )
+        grouped = work.groupBy("stream_name").applyInPandas(
+            _make_grouped_handler(
+                self.handle, self.max_events, self.max_bytes, self.require_all
+            ),
+            OUTCOME_SCHEMA,
+        )
+        outcomes = grouped.cache()
+        try:
+            progressed = outcomes.filter(
+                (F.col("pos") > F.col("prev_pos")) | F.col("malformed")
+            ).select("stream_name", "pos", "revision", "malformed")
+            self.positions.merge(progressed)
+            agg = (
+                outcomes.groupBy("outcome")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("n_deduped").alias("n_deduped"),
+                )
+                .collect()
+            )
+            self.stats.record([r.asDict() for r in agg])
+            failing = [
+                r.stream_name
+                for r in outcomes.filter(
+                    F.col("outcome").isin(
+                        OutcomeKind.EXN, OutcomeKind.TIMEOUT, OutcomeKind.RATE_LIMITED
+                    )
+                )
+                .select("stream_name")
+                .collect()
+            ]
+            self.stats.record_failures(failing)
+            return outcomes
+        finally:
+            outcomes.unpersist()
+
+    # -- streaming lifecycle -------------------------------------------------
+    def run_stream(self, stream_df: DataFrame, checkpoint_location: str, **trigger):
+        """Attach to a streaming DataFrame: every micro-batch flows through
+        process_batch; Spark's commit log is the batch-completion record
+        (ref ProgressRequirement semantics are built-in)."""
+        return (
+            stream_df.writeStream.foreachBatch(
+                lambda df, bid: self.process_batch(df, bid) and None
+            )
+            .option("checkpointLocation", checkpoint_location)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
+
+class BatchedSink:
+    """Whole-batch dispatch (Factory.StartBatched analog,
+    ref: src/Propulsion/Streams.fs:1071-1104): ``select`` narrows the
+    micro-batch, one ``handle`` call processes it as a DataFrame —
+    dop=1 by construction, used for control-plane style sinks."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        select: Callable[[DataFrame], DataFrame],
+        handle: Callable[[DataFrame], None],
+    ):
+        self.spark = spark
+        self.select = select
+        self.handle = handle
+        self.batches = 0
+
+    def process_batch(self, df: DataFrame, batch_id: int = 0) -> None:
+        self.handle(self.select(df))
+        self.batches += 1
+
+    def run_stream(self, stream_df: DataFrame, checkpoint_location: str, **trigger):
+        return (
+            stream_df.writeStream.foreachBatch(
+                lambda df, bid: self.process_batch(df, bid)
+            )
+            .option("checkpointLocation", checkpoint_location)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )

@@ -1,0 +1,183 @@
+"""Stateful span buffer — per-stream state across micro-batches
+(SURVEY.md §7 step 6; ref: Scheduling.StreamStates,
+src/Propulsion/Streams.fs:327-431).
+
+Where :class:`~propulsion_spark.streaming.sinks.StreamsSink` is
+stateless between batches (gapped suffixes rely on redelivery), this
+kernel holds ``{write_pos, revision, malformed, buffered spans}`` per
+stream in Spark's state store via ``applyInPandasWithState``:
+out-of-order events are buffered as gapped spans and dispatched the
+moment the gap fills — the ``requireAll`` behavior with cross-batch
+memory (ref: Streams.fs:370-373,828-843).
+
+The state transition is exactly the pure kernel
+(:mod:`propulsion_spark.kernel`): property-tested once, executed here
+inside the Arrow grouped-map. State is bounded by ``purge`` timeouts
+(ref purgeInterval, Streams.fs:904-913) → state TTL.
+
+Scale: state lives in the executor state store (RocksDB on a cluster),
+partitioned by stream key — the same shuffle the groupBy already pays.
+Buffered bytes are bounded per stream by ``max_buffered_events``;
+beyond it the stream is flagged malformed (poison) rather than OOMing
+an executor.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from propulsion_spark.kernel.spans import Event, span_index, span_next
+from propulsion_spark.kernel.state import StreamState
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("write_pos", T.LongType()),
+        T.StructField("revision", T.LongType()),
+        T.StructField("malformed", T.BooleanType()),
+        T.StructField("buffer", T.StringType()),  # JSON spans incl. unfolds
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_name", T.StringType()),
+        T.StructField("write_pos", T.LongType()),
+        T.StructField("dispatched", T.LongType()),
+        T.StructField("buffered", T.LongType()),
+        T.StructField("gap_start", T.LongType()),
+        T.StructField("gap_end", T.LongType()),
+        T.StructField("outcome", T.StringType()),
+        T.StructField("revision", T.LongType()),
+    ]
+)
+
+_EVENT_FIELDS = ("idx", "event_type", "data", "is_unfold", "size")
+
+
+def _encode(st: StreamState) -> tuple:
+    payload = {
+        "spans": [[list(e[:5]) for e in s] for s in st.spans],
+        "unfolds": [list(e[:5]) for e in st.unfolds],
+    }
+    return (st.write_pos, st.revision, st.is_malformed, json.dumps(payload))
+
+
+def _decode(row: tuple) -> StreamState:
+    write_pos, revision, malformed, buffer = row
+    st = StreamState(write_pos=int(write_pos), revision=int(revision))
+    if malformed:
+        st.mark_malformed()
+        return st
+    payload = json.loads(buffer) if buffer else {"spans": [], "unfolds": []}
+    st.spans = [tuple(Event(*e) for e in s) for s in payload["spans"]]
+    st.unfolds = tuple(Event(*e) for e in payload["unfolds"])
+    return st
+
+
+def make_stateful_processor(
+    handle: Callable[[str, pd.DataFrame], "tuple[str, int]"],
+    require_all: bool = True,
+    max_buffered_events: int = 100_000,
+    ttl_ms: int = 0,
+):
+    """Build the applyInPandasWithState function: ingest → dispatch →
+    persist. ``handle`` runs at most once per stream per micro-batch
+    (the reference dispatches one span per scheduling cycle)."""
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (stream,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        st = _decode(state.get) if state.exists else StreamState(write_pos=0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("idx")
+            events = [
+                Event(
+                    int(r.idx),
+                    str(r.event_type),
+                    r.data if isinstance(r.data, str) else "",
+                    bool(r.is_unfold),
+                    int(r.size) if pd.notna(r.size) else 0,
+                )
+                for r in pdf.itertuples()
+            ]
+            st.ingest(events)
+        outcome = "buffered"
+        dispatched = 0
+        if st.queued_events > max_buffered_events:
+            st.mark_malformed()
+            outcome = "malformed"
+        span = st.choose_dispatchable(require_all=require_all)
+        if span is not None:
+            span_pdf = pd.DataFrame(
+                [dict(zip(_EVENT_FIELDS, e[:5])) for e in span]
+            ).assign(stream_name=stream)
+            try:
+                res = handle(stream, span_pdf)
+                outcome, next_pos = (res.outcome, res.next_pos) if hasattr(res, "outcome") else res
+                if next_pos is None:
+                    next_pos = span_next(span)
+                dispatched = len(span)
+                st.record_progress(int(next_pos))
+            except Exception as ex:  # noqa: BLE001
+                outcome = f"exn:{type(ex).__name__}"
+        gap = st.gap()
+        state.update(_encode(st))
+        if ttl_ms > 0:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "stream_name": stream,
+                    "write_pos": st.write_pos,
+                    "dispatched": dispatched,
+                    "buffered": st.queued_events,
+                    "gap_start": gap[0] if gap else None,
+                    "gap_end": gap[1] if gap else None,
+                    "outcome": outcome,
+                    "revision": st.revision,
+                }
+            ]
+        )
+
+    return process
+
+
+def stateful_stream(
+    envelope_stream: DataFrame,
+    handle,
+    require_all: bool = True,
+    ttl_ms: int = 0,
+) -> DataFrame:
+    """Attach the span-buffer kernel to a streaming envelope DataFrame.
+
+    Returns the outcome stream; start it with ``writeStream`` (the
+    caller picks sink/trigger/checkpoint).
+    """
+    from propulsion_spark import ensure_shipped
+
+    ensure_shipped(envelope_stream.sparkSession)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        envelope_stream.groupBy("stream_name")
+        .applyInPandasWithState(
+            make_stateful_processor(handle, require_all=require_all, ttl_ms=ttl_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )

@@ -1,0 +1,93 @@
+"""Idempotent event-store writer tests (W1/W2 semantics,
+ref: CosmosStoreSink outcome classification + CosmosStorePruner).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from propulsion_spark.streaming.event_store import EventStoreTable
+from propulsion_spark.streaming.sinks import OutcomeKind
+
+from test_streaming_sinks import envelope_rows, mk_df
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return EventStoreTable(spark, str(tmp_path / "events"))
+
+
+def sync_map(store, df):
+    return {r.stream_name: r for r in store.sync(df).collect()}
+
+
+class TestEventStoreSync:
+    def test_fresh_append_ok(self, spark, store):
+        out = sync_map(store, mk_df(spark, envelope_rows("user-1", 0, 4)))
+        assert out["user-1"].outcome == OutcomeKind.OK
+        assert out["user-1"].new_tail == 4
+        assert store.read().count() == 4
+
+    def test_exact_redelivery_duplicate(self, spark, store):
+        store.sync(mk_df(spark, envelope_rows("user-1", 0, 4)))
+        out = sync_map(store, mk_df(spark, envelope_rows("user-1", 0, 4)))
+        assert out["user-1"].outcome == OutcomeKind.DUPLICATE
+        assert out["user-1"].appended == 0
+        assert store.read().count() == 4  # no double writes
+
+    def test_partial_overlap_appends_suffix(self, spark, store):
+        store.sync(mk_df(spark, envelope_rows("user-1", 0, 4)))
+        out = sync_map(store, mk_df(spark, envelope_rows("user-1", 2, 4)))
+        assert out["user-1"].outcome == OutcomeKind.PARTIAL_DUPLICATE
+        assert out["user-1"].appended == 2
+        assert out["user-1"].new_tail == 6
+        idxs = sorted(r.idx for r in store.read().collect())
+        assert idxs == list(range(6))
+
+    def test_gap_rejected_prefix_missing(self, spark, store):
+        store.sync(mk_df(spark, envelope_rows("user-1", 0, 2)))
+        out = sync_map(store, mk_df(spark, envelope_rows("user-1", 5, 2)))
+        assert out["user-1"].outcome == OutcomeKind.PREFIX_MISSING
+        assert out["user-1"].appended == 0
+        assert store.read().count() == 2
+
+    def test_multi_stream_batch(self, spark, store):
+        store.sync(mk_df(spark, envelope_rows("user-1", 0, 3)))
+        batch = mk_df(
+            spark,
+            envelope_rows("user-1", 3, 2)  # OK
+            + envelope_rows("user-2", 0, 2)  # OK (new stream)
+            + envelope_rows("user-3", 4, 1),  # PrefixMissing
+        )
+        out = sync_map(store, batch)
+        assert out["user-1"].outcome == OutcomeKind.OK
+        assert out["user-2"].outcome == OutcomeKind.OK
+        assert out["user-3"].outcome == OutcomeKind.PREFIX_MISSING
+        assert store.read().count() == 7
+
+
+class TestPruner:
+    def test_prune_deletes_below_index(self, spark, store):
+        store.sync(mk_df(spark, envelope_rows("user-1", 0, 6)))
+        store.sync(mk_df(spark, envelope_rows("user-2", 0, 4)))
+        req = spark.createDataFrame(
+            [("user-1", 2)], "stream_name string, until_idx long"
+        )
+        report = {r.stream_name: r for r in store.prune(req).collect()}
+        assert report["user-1"].deleted == 3
+        assert report["user-1"].remaining == 3
+        left = sorted((r.stream_name, r.idx) for r in store.read().collect())
+        assert left == [("user-1", 3), ("user-1", 4), ("user-1", 5)] + [
+            ("user-2", i) for i in range(4)
+        ]
+
+    def test_unfold_compact_keeps_freshest(self, spark, store):
+        rows = envelope_rows("user-1", 0, 3)
+        unfolds = envelope_rows("user-1", 3, 1) + envelope_rows("user-1", 4, 1)
+        for u in unfolds:
+            u["is_unfold"] = True
+            u["event_type"] = "snapshot"
+        store.sync(mk_df(spark, rows + unfolds))
+        store.unfold_compact()
+        kept = [r for r in store.read().collect() if r.is_unfold]
+        assert len(kept) == 1 and kept[0].idx == 4

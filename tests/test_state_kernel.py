@@ -1,0 +1,135 @@
+"""Structured-Streaming stateful span buffer tests: cross-batch gap
+buffering, dedup, and dispatch — the requireAll semantics with memory
+(ref: Streams.fs:370-373 + StreamStateTests scenarios, driven through
+a real streaming query with applyInPandasWithState).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pandas as pd
+import pytest
+
+from propulsion_spark.envelope import STREAM_EVENT_SCHEMA
+from propulsion_spark.streaming.state_kernel import stateful_stream
+
+from test_streaming_sinks import envelope_rows
+
+
+def make_ok_handler():
+    # closure → pickled by value (module-level fns would be pickled by
+    # reference and fail to import inside Spark's Python workers)
+    def ok_handler(stream, events):
+        return "ok", int(events["idx"].iloc[-1]) + 1
+
+    return ok_handler
+
+
+class StreamHarness:
+    """Drives envelope batches through a real streaming query: each
+    ``push`` writes one parquet file and processes it to completion."""
+
+    def __init__(self, spark, tmp_path, handle=None, require_all=True):
+        handle = handle or make_ok_handler()
+        self.spark = spark
+        self.indir = str(tmp_path / "in")
+        os.makedirs(self.indir)
+        self.name = f"out_{uuid.uuid4().hex[:8]}"
+        stream = (
+            spark.readStream.schema(STREAM_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.indir)
+        )
+        outcomes = stateful_stream(stream, handle, require_all=require_all)
+        self.query = (
+            outcomes.writeStream.format("memory")
+            .queryName(self.name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    def push(self, rows):
+        pdf = pd.DataFrame(rows)
+        self.spark.createDataFrame(pdf, schema=STREAM_EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.indir)
+        self.query.processAllAvailable()
+
+    def outcomes(self):
+        return [
+            r.asDict()
+            for r in self.spark.sql(f"SELECT * FROM {self.name}").collect()
+        ]
+
+    def stop(self):
+        self.query.stop()
+
+
+@pytest.fixture()
+def harness_factory(spark, tmp_path):
+    created = []
+
+    def make(**kw):
+        h = StreamHarness(spark, tmp_path / uuid.uuid4().hex[:6], **kw)
+        created.append(h)
+        return h
+
+    yield make
+    for h in created:
+        h.stop()
+
+
+class TestStatefulSpanBuffer:
+    def test_gap_buffers_then_dispatches_when_filled(self, harness_factory):
+        h = harness_factory()
+        h.push(envelope_rows("user-1", 3, 3))  # idx 3..5 — gap 0..3
+        out1 = h.outcomes()
+        assert out1[-1]["outcome"] == "buffered"
+        assert out1[-1]["write_pos"] == 0
+        assert (out1[-1]["gap_start"], out1[-1]["gap_end"]) == (0, 3)
+        assert out1[-1]["buffered"] == 3
+
+        h.push(envelope_rows("user-1", 0, 3))  # fills the gap
+        out2 = h.outcomes()
+        assert out2[-1]["outcome"] == "ok"
+        assert out2[-1]["write_pos"] == 6
+        assert out2[-1]["dispatched"] == 6
+        assert out2[-1]["buffered"] == 0
+
+    def test_redelivery_across_batches_is_deduped(self, harness_factory):
+        h = harness_factory()
+        h.push(envelope_rows("user-1", 0, 4))
+        h.push(envelope_rows("user-1", 0, 4))  # exact redelivery
+        out = h.outcomes()
+        assert out[-1]["write_pos"] == 4
+        assert out[-1]["dispatched"] == 0
+        assert out[-1]["buffered"] == 0
+
+    def test_multiple_streams_isolated(self, harness_factory):
+        h = harness_factory()
+        h.push(envelope_rows("user-1", 0, 2) + envelope_rows("user-2", 5, 2))
+        by_stream = {o["stream_name"]: o for o in h.outcomes()}
+        assert by_stream["user-1"]["write_pos"] == 2
+        assert by_stream["user-2"]["outcome"] == "buffered"
+        assert by_stream["user-2"]["write_pos"] == 0
+
+    def test_out_of_order_without_require_all_dispatches_head(self, harness_factory):
+        h = harness_factory(require_all=False)
+        h.push(envelope_rows("user-1", 3, 2))  # gap, but dispatchable
+        out = h.outcomes()
+        assert out[-1]["outcome"] == "ok"
+        assert out[-1]["write_pos"] == 5
+
+    def test_handler_error_keeps_buffer(self, harness_factory):
+        def bad_handler(stream, events):
+            raise ValueError("boom")
+
+        h = harness_factory(handle=bad_handler)
+        h.push(envelope_rows("user-1", 0, 3))
+        out = h.outcomes()
+        assert out[-1]["outcome"].startswith("exn:")
+        assert out[-1]["write_pos"] == 0
+        assert out[-1]["buffered"] == 3  # retained for retry next batch

@@ -1,0 +1,223 @@
+"""Sink + positions + checkpoint behavior tests, mirroring the
+reference suites (SURVEY.md §5: ProgressTests, SinkHealthTests,
+SourceTests semantics).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from propulsion_spark.envelope import STREAM_EVENT_SCHEMA
+from propulsion_spark.streaming import CheckpointStore, StreamsSink
+from propulsion_spark.streaming.monitor import BusyMonitor, HealthCheckException
+from propulsion_spark.streaming.sinks import MalformedStreamError, OutcomeKind
+
+
+def envelope_rows(stream: str, start: int, n: int, size: int = 10):
+    return [
+        {
+            "stream_name": stream,
+            "category": stream.split("-")[0],
+            "idx": start + i,
+            "event_type": f"e{start + i}",
+            "data": "{}",
+            "meta": None,
+            "event_id": start + i,
+            "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=start + i),
+            "is_unfold": False,
+            "size": size,
+        }
+        for i in range(n)
+    ]
+
+
+def mk_df(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows), schema=STREAM_EVENT_SCHEMA)
+
+
+@pytest.fixture()
+def sink(spark, tmp_path):
+    def handle(stream, events):
+        return OutcomeKind.OK, int(events["idx"].iloc[-1]) + 1
+
+    return StreamsSink.start_concurrent(
+        spark, handle, str(tmp_path / "positions")
+    )
+
+
+def outcomes_map(df):
+    return {r.stream_name: r for r in df.collect()}
+
+
+class TestStreamsSink:
+    def test_dispatch_advances_positions(self, spark, sink):
+        df = mk_df(spark, envelope_rows("user-1", 0, 5) + envelope_rows("user-2", 0, 3))
+        out = outcomes_map(sink.process_batch(df))
+        assert out["user-1"].outcome == OutcomeKind.OK
+        assert out["user-1"].pos == 5
+        assert out["user-2"].pos == 3
+        pos = {r.stream_name: r.pos for r in sink.positions.read().collect()}
+        assert pos == {"user-1": 5, "user-2": 3}
+
+    def test_redelivery_is_duplicate(self, spark, sink):
+        df = mk_df(spark, envelope_rows("user-1", 0, 5))
+        sink.process_batch(df)
+        out = outcomes_map(sink.process_batch(df))
+        assert out["user-1"].outcome == OutcomeKind.DUPLICATE
+        assert out["user-1"].pos == 5
+        assert sink.stats.outcomes.get(OutcomeKind.DUPLICATE) == 1
+
+    def test_partial_redelivery(self, spark, sink):
+        sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 5)))
+        out = outcomes_map(
+            sink.process_batch(mk_df(spark, envelope_rows("user-1", 3, 5)))
+        )
+        assert out["user-1"].outcome == OutcomeKind.PARTIAL_DUPLICATE
+        assert out["user-1"].pos == 8
+
+    def test_gap_blocks_with_require_all(self, spark, tmp_path):
+        def handle(stream, events):
+            return OutcomeKind.OK, int(events["idx"].iloc[-1]) + 1
+
+        sink = StreamsSink.start_concurrent(
+            spark, handle, str(tmp_path / "p2"), require_all=True
+        )
+        sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 3)))
+        out = outcomes_map(
+            sink.process_batch(mk_df(spark, envelope_rows("user-1", 5, 2)))
+        )
+        assert out["user-1"].outcome == OutcomeKind.PREFIX_MISSING
+        assert out["user-1"].pos == 3  # did not advance
+
+    def test_handler_exception_classified(self, spark, tmp_path):
+        def handle(stream, events):
+            raise TimeoutError("too slow")
+
+        sink = StreamsSink.start_concurrent(spark, handle, str(tmp_path / "p3"))
+        out = outcomes_map(sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 2))))
+        assert out["user-1"].outcome == OutcomeKind.TIMEOUT
+        assert out["user-1"].pos == 0
+
+    def test_malformed_quarantine(self, spark, tmp_path):
+        def handle(stream, events):
+            raise MalformedStreamError("bad payload")
+
+        sink = StreamsSink.start_concurrent(spark, handle, str(tmp_path / "p4"))
+        first = outcomes_map(
+            sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 2)))
+        )
+        assert first["user-1"].outcome == OutcomeKind.MALFORMED
+        assert first["user-1"].malformed
+        # second batch: the stream is poisoned → excluded before dispatch
+        out = sink.process_batch(mk_df(spark, envelope_rows("user-1", 2, 2)))
+        assert out.count() == 0
+
+    def test_slice_to_max_events(self, spark, tmp_path):
+        def handle(stream, events):
+            return OutcomeKind.OK, int(events["idx"].iloc[-1]) + 1
+
+        sink = StreamsSink.start_concurrent(
+            spark, handle, str(tmp_path / "p5"), max_events=4
+        )
+        out = outcomes_map(sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 10))))
+        assert out["user-1"].n_events == 4  # handler saw the sliced span
+        assert out["user-1"].pos == 4  # progress = sliced span only
+
+    def test_slice_to_max_bytes(self, spark, tmp_path):
+        def handle(stream, events):
+            return OutcomeKind.OK, int(events["idx"].iloc[-1]) + 1
+
+        sink = StreamsSink.start_concurrent(
+            spark, handle, str(tmp_path / "p5b"), max_bytes=35
+        )
+        out = outcomes_map(
+            sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 10, size=10)))
+        )
+        assert out["user-1"].n_events == 3  # 3×10 ≤ 35 < 4×10
+
+    def test_handler_fast_forward(self, spark, tmp_path):
+        # handler may return a pos beyond the span (e.g. store said so)
+        def handle(stream, events):
+            return OutcomeKind.OK, 100
+
+        sink = StreamsSink.start_concurrent(spark, handle, str(tmp_path / "p6"))
+        sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 3)))
+        out = outcomes_map(sink.process_batch(mk_df(spark, envelope_rows("user-1", 3, 3))))
+        assert out["user-1"].outcome == OutcomeKind.DUPLICATE
+
+
+class TestCheckpointStore:
+    def test_start_establishes_origin(self, tmp_path):
+        store = CheckpointStore(str(tmp_path / "ckpt"), group="g1")
+        assert store.start("src", "0", establish_origin=42) == 42
+        # origin persisted: a second store instance sees it
+        store2 = CheckpointStore(str(tmp_path / "ckpt"), group="g1")
+        assert store2.start("src", "0", establish_origin=99) == 42
+
+    def test_commit_newest_wins_and_throttles(self, tmp_path):
+        store = CheckpointStore(str(tmp_path / "c2"), group="g1", commit_interval_s=999)
+        store.start("src", "0", 0)
+        store.commit("src", "0", 10)
+        store.commit("src", "0", 7)  # stale: ignored
+        store.commit("src", "0", 15)
+        # throttled: durable value still 0; pending is 15
+        assert store.position("src", "0") == 15
+        store.flush(force=True)
+        fresh = CheckpointStore(str(tmp_path / "c2"), group="g1")
+        assert fresh.position("src", "0") == 15
+
+    def test_consumer_groups_isolated(self, tmp_path):
+        a = CheckpointStore(str(tmp_path / "c3"), group="a")
+        b = CheckpointStore(str(tmp_path / "c3"), group="b")
+        a.start("src", "0", 0)
+        b.start("src", "0", 0)
+        a.commit("src", "0", 5)
+        a.flush()
+        b.commit("src", "0", 9)
+        b.flush()
+        assert CheckpointStore(str(tmp_path / "c3"), group="a").position("src", "0") == 5
+        assert CheckpointStore(str(tmp_path / "c3"), group="b").position("src", "0") == 9
+
+    def test_override(self, tmp_path):
+        store = CheckpointStore(str(tmp_path / "c4"), group="g1")
+        store.start("src", "0", 0)
+        store.commit("src", "0", 50)
+        store.flush()
+        store.override_position("src", "0", 10)
+        fresh = CheckpointStore(str(tmp_path / "c4"), group="g1")
+        assert fresh.position("src", "0") == 10
+
+    def test_compaction_preserves_positions(self, tmp_path):
+        store = CheckpointStore(str(tmp_path / "c5"), group="g1", commit_interval_s=0)
+        store.start("src", "0", 0)
+        for i in range(80):
+            store.commit("src", "0", i)
+            store.flush(force=True)
+        assert len(store._files()) <= 64
+        assert store.position("src", "0") == 79
+
+
+class TestBusyMonitor:
+    def test_stuck_vs_failing(self):
+        mon = BusyMonitor()
+        mon.record_outcomes(
+            [
+                {"stream_name": "s-ok", "outcome": "ok"},
+                {"stream_name": "s-new", "outcome": "exn"},
+                {"stream_name": "s-was-ok", "outcome": "ok"},
+            ]
+        )
+        mon.record_outcomes([{"stream_name": "s-was-ok", "outcome": "exn"}])
+        stuck, failing = mon.classify(abend_threshold_s=0.0)
+        assert [s for s, _ in stuck] == ["s-new"]
+        assert [s for s, _ in failing] == ["s-was-ok"]
+        with pytest.raises(HealthCheckException) as ei:
+            mon.check_health(abend_threshold_s=0.0)
+        assert ei.value.stuck_streams and ei.value.failing_streams
+
+    def test_recovery_clears(self):
+        mon = BusyMonitor()
+        mon.record_outcomes([{"stream_name": "s1", "outcome": "exn"}])
+        mon.record_outcomes([{"stream_name": "s1", "outcome": "ok"}])
+        mon.check_health(abend_threshold_s=0.0)  # no raise
