@@ -40,6 +40,8 @@ HEADLINE = [
     "text_token_count",
     "similarity_topk_bruteforce",
     "similarity_lsh_topk",
+    "multimodal_frame_sample",
+    "multimodal_envelope",
 ]
 
 

@@ -1,0 +1,199 @@
+"""Engine CLI — the `propulsion sync` analog (SURVEY.md §3.3; ref:
+tools/Propulsion.Tool/Program.fs:7-26, Sync.fs:219-320).
+
+    python -m propulsion_spark.cli sync --from <src> --to <dst> [...]
+    python -m propulsion_spark.cli stats --sf-dir <dir>
+    python -m propulsion_spark.cli checkpoint --path <ckpt> [--override N]
+
+Sources: ``events:<sf_dir>`` (the fixture via envelope derivation),
+``changefeed:<dir>`` (append-only parquet tail), ``json:<file>``.
+Sinks:   ``stats`` (count/report only), ``store:<dir>`` (idempotent
+event-store writer), ``parquet:<dir>`` (rendered span messages).
+``--follow`` keeps tailing; default runs until caught up then exits
+(ref non-follow mode: Sync.fs:308-320).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _build_filter(args) -> "StreamFilter":
+    from propulsion_spark.functions.filters import StreamFilter
+
+    return StreamFilter(
+        allow_categories=args.category or (),
+        deny_categories=args.deny_category or (),
+        allow_stream_regex=args.stream or (),
+        deny_stream_regex=args.deny_stream or (),
+        allow_event_types=args.event_type or (),
+        deny_event_types=args.deny_event_type or (),
+    )
+
+
+def cmd_sync(args) -> int:
+    from propulsion_spark import get_spark
+    from propulsion_spark.envelope import derive_stream_events
+    from propulsion_spark import load_table
+    from propulsion_spark.sources import ChangeFeedSource, JsonSource
+    from propulsion_spark.sources.feed import Batch, SinglePassFeedSource, TailingFeedSource
+    from propulsion_spark.streaming import CheckpointStore, StreamsSink
+    from propulsion_spark.streaming.event_store import EventStoreTable
+
+    spark = get_spark("propulsion-cli")
+    sfilter = _build_filter(args)
+    ckpt = CheckpointStore(args.checkpoints, group=args.group)
+
+    # ---- sink ----
+    kind, _, dst = args.to.partition(":")
+    if kind == "stats":
+        counters = {"events": 0, "streams": set()}
+
+        def handle(stream, events):
+            return "ok", int(events["idx"].iloc[-1]) + 1
+
+        sink = StreamsSink.start_concurrent(spark, handle, args.positions)
+    elif kind == "store":
+        store = EventStoreTable(spark, dst)
+
+        class StoreSink:
+            def __init__(self):
+                self.outcomes = {}
+
+            def process_batch(self, df, batch_id=0):
+                for r in store.sync(df).collect():
+                    self.outcomes[r.outcome] = self.outcomes.get(r.outcome, 0) + 1
+
+        sink = StoreSink()
+    elif kind == "parquet":
+        from propulsion_spark.functions.codec import render_spans
+
+        class RenderSink:
+            def __init__(self):
+                self.n = 0
+
+            def process_batch(self, df, batch_id=0):
+                out = render_spans(df)
+                out.write.mode("append").parquet(dst)
+                self.n += 1
+
+        sink = RenderSink()
+    else:
+        print(f"unknown sink: {args.to}", file=sys.stderr)
+        return 2
+
+    # wrap the sink with the stream filter
+    inner = sink
+
+    class FilteredSink:
+        def process_batch(self, df, batch_id=0):
+            return inner.process_batch(sfilter.apply(df), batch_id)
+
+    sink = FilteredSink()
+
+    # ---- source ----
+    skind, _, src = args.source.partition(":")
+    if skind == "events":
+        envelope = derive_stream_events(load_table(spark, src, "events"))
+
+        def read_page(tranche, pos):
+            if pos >= 1:
+                return Batch(items=None, checkpoint=pos, is_tail=True)
+            return Batch(items=envelope, checkpoint=1, is_tail=True)
+
+        cls = TailingFeedSource if args.follow else SinglePassFeedSource
+        source = cls(spark, lambda: ["0"], read_page, sink, ckpt, source_id="events")
+    elif skind == "changefeed":
+        source = ChangeFeedSource(
+            spark, src, sink, ckpt, stop_at_tail=not args.follow
+        )
+    elif skind == "json":
+        source = JsonSource(spark, src, sink, ckpt)
+    else:
+        print(f"unknown source: {args.source}", file=sys.stderr)
+        return 2
+
+    if args.follow:
+        source.start()
+        try:
+            source.await_completion(timeout=args.timeout)
+        finally:
+            source.stop()
+    else:
+        source.run_until_caught_up(timeout=args.timeout)
+
+    report = {"source": args.source, "to": args.to, "caught_up": source.ran_to_completion}
+    if hasattr(inner, "stats"):
+        report["stats"] = inner.stats.as_dict()
+    if hasattr(inner, "outcomes"):
+        report["outcomes"] = inner.outcomes
+    print(json.dumps(report))
+    spark.stop()
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from propulsion_spark import get_spark
+    from propulsion_spark.operators import load_all
+
+    spark = get_spark("propulsion-stats")
+    registry = load_all()
+    q = registry["handler_stats"].build(spark, args.sf_dir)
+    rows = [r.asDict() for r in q.collect()]
+    print(json.dumps({"sf_dir": args.sf_dir, "event_types": rows}, default=str))
+    spark.stop()
+    return 0
+
+
+def cmd_checkpoint(args) -> int:
+    from propulsion_spark.streaming.checkpoints import CheckpointStore
+
+    store = CheckpointStore(args.path, group=args.group)
+    if args.override is not None:
+        store.override_position(args.source, args.tranche, args.override)
+    print(store.to_json())
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="propulsion_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("sync", help="pump a source into a sink until caught up")
+    s.add_argument("--from", dest="source", required=True)
+    s.add_argument("--to", required=True)
+    s.add_argument("--group", default="default")
+    s.add_argument("--checkpoints", default="/tmp/propulsion-ckpt")
+    s.add_argument("--positions", default="/tmp/propulsion-pos")
+    s.add_argument("--follow", action="store_true")
+    s.add_argument("--timeout", type=float, default=300.0)
+    s.add_argument("-c", "--category", action="append")
+    s.add_argument("--deny-category", action="append")
+    s.add_argument("-s", "--stream", action="append")
+    s.add_argument("--deny-stream", action="append")
+    s.add_argument("-e", "--event-type", action="append")
+    s.add_argument("--deny-event-type", action="append")
+    s.set_defaults(fn=cmd_sync)
+
+    st = sub.add_parser("stats", help="event-type stats over a fixture dir")
+    st.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    st.set_defaults(fn=cmd_stats)
+
+    ck = sub.add_parser("checkpoint", help="inspect/override consumer positions")
+    ck.add_argument("--path", required=True)
+    ck.add_argument("--group", default="default")
+    ck.add_argument("--source", default="events")
+    ck.add_argument("--tranche", default="0")
+    ck.add_argument("--override", type=int)
+    ck.set_defaults(fn=cmd_checkpoint)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -36,6 +36,7 @@ def load_all() -> dict[str, EngineQuery]:
     from propulsion_spark.operators import (  # noqa: F401
         analytics,
         dedup,
+        multimodal,
         queries,
         similarity,
         textops,

@@ -186,6 +186,78 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- exact n-gram jaccard
+NGRAM = 3  # word 3-grams
+JACCARD_CUTOFF = 0.2
+
+
+def _grams(dialect: str) -> str:
+    """Distinct word 3-gram array over ``text`` (both dialects skip
+    NULL tail elements identically via concat_ws)."""
+    if dialect == "spark":
+        toks = "split(lower(trim(text)), '\\\\s+')"
+        return (
+            f"array_distinct(transform(sequence(1, greatest(size({toks}) - {NGRAM - 1}, 1)), "
+            f"i -> concat_ws(' ', element_at({toks}, cast(i as int)), "
+            f"element_at({toks}, cast(i+1 as int)), element_at({toks}, cast(i+2 as int)))))"
+        )
+    toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(length({toks}) - {NGRAM - 1}, 1)), "
+        f"i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])))"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_DUCK_SIGS_BANDED},
+cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sigs a JOIN sigs b
+    ON a.doc_id < b.doc_id AND ({' OR '.join(f'a.{name} = b.{name}' for name, _ in BAND_DEFS)})
+),
+grams AS (SELECT doc_id, {_grams('duck')} AS g FROM documents)
+SELECT a_id, b_id,
+       length(list_intersect(ga.g, gb.g)) /
+       (length(ga.g) + length(gb.g) - length(list_intersect(ga.g, gb.g))) AS jaccard
+FROM cands
+JOIN grams ga ON ga.doc_id = a_id
+JOIN grams gb ON gb.doc_id = b_id
+WHERE length(list_intersect(ga.g, gb.g)) /
+      (length(ga.g) + length(gb.g) - length(list_intersect(ga.g, gb.g))) >= {JACCARD_CUTOFF}
+""",
+    doc=f"Exact {NGRAM}-word-gram Jaccard verification of the MinHash-LSH "
+    "candidates — the verify stage of the standard two-phase near-dup "
+    "pipeline (cheap LSH recall → exact precision on candidates only).",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_with_bands(spark, sf_dir)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    band_match = None
+    for name, _ in BAND_DEFS:
+        cond = F.col(f"a.{name}") == F.col(f"b.{name}")
+        band_match = cond if band_match is None else (band_match | cond)
+    cands = (
+        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & band_match)
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    grams = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_grams('spark')} AS g"
+    )
+    ga = grams.select(F.col("doc_id").alias("a_id"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("b_id"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    jaccard = inter / (F.size("ga") + F.size("gb") - inter)
+    return (
+        cands.join(ga, "a_id")
+        .join(gb, "b_id")
+        .select("a_id", "b_id", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_CUTOFF)
+    )
+
+
 # --------------------------------------------------------------- simhash
 SIMHASH_BITS = 16
 

@@ -1,0 +1,209 @@
+"""Multimodal columns — image/audio/video as opaque ``binary`` columns
+with typed metadata, plus decode / feature-extract / frame-sample
+plumbing (SURVEY.md §7 step 10; training-data-pipeline surface).
+
+The container has no image/audio libraries, so the *decode* kernels are
+stubbed behind import-guards (clearly-marked ``NotImplementedError`` /
+deterministic fakes); everything Spark-side is real and tested: the
+binary envelope schema, Arrow-batched ``mapInPandas`` signatures, batch
+shapes, partitioning.
+
+Scale shape: media bytes stay in executor memory only for the batch
+being transformed (``mapInPandas`` streams Arrow record batches);
+metadata-only plans never touch the blob column thanks to parquet
+column pruning — filter/join on metadata first, decode last.
+
+The synthetic corpus derives media bytes deterministically from
+``documents.text`` (utf-8), so every stage is reproducible and the
+envelope/frame queries are DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from propulsion_spark import load_table
+from propulsion_spark.operators import register
+
+FRAME_BYTES = 32  # synthetic fixed-size "frame"
+SAMPLE_EVERY = 4  # keep every 4th frame
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("media_type", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("n_frames", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary envelope over the synthetic corpus: media = utf-8 bytes of
+    the text, metadata struct carries type/size/frame-count."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        media.alias("media"),
+        F.struct(
+            F.lit("application/x-synthetic").alias("media_type"),
+            F.octet_length(media).cast("long").alias("n_bytes"),
+            F.floor(F.octet_length(media) / FRAME_BYTES).cast("long").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------- envelope (oracle)
+@register(
+    "multimodal_envelope",
+    f"""
+SELECT doc_id, md5(text) AS media_md5,  -- ASCII: md5(text bytes) == md5(blob)
+       'application/x-synthetic' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) // {FRAME_BYTES} AS BIGINT) AS n_frames
+FROM documents
+""",
+    doc="Multimodal binary envelope: opaque media bytes + typed metadata "
+    "(media projected as md5 at the oracle boundary — raw bytes hash "
+    "differently across engines). Metadata-only plans prune the blob "
+    "column at the parquet scan.",
+)
+def q_multimodal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.md5("media").alias("media_md5"),
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+# ------------------------------------------------- frame sampling (oracle)
+@register(
+    "multimodal_frame_sample",
+    f"""
+SELECT doc_id, frame_no,
+       -- corpus text is pure ASCII (octet_length == length), so string
+       -- slicing equals the engine's byte slicing of the media blob
+       md5(substring(text, CAST(1 + frame_no * {FRAME_BYTES} AS INT), {FRAME_BYTES})) AS frame_md5
+FROM (
+  SELECT doc_id, text, unnest(generate_series(0, CAST(octet_length(encode(text)) // {FRAME_BYTES} AS BIGINT) - 1)) AS frame_no
+  FROM documents
+)
+WHERE frame_no % {SAMPLE_EVERY} = 0
+""",
+    doc=f"Frame sampling: treat media as fixed-{FRAME_BYTES}-byte frames, keep "
+    f"every {SAMPLE_EVERY}th — the video-keyframe extraction shape (explode "
+    "is partition-parallel; blob sliced JVM-side, no Python).",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir)
+    return (
+        m.select(
+            "doc_id",
+            "media",
+            F.posexplode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1)).alias(
+                "_p", "frame_no"
+            ),
+        )
+        .filter(F.col("frame_no") % SAMPLE_EVERY == 0)
+        .select(
+            "doc_id",
+            F.col("frame_no"),
+            F.md5(
+                F.expr(
+                    f"substring(media, cast(1 + frame_no * {FRAME_BYTES} as int), {FRAME_BYTES})"
+                )
+            ).alias("frame_md5"),
+        )
+    )
+
+
+# --------------------------------------- decode / feature extraction (stubs)
+def _try_import_pillow():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image_batch(media: pd.Series) -> pd.DataFrame:
+    """REAL DECODE STUB: the image libraries are not in this container.
+
+    With Pillow present this would decode to (width, height, mode);
+    without it we raise — callers wanting deterministic plumbing tests
+    use :func:`extract_features`, which fakes the decode step.
+    """
+    if _try_import_pillow() is None:
+        raise NotImplementedError(
+            "image decode requires Pillow, which is not installed in this "
+            "environment; Spark-side plumbing (schema/batching) is exercised "
+            "via extract_features' deterministic fake instead"
+        )
+    raise NotImplementedError("wire Pillow decode here when the library lands")
+
+
+FEATURE_DIM = 8
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Feature extraction over media bytes via ``mapInPandas`` — the real
+    Arrow-batched plumbing a CLIP/whisper embedder would use; the model
+    call is replaced by a DETERMINISTIC FAKE (per-stripe byte means) so
+    shape/partition behavior is testable without the model runtime.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(media) if media is not None else b""
+                stripe = max(1, len(b) // FEATURE_DIM)
+                feats = [
+                    (sum(b[i * stripe : (i + 1) * stripe]) / max(1, len(b[i * stripe : (i + 1) * stripe])))
+                    / 255.0
+                    for i in range(FEATURE_DIM)
+                ]
+                out.append(
+                    {"doc_id": doc_id, "n_bytes": len(b), "features": feats}
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    return df.mapInPandas(run, FEATURES_SCHEMA)
+
+
+@register(
+    "multimodal_features",
+    None,  # mapInPandas fake-decode — not SQL-expressible; rows-only check
+    doc="Media → feature vectors via Arrow-batched mapInPandas (decode step "
+    "is a deterministic fake; see decode_image_batch for the gated real path).",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from propulsion_spark import ensure_shipped
+
+    ensure_shipped(spark)
+    return extract_features(media_table(spark, sf_dir))

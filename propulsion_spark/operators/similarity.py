@@ -165,6 +165,66 @@ def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.selectExpr("vec_id", f"{_spark_bucket_expr()} AS bucket")
 
 
+_BF_SUBQUERY = f"""
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC,
+                        c.vec_id) AS BIGINT) AS rank
+    FROM normed q JOIN normed c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+"""
+
+_LSH_SUBQUERY = f"""
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC,
+                        c.vec_id) AS BIGINT) AS rank
+    FROM bucketed q JOIN bucketed c ON c.vec_id != q.vec_id AND c.bucket = q.bucket
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "similarity_lsh_recall",
+    f"""
+WITH {_DUCK_NORMED},
+bucketed AS (
+  SELECT *, {_duck_bucket_expr()} AS bucket FROM normed
+),
+bf AS ({_BF_SUBQUERY}),
+ann AS ({_LSH_SUBQUERY})
+SELECT bf.query_id,
+       CAST(count(ann.neighbor_id) AS BIGINT) AS n_hit,
+       count(ann.neighbor_id) / {TOP_K} AS recall
+FROM bf LEFT JOIN ann USING (query_id, neighbor_id)
+GROUP BY bf.query_id
+""",
+    doc=f"ANN quality gauge: recall@{TOP_K} of the LSH-bucketed search vs "
+    "the brute-force ground truth — the measurement every approximate "
+    "index must report before it replaces the exact path.",
+)
+def q_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = q_similarity_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = q_similarity_lsh_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor")
+    )
+    joined = bf.join(
+        ann,
+        (bf.query_id == ann.query_id) & (bf.neighbor_id == ann.ann_neighbor),
+        "left",
+    ).select(bf.query_id, "ann_neighbor")
+    return joined.groupBy("query_id").agg(
+        F.count("ann_neighbor").alias("n_hit"),
+        (F.count("ann_neighbor") / TOP_K).alias("recall"),
+    )
+
+
 @register(
     "similarity_lsh_topk",
     f"""

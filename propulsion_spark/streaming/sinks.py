@@ -107,12 +107,12 @@ def _make_grouped_handler(
         live = pdf[pdf["idx"] >= write_pos]
         n_dedup = total - len(live)
 
-        def out(outcome, pos, n, info="", revision=0, malformed=False):
+        def out(outcome, pos, n, info="", revision=0, malformed=False, prev=None):
             return pd.DataFrame(
                 [
                     {
                         "stream_name": stream,
-                        "prev_pos": write_pos,
+                        "prev_pos": int(write_pos if prev is None else prev),
                         "pos": int(pos),
                         "revision": int(revision),
                         "malformed": bool(malformed),
@@ -127,49 +127,63 @@ def _make_grouped_handler(
 
         if live.empty:
             return out(OutcomeKind.DUPLICATE, write_pos, 0)
-        head_start = int(live["idx"].iloc[0])
-        if head_start > write_pos:
-            # gap below the head span: PrefixMissing — report, don't dispatch
-            # (ref: CosmosStoreSink PrefixMissing / requireAll gap guard)
-            if require_all:
-                return out(
-                    OutcomeKind.PREFIX_MISSING,
-                    write_pos,
-                    0,
-                    info=f"gap {write_pos}..{head_start}",
+        # Dispatch every buffered span in order (the scheduler drains all
+        # dispatchable spans across cycles, ref: Streams.fs:862-871);
+        # with require_all a gap below the head blocks (ref: :370-373).
+        rows = []
+        pos = write_pos
+        while not live.empty:
+            head_start = int(live["idx"].iloc[0])
+            if head_start > pos and require_all:
+                rows.append(
+                    out(
+                        OutcomeKind.PREFIX_MISSING,
+                        pos,
+                        0,
+                        info=f"gap {pos}..{head_start}",
+                    )
                 )
-        # head contiguous span from head_start
-        idx = live["idx"].to_numpy()
-        run_len = 1
-        while run_len < len(idx) and idx[run_len] == idx[run_len - 1] + 1:
-            run_len += 1
-        span = live.iloc[:run_len]
-        # slice to max_events / max_bytes, always ≥1 event (ref: Streams.fs:89-107)
-        if len(span) > max_events:
-            span = span.iloc[:max_events]
-        if "size" in span.columns and max_bytes > 0:
-            csum = span["size"].fillna(0).cumsum()
-            keep = max(1, int((csum <= max_bytes).sum()))
-            span = span.iloc[:keep]
-        try:
-            res = handle(stream, span)
-        except Exception as ex:  # noqa: BLE001 — outcome classification
-            kind = _classify_exception(ex)
-            malformed = kind == OutcomeKind.MALFORMED
-            return out(kind, write_pos, 0, info=repr(ex)[:500], malformed=malformed)
-        if isinstance(res, HandlerResult):
-            outcome, next_pos, info = res.outcome, res.next_pos, res.info
-        else:
-            outcome, next_pos = res
-            info = ""
-        if next_pos is None:
-            next_pos = int(span["idx"].iloc[-1]) + 1
-        if next_pos < write_pos:
-            outcome = OutcomeKind.DUPLICATE
-            next_pos = write_pos
-        elif n_dedup > 0 and outcome == OutcomeKind.OK:
-            outcome = OutcomeKind.PARTIAL_DUPLICATE
-        return out(outcome, next_pos, len(span), info=info)
+                break
+            # head contiguous span from head_start
+            idx = live["idx"].to_numpy()
+            run_len = 1
+            while run_len < len(idx) and idx[run_len] == idx[run_len - 1] + 1:
+                run_len += 1
+            span = live.iloc[:run_len]
+            # slice to max_events / max_bytes, ≥1 event (ref: Streams.fs:89-107)
+            if len(span) > max_events:
+                span = span.iloc[:max_events]
+            if "size" in span.columns and max_bytes > 0:
+                csum = span["size"].fillna(0).cumsum()
+                keep = max(1, int((csum <= max_bytes).sum()))
+                span = span.iloc[:keep]
+            try:
+                res = handle(stream, span)
+            except Exception as ex:  # noqa: BLE001 — outcome classification
+                kind = _classify_exception(ex)
+                malformed = kind == OutcomeKind.MALFORMED
+                rows.append(
+                    out(kind, pos, 0, info=repr(ex)[:500], malformed=malformed)
+                )
+                break
+            if isinstance(res, HandlerResult):
+                outcome, next_pos, info = res.outcome, res.next_pos, res.info
+            else:
+                outcome, next_pos = res
+                info = ""
+            if next_pos is None:
+                next_pos = int(span["idx"].iloc[-1]) + 1
+            if next_pos < pos:
+                outcome = OutcomeKind.DUPLICATE
+                next_pos = pos
+            elif n_dedup > 0 and outcome == OutcomeKind.OK and not rows:
+                outcome = OutcomeKind.PARTIAL_DUPLICATE
+            rows.append(out(outcome, next_pos, len(span), info=info, prev=pos))
+            if int(next_pos) <= pos:
+                break  # no forward progress — remainder retries next batch
+            pos = int(next_pos)
+            live = live[live["idx"] >= pos]
+        return pd.concat(rows, ignore_index=True)
 
     return process
 
@@ -243,6 +257,27 @@ class StreamsSink:
     ) -> "StreamsSink":
         return cls(spark, handle, PositionsTable(spark, positions_path), **kw)
 
+    @classmethod
+    def start_concurrent_chunked(
+        cls,
+        spark: SparkSession,
+        handle: Handler,
+        positions_path: str,
+        max_events: int = 16384,
+        max_bytes: int = 1024 * 1024 - 4096,
+        **kw,
+    ) -> "StreamsSink":
+        """Sync.Factory analog (ref: src/Propulsion/Sync.fs:44-76):
+        spans pre-sliced to store-friendly chunks."""
+        return cls(
+            spark,
+            handle,
+            PositionsTable(spark, positions_path),
+            max_events=max_events,
+            max_bytes=max_bytes,
+            **kw,
+        )
+
     # -- one micro-batch ---------------------------------------------------
     def process_batch(self, df: DataFrame, batch_id: int = 0) -> DataFrame:
         """Dispatch one micro-batch of envelope rows; returns the outcome
@@ -296,6 +331,47 @@ class StreamsSink:
         """Attach to a streaming DataFrame: every micro-batch flows through
         process_batch; Spark's commit log is the batch-completion record
         (ref ProgressRequirement semantics are built-in)."""
+        return (
+            stream_df.writeStream.foreachBatch(
+                lambda df, bid: self.process_batch(df, bid) and None
+            )
+            .option("checkpointLocation", checkpoint_location)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
+
+class ParallelSink:
+    """Unordered item-level processing — no stream grouping or ordering
+    (ref: Parallel.PartitionedSchedulingEngine,
+    src/Propulsion/Parallel.fs:80-178). The handler is a per-item-batch
+    pandas function run via mapInPandas: partition-parallel, faults
+    abend the batch. Use when per-stream ordering doesn't matter."""
+
+    def __init__(self, spark: SparkSession, handle_items, output_schema):
+        from propulsion_spark import ensure_shipped
+
+        ensure_shipped(spark)
+        self.spark = spark
+        self.handle_items = handle_items
+        self.output_schema = output_schema
+        self.batches = 0
+
+    def process_batch(self, df: DataFrame, batch_id: int = 0) -> DataFrame:
+        handle = self.handle_items
+
+        def run(batches):
+            for pdf in batches:
+                yield handle(pdf)
+
+        out = df.mapInPandas(run, self.output_schema)
+        out = out.cache()
+        out.count()  # force: faults propagate (abend)
+        self.batches += 1
+        out.unpersist()
+        return out
+
+    def run_stream(self, stream_df: DataFrame, checkpoint_location: str, **trigger):
         return (
             stream_df.writeStream.foreachBatch(
                 lambda df, bid: self.process_batch(df, bid) and None

@@ -1,0 +1,57 @@
+"""CLI smoke tests (the `propulsion sync` analog, SURVEY §3.3)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def run_cli(*args, timeout=240):
+    proc = subprocess.run(
+        [sys.executable, "-m", "propulsion_spark.cli", *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+class TestCli:
+    def test_sync_events_to_stats(self, tmp_path):
+        rep = run_cli(
+            "sync",
+            "--from", "events:/root/testdata/sf0.001",
+            "--to", "stats",
+            "--checkpoints", str(tmp_path / "ck"),
+            "--positions", str(tmp_path / "pos"),
+        )
+        assert rep["caught_up"] is True
+        assert rep["stats"]["events"] == 1000
+        assert rep["stats"]["outcomes"]["ok"] == 15  # one per stream
+
+    def test_sync_with_store_sink_and_filter(self, tmp_path):
+        rep = run_cli(
+            "sync",
+            "--from", "events:/root/testdata/sf0.001",
+            "--to", f"store:{tmp_path / 'es'}",
+            "--checkpoints", str(tmp_path / "ck"),
+            "--positions", str(tmp_path / "pos"),
+            "-e", "click",
+        )
+        assert rep["caught_up"] is True
+        assert rep["outcomes"].get("prefix_missing", 0) + rep["outcomes"].get("ok", 0) > 0
+
+    def test_checkpoint_inspect(self, tmp_path):
+        run_cli(
+            "sync",
+            "--from", "events:/root/testdata/sf0.001",
+            "--to", "stats",
+            "--group", "grp9",
+            "--checkpoints", str(tmp_path / "ck"),
+            "--positions", str(tmp_path / "pos"),
+        )
+        out = run_cli("checkpoint", "--path", str(tmp_path / "ck"), "--group", "grp9")
+        assert out.get("events/0/grp9") == 1

@@ -120,9 +120,13 @@ class TestStreamsSink:
         sink = StreamsSink.start_concurrent(
             spark, handle, str(tmp_path / "p5"), max_events=4
         )
-        out = outcomes_map(sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 10))))
-        assert out["user-1"].n_events == 4  # handler saw the sliced span
-        assert out["user-1"].pos == 4  # progress = sliced span only
+        rows = sorted(
+            sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 10))).collect(),
+            key=lambda r: r.pos,
+        )
+        # sliced into chunks of ≤4, all drained within the batch
+        assert [r.n_events for r in rows] == [4, 4, 2]
+        assert rows[-1].pos == 10
 
     def test_slice_to_max_bytes(self, spark, tmp_path):
         def handle(stream, events):
@@ -131,10 +135,27 @@ class TestStreamsSink:
         sink = StreamsSink.start_concurrent(
             spark, handle, str(tmp_path / "p5b"), max_bytes=35
         )
-        out = outcomes_map(
-            sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 10, size=10)))
+        rows = sorted(
+            sink.process_batch(
+                mk_df(spark, envelope_rows("user-1", 0, 10, size=10))
+            ).collect(),
+            key=lambda r: r.pos,
         )
-        assert out["user-1"].n_events == 3  # 3×10 ≤ 35 < 4×10
+        assert rows[0].n_events == 3  # 3×10 ≤ 35 < 4×10
+
+    def test_post_gap_spans_drain_without_require_all(self, spark, tmp_path):
+        def handle(stream, events):
+            return OutcomeKind.OK, int(events["idx"].iloc[-1]) + 1
+
+        sink = StreamsSink.start_concurrent(spark, handle, str(tmp_path / "p7"))
+        df = mk_df(
+            spark, envelope_rows("user-1", 0, 3) + envelope_rows("user-1", 5, 2)
+        )
+        rows = sorted(sink.process_batch(df).collect(), key=lambda r: r.pos)
+        # both spans dispatched in one batch; write pos jumps the gap
+        assert [(r.n_events, r.pos) for r in rows] == [(3, 3), (2, 7)]
+        pos = {r.stream_name: r.pos for r in sink.positions.read().collect()}
+        assert pos == {"user-1": 7}
 
     def test_handler_fast_forward(self, spark, tmp_path):
         # handler may return a pos beyond the span (e.g. store said so)

@@ -1,0 +1,68 @@
+"""Streaming window twins: the batch operators' semantics as continuous
+queries with watermarks, driven through real micro-batches; verifies
+batch/stream agreement on the same data and watermark lateness drop."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pandas as pd
+import pytest
+
+from propulsion_spark.streaming.windows import tumbling_counts_stream
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def ev(eid, minute, etype="click", value=1.0):
+    return {
+        "event_id": eid,
+        "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=minute),
+        "user_id": eid % 3,
+        "event_type": etype,
+        "value": value,
+        "props": "{}",
+    }
+
+
+class TestTumblingStream:
+    def test_stream_matches_batch_and_drops_late(self, spark, tmp_path):
+        indir = str(tmp_path / "in")
+        os.makedirs(indir)
+        name = f"win_{uuid.uuid4().hex[:8]}"
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+        )
+        q = (
+            tumbling_counts_stream(stream, window="1 hour", watermark="10 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+
+        def push(rows):
+            spark.createDataFrame(pd.DataFrame(rows), EVENTS_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(indir)
+            q.processAllAvailable()
+
+        # hour 0 data, then advance event time far past the watermark
+        push([ev(1, 5), ev(2, 20), ev(3, 59)])
+        push([ev(4, 200)])  # moves watermark to ~190min → hour-0 window closes
+        closed = {
+            (r.window_start.isoformat(), r.n)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert ("2024-01-01T00:00:00", 3) in closed
+
+        # a late straggler for hour 0 (event time far behind watermark) is dropped
+        push([ev(5, 30)])
+        push([ev(6, 400)])  # close everything else
+        rows = spark.sql(f"SELECT * FROM {name} WHERE window_start = timestamp '2024-01-01 00:00:00'").collect()
+        assert len(rows) == 1 and rows[0].n == 3  # late row never re-opened hour 0
+        q.stop()
