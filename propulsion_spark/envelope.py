@@ -82,9 +82,17 @@ def derive_stream_events(events: DataFrame) -> DataFrame:
     (FIXTURES.md §1): stream per user, index = arrival order within the
     stream (ts, then event_id as the unique global tiebreaker).
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
-        F.concat(F.lit("user-"), F.col("user_id")).alias("stream_name"),
+    # Window over the stream key *attribute* (not user_id, and not the
+    # concat expression): every downstream per-stream operator (fold,
+    # coalesce, gaps, sessions) shuffles on stream_name, and partitioning
+    # carried by an output attribute propagates through projections, so
+    # Catalyst reuses this one exchange for the whole per-stream pipeline.
+    named = events.withColumn(
+        "stream_name", F.concat(F.lit("user-"), F.col("user_id"))
+    )
+    w = Window.partitionBy("stream_name").orderBy("ts", "event_id")
+    return named.select(
+        F.col("stream_name"),
         F.lit("user").alias("category"),
         (F.row_number().over(w) - 1).cast("long").alias("idx"),
         F.col("event_type"),

@@ -128,10 +128,17 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.selectExpr("doc_id", *_minhash_cols("spark"))
 
 
-def minhash_with_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_with_bands(
+    spark: SparkSession, sf_dir: str, persist: bool = False
+) -> DataFrame:
     df = q_dedup_minhash_signatures(spark, sf_dir)
     for name, cols in BAND_DEFS:
         df = df.withColumn(name, F.concat_ws("_", *cols))
+    if persist:
+        # materialize signatures once: every band self-join reads them
+        # 2×, and recomputing means re-hashing every shingle (the
+        # standard LSH practice of persisting the signature matrix)
+        df = df.persist()
     return df
 
 
@@ -162,28 +169,33 @@ WHERE ({_MATCHES}) >= {NUM_HASHES // 2}
     "The 100 TB scale path for near-dup detection.",
 )
 def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_with_bands(spark, sf_dir)
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    band_match = None
-    for name, _ in BAND_DEFS:
-        cond = F.col(f"a.{name}") == F.col(f"b.{name}")
-        band_match = cond if band_match is None else (band_match | cond)
+    # One equi-join per band (shuffle-hash on the band key — the LSH
+    # scale shape), then union+distinct. An OR of band predicates would
+    # deny Spark an equi-join and fall back to a nested-loop O(n²) scan.
+    sigs = minhash_with_bands(spark, sf_dir, persist=True)
     matches = None
     for k in range(NUM_HASHES):
         term = F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1).otherwise(0)
         matches = term if matches is None else (matches + term)
-    return (
-        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & band_match)
-        .withColumn("matches", matches)
-        .filter(F.col("matches") >= NUM_HASHES // 2)
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            (F.col("matches").cast("double") / NUM_HASHES).alias("est_jaccard"),
+    per_band = []
+    for name, _ in BAND_DEFS:
+        a = sigs.alias("a")
+        b = sigs.alias("b")
+        per_band.append(
+            a.join(b, F.col(f"a.{name}") == F.col(f"b.{name}"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .withColumn("matches", matches)
+            .filter(F.col("matches") >= NUM_HASHES // 2)
+            .select(
+                F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"),
+                (F.col("matches").cast("double") / NUM_HASHES).alias("est_jaccard"),
+            )
         )
-        .distinct()
-    )
+    out = per_band[0]
+    for df in per_band[1:]:
+        out = out.unionByName(df)
+    return out.distinct()
 
 
 # ------------------------------------------------- exact n-gram jaccard
@@ -232,17 +244,19 @@ WHERE length(list_intersect(ga.g, gb.g)) /
     "pipeline (cheap LSH recall → exact precision on candidates only).",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_with_bands(spark, sf_dir)
-    a, b = sigs.alias("a"), sigs.alias("b")
-    band_match = None
+    sigs = minhash_with_bands(spark, sf_dir, persist=True)
+    per_band = []
     for name, _ in BAND_DEFS:
-        cond = F.col(f"a.{name}") == F.col(f"b.{name}")
-        band_match = cond if band_match is None else (band_match | cond)
-    cands = (
-        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & band_match)
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
+        a, b = sigs.alias("a"), sigs.alias("b")
+        per_band.append(
+            a.join(b, F.col(f"a.{name}") == F.col(f"b.{name}"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        )
+    cands = per_band[0]
+    for df in per_band[1:]:
+        cands = cands.unionByName(df)
+    cands = cands.distinct()
     grams = load_table(spark, sf_dir, "documents").selectExpr(
         "doc_id", f"{_grams('spark')} AS g"
     )

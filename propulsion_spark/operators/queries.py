@@ -377,6 +377,31 @@ def q_hydration_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- props JSON
+@register(
+    "props_extract",
+    prelude()
+    + """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(data, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(sum(CAST(json_extract_string(data, '$.k') AS BIGINT)) AS BIGINT) / count(*) AS avg_k
+FROM stream_events GROUP BY event_type
+""",
+    doc="Opaque-body JSON projection at the edge (the parser boundary, "
+    "ref: EquinoxSystemTextJsonParser semantics): get_json_object pulls a "
+    "field out of the event body only where the operator needs it.",
+)
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    se = stream_events(spark, sf_dir)
+    k = F.get_json_object("data", "$.k").cast("long")
+    return se.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k) / F.count("*")).alias("avg_k"),
+    )
+
+
 # --------------------------------------------------------------- Q-RENDER
 @register(
     "rendered_spans",

@@ -110,6 +110,88 @@ def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ label centroids
+@register(
+    "embedding_centroids",
+    f"""
+SELECT label, CAST(i AS BIGINT) AS dim,
+       CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+           / count(*) AS centroid,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) dims
+GROUP BY label, i
+""",
+    doc="Per-label centroids (long form: one row per label×dimension) — "
+    "the cluster-statistics shape behind IVF coarse quantizers and "
+    "label-conditioned sampling. Partial aggregation per dimension.",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select("label", (F.col("pos") + 1).cast("long").alias("dim"), "x")
+    return exploded.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(20,12)")).cast("double")
+            / F.count("*")
+        ).alias("centroid"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
+# ------------------------------------------------ kNN classification
+@register(
+    "embedding_knn_classify",
+    f"""
+WITH {_DUCK_NORMED},
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC,
+                        c.vec_id) AS BIGINT) AS rank
+    FROM normed q JOIN normed c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+)
+SELECT query_id, CAST(label AS BIGINT) AS predicted_label, CAST(votes AS BIGINT) AS votes
+FROM (
+  SELECT query_id, e.label, count(*) AS votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY count(*) DESC, e.label) AS rn
+  FROM topk JOIN embeddings e ON e.vec_id = neighbor_id
+  GROUP BY query_id, e.label
+) WHERE rn = 1
+""",
+    doc=f"kNN classification: majority label among the top-{TOP_K} cosine "
+    "neighbors (ties → lowest label). The label-propagation shape for "
+    "semi-supervised corpus tagging.",
+)
+def q_embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    topk = q_similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    )
+    votes = (
+        topk.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").cast("long").alias("predicted_label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
+    )
+
+
 # ------------------------------------- LSH-bucketed ANN (scale path)
 N_PLANES = 8
 # Deterministic pseudo-random hyperplanes: component (p, d) derived from

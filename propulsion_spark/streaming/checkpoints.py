@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -45,6 +46,9 @@ class CheckpointStore:
     _last_commit: float = 0.0
 
     def __post_init__(self) -> None:
+        # tranche pumps commit concurrently; pending-dict mutation and
+        # the flush/compact read-modify-write must serialize
+        self._lock = threading.Lock()
         os.makedirs(self.path, exist_ok=True)
 
     # ---- storage primitives -------------------------------------------
@@ -96,36 +100,38 @@ class CheckpointStore:
     def commit(self, source: str, tranche: str, pos: int) -> None:
         """Record the newest validated position; actual write is throttled
         to ``commit_interval_s`` (newest wins, dirty retried next tick)."""
-        key = (source, tranche)
-        cur = self._pending.get(key)
-        if cur is None or pos > cur.pos:
-            self._pending[key] = _Pending(pos=int(pos), dirty=True)
+        with self._lock:
+            key = (source, tranche)
+            cur = self._pending.get(key)
+            if cur is None or pos > cur.pos:
+                self._pending[key] = _Pending(pos=int(pos), dirty=True)
         self.flush(force=False)
 
     def flush(self, force: bool = True) -> None:
-        now = time.monotonic()
-        if not force and now - self._last_commit < self.commit_interval_s:
-            return
-        dirty = [(k, p) for k, p in self._pending.items() if p.dirty]
-        if not dirty:
-            return
-        seq = time.time_ns()
-        rows = []
-        for (source, tranche), p in dirty:
-            rows.append(
-                {
-                    "source": source,
-                    "tranche": tranche,
-                    "grp": self.group,
-                    "pos": p.pos,
-                    "seq": seq,
-                    "updated_at": pd.Timestamp.utcnow().tz_localize(None),
-                }
-            )
-            p.dirty = False
-        self._append(rows)
-        self._last_commit = now
-        self._maybe_compact()
+        with self._lock:
+            now = time.monotonic()
+            if not force and now - self._last_commit < self.commit_interval_s:
+                return
+            dirty = [(k, p) for k, p in self._pending.items() if p.dirty]
+            if not dirty:
+                return
+            seq = time.time_ns()
+            rows = []
+            for (source, tranche), p in dirty:
+                rows.append(
+                    {
+                        "source": source,
+                        "tranche": tranche,
+                        "grp": self.group,
+                        "pos": p.pos,
+                        "seq": seq,
+                        "updated_at": pd.Timestamp.utcnow().tz_localize(None),
+                    }
+                )
+                p.dirty = False
+            self._append(rows)
+            self._last_commit = now
+            self._maybe_compact()
 
     def override_position(self, source: str, tranche: str, pos: int) -> None:
         """Unconditional reset (ref: ReaderCheckpoint ``Override``)."""

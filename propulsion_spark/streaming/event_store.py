@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -36,6 +37,7 @@ class EventStoreTable:
         self.spark = spark
         self.path = path
         self._retired: list[str] = []
+        self._write_lock = threading.Lock()  # serialize read-modify-write commits
         os.makedirs(path, exist_ok=True)
 
     @property
@@ -73,6 +75,10 @@ class EventStoreTable:
     def sync(self, batch: DataFrame) -> DataFrame:
         """Write a batch of envelope rows idempotently; returns the outcome
         table: (stream_name, outcome, prev_tail, new_tail, appended)."""
+        with self._write_lock:
+            return self._sync_locked(batch)
+
+    def _sync_locked(self, batch: DataFrame) -> DataFrame:
         current = self.read()
         tails = current.groupBy("stream_name").agg(
             (F.max("idx") + 1).alias("tail")
@@ -119,6 +125,10 @@ class EventStoreTable:
         """Delete events with ``idx <= until_idx`` per stream.
         ``requests``: (stream_name, until_idx). Returns
         (stream_name, deleted, remaining)."""
+        with self._write_lock:
+            return self._prune_locked(requests)
+
+    def _prune_locked(self, requests: DataFrame) -> DataFrame:
         current = self.read()
         tagged = current.join(F.broadcast(requests), "stream_name", "left")
         survivors = tagged.filter(
@@ -144,13 +154,16 @@ class EventStoreTable:
     def unfold_compact(self) -> None:
         """Keep only the freshest unfold set per (stream, event_type)
         (ref: Streams.fs:143-147) — run opportunistically."""
-        current = self.read()
-        w = Window.partitionBy("stream_name", "event_type").orderBy(F.col("idx").desc())
-        events = current.filter(~F.col("is_unfold"))
-        unfolds = (
-            current.filter(F.col("is_unfold"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-        self._commit(events.unionByName(unfolds))
+        with self._write_lock:
+            current = self.read()
+            w = Window.partitionBy("stream_name", "event_type").orderBy(
+                F.col("idx").desc()
+            )
+            events = current.filter(~F.col("is_unfold"))
+            unfolds = (
+                current.filter(F.col("is_unfold"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            self._commit(events.unionByName(unfolds))

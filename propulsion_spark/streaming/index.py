@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,6 +68,7 @@ class AppendsIndex:
         self.path = path
         self.max_items_per_epoch = max_items_per_epoch
         self._retired: list[str] = []
+        self._write_lock = threading.Lock()  # serialize read-modify-write commits
         os.makedirs(path, exist_ok=True)
 
     # ---- storage (MVCC pointer) -----------------------------------------
@@ -138,6 +140,10 @@ class AppendsIndex:
         (stream_name, verdict ∈ appended|discarded|gap, lo, hi, appended_lo).
         Re-ingesting the same batch is a no-op (exactly-once,
         ref: ExactlyOnceIngester.fs:12-66)."""
+        with self._write_lock:
+            return self._ingest_locked(spans)
+
+    def _ingest_locked(self, spans: DataFrame) -> DataFrame:
         batch = spans.groupBy("stream_name").agg(
             F.min("span_lo").alias("lo"), F.max("span_hi").alias("hi")
         )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +40,10 @@ class PositionsTable:
         self.spark = spark
         self.path = path
         self._retired: list[str] = []  # keep one generation for in-flight readers
+        # Concurrent feed tranches share one sink: the read-union-flip
+        # below is a read-modify-write, so merges must serialize (the
+        # role Delta's optimistic-concurrency MERGE plays on a cluster).
+        self._write_lock = threading.Lock()
         os.makedirs(path, exist_ok=True)
 
     # ---- version pointer ------------------------------------------------
@@ -75,17 +80,22 @@ class PositionsTable:
 
         ``updates`` columns: stream_name, pos, revision, malformed.
         """
-        merged = (
-            self.read()
-            .unionByName(updates.select(*[f.name for f in POSITIONS_SCHEMA.fields]))
-            .groupBy("stream_name")
-            .agg(
-                F.max("pos").alias("pos"),
-                F.max("revision").alias("revision"),
-                F.max(F.col("malformed").cast("int")).cast("boolean").alias("malformed"),
+        with self._write_lock:
+            merged = (
+                self.read()
+                .unionByName(
+                    updates.select(*[f.name for f in POSITIONS_SCHEMA.fields])
+                )
+                .groupBy("stream_name")
+                .agg(
+                    F.max("pos").alias("pos"),
+                    F.max("revision").alias("revision"),
+                    F.max(F.col("malformed").cast("int"))
+                    .cast("boolean")
+                    .alias("malformed"),
+                )
             )
-        )
-        self._commit(merged)
+            self._commit(merged)
 
     def _commit(self, df: DataFrame) -> None:
         """Write a new immutable version and flip the pointer. The
@@ -105,5 +115,6 @@ class PositionsTable:
         ``keep_streams`` (single column stream_name)."""
         if keep_streams is None:
             return
-        kept = self.read().join(keep_streams, "stream_name", "left_semi")
-        self._commit(kept)
+        with self._write_lock:
+            kept = self.read().join(keep_streams, "stream_name", "left_semi")
+            self._commit(kept)

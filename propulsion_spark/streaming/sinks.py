@@ -200,19 +200,29 @@ class SinkStats:
     batches: int = 0
     failing_streams: dict[str, int] = field(default_factory=dict)
 
+    def __post_init__(self) -> None:
+        import threading
+
+        # concurrent tranche pumps share one sink's stats
+        self._lock = threading.Lock()
+
     def record(self, agg_rows: list) -> None:
-        self.batches += 1
-        for r in agg_rows:
-            self.outcomes[r["outcome"]] = self.outcomes.get(r["outcome"], 0) + r["n"]
-            self.events += r["n_events"]
-            self.deduped += r["n_deduped"]
+        with self._lock:
+            self.batches += 1
+            for r in agg_rows:
+                self.outcomes[r["outcome"]] = (
+                    self.outcomes.get(r["outcome"], 0) + r["n"]
+                )
+                self.events += r["n_events"]
+                self.deduped += r["n_deduped"]
 
     def record_failures(self, streams: list[str]) -> None:
-        for s in streams:
-            self.failing_streams[s] = self.failing_streams.get(s, 0) + 1
-        for s in list(self.failing_streams):
-            if s not in streams:
-                del self.failing_streams[s]
+        with self._lock:
+            for s in streams:
+                self.failing_streams[s] = self.failing_streams.get(s, 0) + 1
+            for s in list(self.failing_streams):
+                if s not in streams:
+                    del self.failing_streams[s]
 
     def as_dict(self) -> dict:
         return {
