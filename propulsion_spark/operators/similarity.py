@@ -111,29 +111,35 @@ def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------ label centroids
+_CENTROID_SCALE = 1 << 30  # floor(x·2^30): exact & engine-identical (no
+# decimal rounding ties — raw floats are dyadic, their expansions end in 5)
+
+
 @register(
     "embedding_centroids",
     f"""
 SELECT label, CAST(i AS BIGINT) AS dim,
-       CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
-           / count(*) AS centroid,
+       CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_CENTROID_SCALE}) AS BIGINT)) AS DOUBLE)
+           / (count(*) * {_CENTROID_SCALE}) AS centroid,
        CAST(count(*) AS BIGINT) AS n_vecs
 FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) dims
 GROUP BY label, i
 """,
     doc="Per-label centroids (long form: one row per label×dimension) — "
     "the cluster-statistics shape behind IVF coarse quantizers and "
-    "label-conditioned sampling. Partial aggregation per dimension.",
+    "label-conditioned sampling. Components are fixed-point (2^-30 "
+    "quantized) so the aggregate is an exact integer sum: deterministic "
+    "under any partitioning/ordering. Partial aggregation per dimension.",
 )
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("pos", "x")
     ).select("label", (F.col("pos") + 1).cast("long").alias("dim"), "x")
+    scaled = F.floor(F.col("x").cast("double") * _CENTROID_SCALE).cast("long")
     return exploded.groupBy("label", "dim").agg(
         (
-            F.sum(F.col("x").cast("double").cast("decimal(20,12)")).cast("double")
-            / F.count("*")
+            F.sum(scaled).cast("double") / (F.count("*") * _CENTROID_SCALE)
         ).alias("centroid"),
         F.count("*").alias("n_vecs"),
     )

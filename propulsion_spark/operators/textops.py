@@ -154,6 +154,51 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- corpus curation
+@register(
+    "corpus_curation",
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) AS alpha_ratio,
+         CAST(length({_toks('duck')}) AS INT) AS n_tokens,
+         md5({normalized('duck')}) AS fp
+  FROM documents
+),
+keepers AS (SELECT fp, min(doc_id) AS keeper FROM scored GROUP BY fp)
+SELECT lang, CAST(count(*) AS BIGINT) AS kept_docs,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM scored JOIN keepers ON doc_id = keeper
+WHERE alpha_ratio >= 0.7 AND n_tokens BETWEEN 10 AND 5000
+GROUP BY lang
+""",
+    doc="The end-to-end curation composite every pre-training pipeline "
+    "runs: quality gates (alpha ratio, token bounds) + exact-dedup keeper "
+    "selection → per-language kept-corpus totals. One scan, one dedup "
+    "shuffle, one rollup.",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.selectExpr(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "length(regexp_replace(text, '[^A-Za-z]', '')) / length(text) AS alpha_ratio",
+        f"CAST(size({_toks('spark')}) AS INT) AS n_tokens",
+        f"md5({normalized('spark')}) AS fp",
+    )
+    keepers = scored.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    return (
+        scored.join(keepers, scored.doc_id == keepers.keeper)
+        .filter((F.col("alpha_ratio") >= 0.7) & F.col("n_tokens").between(10, 5000))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+
+
 # --------------------------------------------------- per-language rollup
 @register(
     "text_lang_stats",

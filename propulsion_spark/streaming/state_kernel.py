@@ -166,6 +166,11 @@ def stateful_stream(
     from propulsion_spark import ensure_shipped
 
     ensure_shipped(envelope_stream.sparkSession)
+    if require_all and ttl_ms > 0:
+        # purging a gapped stream's state would silently re-admit events
+        # below its write position (ref: requireAll × purgeInterval are
+        # mutually exclusive, src/Propulsion/Streams.fs:864)
+        raise ValueError("require_all and state TTL (purge) are mutually exclusive")
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if ttl_ms > 0

@@ -168,6 +168,41 @@ class TestStreamsSink:
         assert out["user-1"].outcome == OutcomeKind.DUPLICATE
 
 
+class TestBatchedSink:
+    def test_select_then_single_handle(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from propulsion_spark.streaming import BatchedSink
+
+        seen = []
+
+        def select(df):
+            return df.filter(F.col("event_type") != "e0")
+
+        def handle(df):
+            seen.append(df.count())
+
+        sink = BatchedSink(spark, select, handle)
+        sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 5)))
+        assert seen == [4] and sink.batches == 1
+
+
+class TestRequireAllTtlExclusion:
+    def test_mutually_exclusive(self, spark, tmp_path):
+        from propulsion_spark.streaming.state_kernel import stateful_stream
+
+        stream = (
+            spark.readStream.schema(
+                __import__(
+                    "propulsion_spark.envelope", fromlist=["STREAM_EVENT_SCHEMA"]
+                ).STREAM_EVENT_SCHEMA
+            )
+            .parquet(str(tmp_path))
+        )
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            stateful_stream(stream, lambda s, e: ("ok", None), require_all=True, ttl_ms=1000)
+
+
 class TestCheckpointStore:
     def test_start_establishes_origin(self, tmp_path):
         store = CheckpointStore(str(tmp_path / "ckpt"), group="g1")
