@@ -367,3 +367,47 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+# ------------------------------------- embedding-cosine near-dup
+NEAR_DUP_COSINE = 0.35  # synthetic corpus: ~99.9th pct of pair similarity
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+WITH {_DUCK_NORMED},
+bucketed AS (
+  SELECT *, {_duck_bucket_expr()} AS bucket FROM normed
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {NEAR_DUP_COSINE}
+""",
+    doc=f"Embedding-space near-duplicate pairs: cosine >= {NEAR_DUP_COSINE} "
+    "within hyperplane-LSH buckets — semantic dedup for a 100 TB corpus "
+    "(candidates per bucket, O(n·bucket) not O(n²)).",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucketed = _spark_normed(spark, sf_dir).withColumn(
+        "bucket", F.expr(_spark_bucket_expr())
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cosine = _spark_dot("a.embedding", "b.embedding") / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+    )

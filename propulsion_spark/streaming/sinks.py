@@ -292,11 +292,15 @@ class StreamsSink:
     def process_batch(self, df: DataFrame, batch_id: int = 0) -> DataFrame:
         """Dispatch one micro-batch of envelope rows; returns the outcome
         table (one row per touched stream) after persisting progress."""
+        # No broadcast hint: the positions table grows with total stream
+        # count (unbounded at 100 TB) — AQE broadcasts it while small and
+        # shuffle-joins on stream_name (the partitioning the grouped
+        # dispatch needs anyway) once it isn't.
         pos = self.positions.read().select(
             "stream_name", F.col("pos").alias("_pos"), F.col("malformed").alias("_mal")
         )
         work = (
-            df.join(F.broadcast(pos), "stream_name", "left")
+            df.join(pos, "stream_name", "left")
             .filter(~F.coalesce(F.col("_mal"), F.lit(False)))
         )
         grouped = work.groupBy("stream_name").applyInPandas(
@@ -329,6 +333,7 @@ class StreamsSink:
                     )
                 )
                 .select("stream_name")
+                .limit(10_000)  # driver-side health bookkeeping stays bounded
                 .collect()
             ]
             self.stats.record_failures(failing)

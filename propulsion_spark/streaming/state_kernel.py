@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from propulsion_spark.kernel.spans import Event, span_index, span_next
+from propulsion_spark.kernel.spans import Event, span_next
 from propulsion_spark.kernel.state import StreamState
 
 STATE_SCHEMA = T.StructType(
