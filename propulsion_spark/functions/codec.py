@@ -100,6 +100,41 @@ def parse_rendered_spans(messages: DataFrame, value_col: str = "value") -> DataF
     )
 
 
+def render_summary(envelope: DataFrame, version_col: str = "idx") -> DataFrame:
+    """State-summary messages (RenderedSummary analog, ref:
+    src/Propulsion.Kafka/Codec.fs:78-108): one versioned message per
+    stream carrying only its freshest unfold rows (all `u` entries)."""
+    unfolds = envelope.filter(F.col("is_unfold"))
+    w = Window.partitionBy("stream_name")
+    freshest = unfolds.withColumn(
+        "_top", F.max(version_col).over(w)
+    ).filter(F.col(version_col) == F.col("_top"))
+    return (
+        freshest.groupBy("stream_name")
+        .agg(
+            F.max(version_col).alias("i"),
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "data"))
+            ).alias("us"),
+        )
+        .select(
+            F.col("stream_name").alias("key"),
+            F.to_json(
+                F.struct(
+                    F.col("stream_name").alias("s"),
+                    F.col("i"),
+                    F.transform(
+                        F.col("us"),
+                        lambda u: F.struct(
+                            u["event_type"].alias("c"), u["data"].alias("d")
+                        ),
+                    ).alias("u"),
+                )
+            ).alias("value"),
+        )
+    )
+
+
 def parse_changefeed_documents(
     docs: DataFrame, doc_col: str = "doc"
 ) -> DataFrame:

@@ -199,6 +199,7 @@ class SinkStats:
     deduped: int = 0
     batches: int = 0
     failing_streams: dict[str, int] = field(default_factory=dict)
+    latency_ms: dict[str, dict] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         import threading
@@ -215,6 +216,13 @@ class SinkStats:
                 )
                 self.events += r["n_events"]
                 self.deduped += r["n_deduped"]
+                if r.get("max_latency_ms") is not None:
+                    lat = self.latency_ms.setdefault(
+                        r["outcome"], {"max": 0.0, "sum": 0.0, "n": 0}
+                    )
+                    lat["max"] = max(lat["max"], r["max_latency_ms"])
+                    lat["sum"] += r["sum_latency_ms"]
+                    lat["n"] += r["n"]
 
     def record_failures(self, streams: list[str]) -> None:
         with self._lock:
@@ -231,6 +239,10 @@ class SinkStats:
             "deduped": self.deduped,
             "outcomes": dict(self.outcomes),
             "failing": dict(self.failing_streams),
+            "latency_ms": {
+                k: {"avg": v["sum"] / max(v["n"], 1), "max": v["max"]}
+                for k, v in self.latency_ms.items()
+            },
         }
 
 
@@ -321,6 +333,8 @@ class StreamsSink:
                     F.count("*").alias("n"),
                     F.sum("n_events").alias("n_events"),
                     F.sum("n_deduped").alias("n_deduped"),
+                    F.max("latency_ms").alias("max_latency_ms"),
+                    F.sum("latency_ms").alias("sum_latency_ms"),
                 )
                 .collect()
             )
