@@ -199,7 +199,13 @@ def q_embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------- LSH-bucketed ANN (scale path)
-N_PLANES = 8
+# Multi-table random-hyperplane LSH: L tables of k sign bits each. A
+# pair is a candidate when co-bucketed in ANY table — recall
+# 1-(1-p^k)^L where p = 1 - θ/π, the standard tunable ANN structure
+# (one table of many bits has near-zero recall on small cells).
+N_TABLES = 4
+BITS_PER_TABLE = 3
+N_PLANES = N_TABLES * BITS_PER_TABLE
 # Deterministic pseudo-random hyperplanes: component (p, d) derived from
 # md5 so both engines materialize identical planes.
 _PLANES = [
@@ -213,44 +219,152 @@ _PLANES = [
 ]
 
 
-def _spark_bucket_expr() -> str:
-    bits = []
-    for p, plane in enumerate(_PLANES):
+def _plane_sign(p: int, dialect: str) -> str:
+    """Sign bit of the dot product with plane ``p`` (exact decimal fold)."""
+    plane = _PLANES[p]
+    if dialect == "spark":
         arr = f"array({', '.join(f'{w!r}D' for w in plane)})"
         dot = (
             f"aggregate(zip_with(embedding, {arr}, (x, y) -> "
             f"CAST(CAST(x AS DOUBLE) * y AS DECIMAL(20,12))), "
             f"CAST(0 AS DECIMAL(20,12)), (acc, v) -> CAST(acc + v AS DECIMAL(20,12)))"
         )
-        bits.append(f"(CASE WHEN CAST({dot} AS DOUBLE) > 0 THEN {1 << p} ELSE 0 END)")
-    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
-
-
-def _duck_bucket_expr() -> str:
-    bits = []
-    for p, plane in enumerate(_PLANES):
+    else:
         arr = f"[{', '.join(repr(w) for w in plane)}]::DOUBLE[]"
         dot = (
             f"list_sum(list_transform(generate_series(1, {DIM}), "
             f"i -> CAST(CAST(embedding[i] AS DOUBLE) * ({arr})[i] AS DECIMAL(20,12))))"
         )
-        bits.append(f"(CASE WHEN CAST({dot} AS DOUBLE) > 0 THEN {1 << p} ELSE 0 END)")
+    return f"(CASE WHEN CAST({dot} AS DOUBLE) > 0 THEN 1 ELSE 0 END)"
+
+
+def _table_bucket_expr(t: int, dialect: str) -> str:
+    bits = [
+        f"({_plane_sign(t * BITS_PER_TABLE + b, dialect)} * {1 << b})"
+        for b in range(BITS_PER_TABLE)
+    ]
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+_TABLE_COLS = [f"b{t}" for t in range(N_TABLES)]
+
+
+def _spark_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _spark_normed(spark, sf_dir)
+    for t in range(N_TABLES):
+        df = df.withColumn(f"b{t}", F.expr(_table_bucket_expr(t, "spark")))
+    return df.persist()  # plane dots hashed once; every table join reads 2×
+
+
+_DUCK_BUCKETED = f"""
+bucketed AS (
+  SELECT *, {', '.join(f"{_table_bucket_expr(t, 'duck')} AS b{t}" for t in range(N_TABLES))}
+  FROM normed
+)
+"""
 
 
 @register(
     "similarity_lsh_buckets",
     f"""
-SELECT vec_id, {_duck_bucket_expr()} AS bucket
-FROM embeddings
+WITH {_DUCK_NORMED},
+{_DUCK_BUCKETED.strip()}
+SELECT vec_id, {', '.join(_TABLE_COLS)} FROM bucketed
 """,
-    doc=f"Random-hyperplane LSH bucketing: {N_PLANES} sign bits → bucket id. "
-    "Map-only; at scale, ANN search joins within buckets (plus neighbor "
-    "probes) instead of the full cross join.",
+    doc=f"Multi-table LSH bucketing: {N_TABLES} tables × {BITS_PER_TABLE} "
+    "hyperplane sign bits. Map-only; at scale each table's bucket id is "
+    "the shuffle key for candidate generation.",
 )
 def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return emb.selectExpr("vec_id", f"{_spark_bucket_expr()} AS bucket")
+    return _spark_bucketed(spark, sf_dir).select("vec_id", *_TABLE_COLS)
+
+
+def _spark_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (query_id, neighbor_id) co-bucketed in any table; one
+    equi-join per table (never an OR join)."""
+    bucketed = _spark_bucketed(spark, sf_dir)
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES)
+    per_table = []
+    for t in range(N_TABLES):
+        a = q.alias("a")
+        b = bucketed.alias("b")
+        per_table.append(
+            a.join(b, F.col(f"a.b{t}") == F.col(f"b.b{t}"))
+            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("query_id"),
+                F.col("b.vec_id").alias("neighbor_id"),
+            )
+        )
+    out = per_table[0]
+    for df in per_table[1:]:
+        out = out.unionByName(df)
+    return out.distinct()
+
+
+_DUCK_LSH_CANDS = f"""
+cands AS (
+  SELECT DISTINCT query_id, neighbor_id FROM (
+    {' UNION ALL '.join(
+        f"SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id "
+        f"FROM bucketed a JOIN bucketed b ON a.b{t} = b.b{t} "
+        f"AND a.vec_id != b.vec_id WHERE a.vec_id < {N_QUERIES}"
+        for t in range(N_TABLES)
+    )}
+  )
+)
+"""
+
+_DUCK_ANN_TOPK = f"""
+  SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT query_id, neighbor_id,
+           {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC,
+                        neighbor_id) AS BIGINT) AS rank
+    FROM cands JOIN normed q ON q.vec_id = query_id
+               JOIN normed c ON c.vec_id = neighbor_id
+  ) WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "similarity_lsh_topk",
+    f"""
+WITH {_DUCK_NORMED},
+{_DUCK_BUCKETED.strip()},
+{_DUCK_LSH_CANDS.strip()}
+{_DUCK_ANN_TOPK}
+""",
+    doc="ANN top-k over multi-table LSH candidates: per-table equi-joins "
+    "generate candidates (O(n·bucket) per table), exact cosine ranks "
+    "them. Recall measured against similarity_topk_bruteforce.",
+)
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cands = _spark_lsh_candidates(spark, sf_dir)
+    normed = _spark_normed(spark, sf_dir)
+    q = normed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cosine = _spark_dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
 
 
 _BF_SUBQUERY = f"""
@@ -265,36 +379,23 @@ _BF_SUBQUERY = f"""
   ) WHERE rank <= {TOP_K}
 """
 
-_LSH_SUBQUERY = f"""
-  SELECT query_id, neighbor_id FROM (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           CAST(row_number() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC,
-                        c.vec_id) AS BIGINT) AS rank
-    FROM bucketed q JOIN bucketed c ON c.vec_id != q.vec_id AND c.bucket = q.bucket
-    WHERE q.vec_id < {N_QUERIES}
-  ) WHERE rank <= {TOP_K}
-"""
-
 
 @register(
     "similarity_lsh_recall",
     f"""
 WITH {_DUCK_NORMED},
-bucketed AS (
-  SELECT *, {_duck_bucket_expr()} AS bucket FROM normed
-),
+{_DUCK_BUCKETED.strip()},
+{_DUCK_LSH_CANDS.strip()},
 bf AS ({_BF_SUBQUERY}),
-ann AS ({_LSH_SUBQUERY})
+ann AS ({_DUCK_ANN_TOPK})
 SELECT bf.query_id,
        CAST(count(ann.neighbor_id) AS BIGINT) AS n_hit,
        count(ann.neighbor_id) / {TOP_K} AS recall
 FROM bf LEFT JOIN ann USING (query_id, neighbor_id)
 GROUP BY bf.query_id
 """,
-    doc=f"ANN quality gauge: recall@{TOP_K} of the LSH-bucketed search vs "
-    "the brute-force ground truth — the measurement every approximate "
+    doc=f"ANN quality gauge: recall@{TOP_K} of the multi-table LSH search "
+    "vs the brute-force ground truth — the measurement every approximate "
     "index must report before it replaces the exact path.",
 )
 def q_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,13 +414,103 @@ def q_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- embedding-cosine near-dup
+NEAR_DUP_COSINE = 0.35  # synthetic corpus: ~99.9th pct of pair similarity
+
+
 @register(
-    "similarity_lsh_topk",
+    "dedup_embedding_cosine",
     f"""
 WITH {_DUCK_NORMED},
-bucketed AS (
-  SELECT *, {_duck_bucket_expr()} AS bucket FROM normed
+{_DUCK_BUCKETED.strip()},
+pair_cands AS (
+  SELECT DISTINCT a_id, b_id FROM (
+    {' UNION ALL '.join(
+        f"SELECT a.vec_id AS a_id, b.vec_id AS b_id "
+        f"FROM bucketed a JOIN bucketed b ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"
+        for t in range(N_TABLES)
+    )}
+  )
 )
+SELECT a_id, b_id,
+       {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+FROM pair_cands JOIN normed a ON a.vec_id = a_id JOIN normed b ON b.vec_id = b_id
+WHERE {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {NEAR_DUP_COSINE}
+""",
+    doc=f"Embedding-space near-duplicate pairs: cosine >= {NEAR_DUP_COSINE} "
+    "among multi-table LSH candidates — semantic dedup for a 100 TB corpus "
+    "(candidates per bucket, O(n·bucket) not O(n²)).",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucketed = _spark_bucketed(spark, sf_dir)
+    per_table = []
+    for t in range(N_TABLES):
+        a = bucketed.alias("a")
+        b = bucketed.alias("b")
+        per_table.append(
+            a.join(b, F.col(f"a.b{t}") == F.col(f"b.b{t}"))
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id")
+            )
+        )
+    cands = per_table[0]
+    for df in per_table[1:]:
+        cands = cands.unionByName(df)
+    cands = cands.distinct()
+    normed = _spark_normed(spark, sf_dir)
+    a = normed.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cosine = _spark_dot("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm"))
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .select("a_id", "b_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+    )
+
+
+# ------------------------------------------------- IVF-style ANN
+_DUCK_IVF_CELLS = f"""
+dims AS (SELECT unnest(generate_series(1, {DIM})) AS dim),
+cent AS (
+  SELECT label, dim,
+         CAST(sum(CAST(floor(CAST(embedding[dim] AS DOUBLE) * {_CENTROID_SCALE}) AS BIGINT)) AS DOUBLE)
+             / (count(*) * {_CENTROID_SCALE}) AS c
+  FROM embeddings CROSS JOIN dims GROUP BY label, dim
+),
+expl AS (
+  SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN dims
+),
+dist AS (
+  SELECT vec_id, label,
+         CAST(sum(CAST((x - c) * (x - c) AS DECIMAL(20,12))) AS DOUBLE) AS d2
+  FROM expl JOIN cent USING (dim) GROUP BY vec_id, label
+),
+cells AS (
+  SELECT vec_id, label AS cell FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+    FROM dist
+  ) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "similarity_ivf_topk",
+    f"""
+WITH {_DUCK_NORMED},
+{_DUCK_IVF_CELLS.strip()}
 SELECT query_id, neighbor_id, rank, cosine
 FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -328,31 +519,55 @@ FROM (
              PARTITION BY q.vec_id
              ORDER BY {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC,
                       c.vec_id) AS BIGINT) AS rank
-  FROM bucketed q JOIN bucketed c ON c.vec_id != q.vec_id AND c.bucket = q.bucket
+  FROM (SELECT n.*, cl.cell FROM normed n JOIN cells cl USING (vec_id)) q
+  JOIN (SELECT n.*, cl.cell FROM normed n JOIN cells cl USING (vec_id)) c
+    ON c.vec_id != q.vec_id AND c.cell = q.cell
   WHERE q.vec_id < {N_QUERIES}
 ) WHERE rank <= {TOP_K}
 """,
-    doc="ANN top-k within LSH buckets: the scale variant — candidates share "
-    "the query's hyperplane-sign bucket, so the join shuffles on bucket id "
-    "and work is O(n·bucket_size) not O(n²). Recall measured against "
-    "similarity_topk_bruteforce.",
+    doc="IVF-style ANN: vectors are assigned to the nearest coarse-codebook "
+    "centroid cell (codebook = deterministic per-label centroids, standing "
+    "in for a trained k-means — the assignment/cell-probe plumbing is the "
+    "real IVF shape), and each query probes only its own cell. Work is "
+    "O(n·cell_size); the join shuffles on cell id. Complements the "
+    "hyperplane-LSH variant; recall measured against the brute force.",
 )
-def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    normed = _spark_normed(spark, sf_dir).withColumn(
-        "bucket", F.expr(_spark_bucket_expr())
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = q_embedding_centroids(spark, sf_dir).select(
+        "label", "dim", F.col("centroid").alias("c")
     )
-    q = (
-        normed.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
-            F.col("bucket").alias("q_bucket"),
+    expl = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    diff = F.col("x") - F.col("c")
+    dist = (
+        expl.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((diff * diff).cast("decimal(20,12)")).cast("double").alias("d2")
         )
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
+    cells = (
+        dist.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("label").alias("cell"))
+    )
+    normed = _spark_normed(spark, sf_dir).join(cells, "vec_id")
+    q = normed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("cell").alias("q_cell"),
     )
     pairs = normed.join(
         F.broadcast(q),
-        (F.col("vec_id") != F.col("query_id")) & (F.col("bucket") == F.col("q_bucket")),
+        (F.col("vec_id") != F.col("query_id")) & (F.col("cell") == F.col("q_cell")),
     )
     cosine = _spark_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
     w = Window.partitionBy("query_id").orderBy(
@@ -366,48 +581,4 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
-    )
-
-# ------------------------------------- embedding-cosine near-dup
-NEAR_DUP_COSINE = 0.35  # synthetic corpus: ~99.9th pct of pair similarity
-
-
-@register(
-    "dedup_embedding_cosine",
-    f"""
-WITH {_DUCK_NORMED},
-bucketed AS (
-  SELECT *, {_duck_bucket_expr()} AS bucket FROM normed
-)
-SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
-FROM bucketed a JOIN bucketed b
-  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {NEAR_DUP_COSINE}
-""",
-    doc=f"Embedding-space near-duplicate pairs: cosine >= {NEAR_DUP_COSINE} "
-    "within hyperplane-LSH buckets — semantic dedup for a 100 TB corpus "
-    "(candidates per bucket, O(n·bucket) not O(n²)).",
-)
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bucketed = _spark_normed(spark, sf_dir).withColumn(
-        "bucket", F.expr(_spark_bucket_expr())
-    )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    cosine = _spark_dot("a.embedding", "b.embedding") / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            cosine.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
     )
