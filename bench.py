@@ -54,6 +54,13 @@ def main() -> None:
     registry = load_all()
     spark = get_spark("propulsion-bench")
     spark.range(1_000).count()  # JVM/session warmup outside the timings
+    # touch each table's footer/schema once so per-query numbers measure
+    # steady-state plans, not one-time IO setup (the events nanos-conf
+    # switch in particular re-plans the first scan)
+    from propulsion_spark import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).schema
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]

@@ -112,7 +112,27 @@ def cmd_sync(args) -> int:
             spark, src, sink, ckpt, stop_at_tail=not args.follow
         )
     elif skind == "json":
-        source = JsonSource(spark, src, sink, ckpt)
+        # each line is a JSON event; project the envelope fields out of it
+        from pyspark.sql import functions as F2
+
+        def parse_lines(page):
+            g = lambda f: F2.get_json_object(F2.col("line"), f"$.{f}")  # noqa: E731
+            return page.select(
+                F2.coalesce(g("stream_name"), F2.lit("json-0")).alias("stream_name"),
+                F2.substring_index(
+                    F2.coalesce(g("stream_name"), F2.lit("json-0")), "-", 1
+                ).alias("category"),
+                F2.coalesce(g("idx").cast("long"), F2.col("line_no")).alias("idx"),
+                F2.coalesce(g("event_type"), F2.lit("Message")).alias("event_type"),
+                F2.col("line").alias("data"),
+                F2.lit(None).cast("string").alias("meta"),
+                F2.col("line_no").alias("event_id"),
+                g("ts").cast("timestamp").alias("ts"),
+                F2.lit(False).alias("is_unfold"),
+                F2.length("line").cast("long").alias("size"),
+            )
+
+        source = JsonSource(spark, src, sink, ckpt, parse=parse_lines)
     else:
         print(f"unknown source: {args.source}", file=sys.stderr)
         return 2

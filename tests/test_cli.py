@@ -44,6 +44,29 @@ class TestCli:
         assert rep["caught_up"] is True
         assert rep["outcomes"].get("prefix_missing", 0) + rep["outcomes"].get("ok", 0) > 0
 
+    def test_sync_json_source(self, tmp_path):
+        import json as j
+
+        path = tmp_path / "ev.ndjson"
+        with open(path, "w") as f:
+            for i in range(12):
+                f.write(
+                    j.dumps(
+                        {"stream_name": f"user-{i % 2}", "idx": i // 2, "event_type": "E"}
+                    )
+                    + "\n"
+                )
+        rep = run_cli(
+            "sync",
+            "--from", f"json:{path}",
+            "--to", "stats",
+            "--checkpoints", str(tmp_path / "ck"),
+            "--positions", str(tmp_path / "pos"),
+        )
+        assert rep["caught_up"] is True
+        assert rep["stats"]["events"] == 12
+        assert rep["stats"]["outcomes"]["ok"] == 2
+
     def test_checkpoint_inspect(self, tmp_path):
         run_cli(
             "sync",
