@@ -45,6 +45,62 @@ HEADLINE = [
 ]
 
 
+def bench_pipelines(spark, sf_dir: str) -> dict[str, float]:
+    """BASELINE.md's pipeline workloads (beyond pure queries): the
+    ingest slice, stateful-sink redelivery dedup, the idempotent store
+    writer on redelivered batches, and a bounded AvailableNow e2e run."""
+    import shutil
+    import tempfile
+
+    from propulsion_spark.operators.fixtures import stream_events
+    from propulsion_spark.sources.parquet_feed import changefeed_stream
+    from propulsion_spark.streaming import StreamsSink
+    from propulsion_spark.streaming.event_store import EventStoreTable
+
+    tmp = tempfile.mkdtemp(prefix="propulsion-bench-")
+    timings: dict[str, float] = {}
+    try:
+        envelope = stream_events(spark, sf_dir)
+
+        # ingest slice: envelope → per-stream ordered sink → positions
+        def handle(stream, events):
+            return "ok", int(events["idx"].iloc[-1]) + 1
+
+        sink = StreamsSink.start_concurrent(spark, handle, f"{tmp}/pos")
+        t0 = time.time()
+        sink.process_batch(envelope)
+        timings["pipeline_ingest_sink"] = round(time.time() - t0, 3)
+
+        # redelivery of the same batch: write-pos dedup path
+        t0 = time.time()
+        sink.process_batch(envelope)
+        timings["pipeline_redelivery_dedup"] = round(time.time() - t0, 3)
+
+        # idempotent store writer, then full redelivery (conflict path)
+        store = EventStoreTable(spark, f"{tmp}/store")
+        t0 = time.time()
+        store.sync(envelope)
+        timings["pipeline_store_sync"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        store.sync(envelope)
+        timings["pipeline_store_resync"] = round(time.time() - t0, 3)
+
+        # bounded e2e: changefeed dir → AvailableNow streaming run
+        envelope.drop("user_id", "value").coalesce(4).write.mode("overwrite").parquet(
+            f"{tmp}/feed"
+        )
+        sink2 = StreamsSink.start_concurrent(spark, handle, f"{tmp}/pos2")
+        t0 = time.time()
+        q = sink2.run_stream(
+            changefeed_stream(spark, f"{tmp}/feed"), f"{tmp}/ck", availableNow=True
+        )
+        q.awaitTermination(600)
+        timings["pipeline_e2e_availablenow"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -67,6 +123,7 @@ def main() -> None:
         t0 = time.time()
         q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+    timings.update(bench_pipelines(spark, sf_dir))
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

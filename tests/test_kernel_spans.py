@@ -116,6 +116,46 @@ def test_next_gap_detects_missing_prefix():
     assert next_gap(0, []) is None
 
 
+@given(spans_strategy, st.integers(0, 50), st.integers(0, 5))
+@settings(max_examples=200, deadline=None)  # first example pays pyspark import
+def test_state_encode_decode_roundtrip(spans, write_pos, revision):
+    """The streaming kernel's state serialization must be lossless."""
+    from propulsion_spark.streaming.state_kernel import _decode, _encode
+
+    st_ = StreamState(write_pos=write_pos, revision=revision)
+    for s in spans:
+        st_.ingest(list(s))
+    back = _decode(_encode(st_))
+    assert back.write_pos == st_.write_pos
+    assert back.revision == st_.revision
+    assert [[tuple(e) for e in s] for s in back.spans] == [
+        [tuple(e) for e in s] for s in st_.spans
+    ]
+    assert tuple(map(tuple, back.unfolds)) == tuple(map(tuple, st_.unfolds))
+
+
+def test_sql_views_register(tmp_path):
+    # module-level import keeps this file Spark-free except here
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from propulsion_spark import get_spark
+    from propulsion_spark import views as V
+
+    spark = get_spark("views-test", cpus="4", shuffle_partitions=4)
+    names = V.register(spark, "/root/testdata/sf0.001")
+    assert "stream_events" in names
+    n = spark.sql(
+        "SELECT count(DISTINCT stream_name) AS c FROM stream_events"
+    ).collect()[0].c
+    assert n == 15
+    joined = spark.sql(
+        """SELECT count(*) AS c FROM stream_events e
+           JOIN events raw ON e.event_id = raw.event_id"""
+    ).collect()[0].c
+    assert joined == 1000
+
+
 class TestStreamState:
     def test_ingest_dedups_below_write_pos(self):
         st_ = StreamState(write_pos=5)
