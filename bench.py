@@ -76,6 +76,23 @@ def bench_pipelines(spark, sf_dir: str) -> dict[str, float]:
         sink.process_batch(envelope)
         timings["pipeline_redelivery_dedup"] = round(time.time() - t0, 3)
 
+        # the same fold, fully declarative (no Python handler hop)
+        from pyspark.sql import functions as F
+        from propulsion_spark.streaming import DeclarativeSink
+
+        dsink = DeclarativeSink.start(
+            spark,
+            {
+                "n": F.count("*"),
+                "total": F.sum(F.col("value").cast("decimal(38,6)")).cast("double"),
+                "last_ts": F.max("ts"),
+            },
+            f"{tmp}/dpos",
+        )
+        t0 = time.time()
+        dsink.process_batch(envelope)
+        timings["pipeline_ingest_declarative"] = round(time.time() - t0, 3)
+
         # idempotent store writer, then full redelivery (conflict path)
         store = EventStoreTable(spark, f"{tmp}/store")
         t0 = time.time()

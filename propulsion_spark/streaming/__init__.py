@@ -2,7 +2,9 @@ from propulsion_spark.streaming.checkpoints import CheckpointStore  # noqa: F401
 from propulsion_spark.streaming.positions import PositionsTable  # noqa: F401
 from propulsion_spark.streaming.sinks import (  # noqa: F401
     BatchedSink,
+    DeclarativeSink,
     HandlerResult,
     OutcomeKind,
+    ParallelSink,
     StreamsSink,
 )

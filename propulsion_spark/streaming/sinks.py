@@ -370,6 +370,92 @@ class StreamsSink:
         )
 
 
+class DeclarativeSink:
+    """Whole-stage-codegen sink for fold-shaped handlers.
+
+    Most projection handlers reduce a span to an outcome row (counts,
+    sums, last-values). When the fold is expressible as Spark aggregate
+    expressions there is no reason to pay the Arrow/Python hop of the
+    grouped-map handler: this sink runs write-pos dedup + the fold +
+    progress entirely JVM-side — the Spark-first fast path
+    (ref semantics identical to StreamsSink with an OK handler).
+
+    ``aggs``: dict of output column → aggregate Column over the deduped
+    span rows of one stream.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        aggs: "dict[str, object]",
+        positions: PositionsTable,
+        outcome_table_path: str | None = None,
+    ):
+        self.spark = spark
+        self.aggs = aggs
+        self.positions = positions
+        self.outcome_table_path = outcome_table_path
+        self.stats = SinkStats()
+
+    @classmethod
+    def start(cls, spark: SparkSession, aggs, positions_path: str, **kw):
+        return cls(spark, aggs, PositionsTable(spark, positions_path), **kw)
+
+    def process_batch(self, df: DataFrame, batch_id: int = 0) -> DataFrame:
+        pos = self.positions.read().select(
+            "stream_name", F.col("pos").alias("_pos"), F.col("malformed").alias("_mal")
+        )
+        live = (
+            df.join(pos, "stream_name", "left")
+            .filter(~F.coalesce(F.col("_mal"), F.lit(False)))
+            .filter(F.col("idx") >= F.coalesce(F.col("_pos"), F.lit(0)))
+        )
+        outcomes = live.groupBy("stream_name").agg(
+            *[c.alias(name) for name, c in self.aggs.items()],
+            (F.max("idx") + 1).alias("pos"),
+            F.coalesce(F.first("_pos"), F.lit(0)).alias("prev_pos"),
+            F.count("*").alias("n_events"),
+        )
+        outcomes = outcomes.cache()
+        try:
+            self.positions.merge(
+                outcomes.select(
+                    "stream_name",
+                    "pos",
+                    F.lit(0).alias("revision"),
+                    F.lit(False).alias("malformed"),
+                )
+            )
+            if self.outcome_table_path:
+                outcomes.write.mode("append").parquet(self.outcome_table_path)
+            agg = outcomes.agg(
+                F.count("*").alias("n"), F.sum("n_events").alias("n_events")
+            ).collect()[0]
+            self.stats.record(
+                [
+                    {
+                        "outcome": OutcomeKind.OK,
+                        "n": agg.n,
+                        "n_events": agg.n_events or 0,
+                        "n_deduped": 0,
+                    }
+                ]
+            )
+            return outcomes
+        finally:
+            outcomes.unpersist()
+
+    def run_stream(self, stream_df: DataFrame, checkpoint_location: str, **trigger):
+        return (
+            stream_df.writeStream.foreachBatch(
+                lambda df, bid: self.process_batch(df, bid) and None
+            )
+            .option("checkpointLocation", checkpoint_location)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
+
 class ParallelSink:
     """Unordered item-level processing — no stream grouping or ordering
     (ref: Parallel.PartitionedSchedulingEngine,

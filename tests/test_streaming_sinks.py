@@ -168,6 +168,48 @@ class TestStreamsSink:
         assert out["user-1"].outcome == OutcomeKind.DUPLICATE
 
 
+class TestDeclarativeSink:
+    def test_jvm_only_fold_matches_handler_semantics(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from propulsion_spark.streaming import DeclarativeSink
+
+        sink = DeclarativeSink.start(
+            spark,
+            {"n": F.count("*"), "last_type": F.max("event_type")},
+            str(tmp_path / "dpos"),
+        )
+        out = outcomes_map(
+            sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 5)))
+        )
+        assert out["user-1"].n == 5 and out["user-1"].pos == 5
+        # redelivery: deduped rows never re-enter the fold
+        out2 = sink.process_batch(
+            mk_df(spark, envelope_rows("user-1", 0, 5) + envelope_rows("user-1", 5, 2))
+        )
+        m = outcomes_map(out2)
+        assert m["user-1"].n == 2 and m["user-1"].pos == 7
+        pos = {r.stream_name: r.pos for r in sink.positions.read().collect()}
+        assert pos == {"user-1": 7}
+
+    def test_outcome_table_append(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from propulsion_spark.streaming import DeclarativeSink
+
+        out_path = str(tmp_path / "outcomes")
+        sink = DeclarativeSink.start(
+            spark,
+            {"n": F.count("*")},
+            str(tmp_path / "dpos2"),
+            outcome_table_path=out_path,
+        )
+        sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 3)))
+        sink.process_batch(mk_df(spark, envelope_rows("user-1", 3, 2)))
+        rows = spark.read.parquet(out_path).orderBy("pos").collect()
+        assert [(r.n, r.pos) for r in rows] == [(3, 3), (2, 5)]
+
+
 class TestBatchedSink:
     def test_select_then_single_handle(self, spark, tmp_path):
         from pyspark.sql import functions as F
