@@ -1,0 +1,60 @@
+"""Physical-plan audit: scan every registered query for scale red flags
+(cartesian products, nested-loop joins, excessive shuffles) and report
+pushdown/broadcast evidence.
+
+Usage: python tools/plan_audit.py [sf_dir]
+
+Expected flags (by design, documented in the query docs):
+- similarity_topk_bruteforce / embedding_knn_classify /
+  similarity_lsh_recall: BroadcastNestedLoopJoin of a ≤10-row query set
+  against candidates — the exact ground-truth baseline the ANN variants
+  (similarity_lsh_topk, similarity_ivf_topk) replace at scale.
+- similarity_ivf_topk: multi-stage (codebook + assignment + search); at
+  production scale cells are materialized once, not per query.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from propulsion_spark import get_spark
+    from propulsion_spark.operators import load_all
+
+    registry = load_all()
+    spark = get_spark("plan-audit")
+    flagged = 0
+    for name, q in sorted(registry.items()):
+        try:
+            plan = q.build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            print(f"ERROR {name}: {ex}")
+            flagged += 1
+            continue
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan:
+            bad.append("BNLJ")
+        n_exch = plan.count("Exchange hashpartitioning")
+        if n_exch > 4:
+            bad.append(f"{n_exch} exchanges")
+        pushed = len(re.findall(r"PushedFilters: \[[^\]]+\]", plan))
+        bcast = plan.count("BroadcastHashJoin")
+        status = "FLAG" if bad else "ok  "
+        flagged += bool(bad)
+        print(
+            f"{status} {name}: exchanges={n_exch} broadcast_joins={bcast} "
+            f"pushed_filter_scans={pushed}{' ' + ','.join(bad) if bad else ''}"
+        )
+    print(f"\n{flagged} flagged (see module docstring for the expected set)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
