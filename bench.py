@@ -76,6 +76,15 @@ def bench_pipelines(spark, sf_dir: str) -> dict[str, float]:
         sink.process_batch(envelope)
         timings["pipeline_redelivery_dedup"] = round(time.time() - t0, 3)
 
+        # same handler through the mapInPandas fast path (many streams
+        # per Arrow batch instead of one exchange per stream)
+        fsink = StreamsSink.start_concurrent(
+            spark, handle, f"{tmp}/fpos", fast_path=True
+        )
+        t0 = time.time()
+        fsink.process_batch(envelope)
+        timings["pipeline_ingest_fastpath"] = round(time.time() - t0, 3)
+
         # the same fold, fully declarative (no Python handler hop)
         from pyspark.sql import functions as F
         from propulsion_spark.streaming import DeclarativeSink

@@ -169,6 +169,45 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_init(args) -> int:
+    """Provision the engine's storage layout (the `propulsion init`
+    analog): store/positions/index/checkpoints directories."""
+    import os
+
+    for sub in ("store", "positions", "index", "checkpoints"):
+        os.makedirs(f"{args.path}/{sub}", exist_ok=True)
+    print(json.dumps({"initialized": args.path}))
+    return 0
+
+
+def cmd_index(args) -> int:
+    """Build/extend the CDC span index from an event-store table
+    (the `propulsion index` verb analog)."""
+    from pyspark.sql import functions as F
+
+    from propulsion_spark import get_spark
+    from propulsion_spark.streaming.event_store import EventStoreTable
+    from propulsion_spark.streaming.index import AppendsIndex
+
+    spark = get_spark("propulsion-index")
+    store = EventStoreTable(spark, args.store)
+    index = AppendsIndex(spark, args.index)
+    spans = (
+        store.read()
+        .groupBy("stream_name")
+        .agg(F.min("idx").alias("span_lo"), (F.max("idx") + 1).alias("span_hi"))
+    )
+    report = index.ingest(spans)
+    verdicts = {
+        r.verdict: r.n
+        for r in report.groupBy("verdict").agg(F.count("*").alias("n")).collect()
+    }
+    epoch, items = index.active_epoch()
+    print(json.dumps({"verdicts": verdicts, "active_epoch": epoch, "items": items}))
+    spark.stop()
+    return 0
+
+
 def cmd_checkpoint(args) -> int:
     from propulsion_spark.streaming.checkpoints import CheckpointStore
 
@@ -202,6 +241,15 @@ def main(argv=None) -> int:
     st = sub.add_parser("stats", help="event-type stats over a fixture dir")
     st.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     st.set_defaults(fn=cmd_stats)
+
+    ini = sub.add_parser("init", help="provision the storage layout")
+    ini.add_argument("--path", required=True)
+    ini.set_defaults(fn=cmd_init)
+
+    ix = sub.add_parser("index", help="build the CDC span index from a store")
+    ix.add_argument("--store", required=True)
+    ix.add_argument("--index", required=True)
+    ix.set_defaults(fn=cmd_index)
 
     ck = sub.add_parser("checkpoint", help="inspect/override consumer positions")
     ck.add_argument("--path", required=True)

@@ -246,8 +246,47 @@ class SinkStats:
         }
 
 
+def _make_partition_handler(
+    handle: Handler, max_events: int, max_bytes: int, require_all: bool
+):
+    """mapInPandas variant of the grouped handler: processes many streams
+    per Arrow batch (amortizing the per-group flush that dominates
+    applyInPandas when streams are small), carrying a possibly-split
+    tail group across batch boundaries. Requires input partitioned by
+    stream and sorted by (stream, idx) — which also preserves the ≤1
+    concurrent handler per stream guarantee (a stream lives in exactly
+    one partition)."""
+    grouped = _make_grouped_handler(handle, max_events, max_bytes, require_all)
+
+    def process(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            last = pdf["stream_name"].iloc[-1]
+            tail_mask = pdf["stream_name"] == last
+            carry = pdf[tail_mask]
+            body = pdf[~tail_mask]
+            for _, grp in body.groupby("stream_name", sort=False):
+                yield grouped(grp)
+        if carry is not None and not carry.empty:
+            for _, grp in carry.groupby("stream_name", sort=False):
+                yield grouped(grp)
+
+    return process
+
+
 class StreamsSink:
-    """Per-stream ordered sink (Factory.StartConcurrent analog)."""
+    """Per-stream ordered sink (Factory.StartConcurrent analog).
+
+    ``fast_path`` switches the dispatch from ``applyInPandas`` (one
+    Arrow exchange per stream) to repartition+sortWithinPartitions+
+    ``mapInPandas`` (many streams per Arrow batch) — same semantics,
+    much less per-group overhead when streams are fine-grained.
+    """
 
     def __init__(
         self,
@@ -257,6 +296,7 @@ class StreamsSink:
         max_events: int = 16384,
         max_bytes: int = 1024 * 1024 - 4096,  # ref defaults: Sync.fs:54
         require_all: bool = False,
+        fast_path: bool = False,
     ):
         from propulsion_spark import ensure_shipped
 
@@ -267,6 +307,7 @@ class StreamsSink:
         self.max_events = max_events
         self.max_bytes = max_bytes
         self.require_all = require_all
+        self.fast_path = fast_path
         self.stats = SinkStats()
 
     @classmethod
@@ -315,12 +356,25 @@ class StreamsSink:
             df.join(pos, "stream_name", "left")
             .filter(~F.coalesce(F.col("_mal"), F.lit(False)))
         )
-        grouped = work.groupBy("stream_name").applyInPandas(
-            _make_grouped_handler(
-                self.handle, self.max_events, self.max_bytes, self.require_all
-            ),
-            OUTCOME_SCHEMA,
-        )
+        if self.fast_path:
+            n_parts = max(int(self.spark.conf.get("spark.sql.shuffle.partitions")), 1)
+            grouped = (
+                work.repartition(n_parts, "stream_name")
+                .sortWithinPartitions("stream_name", "idx")
+                .mapInPandas(
+                    _make_partition_handler(
+                        self.handle, self.max_events, self.max_bytes, self.require_all
+                    ),
+                    OUTCOME_SCHEMA,
+                )
+            )
+        else:
+            grouped = work.groupBy("stream_name").applyInPandas(
+                _make_grouped_handler(
+                    self.handle, self.max_events, self.max_bytes, self.require_all
+                ),
+                OUTCOME_SCHEMA,
+            )
         outcomes = grouped.cache()
         try:
             progressed = outcomes.filter(

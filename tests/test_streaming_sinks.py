@@ -168,6 +168,48 @@ class TestStreamsSink:
         assert out["user-1"].outcome == OutcomeKind.DUPLICATE
 
 
+class TestFastPathSink:
+    def test_semantics_match_grouped_path(self, spark, tmp_path):
+        def handle(stream, events):
+            return OutcomeKind.OK, int(events["idx"].iloc[-1]) + 1
+
+        sink = StreamsSink.start_concurrent(
+            spark, handle, str(tmp_path / "fp"), fast_path=True
+        )
+        df = mk_df(
+            spark,
+            envelope_rows("user-1", 0, 50)
+            + envelope_rows("user-2", 0, 30)
+            + envelope_rows("user-3", 5, 4),  # gap stream
+        )
+        rows = sink.process_batch(df).collect()
+        by_stream = {}
+        for r in rows:
+            by_stream.setdefault(r.stream_name, []).append(r)
+        assert max(r.pos for r in by_stream["user-1"]) == 50
+        assert max(r.pos for r in by_stream["user-2"]) == 30
+        assert max(r.pos for r in by_stream["user-3"]) == 9
+        pos = {r.stream_name: r.pos for r in sink.positions.read().collect()}
+        assert pos == {"user-1": 50, "user-2": 30, "user-3": 9}
+        # redelivery dedups identically
+        out = {r.stream_name: r for r in sink.process_batch(df).collect()}
+        assert all(o.outcome == OutcomeKind.DUPLICATE for o in out.values())
+
+    def test_many_small_streams(self, spark, tmp_path):
+        def handle(stream, events):
+            return OutcomeKind.OK, int(events["idx"].iloc[-1]) + 1
+
+        sink = StreamsSink.start_concurrent(
+            spark, handle, str(tmp_path / "fp2"), fast_path=True
+        )
+        rows = []
+        for i in range(200):
+            rows += envelope_rows(f"user-{i}", 0, 2)
+        out = sink.process_batch(mk_df(spark, rows))
+        assert out.count() == 200
+        assert sink.positions.read().count() == 200
+
+
 class TestDeclarativeSink:
     def test_jvm_only_fold_matches_handler_semantics(self, spark, tmp_path):
         from pyspark.sql import functions as F
