@@ -198,6 +198,53 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.distinct()
 
 
+# ----------------------------------------------------- winnowing
+WINNOW_WINDOW = 8  # min-sample 1 fingerprint per window of shingle hashes
+
+
+def _winnow_fps(dialect: str) -> str:
+    """Distinct winnowed fingerprints over the shingle-hash array ``hs``:
+    the minimum hash of every sliding window — the classic winnowing
+    (MOSS) scheme guaranteeing a match for any shared run ≥ window+k-1
+    chars. Built entirely from array HOFs (no shuffle until the explode)."""
+    if dialect == "spark":
+        wins = (
+            f"transform(sequence(1, greatest(size(hs) - {WINNOW_WINDOW - 1}, 1)), "
+            f"i -> array_min(slice(hs, i, {WINNOW_WINDOW})))"
+        )
+        return f"array_distinct({wins})"
+    wins = (
+        f"list_transform(generate_series(1, greatest(length(hs) - {WINNOW_WINDOW - 1}, 1)), "
+        f"i -> list_min(hs[i:i+{WINNOW_WINDOW - 1}]))"
+    )
+    return f"list_distinct({wins})"
+
+
+@register(
+    "text_winnowing",
+    f"""
+SELECT doc_id, unnest({_winnow_fps('duck')}) AS fingerprint
+FROM (
+  SELECT doc_id, {_shingle_hashes('duck')} AS hs
+  FROM (SELECT doc_id, {normalized('duck')} AS norm FROM documents)
+)
+""",
+    doc=f"Winnowing fingerprints (rolling-hash min-sampling, window "
+    f"{WINNOW_WINDOW}): the MOSS/local-fingerprinting scheme — any shared "
+    "substring beyond the guarantee threshold shares a fingerprint, so a "
+    "groupBy(fingerprint) finds copied passages at corpus scale.",
+)
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("norm", F.expr(normalized("spark")))
+        .withColumn("hs", F.expr(_shingle_hashes("spark")))
+    )
+    return docs.select(
+        "doc_id", F.explode(F.expr(_winnow_fps("spark"))).alias("fingerprint")
+    )
+
+
 # ------------------------------------------------- exact n-gram jaccard
 NGRAM = 3  # word 3-grams
 JACCARD_CUTOFF = 0.2

@@ -26,6 +26,48 @@ def ev(eid, minute, etype="click", value=1.0):
     }
 
 
+class TestSessionStream:
+    def test_session_windows_close_after_gap(self, spark, tmp_path):
+        from propulsion_spark.streaming.windows import session_stream
+
+        indir = str(tmp_path / "in")
+        os.makedirs(indir)
+        name = f"sess_{uuid.uuid4().hex[:8]}"
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+        )
+        enveloped = stream.withColumnRenamed("event_type", "stream_name")
+        q = (
+            session_stream(enveloped, key="stream_name", gap="30 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+
+        def push(rows):
+            spark.createDataFrame(
+                pd.DataFrame(rows),
+                EVENTS_SCHEMA.replace("event_type", "stream_name"),
+            ).coalesce(1).write.mode("append").parquet(indir)
+            q.processAllAvailable()
+
+        # two bursts 90 min apart → two sessions for stream 'a'
+        push([ev(1, 0, "a"), ev(2, 10, "a"), ev(3, 100, "a"), ev(4, 105, "a")])
+        push([ev(9, 500, "a")])  # advance watermark far → both sessions close
+        rows = sorted(
+            spark.sql(f"SELECT * FROM {name}").collect(),
+            key=lambda r: r.session_start,
+        )
+        assert [(r.n_events) for r in rows[:2]] == [2, 2]
+        starts = [r.session_start.minute for r in rows[:2]]
+        assert starts == [0, 40]  # sessions began at minute 0 and 100 (mod 60)
+        q.stop()
+
+
 class TestTumblingStream:
     def test_stream_matches_batch_and_drops_late(self, spark, tmp_path):
         indir = str(tmp_path / "in")
