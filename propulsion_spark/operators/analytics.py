@@ -427,6 +427,94 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ pivot
+@register(
+    "returnflag_pivot",
+    """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_O,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_F
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Pivot (wide report): line status → columns. Spark's .pivot() with "
+    "explicit values keeps the schema static; same partial-agg plan as the "
+    "long form.",
+)
+def q_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+# ----------------------------------------------------- set difference
+@register(
+    "churned_customers",
+    """
+SELECT o_custkey AS c_custkey
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+EXCEPT
+SELECT o_custkey
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+""",
+    doc="Set difference (churn): customers active in 1996 with no 1997 "
+    "order — EXCEPT compiles to a left-anti join on the grouped keys.",
+)
+def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def active(year: str, nxt: str):
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{nxt}-01-01 00:00:00").cast("timestamp"))
+        ).select(F.col("o_custkey").alias("c_custkey"))
+
+    # subtract = EXCEPT DISTINCT (exceptAll would be bag semantics: a
+    # repeat-1996 customer with one 1997 order would wrongly survive)
+    return active("1996", "1997").distinct().subtract(active("1997", "1998"))
+
+
+# ------------------------------------------------ running aggregate
+@register(
+    "running_customer_revenue",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
+FROM orders
+""",
+    doc="Running cumulative aggregate per key (rowsBetween unbounded "
+    "preceding): the account-balance / watermark-progress shape; one "
+    "shuffle on the partition key.",
+)
+def q_running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_revenue"),
+    )
+
+
 # ------------------------------------- PeriodicSource re-index (S9)
 @register(
     "periodic_reindex",
