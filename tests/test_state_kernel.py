@@ -123,6 +123,23 @@ class TestStatefulSpanBuffer:
         assert out[-1]["outcome"] == "ok"
         assert out[-1]["write_pos"] == 5
 
+    def test_many_shuffled_batches_converge(self, harness_factory):
+        """Spans delivered in adversarial order across many micro-batches
+        still drain to the full write position once every gap fills."""
+        import random
+
+        rng = random.Random(42)
+        h = harness_factory()
+        spans = [(s, 4) for s in range(0, 40, 4)]  # 10 spans of 4 → idx 0..39
+        rng.shuffle(spans)
+        for start, n in spans:
+            h.push(envelope_rows("user-1", start, n))
+        out = [o for o in h.outcomes() if o["stream_name"] == "user-1"]
+        assert out[-1]["write_pos"] == 40
+        assert out[-1]["buffered"] == 0
+        total_dispatched = sum(o["dispatched"] for o in out)
+        assert total_dispatched == 40  # exactly once through the handler
+
     def test_handler_error_keeps_buffer(self, harness_factory):
         def bad_handler(stream, events):
             raise ValueError("boom")
