@@ -1,0 +1,157 @@
+"""Streaming corpus curation — the training-data pipeline as a
+continuous flow (the batch twin is the ``corpus_curation`` oracle
+query).
+
+    raw document batches (change feed / any feed source)
+      → quality gates      (declarative: alpha ratio, token bounds)
+      → cross-batch dedup  (fingerprint table: first-writer-wins)
+      → curated store      (append-only parquet)
+      + per-language corpus stats
+
+The fingerprint table is the same MVCC parquet pattern as
+PositionsTable (Delta MERGE on a cluster); the dedup check is one
+left-anti join per batch on the fingerprint — exactly the shape that
+scales to 100 TB (shuffle on fp only for the batch increment, broadcast
+while small via AQE). Everything is JVM-side; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from propulsion_spark.operators.dedup import normalized
+from propulsion_spark.operators.textops import _toks
+
+
+class _FingerprintTable:
+    """Seen-fingerprint registry: (fp, keeper doc_id). MVCC pointer-flip."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._retired: list[str] = []
+        self._write_lock = threading.Lock()
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_VERSION")
+
+    def _current_version(self) -> str | None:
+        try:
+            with open(self._pointer) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def read(self) -> DataFrame:
+        v = self._current_version()
+        if v is None:
+            return self.spark.createDataFrame([], "fp string, keeper long")
+        return self.spark.read.parquet(os.path.join(self.path, v))
+
+    def register(self, novel: DataFrame) -> None:
+        with self._write_lock:
+            merged = (
+                self.read()
+                .unionByName(novel.select("fp", "keeper"))
+                .groupBy("fp")
+                .agg(F.min("keeper").alias("keeper"))
+            )
+            version = f"v-{uuid.uuid4().hex}"
+            merged.write.mode("overwrite").parquet(os.path.join(self.path, version))
+            old = self._current_version()
+            tmp = self._pointer + f".{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                f.write(version)
+            os.replace(tmp, self._pointer)
+            for stale in self._retired:
+                shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
+            self._retired = [old] if old else []
+
+
+class CurationPipeline:
+    """Feed-source sink: each batch of raw documents flows through
+    quality gates and cross-batch dedup into the curated store."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_path: str,
+        min_alpha_ratio: float = 0.7,
+        token_bounds: tuple[int, int] = (10, 5000),
+    ):
+        self.spark = spark
+        self.out_path = out_path
+        self.min_alpha_ratio = min_alpha_ratio
+        self.token_bounds = token_bounds
+        self.fingerprints = _FingerprintTable(spark, f"{out_path}/_fingerprints")
+        self.curated_path = f"{out_path}/curated"
+        self.stats = {"seen": 0, "rejected_quality": 0, "deduped": 0, "kept": 0}
+        self._lock = threading.Lock()
+
+    # -- one batch ---------------------------------------------------------
+    def process_batch(self, df: DataFrame, batch_id: int = 0) -> None:
+        scored = df.select(
+            "*",
+            F.expr(
+                "length(regexp_replace(text, '[^A-Za-z]', '')) / length(text)"
+            ).alias("_alpha"),
+            F.expr(f"size({_toks('spark')})").alias("_ntok"),
+            F.expr(f"md5({normalized('spark')})").alias("fp"),
+        )
+        lo, hi = self.token_bounds
+        passed = scored.filter(
+            (F.col("_alpha") >= self.min_alpha_ratio)
+            & F.col("_ntok").between(lo, hi)
+        )
+        # intra-batch keeper, then cross-batch anti-join vs seen fps
+        keeper = passed.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+        fresh = keeper.join(self.fingerprints.read(), "fp", "left_anti").select(
+            F.col("fp").alias("_kfp"), F.col("keeper").alias("_keeper")
+        )
+        kept_docs = passed.join(
+            fresh,
+            (passed.fp == F.col("_kfp")) & (passed.doc_id == F.col("_keeper")),
+        ).select(*df.columns, "fp")
+        kept_docs = kept_docs.cache()
+        try:
+            n_seen = df.count()
+            n_passed = passed.count()
+            n_kept = kept_docs.count()
+            kept_docs.drop("fp").write.mode("append").parquet(self.curated_path)
+            self.fingerprints.register(kept_docs.select("fp", F.col("doc_id").alias("keeper")))
+            with self._lock:
+                self.stats["seen"] += n_seen
+                self.stats["rejected_quality"] += n_seen - n_passed
+                self.stats["deduped"] += n_passed - n_kept
+                self.stats["kept"] += n_kept
+        finally:
+            kept_docs.unpersist()
+
+    # -- results -----------------------------------------------------------
+    def curated(self) -> DataFrame:
+        return self.spark.read.parquet(self.curated_path)
+
+    def lang_stats(self) -> DataFrame:
+        return (
+            self.curated()
+            .groupBy("lang")
+            .agg(F.count("*").alias("kept_docs"), F.sum("n_chars").alias("kept_chars"))
+        )
+
+    def run_stream(self, stream_df: DataFrame, checkpoint_location: str, **trigger):
+        return (
+            stream_df.writeStream.foreachBatch(
+                lambda df, bid: self.process_batch(df, bid)
+            )
+            .option("checkpointLocation", checkpoint_location)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
