@@ -345,6 +345,10 @@ class StreamsSink:
     def process_batch(self, df: DataFrame, batch_id: int = 0) -> DataFrame:
         """Dispatch one micro-batch of envelope rows; returns the outcome
         table (one row per touched stream) after persisting progress."""
+        if df.isEmpty():
+            # tail polls deliver empty batches constantly — don't rewrite
+            # the positions table or run the grouped dispatch for them
+            return self.spark.createDataFrame([], OUTCOME_SCHEMA)
         # No broadcast hint: the positions table grows with total stream
         # count (unbounded at 100 TB) — AQE broadcasts it while small and
         # shuffle-joins on stream_name (the partitioning the grouped
@@ -456,6 +460,10 @@ class DeclarativeSink:
         return cls(spark, aggs, PositionsTable(spark, positions_path), **kw)
 
     def process_batch(self, df: DataFrame, batch_id: int = 0) -> DataFrame:
+        if df.isEmpty():
+            return self.spark.createDataFrame(
+                [], "stream_name string, pos long, prev_pos long, n_events long"
+            )
         pos = self.positions.read().select(
             "stream_name", F.col("pos").alias("_pos"), F.col("malformed").alias("_mal")
         )

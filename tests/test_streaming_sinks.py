@@ -168,6 +168,19 @@ class TestStreamsSink:
         assert out["user-1"].outcome == OutcomeKind.DUPLICATE
 
 
+class TestEmptyBatch:
+    def test_empty_batch_is_a_noop(self, spark, sink, tmp_path):
+        from propulsion_spark.envelope import STREAM_EVENT_SCHEMA
+
+        sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 2)))
+        version_before = sink.positions._current_version()
+        empty = spark.createDataFrame([], STREAM_EVENT_SCHEMA)
+        out = sink.process_batch(empty)
+        assert out.count() == 0
+        # positions table untouched (no version churn from tail polls)
+        assert sink.positions._current_version() == version_before
+
+
 class TestFastPathSink:
     def test_semantics_match_grouped_path(self, spark, tmp_path):
         def handle(stream, events):
