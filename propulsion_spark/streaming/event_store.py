@@ -44,32 +44,50 @@ class EventStoreTable:
     def _pointer(self) -> str:
         return os.path.join(self.path, "_VERSION")
 
-    def _current_version(self) -> str | None:
+    def _manifest(self) -> list[str]:
+        """Segment list of the current version (Delta-log style: appends
+        add a segment, maintenance ops replace the whole list)."""
+        import json
+
         try:
             with open(self._pointer) as f:
-                return f.read().strip() or None
+                raw = f.read().strip()
+            return json.loads(raw) if raw else []
         except FileNotFoundError:
-            return None
+            return []
 
-    def read(self) -> DataFrame:
-        v = self._current_version()
-        if v is None:
-            from propulsion_spark.envelope import STREAM_EVENT_SCHEMA
+    def _flip(self, segments: list[str]) -> None:
+        import json
 
-            return self.spark.createDataFrame([], STREAM_EVENT_SCHEMA)
-        return self.spark.read.parquet(os.path.join(self.path, v))
-
-    def _commit(self, df: DataFrame) -> None:
-        version = f"v-{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(os.path.join(self.path, version))
-        old = self._current_version()
+        old = [s for s in self._manifest() if s not in segments]
         tmp = self._pointer + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
-            f.write(version)
+            f.write(json.dumps(segments))
         os.replace(tmp, self._pointer)
         for stale in self._retired:
             shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
-        self._retired = [old] if old else []
+        self._retired = old
+
+    def read(self) -> DataFrame:
+        segs = self._manifest()
+        if not segs:
+            from propulsion_spark.envelope import STREAM_EVENT_SCHEMA
+
+            return self.spark.createDataFrame([], STREAM_EVENT_SCHEMA)
+        return self.spark.read.parquet(*[os.path.join(self.path, s) for s in segs])
+
+    def _commit(self, df: DataFrame) -> None:
+        """Full rewrite (maintenance ops: prune, unfold compaction)."""
+        version = f"v-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(os.path.join(self.path, version))
+        self._flip([version])
+
+    def _commit_append(self, novel: DataFrame) -> None:
+        """Append one segment — O(batch), not O(table): the Delta-append
+        shape; conflict classification happened before this call."""
+        seg = f"seg-{uuid.uuid4().hex}"
+        novel.write.mode("overwrite").parquet(os.path.join(self.path, seg))
+        self._flip(self._manifest() + [seg])
 
     # ---- the idempotent writer (W1) --------------------------------------
     def sync(self, batch: DataFrame) -> DataFrame:
@@ -108,7 +126,9 @@ class EventStoreTable:
         appended = novel.groupBy("stream_name").agg(
             F.count("*").alias("appended"), (F.max("idx") + 1).alias("new_tail")
         )
-        self._commit(current.unionByName(novel.select(*current.columns)))
+        appended = appended.cache()
+        if appended.count() > 0:  # full-duplicate batches append nothing
+            self._commit_append(novel.select(*current.columns))
         return (
             verdict.join(appended, "stream_name", "left")
             .select(
