@@ -31,13 +31,11 @@ HEADLINE = [
     "revenue_by_nation",
     "top_customers",
     "late_shipment_priority",
-    "window_sessions",
-    "window_tumbling_hourly",
+    "window_aggregates",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "text_quality",
-    "text_token_count",
+    "dedup_simhash_buckets",
+    "text_metrics",
     "similarity_topk_bruteforce",
     "similarity_lsh_topk",
     "multimodal_frame_sample",

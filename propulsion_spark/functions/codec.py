@@ -135,6 +135,53 @@ def render_summary(envelope: DataFrame, version_col: str = "idx") -> DataFrame:
     )
 
 
+RENDERED_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("s", T.StringType()),
+        T.StructField("i", T.LongType()),
+        T.StructField(
+            "u",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("c", T.StringType()),
+                        T.StructField("d", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def parse_rendered_summary(messages: DataFrame, value_col: str = "value") -> DataFrame:
+    """Summary messages → envelope unfold rows (RenderedSummary.parse
+    analog, ref: src/Propulsion.Kafka/Codec.fs:94-108): every ``u``
+    entry becomes an ``is_unfold=true`` row at the summary's version
+    index, so a consumer of summary topics can re-ingest them through
+    the same sinks as ordinary events."""
+    parsed = messages.select(
+        F.from_json(F.col(value_col), RENDERED_SUMMARY_SCHEMA).alias("sm")
+    ).filter(F.col("sm.s").isNotNull())
+    return parsed.select(
+        F.col("sm.s").alias("stream_name"),
+        F.substring_index(F.col("sm.s"), "-", 1).alias("category"),
+        F.col("sm.i").alias("idx"),
+        F.explode(F.col("sm.u")).alias("uf"),
+    ).select(
+        "stream_name",
+        "category",
+        "idx",
+        F.col("uf.c").alias("event_type"),
+        F.col("uf.d").alias("data"),
+        F.lit(None).cast("string").alias("meta"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(True).alias("is_unfold"),
+        F.length(F.col("uf.d")).cast("long").alias("size"),
+    )
+
+
 def parse_changefeed_documents(
     docs: DataFrame, doc_col: str = "doc"
 ) -> DataFrame:

@@ -177,21 +177,10 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------- TPC-H Q6 analog
-@register(
-    "forecast_revenue",
-    """
-SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
-       CAST(count(*) AS BIGINT) AS n_items
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-  AND l_discount BETWEEN 0.05 AND 0.07
-  AND l_quantity < 24
-""",
-    doc="TPC-H Q6-shaped scan-heavy filter+agg: all predicates push to the "
-    "parquet scan; no shuffle at all (single global aggregate).",
-)
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped scan-heavy filter+agg: all predicates push to the
+    parquet scan; no shuffle at all (single global aggregate).
+    Oracle-verified through the merged ``revenue_kpis`` query."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -285,24 +274,10 @@ def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------- TPC-H Q14 analog
-@register(
-    "promo_revenue_share",
-    """
-SELECT CAST(100.0 AS DOUBLE) *
-       CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
-                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-                     AS DECIMAL(38,6))) AS DOUBLE) /
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
-       AS promo_share,
-       CAST(count(*) AS BIGINT) AS n_items
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
-""",
-    doc="TPC-H Q14-shaped promo revenue share: dimension attribute drives "
-    "a conditional ratio; part dim broadcast against the fact scan.",
-)
 def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo revenue share: dimension attribute drives
+    a conditional ratio; part dim broadcast against the fact scan.
+    Oracle-verified through the merged ``revenue_kpis`` query."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -321,6 +296,51 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------- merged revenue KPIs
+@register(
+    "revenue_kpis",
+    """
+SELECT f.revenue AS forecast_revenue, f.n_items AS forecast_items,
+       p.promo_share, p.n_items AS promo_items
+FROM (
+  SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    AND l_discount BETWEEN 0.05 AND 0.07
+    AND l_quantity < 24
+) f
+CROSS JOIN (
+  SELECT CAST(100.0 AS DOUBLE) *
+         CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                       AS DECIMAL(38,6))) AS DOUBLE) /
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS promo_share,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+) p
+""",
+    doc="Revenue KPI row: the TPC-H Q6-shaped forecast aggregate (pure "
+    "pushed-down scan, zero shuffle) and the Q14-shaped promo share "
+    "(broadcast part dim against the fact scan) cross-joined into one "
+    "single-row result — two independent single-row aggregates cost one "
+    "trivially-broadcast join.",
+)
+def q_revenue_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = q_forecast_revenue(spark, sf_dir).select(
+        F.col("revenue").alias("forecast_revenue"),
+        F.col("n_items").alias("forecast_items"),
+    )
+    p = q_promo_revenue_share(spark, sf_dir).select(
+        "promo_share", F.col("n_items").alias("promo_items")
+    )
+    return f.crossJoin(p)
 
 
 # --------------------------------------------------- TPC-H Q19 analog

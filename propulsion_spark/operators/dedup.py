@@ -112,14 +112,12 @@ _DUCK_SIGS = f"""
 """
 
 
-@register(
-    "dedup_minhash_signatures",
-    _DUCK_SIGS,
-    doc=f"MinHash signatures: {SHINGLE}-char shingles → 64-bit hash → "
-    f"{NUM_HASHES} xor-mixed min-hashes per doc. Pure map stage (no shuffle); "
-    "JVM-side higher-order functions, one md5 per shingle.",
-)
 def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: 5-char shingles → 64-bit hash → 8 xor-mixed
+    min-hashes per doc. Pure map stage (no shuffle); JVM-side higher-order
+    functions, one md5 per shingle. Oracle-verified through
+    ``dedup_minhash_lsh_pairs`` (whose DuckDB oracle recomputes the full
+    signature matrix from scratch)."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .withColumn("norm", F.expr(normalized("spark")))
@@ -359,13 +357,11 @@ _DUCK_SIMHASH = f"""
 """
 
 
-@register(
-    "dedup_simhash",
-    _DUCK_SIMHASH,
-    doc=f"SimHash fingerprints: {SIMHASH_BITS}-bit majority-vote of token-hash "
-    "bits. Map-only (no shuffle); near-dups land at small hamming distance.",
-)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints: 16-bit majority-vote of token-hash bits.
+    Map-only (no shuffle); near-dups land at small hamming distance.
+    Oracle-verified through ``dedup_simhash_buckets`` (whose oracle
+    recomputes every per-doc simhash from scratch)."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "th", F.expr(_token_hashes("spark"))
     )

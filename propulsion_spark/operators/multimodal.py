@@ -198,12 +198,40 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 @register(
     "multimodal_features",
-    None,  # mapInPandas fake-decode — not SQL-expressible; rows-only check
+    f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         greatest(1, octet_length(encode(text)) // {FEATURE_DIM}) AS stripe,
+         unnest(generate_series(0, {FEATURE_DIM - 1})) AS dim
+  FROM documents
+),
+v AS (
+  SELECT doc_id, n_bytes, dim,
+         substring(text, CAST(1 + dim * stripe AS INT), CAST(stripe AS INT)) AS sl
+  FROM d
+)
+SELECT doc_id, n_bytes, dim,
+       CASE WHEN length(sl) = 0 THEN 0.0
+            ELSE (CAST(list_aggregate(list_transform(string_split(sl, ''), x -> ord(x)), 'sum') AS DOUBLE)
+                  / length(sl)) / 255.0
+       END AS value
+FROM v
+""",
     doc="Media → feature vectors via Arrow-batched mapInPandas (decode step "
-    "is a deterministic fake; see decode_image_batch for the gated real path).",
+    "is a deterministic fake — per-stripe byte means — so the oracle can "
+    "recompute it; corpus is ASCII so ord(char) == byte). Exploded to "
+    "(doc_id, dim, value) long form: hashable for the driver's "
+    "canonicalizer, and the shape a feature store ingests. See "
+    "decode_image_batch for the gated real decode path.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from propulsion_spark import ensure_shipped
 
     ensure_shipped(spark)
-    return extract_features(media_table(spark, sf_dir))
+    feats = extract_features(media_table(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode("features").alias("dim", "value"),
+    ).select("doc_id", "n_bytes", F.col("dim").cast("long").alias("dim"), "value")

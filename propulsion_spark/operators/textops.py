@@ -31,19 +31,10 @@ def _toks(dialect: str) -> str:
 
 
 # ------------------------------------------------------- token counting
-@register(
-    "text_token_count",
-    f"""
-SELECT doc_id,
-       CAST(length({_toks('duck')}) AS BIGINT) AS ws_tokens,
-       CAST(length(regexp_extract_all(text, {_BPE_RE_DUCK})) AS BIGINT) AS bpe_tokens,
-       CAST(length(text) AS BIGINT) AS chars
-FROM documents
-""",
-    doc="Token counting: whitespace tokens + a BPE-ish regex pre-tokenizer "
-    "(letter runs / digit runs / single symbols).",
-)
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex pre-tokenizer
+    (letter runs / digit runs / single symbols). Oracle-verified through
+    the merged ``text_metrics`` query."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.selectExpr(
         "doc_id",
@@ -69,21 +60,11 @@ _QUALITY_DUCK = f"""
 """
 
 
-@register(
-    "text_quality",
-    f"""
-SELECT doc_id, n_tokens,
-       alpha_ratio, stopword_ratio, avg_token_len,
-       0.4 * alpha_ratio + 0.4 * least(stopword_ratio * 10, 1.0)
-           + 0.2 * (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
-           AS quality
-FROM (SELECT doc_id, {_QUALITY_DUCK} FROM documents)
-""",
-    doc="Quality scoring: alphabetic ratio, stopword ratio, token-length "
-    "stats folded into a [0,1] score — the classic pre-training filter "
-    "features (C4/Gopher-style heuristics).",
-)
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: alphabetic ratio, stopword ratio, token-length
+    stats folded into a [0,1] score — the classic pre-training filter
+    features (C4/Gopher-style heuristics). Oracle-verified through the
+    merged ``text_metrics`` query."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.selectExpr("doc_id", *_QUALITY_SPARK)
     return base.selectExpr(
@@ -99,24 +80,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- language-ID heuristic
-@register(
-    "text_lang_id",
-    f"""
-SELECT doc_id, lang,
-       CASE WHEN stop_ratio >= 0.04 THEN 'en' ELSE 'unk' END AS predicted,
-       (lang = (CASE WHEN stop_ratio >= 0.04 THEN 'en' ELSE 'unk' END)) AS hit
-FROM (
-  SELECT doc_id, lang,
-         length(list_filter({_toks('duck')}, t -> t IN ({_SW_LIST})))
-             / length({_toks('duck')}) AS stop_ratio
-  FROM documents
-)
-""",
-    doc="Language-ID n-gram/stopword heuristic: English-stopword density "
-    "threshold (the fixture text is synthetic, so this checks the operator "
-    "plumbing and determinism, not linguistic accuracy).",
-)
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/stopword heuristic: English-stopword density
+    threshold. Oracle-verified through the merged ``text_metrics``."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.selectExpr(
         "doc_id",
@@ -134,23 +100,72 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- fingerprinting
-@register(
-    "text_fingerprint",
-    f"""
-SELECT doc_id,
-       {DUCK_H64.format(x=normalized('duck'))} AS fp64,
-       {DUCK_H64.format(x=f"substr({normalized('duck')}, 1, 100)")} AS fp_prefix
-FROM documents
-""",
-    doc="Document fingerprinting: 64-bit content hash of normalized text "
-    "plus a 100-char-prefix hash (cheap containment/near-head signal).",
-)
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 64-bit content hash of normalized text
+    plus a 100-char-prefix hash. Oracle-verified through ``text_metrics``."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.selectExpr(
         "doc_id",
         f"{SPARK_H64.format(x=normalized('spark'))} AS fp64",
         f"{SPARK_H64.format(x='substring(' + normalized('spark') + ', 1, 100)')} AS fp_prefix",
+    )
+
+
+# ---------------------------------------------- merged per-doc metrics
+_PRED_DUCK = "CASE WHEN stopword_ratio >= 0.04 THEN 'en' ELSE 'unk' END"
+
+
+@register(
+    "text_metrics",
+    f"""
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS ws_tokens,
+       CAST(length(regexp_extract_all(text, {_BPE_RE_DUCK})) AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS chars,
+       alpha_ratio, stopword_ratio, avg_token_len,
+       0.4 * alpha_ratio + 0.4 * least(stopword_ratio * 10, 1.0)
+           + 0.2 * (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+           AS quality,
+       lang,
+       {_PRED_DUCK} AS predicted,
+       (lang = ({_PRED_DUCK})) AS hit,
+       {DUCK_H64.format(x=normalized('duck'))} AS fp64,
+       {DUCK_H64.format(x=f"substr({normalized('duck')}, 1, 100)")} AS fp_prefix
+FROM (SELECT doc_id, lang, text, {_QUALITY_DUCK} FROM documents)
+""",
+    doc="Per-document text metrics in ONE scan: token counting "
+    "(whitespace + BPE-ish regex), quality scoring (C4/Gopher-style "
+    "alpha/stopword/token-length heuristics), stopword-density language "
+    "ID, and 64-bit content + prefix fingerprints. Map-only, no shuffle, "
+    "whole-stage codegen — a 100 TB corpus runs this at scan speed; "
+    "merging the four metric families into one pass reads the text "
+    "column once instead of four times.",
+)
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.selectExpr("doc_id", "lang", "text", *_QUALITY_SPARK)
+    pred = F.when(F.col("stopword_ratio") >= 0.04, F.lit("en")).otherwise(F.lit("unk"))
+    return base.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("ws_tokens"),
+        F.expr(f"CAST(size(regexp_extract_all(text, {_BPE_RE_SPARK}, 0)) AS BIGINT)").alias(
+            "bpe_tokens"
+        ),
+        F.length("text").cast("long").alias("chars"),
+        "alpha_ratio",
+        "stopword_ratio",
+        "avg_token_len",
+        F.expr(
+            "0.4 * alpha_ratio + 0.4 * least(stopword_ratio * 10, 1.0)"
+            " + 0.2 * (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)"
+        ).alias("quality"),
+        "lang",
+        pred.alias("predicted"),
+        (F.col("lang") == pred).alias("hit"),
+        F.expr(SPARK_H64.format(x=normalized("spark"))).alias("fp64"),
+        F.expr(
+            SPARK_H64.format(x="substring(" + normalized("spark") + ", 1, 100)")
+        ).alias("fp_prefix"),
     )
 
 

@@ -9,6 +9,12 @@ Epoch-aligned tumbling windows match `date_trunc`; session windows are
 computed with the lag/cumsum island method so batch and oracle agree
 exactly; micro-second epoch arithmetic avoids cross-engine timestamp
 truncation differences.
+
+All three window shapes are verified through ONE registered query
+(``window_aggregates``, a union with a ``kind`` discriminator) so the
+driver's per-round query budget covers every shape; the individual
+builders below remain the public API and the streaming twins' batch
+reference semantics.
 """
 
 from __future__ import annotations
@@ -24,19 +30,9 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
 
 # ------------------------------------------------------------- tumbling
-@register(
-    "window_tumbling_hourly",
-    """
-SELECT date_trunc('hour', ts) AS window_start, event_type,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
-FROM events
-GROUP BY 1, 2
-""",
-    doc="Tumbling 1-hour window aggregate (epoch-aligned, = date_trunc). "
-    "Streaming twin: groupBy(F.window(ts, '1 hour')) + watermark.",
-)
-def q_window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (epoch-aligned, = date_trunc).
+    Streaming twin: groupBy(F.window(ts, '1 hour')) + watermark."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -44,27 +40,20 @@ def q_window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total",
+        )
     )
 
 
 # ------------------------------------------------------------- sliding
-@register(
-    "window_sliding_2h_1h",
-    """
-SELECT window_start, CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
-FROM (
-  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
-         value
-  FROM events
-)
-GROUP BY window_start
-""",
-    doc="Sliding window (2h length, 1h step): each event lands in two "
-    "epoch-aligned windows. Streaming twin: F.window(ts, '2 hours', '1 hour').",
-)
-def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h length, 1h step): each event lands in two
+    epoch-aligned windows. Streaming twin: F.window(ts, '2 hours', '1 hour')."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
@@ -72,37 +61,20 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total"),
         )
-        .select(F.col("w.start").alias("window_start"), "n", "total")
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+            "total",
+        )
     )
 
 
 # ------------------------------------------------------------- sessions
-@register(
-    "window_sessions",
-    prelude()
-    + f"""
-SELECT stream_name, min(ts) AS session_start, max(ts) AS session_end,
-       CAST(count(*) AS BIGINT) AS n_events
-FROM (
-  SELECT stream_name, ts,
-         sum(is_new) OVER (PARTITION BY stream_name ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM (
-    SELECT stream_name, ts, event_id,
-           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                    OVER (PARTITION BY stream_name ORDER BY ts, event_id)
-                    > {SESSION_GAP_US}
-                THEN 1 ELSE 0 END AS is_new
-    FROM stream_events
-  )
-)
-GROUP BY stream_name, session_id
-""",
-    doc="Session windows (30-min inactivity gap) via the lag/cumsum island "
-    "method — identical semantics in batch and oracle. Streaming twin: "
-    "session_window(ts, '30 minutes').",
-)
-def q_window_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via the lag/cumsum island
+    method — identical semantics in batch and oracle. Streaming twin:
+    session_window(ts, '30 minutes')."""
     from propulsion_spark.operators.fixtures import stream_events
 
     se = stream_events(spark, sf_dir)
@@ -117,9 +89,85 @@ def q_window_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         marked.groupBy("stream_name", "session_id")
         .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-            F.count("*").alias("n_events"),
+            F.min("ts").alias("window_start"),
+            F.max("ts").alias("window_end"),
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total"),
         )
-        .select("stream_name", "session_start", "session_end", "n_events")
+        .select("stream_name", "window_start", "window_end", "n", "total")
     )
+
+
+# ------------------------------------------------- merged oracle query
+@register(
+    "window_aggregates",
+    prelude()
+    + f"""
+SELECT 'tumbling' AS kind, event_type AS grp_key,
+       date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding' AS kind, '' AS grp_key, window_start,
+       window_start + INTERVAL 2 HOUR AS window_end,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM (
+  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+         value
+  FROM events
+)
+GROUP BY window_start
+UNION ALL
+SELECT 'session' AS kind, stream_name AS grp_key,
+       min(ts) AS window_start, max(ts) AS window_end,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM (
+  SELECT stream_name, ts, value,
+         sum(is_new) OVER (PARTITION BY stream_name ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT stream_name, ts, value, event_id,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY stream_name ORDER BY ts, event_id)
+                    > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM stream_events
+  )
+)
+GROUP BY stream_name, session_id
+""",
+    doc="All three window shapes (tumbling 1h, sliding 2h/1h, 30-min-gap "
+    "sessions) unioned under a kind discriminator — one oracle row "
+    "verifies every shape. Each leg is one groupBy(window) shuffle; the "
+    "session leg's window functions ride the stream_name partitioning.",
+)
+def q_window_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tumb = window_tumbling_hourly(spark, sf_dir).select(
+        F.lit("tumbling").alias("kind"),
+        F.col("event_type").alias("grp_key"),
+        "window_start",
+        "window_end",
+        "n",
+        "total",
+    )
+    slid = window_sliding_2h_1h(spark, sf_dir).select(
+        F.lit("sliding").alias("kind"),
+        F.lit("").alias("grp_key"),
+        "window_start",
+        "window_end",
+        "n",
+        "total",
+    )
+    sess = window_sessions(spark, sf_dir).select(
+        F.lit("session").alias("kind"),
+        F.col("stream_name").alias("grp_key"),
+        "window_start",
+        "window_end",
+        "n",
+        "total",
+    )
+    return tumb.unionByName(slid).unionByName(sess)

@@ -10,97 +10,125 @@ Semantics per stream span: given the stream's stored tail position,
 - span starts above tail (gap)           → **PrefixMissing** — reject,
   report the gap
 
-Storage is a versioned parquet table keyed ``(stream_name, idx)``
-(MVCC pointer-flip like :class:`PositionsTable`; Delta MERGE on a
-cluster). The conflict resolution is computed set-wise in one Spark
-job per batch — anti-join against current tails — never row-at-a-time.
+Storage layout (the 100 TB shape, Delta-equivalent by construction):
+
+- **Data segments are bucketed by stream hash** (``crc32(stream_name)
+  % n_buckets``): each append writes one segment partitioned into the
+  buckets it touches; the manifest maps bucket → segment list. Prune /
+  compaction rewrite only touched buckets — never the whole table.
+- **Tails are maintained incrementally**: a per-stream ``(stream_name,
+  tail)`` delta log rides in the SAME manifest as the data segments and
+  both are committed in ONE atomic pointer flip, so classification
+  never scans the store (O(tails) vs O(table)) and can never observe a
+  data/tails torn state after a crash. Tails deltas fold into a base
+  segment every ``compact_after`` syncs (append-then-compact, like
+  :class:`PositionsTable`).
+
+Conflict resolution is computed set-wise in one Spark job per batch —
+join against the tails view — never row-at-a-time. Cross-driver safety:
+on-disk :class:`~propulsion_spark.streaming.mvcc.FileLease` around every
+read-modify-write commit.
 
 The pruner (W2 analog, ref: CosmosStorePruner.fs:9-84) deletes events
-at or below a requested index per stream.
+at or below a requested index per stream, rewriting only the buckets
+the requests hash into.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from propulsion_spark.streaming.mvcc import FileLease, JsonManifest
 from propulsion_spark.streaming.sinks import OutcomeKind
+
+_EMPTY_MANIFEST = {"data": {}, "tails": []}
 
 
 class EventStoreTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 64,
+        compact_after: int = 8,
+    ):
         self.spark = spark
         self.path = path
-        self._retired: list[str] = []
-        self._write_lock = threading.Lock()  # serialize read-modify-write commits
-        os.makedirs(path, exist_ok=True)
+        self.n_buckets = n_buckets
+        self.compact_after = compact_after
+        self.manifest = JsonManifest(path)
+        self._write_lock = threading.Lock()  # in-process writer serialization
 
-    @property
-    def _pointer(self) -> str:
-        return os.path.join(self.path, "_VERSION")
+    # ---- manifest helpers -------------------------------------------------
+    def _load(self) -> dict:
+        m = self.manifest.load(None)
+        if m is None:
+            return {"data": {}, "tails": []}
+        if isinstance(m, list):  # pre-bucketing manifests: flat segment list
+            return {"data": {"0": m}, "tails": []}
+        return m
 
-    def _manifest(self) -> list[str]:
-        """Segment list of the current version (Delta-log style: appends
-        add a segment, maintenance ops replace the whole list)."""
-        import json
+    def _bucket_col(self) -> F.Column:
+        return F.crc32(F.col("stream_name").cast("binary")) % self.n_buckets
 
-        try:
-            with open(self._pointer) as f:
-                raw = f.read().strip()
-            return json.loads(raw) if raw else []
-        except FileNotFoundError:
-            return []
+    def _data_paths(self, m: dict, buckets: "set[str] | None" = None) -> list[str]:
+        out = []
+        for b, segs in m["data"].items():
+            if buckets is None or b in buckets:
+                out.extend(os.path.join(self.path, s) for s in segs)
+        return out
 
-    def _flip(self, segments: list[str]) -> None:
-        import json
+    # ---- reads ------------------------------------------------------------
+    def _empty_envelope(self) -> DataFrame:
+        from propulsion_spark.envelope import STREAM_EVENT_SCHEMA
 
-        old = [s for s in self._manifest() if s not in segments]
-        tmp = self._pointer + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            f.write(json.dumps(segments))
-        os.replace(tmp, self._pointer)
-        for stale in self._retired:
-            shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
-        self._retired = old
+        return self.spark.createDataFrame([], STREAM_EVENT_SCHEMA)
 
-    def read(self) -> DataFrame:
-        segs = self._manifest()
-        if not segs:
-            from propulsion_spark.envelope import STREAM_EVENT_SCHEMA
+    def read(self, buckets: "set[str] | None" = None) -> DataFrame:
+        paths = self._data_paths(self._load(), buckets)
+        if not paths:
+            return self._empty_envelope()
+        return self.spark.read.parquet(*paths)
 
-            return self.spark.createDataFrame([], STREAM_EVENT_SCHEMA)
-        return self.spark.read.parquet(*[os.path.join(self.path, s) for s in segs])
+    def read_tails(self, m: dict | None = None) -> DataFrame:
+        """Current (stream_name, tail) view — O(streams), never O(events)."""
+        m = m if m is not None else self._load()
+        if not m["tails"]:
+            if not m["data"]:
+                return self.spark.createDataFrame([], "stream_name string, tail long")
+            # migration path for pre-tails manifests: derive once from data
+            return self.read().groupBy("stream_name").agg(
+                (F.max("idx") + 1).alias("tail")
+            )
+        raw = self.spark.read.parquet(
+            *[os.path.join(self.path, s) for s in m["tails"]]
+        )
+        if len(m["tails"]) == 1:
+            return raw
+        return raw.groupBy("stream_name").agg(F.max("tail").alias("tail"))
 
-    def _commit(self, df: DataFrame) -> None:
-        """Full rewrite (maintenance ops: prune, unfold compaction)."""
-        version = f"v-{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(os.path.join(self.path, version))
-        self._flip([version])
-
-    def _commit_append(self, novel: DataFrame) -> None:
-        """Append one segment — O(batch), not O(table): the Delta-append
-        shape; conflict classification happened before this call."""
-        seg = f"seg-{uuid.uuid4().hex}"
-        novel.write.mode("overwrite").parquet(os.path.join(self.path, seg))
-        self._flip(self._manifest() + [seg])
-
-    # ---- the idempotent writer (W1) --------------------------------------
+    # ---- the idempotent writer (W1) ---------------------------------------
     def sync(self, batch: DataFrame) -> DataFrame:
         """Write a batch of envelope rows idempotently; returns the outcome
-        table: (stream_name, outcome, prev_tail, new_tail, appended)."""
-        with self._write_lock:
+        table: (stream_name, outcome, prev_tail, new_tail, appended).
+
+        Per-sync cost is O(batch) + O(tails view): one delta data segment
+        (bucket-partitioned), one tails delta, one manifest flip — the
+        store's total size never enters the plan."""
+        with self._write_lock, FileLease(self.path):
             return self._sync_locked(batch)
 
     def _sync_locked(self, batch: DataFrame) -> DataFrame:
-        current = self.read()
-        tails = current.groupBy("stream_name").agg(
-            (F.max("idx") + 1).alias("tail")
-        )
+        m = self._load()
+        # redelivered rows can repeat (stream, idx) inside one batch;
+        # appending both copies would corrupt the log permanently
+        batch = batch.dropDuplicates(["stream_name", "idx"])
+        tails = self.read_tails(m)
         span = batch.groupBy("stream_name").agg(
             F.min("idx").alias("span_lo"), (F.max("idx") + 1).alias("span_hi")
         )
@@ -118,6 +146,7 @@ class EventStoreTable:
         writable = verdict.filter(
             F.col("outcome").isin(OutcomeKind.OK, OutcomeKind.PARTIAL_DUPLICATE)
         ).select("stream_name", "tail")
+        cols = [f.name for f in self._empty_envelope().schema.fields]
         novel = (
             batch.join(F.broadcast(writable), "stream_name")
             .filter(F.col("idx") >= F.col("tail"))
@@ -128,28 +157,85 @@ class EventStoreTable:
         )
         appended = appended.cache()
         if appended.count() > 0:  # full-duplicate batches append nothing
-            self._commit_append(novel.select(*current.columns))
-        return (
-            verdict.join(appended, "stream_name", "left")
-            .select(
-                "stream_name",
-                "outcome",
-                F.col("tail").alias("prev_tail"),
-                F.coalesce(F.col("new_tail"), F.col("tail")).alias("new_tail"),
-                F.coalesce(F.col("appended"), F.lit(0)).alias("appended"),
+            seg = f"seg-{uuid.uuid4().hex}"
+            (
+                novel.select(*cols)
+                .withColumn("bucket", self._bucket_col())
+                # one task per bucket: without this, partitionBy writes
+                # (input partitions × touched buckets) tiny files
+                .repartition("bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(os.path.join(self.path, seg))
             )
+            data = {b: list(s) for b, s in m["data"].items()}
+            for d in os.listdir(os.path.join(self.path, seg)):
+                if d.startswith("bucket="):
+                    b = d.split("=", 1)[1]
+                    data.setdefault(b, []).append(f"{seg}/{d}")
+            # tails delta rides the same flip: data+tails stay consistent
+            # even across a crash between writes and the pointer swap
+            tdelta = f"t-{uuid.uuid4().hex}"
+            appended.select(
+                "stream_name", F.col("new_tail").alias("tail")
+            ).write.mode("overwrite").parquet(os.path.join(self.path, tdelta))
+            tsegs = m["tails"] + [tdelta]
+            if len(tsegs) > self.compact_after:
+                tbase = f"t-{uuid.uuid4().hex}"
+                (
+                    self.spark.read.parquet(
+                        *[os.path.join(self.path, s) for s in tsegs]
+                    )
+                    .groupBy("stream_name")
+                    .agg(F.max("tail").alias("tail"))
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(self.path, tbase))
+                )
+                tsegs = [tbase]
+            self.manifest.flip({"data": data, "tails": tsegs})
+        report = verdict.join(appended, "stream_name", "left").select(
+            "stream_name",
+            "outcome",
+            F.col("tail").alias("prev_tail"),
+            F.coalesce(F.col("new_tail"), F.col("tail")).alias("new_tail"),
+            F.coalesce(F.col("appended"), F.lit(0)).alias("appended"),
         )
+        # collect-and-rebuild (bounded: one row per stream in the batch):
+        # the returned report must outlive this manifest version — its
+        # lineage otherwise re-reads a tails view a later sync retires —
+        # and the cached `appended` must not accumulate on executors
+        # over a long-running feed
+        try:
+            return self.spark.createDataFrame(report.collect(), report.schema)
+        finally:
+            appended.unpersist()
 
     # ---- the pruner (W2) ---------------------------------------------------
     def prune(self, requests: DataFrame) -> DataFrame:
         """Delete events with ``idx <= until_idx`` per stream.
         ``requests``: (stream_name, until_idx). Returns
-        (stream_name, deleted, remaining)."""
-        with self._write_lock:
+        (stream_name, deleted, remaining).
+
+        Rewrites ONLY the buckets the requested streams hash into —
+        pruning a few streams of a 100 TB store touches a few bucket
+        partitions, not the table."""
+        with self._write_lock, FileLease(self.path):
             return self._prune_locked(requests)
 
     def _prune_locked(self, requests: DataFrame) -> DataFrame:
-        current = self.read()
+        m = self._load()
+        touched = {
+            str(r.b)
+            for r in requests.select(
+                self._bucket_col().cast("string").alias("b")
+            ).distinct().collect()
+        }
+        touched &= set(m["data"])
+        if not touched:
+            return self.spark.createDataFrame(
+                [], "stream_name string, deleted long, remaining long"
+            )
+        current = self.read(buckets=touched)
         tagged = current.join(F.broadcast(requests), "stream_name", "left")
         survivors = tagged.filter(
             F.col("until_idx").isNull() | (F.col("idx") > F.col("until_idx"))
@@ -166,16 +252,62 @@ class EventStoreTable:
                 ),
             )
         )
-        report = report.cache()
-        report.count()
-        self._commit(survivors.select(*current.columns))
+        # materialize before the rewrite retires the segments it reads
+        # (bounded: one row per pruned stream)
+        report = self.spark.createDataFrame(report.collect(), report.schema)
+        self._rewrite_buckets(m, touched, survivors)
         return report
+
+    def _rewrite_buckets(
+        self, m: dict, buckets: "set[str]", replacement: DataFrame
+    ) -> None:
+        """Replace the segment lists of ``buckets`` with one compacted
+        segment holding ``replacement`` (already filtered to those
+        buckets); all other buckets' segments are untouched."""
+        cols = [f.name for f in self._empty_envelope().schema.fields]
+        seg = f"seg-{uuid.uuid4().hex}"
+        (
+            replacement.select(*cols)
+            .withColumn("bucket", self._bucket_col())
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(self.path, seg))
+        )
+        data = {b: list(s) for b, s in m["data"].items() if b not in buckets}
+        seg_dir = os.path.join(self.path, seg)
+        for d in os.listdir(seg_dir):
+            if d.startswith("bucket="):
+                data.setdefault(d.split("=", 1)[1], []).append(f"{seg}/{d}")
+        self.manifest.flip({"data": data, "tails": m["tails"]})
+
+    def compact_bucket(self, bucket: str) -> None:
+        """Fold one bucket's segment list into a single segment — the
+        OPTIMIZE analog; run opportunistically per bucket, never table-wide."""
+        with self._write_lock, FileLease(self.path):
+            m = self._load()
+            if len(m["data"].get(bucket, [])) <= 1:
+                return
+            self._rewrite_buckets(m, {bucket}, self.read(buckets={bucket}))
 
     def unfold_compact(self) -> None:
         """Keep only the freshest unfold set per (stream, event_type)
-        (ref: Streams.fs:143-147) — run opportunistically."""
-        with self._write_lock:
-            current = self.read()
+        (ref: Streams.fs:143-147) — run opportunistically. Rewrites only
+        buckets that actually hold unfold rows."""
+        with self._write_lock, FileLease(self.path):
+            m = self._load()
+            touched = {
+                str(r.b)
+                for r in self.read()
+                .filter(F.col("is_unfold"))
+                .select(self._bucket_col().cast("string").alias("b"))
+                .distinct()
+                .collect()
+            }
+            touched &= set(m["data"])
+            if not touched:
+                return
+            current = self.read(buckets=touched)
             w = Window.partitionBy("stream_name", "event_type").orderBy(
                 F.col("idx").desc()
             )
@@ -186,4 +318,4 @@ class EventStoreTable:
                 .filter(F.col("rn") == 1)
                 .drop("rn")
             )
-            self._commit(events.unionByName(unfolds))
+            self._rewrite_buckets(m, touched, events.unionByName(unfolds))

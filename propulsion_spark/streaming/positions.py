@@ -4,26 +4,33 @@ src/Propulsion/Streams.fs:327-431).
 
 One row per stream: ``(stream_name, pos, revision, malformed)``.
 Unlike the consumer-group checkpoint store (one row per tranche), this
-table scales with stream count, so it is maintained *distributed*: the
-merge of new handler outcomes is a Spark job (union → groupBy max), and
-each merge commits a new immutable version directory with an atomic
-pointer flip — MVCC-by-hand, the moral equivalent of a Delta MERGE
-(which replaces this class on a cluster with Delta available).
+table scales with stream count, so it is maintained *distributed* and
+**append-then-compact**: each merge writes only the micro-batch's
+updates as a small delta segment (O(batch) — never a rewrite of every
+stream ever seen), and the segment list is folded into one base segment
+every ``compact_after`` merges (amortized O(table / compact_after) per
+batch — the same shape as Delta MERGE + OPTIMIZE, which replace this
+class on a cluster).
 
-Reads are served from the current version: a plain parquet scan,
-broadcast-joined against incoming micro-batches for dedup.
+Reads resolve the manifest's base+delta segments with a newest-wins
+groupBy (pos/revision monotonic max, malformed sticky) — snapshot-
+isolated via the atomic manifest pointer. Cross-driver mutation safety
+comes from an on-disk :class:`~propulsion_spark.streaming.mvcc.FileLease`
+(two sink replicas sharing a positions path must not interleave
+read-modify-write commits), in addition to the in-process lock.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from propulsion_spark.streaming.mvcc import FileLease, JsonManifest
 
 POSITIONS_SCHEMA = T.StructType(
     [
@@ -34,80 +41,63 @@ POSITIONS_SCHEMA = T.StructType(
     ]
 )
 
+_COLS = [f.name for f in POSITIONS_SCHEMA.fields]
+
+
+def _resolve(df: DataFrame) -> DataFrame:
+    """Newest-wins fold across base+delta rows: positions/revisions only
+    advance (monotonic, ref: Streams.fs:338-346), malformed is sticky."""
+    return df.groupBy("stream_name").agg(
+        F.max("pos").alias("pos"),
+        F.max("revision").alias("revision"),
+        F.max(F.col("malformed").cast("int")).cast("boolean").alias("malformed"),
+    )
+
 
 class PositionsTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, compact_after: int = 8):
         self.spark = spark
         self.path = path
-        self._retired: list[str] = []  # keep one generation for in-flight readers
-        # Concurrent feed tranches share one sink: the read-union-flip
-        # below is a read-modify-write, so merges must serialize (the
-        # role Delta's optimistic-concurrency MERGE plays on a cluster).
-        self._write_lock = threading.Lock()
-        os.makedirs(path, exist_ok=True)
-
-    # ---- version pointer ------------------------------------------------
-    @property
-    def _pointer(self) -> str:
-        return os.path.join(self.path, "_VERSION")
-
-    def _current_version(self) -> str | None:
-        try:
-            with open(self._pointer) as f:
-                v = f.read().strip()
-            return v or None
-        except FileNotFoundError:
-            return None
-
-    def _flip(self, version: str) -> None:
-        tmp = self._pointer + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, self._pointer)
+        self.compact_after = compact_after
+        self.manifest = JsonManifest(path)
+        self._write_lock = threading.Lock()  # in-process writer serialization
 
     # ---- reads -----------------------------------------------------------
+    def _segments(self) -> list[str]:
+        return self.manifest.load([])
+
     def read(self) -> DataFrame:
-        v = self._current_version()
-        if v is None:
+        segs = self._segments()
+        if not segs:
             return self.spark.createDataFrame([], POSITIONS_SCHEMA)
-        return self.spark.read.parquet(os.path.join(self.path, v))
+        raw = self.spark.read.parquet(*[os.path.join(self.path, s) for s in segs])
+        return _resolve(raw) if len(segs) > 1 else raw
 
     # ---- merge (the MERGE-upsert analog) ----------------------------------
     def merge(self, updates: DataFrame) -> None:
-        """Upsert handler outcomes: write positions only advance
-        (monotonic, ref: Streams.fs:338-346), revisions take the max,
-        malformed is sticky until an explicit reset.
+        """Upsert handler outcomes as an O(batch) delta segment; fold the
+        log into one base segment every ``compact_after`` merges.
 
         ``updates`` columns: stream_name, pos, revision, malformed.
         """
-        with self._write_lock:
-            merged = (
-                self.read()
-                .unionByName(
-                    updates.select(*[f.name for f in POSITIONS_SCHEMA.fields])
-                )
-                .groupBy("stream_name")
-                .agg(
-                    F.max("pos").alias("pos"),
-                    F.max("revision").alias("revision"),
-                    F.max(F.col("malformed").cast("int"))
-                    .cast("boolean")
-                    .alias("malformed"),
-                )
+        if updates.isEmpty():
+            return
+        with self._write_lock, FileLease(self.path):
+            segs = self._segments()
+            delta = f"d-{uuid.uuid4().hex}"
+            updates.select(*_COLS).write.mode("overwrite").parquet(
+                os.path.join(self.path, delta)
             )
-            self._commit(merged)
-
-    def _commit(self, df: DataFrame) -> None:
-        """Write a new immutable version and flip the pointer. The
-        previous version is retired lazily (one generation grace) so
-        plans still holding it can finish."""
-        version = f"v-{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(os.path.join(self.path, version))
-        old = self._current_version()
-        self._flip(version)
-        for stale in self._retired:
-            shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
-        self._retired = [old] if old else []
+            segs = segs + [delta]
+            if len(segs) > self.compact_after:
+                base = f"v-{uuid.uuid4().hex}"
+                _resolve(
+                    self.spark.read.parquet(
+                        *[os.path.join(self.path, s) for s in segs]
+                    )
+                ).write.mode("overwrite").parquet(os.path.join(self.path, base))
+                segs = [base]
+            self.manifest.flip(segs)
 
     def purge(self, keep_streams: DataFrame | None = None) -> None:
         """Drop state for idle streams (ref purgeInterval semantics,
@@ -115,6 +105,10 @@ class PositionsTable:
         ``keep_streams`` (single column stream_name)."""
         if keep_streams is None:
             return
-        with self._write_lock:
+        with self._write_lock, FileLease(self.path):
             kept = self.read().join(keep_streams, "stream_name", "left_semi")
-            self._commit(kept)
+            base = f"v-{uuid.uuid4().hex}"
+            kept.select(*_COLS).write.mode("overwrite").parquet(
+                os.path.join(self.path, base)
+            )
+            self.manifest.flip([base])

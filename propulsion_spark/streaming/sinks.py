@@ -409,7 +409,14 @@ class StreamsSink:
                 .collect()
             ]
             self.stats.record_failures(failing)
-            return outcomes
+            # Rebuild the outcome table from collected rows before
+            # unpersisting: a consumer acting on the returned DataFrame
+            # must not re-invoke handlers (duplicate side effects) or
+            # re-read the pre-merge positions snapshot, whose version
+            # dir the next merge retires. Control-plane-bounded: one row
+            # per touched stream per micro-batch (same order as the
+            # failing-stream bookkeeping above).
+            return self.spark.createDataFrame(outcomes.collect(), OUTCOME_SCHEMA)
         finally:
             outcomes.unpersist()
 
@@ -471,6 +478,11 @@ class DeclarativeSink:
             df.join(pos, "stream_name", "left")
             .filter(~F.coalesce(F.col("_mal"), F.lit(False)))
             .filter(F.col("idx") >= F.coalesce(F.col("_pos"), F.lit(0)))
+            # redelivery overlap *within* one micro-batch: the grouped
+            # handler path drops duplicate (stream, idx) rows before
+            # folding, so the declarative fold must too or it would
+            # double-count (semantics identical to StreamsSink)
+            .dropDuplicates(["stream_name", "idx"])
         )
         outcomes = live.groupBy("stream_name").agg(
             *[c.alias(name) for name, c in self.aggs.items()],
@@ -503,7 +515,10 @@ class DeclarativeSink:
                     }
                 ]
             )
-            return outcomes
+            # see StreamsSink.process_batch: decouple the returned table
+            # from the retired positions snapshot (bounded: one row per
+            # touched stream)
+            return self.spark.createDataFrame(outcomes.collect(), outcomes.schema)
         finally:
             outcomes.unpersist()
 

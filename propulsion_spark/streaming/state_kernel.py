@@ -87,15 +87,77 @@ def make_stateful_processor(
     ttl_ms: int = 0,
 ):
     """Build the applyInPandasWithState function: ingest → dispatch →
-    persist. ``handle`` runs at most once per stream per micro-batch
-    (the reference dispatches one span per scheduling cycle)."""
+    persist. Dispatch loops until no span is dispatchable (the reference
+    scheduler drains all dispatchable spans across cycles; a single-shot
+    dispatch would strand the second buffered span of a stream that then
+    goes idle, since state functions only run for keys present in the
+    batch). On state-TTL timeout, residual dispatchable spans are drained
+    and only *empty* streams are purged (ref purges only empty streams,
+    src/Propulsion/Streams.fs:904-913 — dropping buffered spans whose
+    source offsets Spark already committed would be silent event loss)."""
+
+    def _drain(stream: str, st: StreamState) -> tuple[str, int]:
+        """Dispatch spans until none is dispatchable; returns (outcome of
+        the last dispatch, total events dispatched)."""
+        outcome = "buffered"
+        dispatched = 0
+        while True:
+            span = st.choose_dispatchable(require_all=require_all)
+            if span is None:
+                break
+            span_pdf = pd.DataFrame(
+                [dict(zip(_EVENT_FIELDS, e[:5])) for e in span]
+            ).assign(stream_name=stream)
+            try:
+                res = handle(stream, span_pdf)
+                outcome, next_pos = (
+                    (res.outcome, res.next_pos) if hasattr(res, "outcome") else res
+                )
+                if next_pos is None:
+                    next_pos = span_next(span)
+                dispatched += len(span)
+                st.record_progress(int(next_pos))
+            except Exception as ex:  # noqa: BLE001
+                outcome = f"exn:{type(ex).__name__}"
+                break  # leave the span buffered; retried next batch/tick
+        return outcome, dispatched
+
+    def _emit(stream: str, st: StreamState, outcome: str, dispatched: int):
+        gap = st.gap()
+        return pd.DataFrame(
+            [
+                {
+                    "stream_name": stream,
+                    "write_pos": st.write_pos,
+                    "dispatched": dispatched,
+                    "buffered": st.queued_events,
+                    "gap_start": gap[0] if gap else None,
+                    "gap_end": gap[1] if gap else None,
+                    "outcome": outcome,
+                    "revision": st.revision,
+                }
+            ]
+        )
 
     def process(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (stream,) = key
         if state.hasTimedOut:
-            state.remove()
+            st = _decode(state.get) if state.exists else None
+            if st is None:
+                state.remove()
+                return
+            outcome, dispatched = _drain(stream, st)
+            if st.is_empty:
+                state.remove()
+                yield _emit(stream, st, "purged", dispatched)
+            else:
+                # still-buffered (gapped or failing) spans must survive the
+                # purge tick: re-arm and report
+                state.update(_encode(st))
+                state.setTimeoutDuration(ttl_ms)
+                yield _emit(stream, st, outcome, dispatched)
             return
         st = _decode(state.get) if state.exists else StreamState(write_pos=0)
         for pdf in pdfs:
@@ -111,43 +173,15 @@ def make_stateful_processor(
                 for r in pdf.itertuples()
             ]
             st.ingest(events)
-        outcome = "buffered"
-        dispatched = 0
         if st.queued_events > max_buffered_events:
             st.mark_malformed()
-            outcome = "malformed"
-        span = st.choose_dispatchable(require_all=require_all)
-        if span is not None:
-            span_pdf = pd.DataFrame(
-                [dict(zip(_EVENT_FIELDS, e[:5])) for e in span]
-            ).assign(stream_name=stream)
-            try:
-                res = handle(stream, span_pdf)
-                outcome, next_pos = (res.outcome, res.next_pos) if hasattr(res, "outcome") else res
-                if next_pos is None:
-                    next_pos = span_next(span)
-                dispatched = len(span)
-                st.record_progress(int(next_pos))
-            except Exception as ex:  # noqa: BLE001
-                outcome = f"exn:{type(ex).__name__}"
-        gap = st.gap()
+            outcome, dispatched = "malformed", 0
+        else:
+            outcome, dispatched = _drain(stream, st)
         state.update(_encode(st))
         if ttl_ms > 0:
             state.setTimeoutDuration(ttl_ms)
-        yield pd.DataFrame(
-            [
-                {
-                    "stream_name": stream,
-                    "write_pos": st.write_pos,
-                    "dispatched": dispatched,
-                    "buffered": st.queued_events,
-                    "gap_start": gap[0] if gap else None,
-                    "gap_end": gap[1] if gap else None,
-                    "outcome": outcome,
-                    "revision": st.revision,
-                }
-            ]
-        )
+        yield _emit(stream, st, outcome, dispatched)
 
     return process
 

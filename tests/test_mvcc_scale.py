@@ -1,0 +1,155 @@
+"""Scale-shape and multi-driver-safety tests for the durable tables.
+
+The VERDICT-critical invariants:
+
+- event-store sync cost is O(batch), not O(table): classification reads
+  the tails view, appends are delta segments, tails/manifest stay
+  bounded as the store grows (10×-redelivery workload stays flat);
+- prune rewrites only the buckets the requested streams hash into;
+- PositionsTable.merge appends O(batch) delta segments and compacts;
+- two drivers (separate table instances → separate in-process locks)
+  sharing one path never lose updates, thanks to the on-disk FileLease.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+from propulsion_spark.streaming.event_store import EventStoreTable
+from propulsion_spark.streaming.mvcc import FileLease
+from propulsion_spark.streaming.positions import PositionsTable
+
+from test_streaming_sinks import envelope_rows, mk_df
+
+
+class TestEventStoreScaleShape:
+    def test_growth_keeps_tails_and_manifest_bounded(self, spark, tmp_path):
+        store = EventStoreTable(spark, str(tmp_path / "es"), compact_after=4)
+        for i in range(10):
+            store.sync(mk_df(spark, envelope_rows(f"user-{i}", 0, 20)))
+        m = store._load()
+        # tails log folds into a base segment: bounded by compact_after
+        assert len(m["tails"]) <= store.compact_after + 1
+        # tails view stays one row per stream however many syncs ran
+        assert store.read_tails().count() == 10
+        assert store.read().count() == 200
+
+    def test_redelivery_cost_flat_as_store_grows(self, spark, tmp_path):
+        """10×-redelivery: a full-duplicate batch appends nothing, flips
+        nothing, and classification never scans the data segments — so
+        per-sync cost cannot grow with store size."""
+        store = EventStoreTable(spark, str(tmp_path / "es"))
+        batch = mk_df(spark, envelope_rows("user-1", 0, 50))
+        store.sync(batch)
+        manifest_before = store._load()
+        timings = []
+        for _ in range(10):
+            t0 = time.time()
+            out = {r.stream_name: r for r in store.sync(batch).collect()}
+            timings.append(time.time() - t0)
+            assert out["user-1"].outcome == "duplicate"
+        # duplicate syncs leave the store untouched (no segment churn)
+        assert store._load() == manifest_before
+        # soft timing gate: last redeliveries no slower than the first
+        # (generous 5× bound — the real assert is the manifest one above)
+        assert timings[-1] < max(5 * timings[0], 2.0)
+
+    def test_prune_rewrites_only_touched_buckets(self, spark, tmp_path):
+        store = EventStoreTable(spark, str(tmp_path / "es"), n_buckets=16)
+        for i in range(8):
+            store.sync(mk_df(spark, envelope_rows(f"user-{i}", 0, 10)))
+        m_before = store._load()
+        req = spark.createDataFrame([("user-3", 4)], "stream_name string, until_idx long")
+        touched = {
+            str(r.b)
+            for r in req.select(
+                store._bucket_col().cast("string").alias("b")
+            ).collect()
+        }
+        report = {r.stream_name: r for r in store.prune(req).collect()}
+        assert report["user-3"].deleted == 5
+        m_after = store._load()
+        for b in m_before["data"]:
+            if b not in touched:
+                # untouched buckets keep their exact segment lists
+                assert m_after["data"][b] == m_before["data"][b]
+        assert store.read().count() == 80 - 5
+
+    def test_sync_dedupes_within_batch(self, spark, tmp_path):
+        store = EventStoreTable(spark, str(tmp_path / "es"))
+        rows = envelope_rows("user-1", 0, 3) + envelope_rows("user-1", 0, 3)
+        store.sync(mk_df(spark, rows))
+        assert store.read().count() == 3
+
+
+class TestPositionsAppendCompact:
+    def test_merge_appends_then_compacts(self, spark, tmp_path):
+        tbl = PositionsTable(spark, str(tmp_path / "pos"), compact_after=3)
+        for i in range(1, 6):
+            tbl.merge(
+                spark.createDataFrame(
+                    [("user-1", i * 10, 0, False)],
+                    "stream_name string, pos long, revision long, malformed boolean",
+                )
+            )
+            assert len(tbl._segments()) <= tbl.compact_after + 1
+        rows = {r.stream_name: r.pos for r in tbl.read().collect()}
+        assert rows == {"user-1": 50}
+
+    def test_resolution_is_newest_wins_and_sticky_malformed(self, spark, tmp_path):
+        tbl = PositionsTable(spark, str(tmp_path / "pos"), compact_after=100)
+        schema = "stream_name string, pos long, revision long, malformed boolean"
+        tbl.merge(spark.createDataFrame([("s", 5, 1, False)], schema))
+        tbl.merge(spark.createDataFrame([("s", 3, 2, True)], schema))
+        tbl.merge(spark.createDataFrame([("s", 4, 0, False)], schema))
+        (row,) = tbl.read().collect()
+        assert (row.pos, row.revision, row.malformed) == (5, 2, True)
+
+
+class TestMultiDriverSafety:
+    def test_two_drivers_never_lose_merges(self, spark, tmp_path):
+        """Two PositionsTable instances (≈ two driver processes: separate
+        in-process locks, shared path) interleave merges; the FileLease
+        must serialize their read-modify-write commits."""
+        path = str(tmp_path / "pos")
+        a = PositionsTable(spark, path, compact_after=3)
+        b = PositionsTable(spark, path, compact_after=3)
+        schema = "stream_name string, pos long, revision long, malformed boolean"
+        errors = []
+
+        def driver(tbl, streams):
+            try:
+                for s in streams:
+                    tbl.merge(spark.createDataFrame([(s, 7, 0, False)], schema))
+            except Exception as ex:  # noqa: BLE001
+                errors.append(ex)
+
+        t1 = threading.Thread(target=driver, args=(a, [f"a-{i}" for i in range(6)]))
+        t2 = threading.Thread(target=driver, args=(b, [f"b-{i}" for i in range(6)]))
+        t1.start(), t2.start()
+        t1.join(), t2.join()
+        assert not errors
+        rows = {r.stream_name for r in a.read().collect()}
+        # every merge from both drivers survived (no lost updates from
+        # interleaved read-union-flip)
+        assert rows == {f"a-{i}" for i in range(6)} | {f"b-{i}" for i in range(6)}
+
+    def test_lease_blocks_and_steals_stale(self, tmp_path):
+        d = str(tmp_path)
+        with FileLease(d):
+            # second acquirer times out while the lease is held
+            try:
+                with FileLease(d, timeout_s=0.3):
+                    raise AssertionError("lease should not be acquirable")
+            except TimeoutError:
+                pass
+        # stale lease (holder died): steal after ttl
+        with FileLease(d):
+            pass  # released cleanly
+        open(os.path.join(d, "_LOCK"), "w").write("dead:0")
+        old = time.time() - 120
+        os.utime(os.path.join(d, "_LOCK"), (old, old))
+        with FileLease(d, ttl_s=30, timeout_s=5):
+            pass  # stolen from the dead holder

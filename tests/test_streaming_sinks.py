@@ -173,12 +173,12 @@ class TestEmptyBatch:
         from propulsion_spark.envelope import STREAM_EVENT_SCHEMA
 
         sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 2)))
-        version_before = sink.positions._current_version()
+        segments_before = sink.positions._segments()
         empty = spark.createDataFrame([], STREAM_EVENT_SCHEMA)
         out = sink.process_batch(empty)
         assert out.count() == 0
-        # positions table untouched (no version churn from tail polls)
-        assert sink.positions._current_version() == version_before
+        # positions table untouched (no segment churn from tail polls)
+        assert sink.positions._segments() == segments_before
 
 
 class TestFastPathSink:
