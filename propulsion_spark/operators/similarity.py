@@ -5,10 +5,13 @@ variant is the 100 TB scale path (candidates per hyperplane-sign bucket
 instead of a full cross join).
 
 Float determinism vs the oracle: per-element products are computed in
-double (IEEE-identical in Spark and DuckDB), summed exactly as
-DECIMAL(20,12) (order-insensitive), and only then divided/sqrt'd —
-scalar double ops on identical operands, so the cosine values are
-bit-identical across engines and the top-k ranking is stable.
+double (IEEE-identical in Spark and DuckDB) and folded left-to-right in
+an *intra-row* array fold, the same order in both engines — so the dot
+products, cosines, and top-k ranking are bit-identical without decimal
+casts (which cost ~10× in interpreter overhead at 48 planes/row). The
+only decimal sums left are *cross-row* aggregates (IVF distances),
+where Spark's partial-aggregation order is nondeterministic and exact
+decimal addition is what makes the sum order-insensitive.
 
 Spark-side the fold is `aggregate(zip_with(...))` — JVM higher-order
 functions inside whole-stage codegen, no Python, no explode shuffle.
@@ -30,22 +33,27 @@ TOP_K = 5
 
 
 def _spark_dot(a: str, b: str) -> F.Column:
+    # Plain double fold, NOT a decimal one: both engines evaluate the
+    # identical float products in the identical left-to-right order, so
+    # the sums are bit-identical (verified element-wise at sf0.1) —
+    # decimal casts here would only cost ~10× interpreter overhead.
+    # The one portability trap is on the DuckDB side: see _duck_dot.
     prods = F.zip_with(
         F.col(a),
         F.col(b),
-        lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(20,12)"),
+        lambda x, y: x.cast("double") * y.cast("double"),
     )
-    return F.aggregate(
-        prods,
-        F.lit(0).cast("decimal(20,12)"),
-        lambda acc, p: (acc + p).cast("decimal(20,12)"),
-    ).cast("double")
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
 
 
 def _duck_dot(a: str, b: str) -> str:
+    # list_sum folds left-to-right over the same double products Spark's
+    # aggregate() folds — bit-identical by construction. (Bare decimal
+    # literals would NOT be: DuckDB parses them as DECIMAL first, 1 ulp
+    # off the correctly-rounded double parse — see _plane_sign's e0.)
     return (
-        f"CAST(list_sum(list_transform(generate_series(1, {DIM}), "
-        f"i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(20,12)))) AS DOUBLE)"
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
     )
 
 
@@ -233,106 +241,139 @@ def lsh_params(n: int, target_bucket: int = 256, recall: float = 0.8,
     p_all = p_bit**k
     L = max(1, math.ceil(math.log(1 - recall) / math.log(1 - p_all)))
     return L, k
-# Deterministic pseudo-random hyperplanes: component (p, d) derived from
-# md5 so both engines materialize identical planes.
-_PLANES = [
+# Deterministic pseudo-random hyperplanes, shared by both engines:
+# INTEGER weight w(p,d) = md5("plane-p-d") % 2001 - 1000 ∈ [-1000, 1000].
+# Embeddings are quantized once to integers floor(x · 2^20), so every
+# plane dot Σ floor(x·2^20)·w is EXACT integer arithmetic (|Σ| ≤
+# 64·2^20·1000 < 2^53): order-independent, which frees each engine to
+# use its fastest evaluation — numpy matmul on the Spark side
+# (Arrow-vectorized), a relational join+sum on the DuckDB side — with
+# bit-identical buckets guaranteed by exactness, not by matching fold
+# order. The 2^-20 quantization can only flip signs where the true
+# |dot| < 64·1000·2^-20 ≈ 0.06 — immaterial to ANN recall.
+_W1000 = [
     [
-        (int.from_bytes(hashlib.md5(f"plane-{p}-{d}".encode()).digest()[:8], "big") % 2001)
-        / 1000.0
-        - 1.0
+        int.from_bytes(hashlib.md5(f"plane-{p}-{d}".encode()).digest()[:8], "big")
+        % 2001
+        - 1000
         for d in range(DIM)
     ]
     for p in range(N_PLANES)
 ]
+_EMB_SCALE = 1 << 20
+
+_buckets_udf = None
 
 
-def _plane_sign(p: int, dialect: str) -> str:
-    """Sign bit of the dot product with plane ``p`` (exact decimal fold)."""
-    plane = _PLANES[p]
-    if dialect == "spark":
-        arr = f"array({', '.join(f'{w!r}D' for w in plane)})"
-        dot = (
-            f"aggregate(zip_with(embedding, {arr}, (x, y) -> "
-            f"CAST(CAST(x AS DOUBLE) * y AS DECIMAL(20,12))), "
-            f"CAST(0 AS DECIMAL(20,12)), (acc, v) -> CAST(acc + v AS DECIMAL(20,12)))"
-        )
-    else:
-        arr = f"[{', '.join(repr(w) for w in plane)}]::DOUBLE[]"
-        dot = (
-            f"list_sum(list_transform(generate_series(1, {DIM}), "
-            f"i -> CAST(CAST(embedding[i] AS DOUBLE) * ({arr})[i] AS DECIMAL(20,12))))"
-        )
-    return f"(CASE WHEN CAST({dot} AS DOUBLE) > 0 THEN 1 ELSE 0 END)"
+def _lsh_buckets_udf():
+    """Vectorized bucket-id computation: one Arrow batch in, one
+    (n, N_PLANES) float64 matmul (exact — every operand and partial is
+    an integer < 2^53), bit-packed into N_TABLES bucket ids per row.
+    The only Python on the LSH path, and it is numpy-vectorized — the
+    same mapInArrow/pandas_udf shape a real embedding scorer takes at
+    100 TB, vs 48 interpreted HOF folds per row which dominated
+    wall-clock when this was pure SQL expressions."""
+    global _buckets_udf
+    if _buckets_udf is None:
+        import numpy as np
+        import pandas as pd
 
+        W = np.array(_W1000, dtype=np.float64)
+        pow2 = np.array([1 << b for b in range(BITS_PER_TABLE)], dtype=np.int64)
 
-def _table_bucket_expr(t: int, dialect: str) -> str:
-    bits = [
-        f"({_plane_sign(t * BITS_PER_TABLE + b, dialect)} * {1 << b})"
-        for b in range(BITS_PER_TABLE)
-    ]
-    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+        def buckets(emb):
+            if len(emb) == 0:
+                return pd.Series([], dtype=object)
+            X = np.floor(np.stack(emb.values).astype(np.float64) * _EMB_SCALE)
+            S = (X @ W.T) > 0
+            B = (S.reshape(len(X), N_TABLES, BITS_PER_TABLE) * pow2).sum(axis=2)
+            return pd.Series(list(B.astype(np.int64)))
 
-
-_TABLE_COLS = [f"b{t}" for t in range(N_TABLES)]
+        # explicit annotations: the module's `from __future__ import
+        # annotations` would stringify inline ones, which pandas_udf
+        # can't interpret
+        buckets.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+        _buckets_udf = F.pandas_udf(buckets, "array<bigint>")
+    return _buckets_udf
 
 
 def _spark_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normed + ``bks array<bigint>`` (one bucket id per LSH table),
+    persisted — plane dots are computed once; every candidate join
+    reads this twice."""
     df = _spark_normed(spark, sf_dir)
-    for t in range(N_TABLES):
-        df = df.withColumn(f"b{t}", F.expr(_table_bucket_expr(t, "spark")))
-    return df.persist()  # plane dots hashed once; every table join reads 2×
+    return df.withColumn("bks", _lsh_buckets_udf()("embedding")).persist()
 
 
-_DUCK_BUCKETED = f"""
-bucketed AS (
-  SELECT *, {', '.join(f"{_table_bucket_expr(t, 'duck')} AS b{t}" for t in range(N_TABLES))}
-  FROM normed
+def _spark_tb_pairs(bucketed: DataFrame) -> DataFrame:
+    """(vec_id, t, bk): one row per (vector, table) — candidate
+    generation is then ONE equi-join on (t, bk) instead of N_TABLES
+    separate join branches (identical candidate set; at scale one
+    shuffle keyed by (table, bucket) instead of N_TABLES shuffles)."""
+    return bucketed.select("vec_id", F.posexplode("bks").alias("t", "bk"))
+
+
+_DUCK_TB = f"""
+planes AS (
+  SELECT p, d,
+         CAST(CAST(('0x' || substr(md5('plane-' || p || '-' || d), 1, 16)) AS UBIGINT)
+              % 2001 AS BIGINT) - 1000 AS w
+  FROM generate_series(0, {N_PLANES - 1}) g1(p), generate_series(0, {DIM - 1}) g2(d)
+),
+sx AS (
+  SELECT vec_id, i - 1 AS d,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_EMB_SCALE}) AS BIGINT) AS x
+  FROM embeddings, generate_series(1, {DIM}) g(i)
+),
+dots AS (
+  SELECT vec_id, p, sum(x * w) AS dot
+  FROM sx JOIN planes USING (d) GROUP BY vec_id, p
+),
+tb AS (
+  SELECT vec_id, CAST(p // {BITS_PER_TABLE} AS BIGINT) AS t,
+         CAST(sum(CASE WHEN dot > 0 THEN 1 << (p % {BITS_PER_TABLE}) ELSE 0 END)
+              AS BIGINT) AS bk
+  FROM dots GROUP BY vec_id, p // {BITS_PER_TABLE}
 )
 """
 
 
 def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH bucketing: N_TABLES × BITS_PER_TABLE hyperplane
-    sign bits. Map-only; at scale each table's bucket id is the shuffle
-    key for candidate generation. Oracle-verified through
-    ``similarity_lsh_topk`` / ``similarity_lsh_recall`` (whose oracles
-    recompute every bucket from scratch)."""
-    return _spark_bucketed(spark, sf_dir).select("vec_id", *_TABLE_COLS)
+    sign bits, one bucket-id column per table. Map-only; at scale each
+    table's bucket id is the shuffle key for candidate generation.
+    Oracle-verified through ``similarity_lsh_topk`` /
+    ``similarity_lsh_recall`` (whose oracles recompute every bucket
+    from scratch)."""
+    b = _spark_bucketed(spark, sf_dir)
+    return b.select(
+        "vec_id",
+        *[F.element_at(F.col("bks"), t + 1).alias(f"b{t}") for t in range(N_TABLES)],
+    )
 
 
 def _spark_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (query_id, neighbor_id) co-bucketed in any table; one
-    equi-join per table (never an OR join)."""
-    bucketed = _spark_bucketed(spark, sf_dir)
-    q = bucketed.filter(F.col("vec_id") < N_QUERIES)
-    per_table = []
-    for t in range(N_TABLES):
-        a = q.alias("a")
-        b = bucketed.alias("b")
-        per_table.append(
-            a.join(b, F.col(f"a.b{t}") == F.col(f"b.b{t}"))
-            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-            .select(
-                F.col("a.vec_id").alias("query_id"),
-                F.col("b.vec_id").alias("neighbor_id"),
-            )
-        )
-    out = per_table[0]
-    for df in per_table[1:]:
-        out = out.unionByName(df)
-    return out.distinct()
+    """Distinct (query_id, neighbor_id) co-bucketed in any table: one
+    equi-join on the composite (table, bucket) key (never an OR join —
+    and never a union of per-table joins, which costs N_TABLES plan
+    branches and shuffles for the same candidate set)."""
+    tb = _spark_tb_pairs(_spark_bucketed(spark, sf_dir))
+    q = tb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "t", "bk"
+    )
+    return (
+        q.join(tb, ["t", "bk"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
 
 
 _DUCK_LSH_CANDS = f"""
 cands AS (
-  SELECT DISTINCT query_id, neighbor_id FROM (
-    {' UNION ALL '.join(
-        f"SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id "
-        f"FROM bucketed a JOIN bucketed b ON a.b{t} = b.b{t} "
-        f"AND a.vec_id != b.vec_id WHERE a.vec_id < {N_QUERIES}"
-        for t in range(N_TABLES)
-    )}
-  )
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM tb a JOIN tb b ON a.t = b.t AND a.bk = b.bk AND a.vec_id != b.vec_id
+  WHERE a.vec_id < {N_QUERIES}
 )
 """
 
@@ -354,13 +395,13 @@ _DUCK_ANN_TOPK = f"""
     "similarity_lsh_topk",
     f"""
 WITH {_DUCK_NORMED},
-{_DUCK_BUCKETED.strip()},
+{_DUCK_TB.strip()},
 {_DUCK_LSH_CANDS.strip()}
 {_DUCK_ANN_TOPK}
 """,
-    doc="ANN top-k over multi-table LSH candidates: per-table equi-joins "
-    "generate candidates (O(n·bucket) per table), exact cosine ranks "
-    "them. Recall measured against similarity_topk_bruteforce.",
+    doc="ANN top-k over multi-table LSH candidates: one equi-join on the "
+    "(table, bucket) key generates candidates (O(n·bucket) per table), "
+    "exact cosine ranks them. Recall vs similarity_topk_bruteforce.",
 )
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = _spark_lsh_candidates(spark, sf_dir)
@@ -405,7 +446,7 @@ _BF_SUBQUERY = f"""
     "similarity_lsh_recall",
     f"""
 WITH {_DUCK_NORMED},
-{_DUCK_BUCKETED.strip()},
+{_DUCK_TB.strip()},
 {_DUCK_LSH_CANDS.strip()},
 bf AS ({_BF_SUBQUERY}),
 ann AS ({_DUCK_ANN_TOPK})
@@ -443,15 +484,10 @@ NEAR_DUP_COSINE = 0.35  # synthetic corpus: ~99.9th pct of pair similarity
     "dedup_embedding_cosine",
     f"""
 WITH {_DUCK_NORMED},
-{_DUCK_BUCKETED.strip()},
+{_DUCK_TB.strip()},
 pair_cands AS (
-  SELECT DISTINCT a_id, b_id FROM (
-    {' UNION ALL '.join(
-        f"SELECT a.vec_id AS a_id, b.vec_id AS b_id "
-        f"FROM bucketed a JOIN bucketed b ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"
-        for t in range(N_TABLES)
-    )}
-  )
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM tb a JOIN tb b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id
 )
 SELECT a_id, b_id,
        {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
@@ -463,22 +499,15 @@ WHERE {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {NEAR_DUP_C
     "(candidates per bucket, O(n·bucket) not O(n²)).",
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bucketed = _spark_bucketed(spark, sf_dir)
-    per_table = []
-    for t in range(N_TABLES):
-        a = bucketed.alias("a")
-        b = bucketed.alias("b")
-        per_table.append(
-            a.join(b, F.col(f"a.b{t}") == F.col(f"b.b{t}"))
-            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-            .select(
-                F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id")
-            )
-        )
-    cands = per_table[0]
-    for df in per_table[1:]:
-        cands = cands.unionByName(df)
-    cands = cands.distinct()
+    tb = _spark_tb_pairs(_spark_bucketed(spark, sf_dir))
+    a = tb.select(F.col("vec_id").alias("a_id"), "t", "bk")
+    b = tb.select(F.col("vec_id").alias("b_id"), "t", "bk")
+    cands = (
+        a.join(b, ["t", "bk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
     normed = _spark_normed(spark, sf_dir)
     a = normed.select(
         F.col("vec_id").alias("a_id"),
