@@ -60,13 +60,23 @@ def kafka_stream(
 
 
 def kafka_messages_to_envelope(
-    messages: DataFrame, default_category: str = "kafka"
+    messages: DataFrame,
+    default_category: str = "kafka",
+    base_positions: DataFrame | None = None,
 ) -> DataFrame:
     """Kafka records → envelope rows (F4/F5 analog; ref:
     Consumers.fs:241-328): the key parses to ``{category}-{id}`` (null
     keys get a synthetic name from topic/partition), the synthetic
     per-stream index comes from the offset order, context =
     (topic, partition, offset) rides in meta.
+
+    ``base_positions`` (stream_name, pos) continues each stream's index
+    from its sink position instead of 0 — the cross-batch monotonicity
+    of the reference's StreamNameSequenceGenerator (which keeps a
+    running per-stream counter for the consumer's lifetime,
+    ref: src/Propulsion.Kafka/Consumers.fs:241-266). Without it a
+    second batch of an already-seen stream restarts at idx 0 and the
+    sink's write-pos dedup would swallow genuinely-new messages.
 
     Works identically on a batch DataFrame with the same columns —
     that is how it is tested without a broker.
@@ -88,6 +98,13 @@ def kafka_messages_to_envelope(
         "*", F.substring_index("stream_name", "-", 1).alias("category")
     )
     indexed = with_synthetic_index(named, "stream_name", ["offset"])
+    if base_positions is not None:
+        base = base_positions.select(
+            "stream_name", F.col("pos").alias("_base_pos")
+        )
+        indexed = indexed.join(base, "stream_name", "left").withColumn(
+            "idx", F.col("idx") + F.coalesce(F.col("_base_pos"), F.lit(0))
+        )
     return indexed.select(
         "stream_name",
         "category",
