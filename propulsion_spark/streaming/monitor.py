@@ -36,28 +36,71 @@ class _Attempt:
     succeeded_once: bool = False
 
 
+#: the five Busy states (ref: Streams.fs:491 ``type State = Running |
+#: Slow | Failing | Stuck | Waiting``)
+RUNNING = "running"
+SLOW = "slow"
+FAILING = "failing"
+STUCK = "stuck"
+WAITING = "waiting"
+
+
 @dataclass
 class BusyMonitor:
     """Tracks attempt age/count per stream from sink outcomes.
 
-    States (ref: Streams.fs:438-532): *stuck* = never succeeded and
-    failing for ≥ threshold; *failing* = succeeded before, now failing
-    for ≥ threshold; *slow* = running longer than slow_threshold.
+    Health states (ref: Streams.fs:438-532): *stuck* = never succeeded
+    and failing for ≥ threshold; *failing* = succeeded before, now
+    failing for ≥ threshold; *slow* = running longer than
+    slow_threshold.
+
+    :meth:`classify_stream` mirrors ``Busy.Monitor.Classify``'s five
+    states in micro-batch terms: *failing* = repeated handler
+    exceptions; *stuck* = handler succeeding without advancing the
+    position; *slow*/*running* = dispatched last batch, by handler
+    latency; *waiting* = known to have buffered-but-undispatchable
+    events (gap below head / capacity), or not currently dispatched —
+    the state the reference assigns to streams queued for capacity.
     """
 
     slow_threshold_s: float = 30.0
 
     _state: dict[str, _Attempt] = field(default_factory=dict)
     _succeeded: set = field(default_factory=set)
+    _no_progress: dict[str, int] = field(default_factory=dict)
+    _waiting: set = field(default_factory=set)
+    _last_latency_ms: dict[str, float] = field(default_factory=dict)
 
     def record_outcomes(self, outcome_rows) -> None:
         now = time.monotonic()
         for r in outcome_rows:
+            if hasattr(r, "asDict"):  # pyspark Row → dict (key membership)
+                r = r.asDict()
             name, outcome = r["stream_name"], r["outcome"]
             if outcome in ("ok", "partial_duplicate", "duplicate"):
                 self._succeeded.add(name)
                 self._state.pop(name, None)
-            elif outcome in ("exn", "timeout", "rate_limited", "prefix_missing"):
+                self._waiting.discard(name)
+                lat = r["latency_ms"] if "latency_ms" in r else None
+                if lat is not None:
+                    self._last_latency_ms[name] = float(lat)
+                # succeeded-without-progress = Stuck in ref terms
+                # (Streams.fs:500 HandleResult succeeded && not progressed);
+                # duplicates excepted — redelivery below write-pos is the
+                # dedup doing its job, not a wedged handler
+                prev = r["prev_pos"] if "prev_pos" in r else None
+                pos = r["pos"] if "pos" in r else None
+                if outcome == "ok" and prev is not None and pos == prev:
+                    self._no_progress[name] = self._no_progress.get(name, 0) + 1
+                else:
+                    self._no_progress.pop(name, None)
+            elif outcome in ("exn", "timeout", "rate_limited"):
+                att = self._state.setdefault(name, _Attempt(since=now))
+                att.attempts += 1
+                att.succeeded_once = name in self._succeeded
+            elif outcome in ("prefix_missing", "buffered"):
+                # events buffered, nothing dispatchable: Waiting
+                self._waiting.add(name)
                 att = self._state.setdefault(name, _Attempt(since=now))
                 att.attempts += 1
                 att.succeeded_once = name in self._succeeded
@@ -71,6 +114,21 @@ class BusyMonitor:
                 continue
             (failing if att.succeeded_once else stuck).append((name, age))
         return stuck, failing
+
+    def classify_stream(self, name: str) -> str:
+        """Busy.Monitor.Classify analog (ref: Streams.fs:502-512):
+        Failing beats Stuck beats Slow/Running; an unknown or
+        queued-but-undispatched stream is Waiting."""
+        if name in self._state and name not in self._waiting:
+            return FAILING
+        if self._no_progress.get(name):
+            return STUCK
+        if name in self._waiting:
+            return WAITING
+        lat = self._last_latency_ms.get(name)
+        if lat is not None:
+            return SLOW if lat > self.slow_threshold_s * 1000.0 else RUNNING
+        return WAITING
 
     def check_health(self, abend_threshold_s: float) -> None:
         stuck, failing = self.classify(abend_threshold_s)

@@ -258,6 +258,17 @@ def _make_partition_handler(
     one partition)."""
     grouped = _make_grouped_handler(handle, max_events, max_bytes, require_all)
 
+    def by_weight(body: "pd.DataFrame"):
+        """Dispatch heaviest streams first within the Arrow batch — the
+        StreamsPrioritizer.prioritizeHead approximation (ref:
+        Streams.fs:754-788 sorts the head batch's streams by
+        -getStreamWeight): under a handler failure or batch cutoff the
+        biggest buffered spans get worked soonest."""
+        groups = [grp for _, grp in body.groupby("stream_name", sort=False)]
+        if "size" in body.columns:
+            groups.sort(key=lambda g: -int(g["size"].fillna(0).sum()))
+        return groups
+
     def process(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         carry: pd.DataFrame | None = None
         for pdf in batches:
@@ -270,10 +281,10 @@ def _make_partition_handler(
             tail_mask = pdf["stream_name"] == last
             carry = pdf[tail_mask]
             body = pdf[~tail_mask]
-            for _, grp in body.groupby("stream_name", sort=False):
+            for grp in by_weight(body):
                 yield grouped(grp)
         if carry is not None and not carry.empty:
-            for _, grp in carry.groupby("stream_name", sort=False):
+            for grp in by_weight(carry):
                 yield grouped(grp)
 
     return process

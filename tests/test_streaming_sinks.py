@@ -374,3 +374,82 @@ class TestBusyMonitor:
         mon.record_outcomes([{"stream_name": "s1", "outcome": "exn"}])
         mon.record_outcomes([{"stream_name": "s1", "outcome": "ok"}])
         mon.check_health(abend_threshold_s=0.0)  # no raise
+
+    def test_five_state_classify(self):
+        """ref: Streams.fs:491-512 — Running | Slow | Failing | Stuck |
+        Waiting, with Failing > Stuck > activity precedence."""
+        from propulsion_spark.streaming.monitor import (
+            FAILING,
+            RUNNING,
+            SLOW,
+            STUCK,
+            WAITING,
+        )
+
+        mon = BusyMonitor(slow_threshold_s=1.0)
+        mon.record_outcomes(
+            [
+                {"stream_name": "s-run", "outcome": "ok",
+                 "prev_pos": 0, "pos": 5, "latency_ms": 10.0},
+                {"stream_name": "s-slow", "outcome": "ok",
+                 "prev_pos": 0, "pos": 5, "latency_ms": 5000.0},
+                {"stream_name": "s-fail", "outcome": "exn"},
+                # succeeded without advancing: intentional no-progress
+                {"stream_name": "s-stuck", "outcome": "ok",
+                 "prev_pos": 7, "pos": 7, "latency_ms": 1.0},
+                # gapped: buffered but nothing dispatchable
+                {"stream_name": "s-wait", "outcome": "prefix_missing"},
+            ]
+        )
+        assert mon.classify_stream("s-run") == RUNNING
+        assert mon.classify_stream("s-slow") == SLOW
+        assert mon.classify_stream("s-fail") == FAILING
+        assert mon.classify_stream("s-stuck") == STUCK
+        assert mon.classify_stream("s-wait") == WAITING
+        assert mon.classify_stream("s-unknown") == WAITING
+        # a duplicate redelivery is NOT stuck (dedup working as designed)
+        mon.record_outcomes(
+            [{"stream_name": "s-dup", "outcome": "duplicate",
+              "prev_pos": 3, "pos": 3, "latency_ms": 1.0}]
+        )
+        assert mon.classify_stream("s-dup") == RUNNING
+        # recovery: the gap fills, the waiting stream progresses
+        mon.record_outcomes(
+            [{"stream_name": "s-wait", "outcome": "ok",
+              "prev_pos": 0, "pos": 9, "latency_ms": 2.0}]
+        )
+        assert mon.classify_stream("s-wait") == RUNNING
+
+
+class TestDispatchPrioritization:
+    def test_heaviest_stream_first_within_partition(self):
+        """StreamsPrioritizer approximation (ref: Streams.fs:754-788):
+        within one Arrow batch the partition handler dispatches streams
+        by descending buffered bytes."""
+        import pandas as pd
+
+        from propulsion_spark.streaming.sinks import _make_partition_handler
+
+        def handle(stream, events):
+            return "ok", int(events["idx"].iloc[-1]) + 1
+
+        rows = []
+        # input sorted by stream name; dispatch must resort by weight.
+        # (d-tail is the batch's last stream: held as the split-tail
+        # carry and dispatched after the body regardless of weight.)
+        for name, size, n in [
+            ("a-light", 10, 1),
+            ("b-heavy", 100, 3),
+            ("c-mid", 20, 1),
+            ("d-tail", 500, 1),
+        ]:
+            for i in range(n):
+                rows.append(
+                    {"stream_name": name, "idx": i, "_pos": 0, "size": size}
+                )
+        pdf = pd.DataFrame(rows)
+        process = _make_partition_handler(
+            handle, max_events=4096, max_bytes=1 << 20, require_all=True
+        )
+        out = pd.concat(list(process(iter([pdf]))), ignore_index=True)
+        assert list(out["stream_name"]) == ["b-heavy", "c-mid", "a-light", "d-tail"]
