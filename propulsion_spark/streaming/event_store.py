@@ -125,10 +125,10 @@ class EventStoreTable:
 
     def _sync_locked(self, batch: DataFrame) -> DataFrame:
         m = self._load()
-        # redelivered rows can repeat (stream, idx) inside one batch;
-        # appending both copies would corrupt the log permanently
-        batch = batch.dropDuplicates(["stream_name", "idx"])
         tails = self.read_tails(m)
+        # span bounds are duplicate-insensitive (min/max): classification
+        # needs no dedup shuffle, so a full-duplicate redelivery costs
+        # exactly one pass over the batch
         span = batch.groupBy("stream_name").agg(
             F.min("idx").alias("span_lo"), (F.max("idx") + 1).alias("span_hi")
         )
@@ -143,72 +143,100 @@ class EventStoreTable:
                 .otherwise(OutcomeKind.OK),
             )
         )
-        writable = verdict.filter(
-            F.col("outcome").isin(OutcomeKind.OK, OutcomeKind.PARTIAL_DUPLICATE)
-        ).select("stream_name", "tail")
-        cols = [f.name for f in self._empty_envelope().schema.fields]
-        novel = (
-            batch.join(F.broadcast(writable), "stream_name")
-            .filter(F.col("idx") >= F.col("tail"))
-            .drop("tail")
-        )
-        appended = novel.groupBy("stream_name").agg(
-            F.count("*").alias("appended"), (F.max("idx") + 1).alias("new_tail")
-        )
-        appended = appended.cache()
-        if appended.count() > 0:  # full-duplicate batches append nothing
-            seg = f"seg-{uuid.uuid4().hex}"
-            (
-                novel.select(*cols)
-                .withColumn("bucket", self._bucket_col())
-                # one task per bucket: without this, partitionBy writes
-                # (input partitions × touched buckets) tiny files
-                .repartition("bucket")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(os.path.join(self.path, seg))
+        # the verdict is one bounded row per stream touched by the batch
+        # (the report the caller receives anyway) — collect it ONCE and do
+        # all control flow driver-side, so a full-duplicate redelivery is
+        # exactly one Spark job: span groupBy + tails join + collect
+        vrows = verdict.select("stream_name", "outcome", "tail").collect()
+        writable = [
+            (r.stream_name, r.tail)
+            for r in vrows
+            if r.outcome in (OutcomeKind.OK, OutcomeKind.PARTIAL_DUPLICATE)
+        ]
+        appended_by_stream: dict[str, tuple[int, int]] = {}
+        if writable:
+            cols = [f.name for f in self._empty_envelope().schema.fields]
+            wdf = self.spark.createDataFrame(
+                writable, "stream_name string, tail long"
             )
-            data = {b: list(s) for b, s in m["data"].items()}
-            for d in os.listdir(os.path.join(self.path, seg)):
-                if d.startswith("bucket="):
-                    b = d.split("=", 1)[1]
-                    data.setdefault(b, []).append(f"{seg}/{d}")
-            # tails delta rides the same flip: data+tails stay consistent
-            # even across a crash between writes and the pointer swap
-            tdelta = f"t-{uuid.uuid4().hex}"
-            appended.select(
-                "stream_name", F.col("new_tail").alias("tail")
-            ).write.mode("overwrite").parquet(os.path.join(self.path, tdelta))
-            tsegs = m["tails"] + [tdelta]
-            if len(tsegs) > self.compact_after:
-                tbase = f"t-{uuid.uuid4().hex}"
-                (
-                    self.spark.read.parquet(
-                        *[os.path.join(self.path, s) for s in tsegs]
-                    )
-                    .groupBy("stream_name")
-                    .agg(F.max("tail").alias("tail"))
-                    .write.mode("overwrite")
-                    .parquet(os.path.join(self.path, tbase))
+            # redelivered rows can repeat (stream, idx) inside one batch;
+            # appending both copies would corrupt the log permanently
+            novel = (
+                batch.dropDuplicates(["stream_name", "idx"])
+                .join(F.broadcast(wdf), "stream_name")
+                .filter(F.col("idx") >= F.col("tail"))
+                .drop("tail")
+                .cache()
+            )
+            arows = (
+                novel.groupBy("stream_name")
+                .agg(
+                    F.count("*").alias("appended"),
+                    (F.max("idx") + 1).alias("new_tail"),
                 )
-                tsegs = [tbase]
-            self.manifest.flip({"data": data, "tails": tsegs})
-        report = verdict.join(appended, "stream_name", "left").select(
-            "stream_name",
-            "outcome",
-            F.col("tail").alias("prev_tail"),
-            F.coalesce(F.col("new_tail"), F.col("tail")).alias("new_tail"),
-            F.coalesce(F.col("appended"), F.lit(0)).alias("appended"),
+                .collect()
+            )
+            appended_by_stream = {
+                r.stream_name: (r.appended, r.new_tail) for r in arows
+            }
+            if appended_by_stream:
+                seg = f"seg-{uuid.uuid4().hex}"
+                (
+                    novel.select(*cols)
+                    .withColumn("bucket", self._bucket_col())
+                    # one task per bucket: without this, partitionBy writes
+                    # (input partitions × touched buckets) tiny files
+                    .repartition("bucket")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(os.path.join(self.path, seg))
+                )
+                data = {b: list(s) for b, s in m["data"].items()}
+                for d in os.listdir(os.path.join(self.path, seg)):
+                    if d.startswith("bucket="):
+                        b = d.split("=", 1)[1]
+                        data.setdefault(b, []).append(f"{seg}/{d}")
+                # tails delta rides the same flip: data+tails stay
+                # consistent even across a crash between writes and the
+                # pointer swap
+                tdelta = f"t-{uuid.uuid4().hex}"
+                self.spark.createDataFrame(
+                    [(s, t) for s, (_, t) in appended_by_stream.items()],
+                    "stream_name string, tail long",
+                ).write.mode("overwrite").parquet(os.path.join(self.path, tdelta))
+                tsegs = m["tails"] + [tdelta]
+                if len(tsegs) > self.compact_after:
+                    tbase = f"t-{uuid.uuid4().hex}"
+                    (
+                        self.spark.read.parquet(
+                            *[os.path.join(self.path, s) for s in tsegs]
+                        )
+                        .groupBy("stream_name")
+                        .agg(F.max("tail").alias("tail"))
+                        .write.mode("overwrite")
+                        .parquet(os.path.join(self.path, tbase))
+                    )
+                    tsegs = [tbase]
+                self.manifest.flip({"data": data, "tails": tsegs})
+            novel.unpersist()
+        # report rows built driver-side from the bounded collected verdict:
+        # no extra Spark job, and the result never references a tails view
+        # a later sync retires
+        report_rows = [
+            (
+                r.stream_name,
+                r.outcome,
+                r.tail,
+                appended_by_stream.get(r.stream_name, (0, r.tail))[1],
+                appended_by_stream.get(r.stream_name, (0, r.tail))[0],
+            )
+            for r in vrows
+        ]
+        return self.spark.createDataFrame(
+            report_rows,
+            "stream_name string, outcome string, prev_tail long, "
+            "new_tail long, appended long",
         )
-        # collect-and-rebuild (bounded: one row per stream in the batch):
-        # the returned report must outlive this manifest version — its
-        # lineage otherwise re-reads a tails view a later sync retires —
-        # and the cached `appended` must not accumulate on executors
-        # over a long-running feed
-        try:
-            return self.spark.createDataFrame(report.collect(), report.schema)
-        finally:
-            appended.unpersist()
 
     # ---- the pruner (W2) ---------------------------------------------------
     def prune(self, requests: DataFrame) -> DataFrame:

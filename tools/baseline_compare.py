@@ -1,13 +1,24 @@
 """BASELINE.md comparison: measure the engine against plain PySpark
 doing the *same work* (the ≤2× bar), workload by workload.
 
-Usage: python tools/baseline_compare.py [sf_dir]
+Usage: python tools/baseline_compare.py [sf_dir] [--out RESULT.json]
 
 Methodology: each side runs twice and reports the min (steady-state
 plans; cold-start costs are not a plan property). Baselines do the
 identical computation — same expressions, same dedup semantics — minus
 the engine's durable bookkeeping (positions/outcome tables), which is
 precisely the functionality being bought.
+
+Two workloads are *flatness* gauges rather than engine-vs-raw races:
+``redelivery_flat_10x`` and ``positions_merge_flat_10x`` put the
+1×-state cost in the "baseline" slot and the 10×-state cost in the
+"engine" slot, so their ratio measures whether per-batch cost grows
+with accumulated durable state (the O(batch)-not-O(table) invariant);
+flat ≈ 1.0, and the same ≤2× gate applies.
+
+``--out`` additionally writes the JSON to a file — persist one per
+round (BASELINE_RESULT_r{N}.json) so round-over-round ratio diffs don't
+require a re-run.
 """
 
 from __future__ import annotations
@@ -32,7 +43,13 @@ def timed2(fn) -> float:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     from pyspark.sql import functions as F
 
     from propulsion_spark import get_spark, load_table
@@ -156,9 +173,59 @@ def main() -> int:
         ),
     )
 
+    # ---- flatness: redelivery cost must not grow with store size --------
+    # (VERDICT r1 #2: per-batch cost flat as the store grows). The same
+    # redelivered batch is timed against a 1-batch store and a 10-batch
+    # store; classification reads only the tails view + manifest, so the
+    # ratio stays ~1 however much data has accumulated.
+    from pyspark.sql import functions as F2  # noqa: F401 — scope clarity
+
+    small = EventStoreTable(spark, f"{tmp}/flat_small")
+    batch0 = envelope.limit(2000).cache()
+    batch0.count()
+    small.sync(batch0)
+    cost_1x = timed2(lambda: small.sync(batch0))
+    big = EventStoreTable(spark, f"{tmp}/flat_big")
+    big.sync(batch0)
+    for i in range(9):  # grow: 9 more distinct stream sets
+        grown = batch0.withColumn(
+            "stream_name", F.concat(F.lit(f"g{i}-"), F.col("stream_name"))
+        )
+        big.sync(grown)
+    cost_10x = timed2(lambda: big.sync(batch0))
+    record("redelivery_flat_10x", cost_10x, cost_1x)
+
+    # ---- flatness: positions merge is O(batch) however many streams
+    #      the table has ever seen -----------------------------------------
+    from propulsion_spark.streaming.positions import PositionsTable
+
+    delta = envelope.limit(500).groupBy("stream_name").agg(
+        (F.max("idx") + 1).alias("pos"),
+        F.lit(0).cast("long").alias("revision"),
+        F.lit(False).alias("malformed"),
+    ).cache()
+    delta.count()
+    p1 = PositionsTable(spark, f"{tmp}/pos_small")
+    p1.merge(delta)
+    merge_1x = timed2(lambda: p1.merge(delta))
+    p2 = PositionsTable(spark, f"{tmp}/pos_big")
+    for i in range(10):
+        p2.merge(
+            delta.withColumn(
+                "stream_name", F.concat(F.lit(f"g{i}-"), F.col("stream_name"))
+            )
+        )
+    merge_10x = timed2(lambda: p2.merge(delta))
+    record("positions_merge_flat_10x", merge_10x, merge_1x)
+    batch0.unpersist(), delta.unpersist()
+
     shutil.rmtree(tmp, ignore_errors=True)
     worst = max(r["ratio"] for r in results.values())
-    print(json.dumps({"workloads": results, "worst_ratio": worst, "target": 2.0}))
+    payload = {"workloads": results, "worst_ratio": worst, "target": 2.0, "sf_dir": sf_dir}
+    print(json.dumps(payload))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
     spark.stop()
     return 0 if worst <= 2.0 else 1
 
