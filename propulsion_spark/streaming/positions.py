@@ -85,7 +85,12 @@ class PositionsTable:
         with self._write_lock, FileLease(self.path):
             segs = self._segments()
             delta = f"d-{uuid.uuid4().hex}"
-            updates.select(*_COLS).write.mode("overwrite").parquet(
+            # a batch can carry several rows for one stream (e.g. two
+            # spans of a gapped stream dispatched in one micro-batch):
+            # fold to one row per stream HERE so every segment — and
+            # therefore the single-segment read fast path — is
+            # per-stream unique
+            _resolve(updates.select(*_COLS)).write.mode("overwrite").parquet(
                 os.path.join(self.path, delta)
             )
             segs = segs + [delta]

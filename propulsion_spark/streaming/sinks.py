@@ -356,10 +356,6 @@ class StreamsSink:
     def process_batch(self, df: DataFrame, batch_id: int = 0) -> DataFrame:
         """Dispatch one micro-batch of envelope rows; returns the outcome
         table (one row per touched stream) after persisting progress."""
-        if df.isEmpty():
-            # tail polls deliver empty batches constantly — don't rewrite
-            # the positions table or run the grouped dispatch for them
-            return self.spark.createDataFrame([], OUTCOME_SCHEMA)
         # No broadcast hint: the positions table grows with total stream
         # count (unbounded at 100 TB) — AQE broadcasts it while small and
         # shuffle-joins on stream_name (the partitioning the grouped
@@ -390,46 +386,61 @@ class StreamsSink:
                 ),
                 OUTCOME_SCHEMA,
             )
+        # The outcome table is bounded (one row per touched stream per
+        # micro-batch): materialize it once, collect it, and drive
+        # progress, stats, and health bookkeeping from the driver — no
+        # cache leaks on executors, no re-invoked handlers if the caller
+        # acts on the returned table, and empty tail-poll batches fall
+        # out of the same path without rewriting positions. The
+        # materializing action is a noop WRITE, not the collect itself:
+        # on a collect query AQE coalesces the handler stage by shuffle
+        # BYTES (tiny here) down to a handful of tasks, serializing the
+        # per-stream Python handlers; the write path keeps the full
+        # shuffle-partition parallelism.
         outcomes = grouped.cache()
         try:
-            progressed = outcomes.filter(
-                (F.col("pos") > F.col("prev_pos")) | F.col("malformed")
-            ).select("stream_name", "pos", "revision", "malformed")
-            self.positions.merge(progressed)
-            agg = (
-                outcomes.groupBy("outcome")
-                .agg(
-                    F.count("*").alias("n"),
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("n_deduped").alias("n_deduped"),
-                    F.max("latency_ms").alias("max_latency_ms"),
-                    F.sum("latency_ms").alias("sum_latency_ms"),
-                )
-                .collect()
-            )
-            self.stats.record([r.asDict() for r in agg])
-            failing = [
-                r.stream_name
-                for r in outcomes.filter(
-                    F.col("outcome").isin(
-                        OutcomeKind.EXN, OutcomeKind.TIMEOUT, OutcomeKind.RATE_LIMITED
-                    )
-                )
-                .select("stream_name")
-                .limit(10_000)  # driver-side health bookkeeping stays bounded
-                .collect()
-            ]
-            self.stats.record_failures(failing)
-            # Rebuild the outcome table from collected rows before
-            # unpersisting: a consumer acting on the returned DataFrame
-            # must not re-invoke handlers (duplicate side effects) or
-            # re-read the pre-merge positions snapshot, whose version
-            # dir the next merge retires. Control-plane-bounded: one row
-            # per touched stream per micro-batch (same order as the
-            # failing-stream bookkeeping above).
-            return self.spark.createDataFrame(outcomes.collect(), OUTCOME_SCHEMA)
+            outcomes.write.format("noop").mode("overwrite").save()
+            rows = outcomes.collect()  # cache hit — no recompute
         finally:
             outcomes.unpersist()
+        if not rows:
+            return self.spark.createDataFrame([], OUTCOME_SCHEMA)
+        progressed = [
+            (r.stream_name, r.pos, r.revision, r.malformed)
+            for r in rows
+            if r.pos > r.prev_pos or r.malformed
+        ]
+        if progressed:
+            self.positions.merge(
+                self.spark.createDataFrame(
+                    progressed,
+                    "stream_name string, pos long, revision long, malformed boolean",
+                )
+            )
+        agg: dict[str, dict] = {}
+        for r in rows:
+            a = agg.setdefault(
+                r.outcome,
+                {
+                    "outcome": r.outcome,
+                    "n": 0,
+                    "n_events": 0,
+                    "n_deduped": 0,
+                    "max_latency_ms": 0.0,
+                    "sum_latency_ms": 0.0,
+                },
+            )
+            a["n"] += 1
+            a["n_events"] += r.n_events
+            a["n_deduped"] += r.n_deduped
+            a["max_latency_ms"] = max(a["max_latency_ms"], r.latency_ms)
+            a["sum_latency_ms"] += r.latency_ms
+        self.stats.record(list(agg.values()))
+        _FAILING = (OutcomeKind.EXN, OutcomeKind.TIMEOUT, OutcomeKind.RATE_LIMITED)
+        # driver-side health bookkeeping stays bounded
+        failing = [r.stream_name for r in rows if r.outcome in _FAILING][:10_000]
+        self.stats.record_failures(failing)
+        return self.spark.createDataFrame(rows, OUTCOME_SCHEMA)
 
     # -- streaming lifecycle -------------------------------------------------
     def run_stream(self, stream_df: DataFrame, checkpoint_location: str, **trigger):
@@ -478,10 +489,6 @@ class DeclarativeSink:
         return cls(spark, aggs, PositionsTable(spark, positions_path), **kw)
 
     def process_batch(self, df: DataFrame, batch_id: int = 0) -> DataFrame:
-        if df.isEmpty():
-            return self.spark.createDataFrame(
-                [], "stream_name string, pos long, prev_pos long, n_events long"
-            )
         pos = self.positions.read().select(
             "stream_name", F.col("pos").alias("_pos"), F.col("malformed").alias("_mal")
         )
@@ -501,37 +508,34 @@ class DeclarativeSink:
             F.coalesce(F.first("_pos"), F.lit(0)).alias("prev_pos"),
             F.count("*").alias("n_events"),
         )
-        outcomes = outcomes.cache()
-        try:
-            self.positions.merge(
-                outcomes.select(
-                    "stream_name",
-                    "pos",
-                    F.lit(0).alias("revision"),
-                    F.lit(False).alias("malformed"),
-                )
+        # see StreamsSink.process_batch: one Spark job for the bounded
+        # outcome table, everything else driven from the collected rows
+        # (the returned table must not re-read a retired positions
+        # snapshot; empty batches fall out without a positions rewrite)
+        schema = outcomes.schema
+        rows = outcomes.collect()
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        result = self.spark.createDataFrame(rows, schema)
+        self.positions.merge(
+            self.spark.createDataFrame(
+                [(r.stream_name, r.pos, 0, False) for r in rows],
+                "stream_name string, pos long, revision long, malformed boolean",
             )
-            if self.outcome_table_path:
-                outcomes.write.mode("append").parquet(self.outcome_table_path)
-            agg = outcomes.agg(
-                F.count("*").alias("n"), F.sum("n_events").alias("n_events")
-            ).collect()[0]
-            self.stats.record(
-                [
-                    {
-                        "outcome": OutcomeKind.OK,
-                        "n": agg.n,
-                        "n_events": agg.n_events or 0,
-                        "n_deduped": 0,
-                    }
-                ]
-            )
-            # see StreamsSink.process_batch: decouple the returned table
-            # from the retired positions snapshot (bounded: one row per
-            # touched stream)
-            return self.spark.createDataFrame(outcomes.collect(), outcomes.schema)
-        finally:
-            outcomes.unpersist()
+        )
+        if self.outcome_table_path:
+            result.write.mode("append").parquet(self.outcome_table_path)
+        self.stats.record(
+            [
+                {
+                    "outcome": OutcomeKind.OK,
+                    "n": len(rows),
+                    "n_events": sum(r.n_events or 0 for r in rows),
+                    "n_deduped": 0,
+                }
+            ]
+        )
+        return result
 
     def run_stream(self, stream_df: DataFrame, checkpoint_location: str, **trigger):
         return (
