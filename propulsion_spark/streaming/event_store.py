@@ -126,6 +126,11 @@ class EventStoreTable:
     def _sync_locked(self, batch: DataFrame) -> DataFrame:
         m = self._load()
         tails = self.read_tails(m)
+        # the batch lineage is walked twice (classification, then the
+        # novel-suffix append): pin it for the duration of the sync so
+        # an expensive upstream (a windowed envelope derivation, a join)
+        # is computed once — unpersisted before returning
+        batch = batch.cache()
         # span bounds are duplicate-insensitive (min/max): classification
         # needs no dedup shuffle, so a full-duplicate redelivery costs
         # exactly one pass over the batch
@@ -147,78 +152,16 @@ class EventStoreTable:
         # (the report the caller receives anyway) — collect it ONCE and do
         # all control flow driver-side, so a full-duplicate redelivery is
         # exactly one Spark job: span groupBy + tails join + collect
-        vrows = verdict.select("stream_name", "outcome", "tail").collect()
-        writable = [
-            (r.stream_name, r.tail)
-            for r in vrows
-            if r.outcome in (OutcomeKind.OK, OutcomeKind.PARTIAL_DUPLICATE)
-        ]
-        appended_by_stream: dict[str, tuple[int, int]] = {}
-        if writable:
-            cols = [f.name for f in self._empty_envelope().schema.fields]
-            wdf = self.spark.createDataFrame(
-                writable, "stream_name string, tail long"
-            )
-            # redelivered rows can repeat (stream, idx) inside one batch;
-            # appending both copies would corrupt the log permanently
-            novel = (
-                batch.dropDuplicates(["stream_name", "idx"])
-                .join(F.broadcast(wdf), "stream_name")
-                .filter(F.col("idx") >= F.col("tail"))
-                .drop("tail")
-                .cache()
-            )
-            arows = (
-                novel.groupBy("stream_name")
-                .agg(
-                    F.count("*").alias("appended"),
-                    (F.max("idx") + 1).alias("new_tail"),
-                )
-                .collect()
-            )
-            appended_by_stream = {
-                r.stream_name: (r.appended, r.new_tail) for r in arows
-            }
-            if appended_by_stream:
-                seg = f"seg-{uuid.uuid4().hex}"
-                (
-                    novel.select(*cols)
-                    .withColumn("bucket", self._bucket_col())
-                    # one task per bucket: without this, partitionBy writes
-                    # (input partitions × touched buckets) tiny files
-                    .repartition("bucket")
-                    .write.mode("overwrite")
-                    .partitionBy("bucket")
-                    .parquet(os.path.join(self.path, seg))
-                )
-                data = {b: list(s) for b, s in m["data"].items()}
-                for d in os.listdir(os.path.join(self.path, seg)):
-                    if d.startswith("bucket="):
-                        b = d.split("=", 1)[1]
-                        data.setdefault(b, []).append(f"{seg}/{d}")
-                # tails delta rides the same flip: data+tails stay
-                # consistent even across a crash between writes and the
-                # pointer swap
-                tdelta = f"t-{uuid.uuid4().hex}"
-                self.spark.createDataFrame(
-                    [(s, t) for s, (_, t) in appended_by_stream.items()],
-                    "stream_name string, tail long",
-                ).write.mode("overwrite").parquet(os.path.join(self.path, tdelta))
-                tsegs = m["tails"] + [tdelta]
-                if len(tsegs) > self.compact_after:
-                    tbase = f"t-{uuid.uuid4().hex}"
-                    (
-                        self.spark.read.parquet(
-                            *[os.path.join(self.path, s) for s in tsegs]
-                        )
-                        .groupBy("stream_name")
-                        .agg(F.max("tail").alias("tail"))
-                        .write.mode("overwrite")
-                        .parquet(os.path.join(self.path, tbase))
-                    )
-                    tsegs = [tbase]
-                self.manifest.flip({"data": data, "tails": tsegs})
-            novel.unpersist()
+        try:
+            vrows = verdict.select("stream_name", "outcome", "tail").collect()
+            writable = [
+                (r.stream_name, r.tail)
+                for r in vrows
+                if r.outcome in (OutcomeKind.OK, OutcomeKind.PARTIAL_DUPLICATE)
+            ]
+            appended_by_stream = self._append_novel(m, batch, writable)
+        finally:
+            batch.unpersist()
         # report rows built driver-side from the bounded collected verdict:
         # no extra Spark job, and the result never references a tails view
         # a later sync retires
@@ -237,6 +180,88 @@ class EventStoreTable:
             "stream_name string, outcome string, prev_tail long, "
             "new_tail long, appended long",
         )
+
+    def _append_novel(
+        self, m: dict, batch: DataFrame, writable: "list[tuple[str, int]]"
+    ) -> "dict[str, tuple[int, int]]":
+        """Append each writable stream's novel suffix as one bucketed
+        segment + tails delta; returns {stream: (appended, new_tail)}."""
+        if not writable:
+            return {}
+        wdf = self.spark.createDataFrame(writable, "stream_name string, tail long")
+        # redelivered rows can repeat (stream, idx) inside one batch;
+        # appending both copies would corrupt the log permanently.
+        # Dedup via a lag window over stream_name — not
+        # dropDuplicates([stream, idx]), whose (stream, idx) hash
+        # partitioning the downstream groupBy(stream_name) can't reuse —
+        # so the append agg rides the window's exchange and the batch
+        # shuffles once, not twice. The broadcast join runs first to
+        # shrink the shuffle to writable streams only.
+        dw = Window.partitionBy("stream_name").orderBy("idx")
+        novel = (
+            batch.join(F.broadcast(wdf), "stream_name")
+            .filter(F.col("idx") >= F.col("tail"))
+            .drop("tail")
+            .withColumn("_prev_idx", F.lag("idx").over(dw))
+            .filter(F.col("_prev_idx").isNull() | (F.col("_prev_idx") != F.col("idx")))
+            .drop("_prev_idx")
+            .cache()
+        )
+        try:
+            arows = (
+                novel.groupBy("stream_name")
+                .agg(
+                    F.count("*").alias("appended"),
+                    (F.max("idx") + 1).alias("new_tail"),
+                )
+                .collect()
+            )
+            appended_by_stream = {
+                r.stream_name: (r.appended, r.new_tail) for r in arows
+            }
+            if not appended_by_stream:
+                return {}
+            cols = [f.name for f in self._empty_envelope().schema.fields]
+            seg = f"seg-{uuid.uuid4().hex}"
+            (
+                novel.select(*cols)
+                .withColumn("bucket", self._bucket_col())
+                # one task per bucket: without this, partitionBy writes
+                # (input partitions × touched buckets) tiny files
+                .repartition("bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(os.path.join(self.path, seg))
+            )
+            data = {b: list(s) for b, s in m["data"].items()}
+            for d in os.listdir(os.path.join(self.path, seg)):
+                if d.startswith("bucket="):
+                    b = d.split("=", 1)[1]
+                    data.setdefault(b, []).append(f"{seg}/{d}")
+            # tails delta rides the same flip: data+tails stay consistent
+            # even across a crash between writes and the pointer swap
+            tdelta = f"t-{uuid.uuid4().hex}"
+            self.spark.createDataFrame(
+                [(s, t) for s, (_, t) in appended_by_stream.items()],
+                "stream_name string, tail long",
+            ).write.mode("overwrite").parquet(os.path.join(self.path, tdelta))
+            tsegs = m["tails"] + [tdelta]
+            if len(tsegs) > self.compact_after:
+                tbase = f"t-{uuid.uuid4().hex}"
+                (
+                    self.spark.read.parquet(
+                        *[os.path.join(self.path, s) for s in tsegs]
+                    )
+                    .groupBy("stream_name")
+                    .agg(F.max("tail").alias("tail"))
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(self.path, tbase))
+                )
+                tsegs = [tbase]
+            self.manifest.flip({"data": data, "tails": tsegs})
+            return appended_by_stream
+        finally:
+            novel.unpersist()
 
     # ---- the pruner (W2) ---------------------------------------------------
     def prune(self, requests: DataFrame) -> DataFrame:
