@@ -144,9 +144,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
-        t0 = time.time()
-        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # min of two runs: steady-state plan cost (same methodology as
+        # tools/baseline_compare.py — one-shot timings swing ±20% with
+        # background load; cold-start effects are not a plan property).
+        # Cache cleared per run: queries that persist intermediates
+        # (the LSH signature matrix) register them in Spark's
+        # CacheManager keyed by analyzed plan, so a second build would
+        # silently reuse run 1's materialization and under-report.
+        runs = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
     timings.update(bench_pipelines(spark, sf_dir))
     total = round(sum(timings.values()), 3)
     print(
