@@ -218,6 +218,17 @@ def cmd_checkpoint(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    """Remove orphaned MVCC segments (crashed commits) past the grace
+    age — the Delta VACUUM analog for the store/positions layouts."""
+    from propulsion_spark.streaming.mvcc import FileLease, JsonManifest
+
+    with FileLease(args.path):
+        removed = JsonManifest(args.path).vacuum(args.grace_s)
+    print(json.dumps({"path": args.path, "removed": removed}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="propulsion_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -258,6 +269,11 @@ def main(argv=None) -> int:
     ck.add_argument("--tranche", default="0")
     ck.add_argument("--override", type=int)
     ck.set_defaults(fn=cmd_checkpoint)
+
+    va = sub.add_parser("vacuum", help="remove orphaned MVCC segments")
+    va.add_argument("--path", required=True)
+    va.add_argument("--grace-s", type=float, default=3600.0)
+    va.set_defaults(fn=cmd_vacuum)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -263,6 +263,12 @@ class EventStoreTable:
         finally:
             novel.unpersist()
 
+    def vacuum(self, grace_s: float = 3600.0) -> list[str]:
+        """Remove orphaned segment dirs (crash between write and flip, or
+        a lost retire-grace list) older than ``grace_s``."""
+        with self._write_lock, FileLease(self.path):
+            return self.manifest.vacuum(grace_s)
+
     # ---- the pruner (W2) ---------------------------------------------------
     def prune(self, requests: DataFrame) -> DataFrame:
         """Delete events with ``idx <= until_idx`` per stream.

@@ -147,3 +147,44 @@ class JsonManifest:
         for stale in self._retired:
             shutil.rmtree(os.path.join(self.dir, stale), ignore_errors=True)
         self._retired = sorted(gone)
+
+    def vacuum(self, grace_s: float = 3600.0) -> list[str]:
+        """Remove segment dirs the current manifest does not reference
+        and that are older than ``grace_s`` (Delta VACUUM analog).
+
+        Two leak paths need this: a crash between segment write and
+        manifest flip (the segment is never referenced), and a crash
+        before the flip *after* the one that retired a generation (the
+        in-memory ``_retired`` grace list dies with the process). The
+        age guard keeps (a) segments a concurrent commit has written
+        but not yet flipped and (b) the read-grace generation safe —
+        callers hold the table lease, so no flip races the scan itself.
+
+        Returns the removed names (for operator logs)."""
+        import shutil
+
+        keep = self.segments_of(self.load(None))
+        base = os.path.basename(self.pointer)
+        removed: list[str] = []
+        now = time.time()
+        for entry in os.listdir(self.dir):
+            if entry == base or entry == "_LOCK" or entry.startswith(base + "."):
+                continue  # pointer, lease, in-flight pointer tmp
+            if entry in keep:
+                continue
+            path = os.path.join(self.dir, entry)
+            try:
+                if now - os.stat(path).st_mtime <= grace_s:
+                    continue
+            except FileNotFoundError:
+                continue
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+            removed.append(entry)
+        self._retired = [r for r in self._retired if r not in removed]
+        return sorted(removed)

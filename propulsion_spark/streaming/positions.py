@@ -104,6 +104,12 @@ class PositionsTable:
                 segs = [base]
             self.manifest.flip(segs)
 
+    def vacuum(self, grace_s: float = 3600.0) -> list[str]:
+        """Remove orphaned segment dirs (crash between write and flip, or
+        a lost retire-grace list) older than ``grace_s``."""
+        with self._write_lock, FileLease(self.path):
+            return self.manifest.vacuum(grace_s)
+
     def purge(self, keep_streams: DataFrame | None = None) -> None:
         """Drop state for idle streams (ref purgeInterval semantics,
         Streams.fs:904-913): keep only streams present in

@@ -153,3 +153,40 @@ class TestMultiDriverSafety:
         os.utime(os.path.join(d, "_LOCK"), (old, old))
         with FileLease(d, ttl_s=30, timeout_s=5):
             pass  # stolen from the dead holder
+
+
+class TestVacuum:
+    def test_vacuum_removes_orphans_keeps_live(self, spark, tmp_path):
+        """Crash between segment write and manifest flip leaves an
+        unreferenced dir; vacuum removes it past the grace age but never
+        touches referenced segments or young orphans."""
+        store = EventStoreTable(spark, str(tmp_path / "es"))
+        store.sync(mk_df(spark, envelope_rows("user-1", 0, 5)))
+        store.sync(mk_df(spark, envelope_rows("user-2", 0, 5)))
+        path = str(tmp_path / "es")
+        old = time.time() - 7200
+        # aged orphan (simulated crash before flip) and a fresh one
+        os.makedirs(os.path.join(path, "seg-orphan-old"))
+        os.utime(os.path.join(path, "seg-orphan-old"), (old, old))
+        os.makedirs(os.path.join(path, "seg-orphan-new"))
+        # age the LIVE segments too: referenced must survive regardless
+        m = store._load()
+        for seg in store.manifest.segments_of(m):
+            os.utime(os.path.join(path, seg), (old, old))
+        removed = store.vacuum(grace_s=3600)
+        assert removed == ["seg-orphan-old"]
+        assert os.path.isdir(os.path.join(path, "seg-orphan-new"))
+        # table intact after vacuum
+        assert store.read().count() == 10
+        assert store.read_tails().count() == 2
+
+    def test_positions_vacuum(self, spark, tmp_path):
+        schema = "stream_name string, pos long, revision long, malformed boolean"
+        t = PositionsTable(spark, str(tmp_path / "pos"))
+        t.merge(spark.createDataFrame([("s-1", 3, 0, False)], schema))
+        path = str(tmp_path / "pos")
+        old = time.time() - 7200
+        os.makedirs(os.path.join(path, "d-orphan"))
+        os.utime(os.path.join(path, "d-orphan"), (old, old))
+        assert t.vacuum(grace_s=3600) == ["d-orphan"]
+        assert {r.stream_name for r in t.read().collect()} == {"s-1"}

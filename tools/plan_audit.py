@@ -11,6 +11,8 @@ Expected flags (by design, documented in the query docs):
   (similarity_lsh_topk, similarity_ivf_topk) replace at scale.
 - similarity_ivf_topk: multi-stage (codebook + assignment + search); at
   production scale cells are materialized once, not per query.
+- revenue_kpis: BroadcastNestedLoopJoin of two SINGLE-ROW aggregates
+  (Q6 forecast × Q14 promo share) — a 1×1 cross join, by design.
 """
 
 from __future__ import annotations
