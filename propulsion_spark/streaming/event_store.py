@@ -39,6 +39,7 @@ from __future__ import annotations
 import os
 import threading
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -56,13 +57,27 @@ class EventStoreTable:
         path: str,
         n_buckets: int = 64,
         compact_after: int = 8,
+        lease_ttl_s: float = 30.0,
     ):
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
         self.compact_after = compact_after
+        self.lease_ttl_s = lease_ttl_s
         self.manifest = JsonManifest(path)
         self._write_lock = threading.Lock()  # in-process writer serialization
+
+    @contextmanager
+    def _commit(self):
+        """Fenced commit scope (see PositionsTable._commit): lease token
+        verified at every manifest flip inside — a stolen lease raises
+        LeaseLostError instead of silently dropping the peer's commit."""
+        with self._write_lock, FileLease(self.path, ttl_s=self.lease_ttl_s) as lease:
+            self.manifest.fence = lease
+            try:
+                yield lease
+            finally:
+                self.manifest.fence = None
 
     # ---- manifest helpers -------------------------------------------------
     def _load(self) -> dict:
@@ -120,7 +135,7 @@ class EventStoreTable:
         Per-sync cost is O(batch) + O(tails view): one delta data segment
         (bucket-partitioned), one tails delta, one manifest flip — the
         store's total size never enters the plan."""
-        with self._write_lock, FileLease(self.path):
+        with self._commit():
             return self._sync_locked(batch)
 
     def _sync_locked(self, batch: DataFrame) -> DataFrame:
@@ -266,7 +281,7 @@ class EventStoreTable:
     def vacuum(self, grace_s: float = 3600.0) -> list[str]:
         """Remove orphaned segment dirs (crash between write and flip, or
         a lost retire-grace list) older than ``grace_s``."""
-        with self._write_lock, FileLease(self.path):
+        with self._commit():
             return self.manifest.vacuum(grace_s)
 
     # ---- the pruner (W2) ---------------------------------------------------
@@ -278,7 +293,7 @@ class EventStoreTable:
         Rewrites ONLY the buckets the requested streams hash into —
         pruning a few streams of a 100 TB store touches a few bucket
         partitions, not the table."""
-        with self._write_lock, FileLease(self.path):
+        with self._commit():
             return self._prune_locked(requests)
 
     def _prune_locked(self, requests: DataFrame) -> DataFrame:
@@ -343,7 +358,7 @@ class EventStoreTable:
     def compact_bucket(self, bucket: str) -> None:
         """Fold one bucket's segment list into a single segment — the
         OPTIMIZE analog; run opportunistically per bucket, never table-wide."""
-        with self._write_lock, FileLease(self.path):
+        with self._commit():
             m = self._load()
             if len(m["data"].get(bucket, [])) <= 1:
                 return
@@ -353,7 +368,7 @@ class EventStoreTable:
         """Keep only the freshest unfold set per (stream, event_type)
         (ref: Streams.fs:143-147) — run opportunistically. Rewrites only
         buckets that actually hold unfold rows."""
-        with self._write_lock, FileLease(self.path):
+        with self._commit():
             m = self._load()
             touched = {
                 str(r.b)

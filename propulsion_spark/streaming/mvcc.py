@@ -8,29 +8,63 @@ Two pieces:
   table path (the reference's consumer groups routinely run replicas —
   e.g. lease-based CFP partition balancing,
   ref: src/Propulsion.CosmosStore/ChangeFeedProcessor.fs:37-49) need an
-  on-disk lease. Acquisition is ``O_CREAT|O_EXCL`` (atomic on POSIX and
-  on the object stores' rename-if-absent analogs); stale leases (holder
-  crashed) are broken after ``ttl_s`` via an atomic rename-steal, so a
-  dead driver never wedges the table.
+  on-disk lease. Acquisition is ``O_CREAT|O_EXCL`` (atomic on POSIX);
+  the holder's identity is a unique **owner token** written into the
+  lock file, and a daemon **heartbeat** refreshes the lock mtime every
+  ``ttl_s/4`` while held — so a live holder running long Spark jobs
+  inside its critical section is never mistaken for a crashed one.
+  Stale leases (no heartbeat for > ``ttl_s``) are broken via an atomic
+  rename-steal that re-verifies the token it observed before breaking
+  (a fresh lease that raced in is restored, or — if yet another lease
+  appeared — left to fail its own fencing check).
 
 - :class:`JsonManifest` — the Delta-log-style segment list. Mutations
   write new immutable segment dirs then atomically replace the manifest
   pointer; readers resolve whatever manifest version they loaded
   (snapshot isolation). One retired generation is kept so plans still
   holding the previous version can finish (Delta's vacuum-retention
-  analog, hard-coded to one generation here).
+  analog, hard-coded to one generation here). The pointer flip is
+  **fenced**: when a lease is attached (``manifest.fence``), the flip
+  verifies the lock file still carries the holder's token and raises
+  :class:`LeaseLostError` otherwise — a holder whose lease was broken
+  fails LOUDLY instead of silently overwriting the new holder's commit
+  and dropping its segments.
 
-On a cluster with Delta available, both are subsumed by Delta's
-optimistic-concurrency commit protocol; the table classes keep the same
-public API either way.
+Defense in depth: the heartbeat makes wrongful steals rare (a holder
+must be wedged for a full ``ttl_s`` with no heartbeat), and the fence
+turns any residual mutual-exclusion failure into an exception before
+the manifest is overwritten. The unavoidable check-to-replace windows
+(microseconds, no Spark work inside them) are documented at each site.
+
+Non-POSIX deployment story (100 TB, object stores): S3/GCS/ABFS have no
+atomic create-if-absent file primitive, so ``FileLease`` as written
+targets POSIX-complete filesystems (local, NFSv4, HDFS, DBFS-on-FUSE).
+On object stores use one of the named mechanisms instead, behind the
+same ``with table.lease():`` surface:
+
+- **Conditional writes**: S3 ``PutObject`` with ``If-None-Match: *``
+  (since 2024), GCS ``x-goog-if-generation-match: 0``, ABFS ETag
+  preconditions — a direct drop-in for create-if-absent + token check.
+- **A lock table**: DynamoDB conditional ``PutItem`` / ZooKeeper
+  ephemeral nodes (the classic Delta-on-S3 ``LogStore`` recipe).
+- **Delta Lake's log-based OCC** (``delta.DeltaTable``): its commit
+  protocol subsumes both the lease and the manifest — see
+  ``streaming/delta_backend.py`` for adapters that swap these tables
+  for Delta MERGE/DELETE/OPTIMIZE with the same public API.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
+
+
+class LeaseLostError(RuntimeError):
+    """The holder's lease was broken (stolen after apparent staleness)
+    while a commit was in flight; the commit must NOT flip the manifest."""
 
 
 class FileLease:
@@ -38,40 +72,122 @@ class FileLease:
 
     Usage::
 
-        with FileLease(table_path):
-            ... read manifest, write segments, flip manifest ...
+        with FileLease(table_path) as lease:
+            ... read manifest, write segments ...
+            lease.verify()          # or manifest.fence = lease → flip checks
+            ... flip manifest ...
     """
 
-    def __init__(self, dir_path: str, ttl_s: float = 30.0, timeout_s: float = 60.0):
+    def __init__(
+        self,
+        dir_path: str,
+        ttl_s: float = 30.0,
+        timeout_s: float = 60.0,
+        heartbeat: bool = True,
+    ):
         self.lock_path = os.path.join(dir_path, "_LOCK")
         self.ttl_s = ttl_s
         self.timeout_s = timeout_s
-        self._fd: int | None = None
+        #: unique owner identity — doubles as the fencing token
+        self.token = uuid.uuid4().hex
+        self.heartbeat = heartbeat
+        self._hb_stop: threading.Event | None = None
+        self._hb_thread: threading.Thread | None = None
+        self._held = False
 
+    # ---- token helpers ----------------------------------------------------
+    def _read_token(self) -> str | None:
+        try:
+            with open(self.lock_path) as f:
+                return f.read().split(":", 1)[0]
+        except (FileNotFoundError, OSError):
+            return None
+
+    def owns(self) -> bool:
+        return self._held and self._read_token() == self.token
+
+    def verify(self) -> None:
+        """Fencing check: raise if the lock no longer carries our token
+        (a peer judged us stale and stole the lease mid-commit)."""
+        if not self.owns():
+            raise LeaseLostError(
+                f"lease {self.lock_path} lost mid-commit (token {self.token[:8]}… "
+                "no longer on the lock file) — refusing to flip the manifest"
+            )
+
+    # ---- acquisition ------------------------------------------------------
     def _try_acquire(self) -> bool:
         try:
             fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             return False
-        os.write(fd, f"{os.getpid()}:{time.time()}".encode())
+        os.write(fd, f"{self.token}:{os.getpid()}:{time.time()}".encode())
         os.close(fd)
-        self._fd = 1
+        self._held = True
+        if self.heartbeat:
+            self._hb_stop = threading.Event()
+            self._hb_thread = threading.Thread(
+                target=self._hb_loop, name="lease-heartbeat", daemon=True
+            )
+            self._hb_thread.start()
         return True
 
-    def _steal_if_stale(self) -> None:
-        try:
-            age = time.time() - os.stat(self.lock_path).st_mtime
-        except FileNotFoundError:
-            return
-        if age > self.ttl_s:
-            # break the dead holder's lease; os.replace is atomic so two
-            # stealers can't both win (the loser's rename source vanishes)
-            stolen = self.lock_path + f".steal.{uuid.uuid4().hex}"
+    def _hb_loop(self) -> None:
+        # refresh mtime at 4× the staleness rate so a live holder inside a
+        # long Spark job never looks stale; stop the moment the token is
+        # gone (never refresh a thief's lease into immortality)
+        assert self._hb_stop is not None
+        while not self._hb_stop.wait(self.ttl_s / 4):
             try:
-                os.replace(self.lock_path, stolen)
-                os.unlink(stolen)
-            except FileNotFoundError:
-                pass
+                if self._read_token() != self.token:
+                    return
+                os.utime(self.lock_path, None)
+            except OSError:
+                return
+
+    def _steal_if_stale(self) -> None:
+        # fd-coherent observation: fstat + read describe the SAME lease
+        # generation (same inode), so age and token can't come from two
+        # different leases
+        try:
+            fd = os.open(self.lock_path, os.O_RDONLY)
+        except (FileNotFoundError, OSError):
+            return
+        try:
+            st = os.fstat(fd)
+            observed = os.read(fd, 256).decode(errors="replace").split(":", 1)[0]
+        finally:
+            os.close(fd)
+        if time.time() - st.st_mtime <= self.ttl_s:
+            return
+        # break the apparently-dead holder's lease; os.replace is atomic so
+        # two stealers can't both win (the loser's rename source vanishes)
+        stolen = self.lock_path + f".steal.{uuid.uuid4().hex}"
+        try:
+            os.replace(self.lock_path, stolen)
+        except (FileNotFoundError, OSError):
+            return
+        try:
+            with open(stolen) as f:
+                actual = f.read().split(":", 1)[0]
+        except OSError:
+            actual = None
+        if actual == observed:
+            os.unlink(stolen)  # confirmed: we broke the stale lease we observed
+            return
+        # A FRESH lease raced in between our read and the rename — restore
+        # it atomically iff no newer one has appeared since (os.link fails
+        # with EEXIST rather than clobbering). If the restore loses, the
+        # renamed-away holder's next verify()/fenced flip fails loudly —
+        # fencing, not this steal path, is the correctness backstop.
+        try:
+            os.link(stolen, self.lock_path)
+        except (FileExistsError, OSError):
+            pass
+        try:
+            os.unlink(stolen)
+        except OSError:
+            pass
 
     def __enter__(self) -> "FileLease":
         deadline = time.time() + self.timeout_s
@@ -86,21 +202,35 @@ class FileLease:
             delay = min(delay * 2, 0.25)
 
     def __exit__(self, *exc) -> None:
-        if self._fd is not None:
-            try:
+        if not self._held:
+            return
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+            if self._hb_thread is not None:
+                self._hb_thread.join(timeout=5.0)
+            self._hb_stop = self._hb_thread = None
+        # release only what we still own — never unlink a thief's lease
+        # (the read→unlink window is lock-free microseconds; a thief that
+        # slips in loses its lock file but is protected by its own fence)
+        try:
+            if self._read_token() == self.token:
                 os.unlink(self.lock_path)
-            except FileNotFoundError:
-                pass
-            self._fd = None
+        except (FileNotFoundError, OSError):
+            pass
+        self._held = False
 
 
 class JsonManifest:
-    """Atomic JSON manifest pointer with one-generation segment grace."""
+    """Atomic JSON manifest pointer with one-generation segment grace
+    and an optional fencing lease checked at every flip."""
 
     def __init__(self, dir_path: str, name: str = "_VERSION"):
         self.dir = dir_path
         self.pointer = os.path.join(dir_path, name)
         self._retired: list[str] = []
+        #: when set (by the table's commit scope), flip() verifies this
+        #: lease's token right before the pointer swap
+        self.fence: FileLease | None = None
         os.makedirs(dir_path, exist_ok=True)
 
     def load(self, default):
@@ -131,13 +261,27 @@ class JsonManifest:
 
     def flip(self, new_value) -> None:
         """Atomically replace the manifest; retire segments dropped by the
-        *previous* flip (one generation of grace for in-flight readers)."""
+        *previous* flip (one generation of grace for in-flight readers).
+
+        Fenced: if a lease is attached, verify its token immediately
+        before the pointer swap — a holder whose lease was stolen raises
+        :class:`LeaseLostError` here instead of silently overwriting the
+        thief's commit. (The verify→replace window is microseconds with
+        no Spark work inside it; combined with the heartbeat this shrinks
+        the lost-update surface from "any commit longer than ttl" to a
+        scheduler-pause race.)"""
         import shutil
 
         old = self.load(None)
         tmp = self.pointer + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             f.write(json.dumps(new_value))
+        if self.fence is not None:
+            try:
+                self.fence.verify()
+            except LeaseLostError:
+                os.unlink(tmp)
+                raise
         os.replace(tmp, self.pointer)
         gone = (
             self.segments_of(old) - self.segments_of(new_value)
@@ -168,8 +312,14 @@ class JsonManifest:
         removed: list[str] = []
         now = time.time()
         for entry in os.listdir(self.dir):
-            if entry == base or entry == "_LOCK" or entry.startswith(base + "."):
-                continue  # pointer, lease, in-flight pointer tmp
+            if (
+                entry == base
+                or entry == "_LOCK"
+                or entry.startswith("_LOCK.steal.")
+                or entry == "_SPOOL"
+                or entry.startswith(base + ".")
+            ):
+                continue  # pointer, lease (+steal tmp), result spool, in-flight tmp
             if entry in keep:
                 continue
             path = os.path.join(self.dir, entry)

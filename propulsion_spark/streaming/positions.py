@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import threading
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,12 +56,32 @@ def _resolve(df: DataFrame) -> DataFrame:
 
 
 class PositionsTable:
-    def __init__(self, spark: SparkSession, path: str, compact_after: int = 8):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        compact_after: int = 8,
+        lease_ttl_s: float = 30.0,
+    ):
         self.spark = spark
         self.path = path
         self.compact_after = compact_after
+        self.lease_ttl_s = lease_ttl_s
         self.manifest = JsonManifest(path)
         self._write_lock = threading.Lock()  # in-process writer serialization
+
+    @contextmanager
+    def _commit(self):
+        """One fenced commit scope: in-process lock + on-disk lease, with
+        the lease attached to the manifest so every flip inside verifies
+        the fencing token (LeaseLostError instead of a silent lost update
+        if a peer wrongly judged us stale)."""
+        with self._write_lock, FileLease(self.path, ttl_s=self.lease_ttl_s) as lease:
+            self.manifest.fence = lease
+            try:
+                yield lease
+            finally:
+                self.manifest.fence = None
 
     # ---- reads -----------------------------------------------------------
     def _segments(self) -> list[str]:
@@ -82,7 +103,7 @@ class PositionsTable:
         """
         if updates.isEmpty():
             return
-        with self._write_lock, FileLease(self.path):
+        with self._commit():
             segs = self._segments()
             delta = f"d-{uuid.uuid4().hex}"
             # a batch can carry several rows for one stream (e.g. two
@@ -107,7 +128,7 @@ class PositionsTable:
     def vacuum(self, grace_s: float = 3600.0) -> list[str]:
         """Remove orphaned segment dirs (crash between write and flip, or
         a lost retire-grace list) older than ``grace_s``."""
-        with self._write_lock, FileLease(self.path):
+        with self._commit():
             return self.manifest.vacuum(grace_s)
 
     def purge(self, keep_streams: DataFrame | None = None) -> None:
@@ -116,7 +137,7 @@ class PositionsTable:
         ``keep_streams`` (single column stream_name)."""
         if keep_streams is None:
             return
-        with self._write_lock, FileLease(self.path):
+        with self._commit():
             kept = self.read().join(keep_streams, "stream_name", "left_semi")
             base = f"v-{uuid.uuid4().hex}"
             kept.select(*_COLS).write.mode("overwrite").parquet(
