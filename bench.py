@@ -38,15 +38,26 @@ HEADLINE = [
     "text_metrics",
     "similarity_topk_bruteforce",
     "similarity_lsh_topk",
+    "lsh_bucket_stats",
+    "lsh_bucket_stats_scaled",
     "multimodal_frame_sample",
     "multimodal_envelope",
 ]
 
 
 def bench_pipelines(spark, sf_dir: str) -> dict[str, float]:
-    """BASELINE.md's pipeline workloads (beyond pure queries): the
-    ingest slice, stateful-sink redelivery dedup, the idempotent store
-    writer on redelivered batches, and a bounded AvailableNow e2e run."""
+    """BASELINE.md's pipeline workloads: min of two full passes (fresh
+    state each pass — same steady-state methodology as the headline
+    queries; pipeline numbers are single Spark actions, so one host
+    noise spike would otherwise poison a round)."""
+    runs = [_bench_pipelines_once(spark, sf_dir) for _ in range(2)]
+    return {k: min(r[k] for r in runs) for k in runs[0]}
+
+
+def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
+    """One pass over the pipeline workloads: the ingest slice,
+    stateful-sink redelivery dedup, the idempotent store writer on
+    redelivered batches, and a bounded AvailableNow e2e run."""
     import shutil
     import tempfile
 
@@ -142,6 +153,7 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).schema
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         q = registry[name]
         # min of two runs: steady-state plan cost (same methodology as
@@ -152,25 +164,30 @@ def main() -> None:
         # CacheManager keyed by analyzed plan, so a second build would
         # silently reuse run 1's materialization and under-report.
         runs = []
-        for _ in range(2):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        timings[name] = round(min(runs), 3)
-    timings.update(bench_pipelines(spark, sf_dir))
+        try:
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            timings[name] = round(min(runs), 3)
+        except Exception as exc:  # one broken query must not zero the round
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    try:
+        timings.update(bench_pipelines(spark, sf_dir))
+    except Exception as exc:
+        errors["pipelines"] = f"{type(exc).__name__}: {exc}"[:500]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -85,5 +85,12 @@ def load_table(spark, sf_dir: str, name: str):
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # Driver-generated parquet stores tz-naive micros; Spark 4
+            # infers TIMESTAMP_NTZ, which epoch functions (unix_micros)
+            # reject. With the session TZ pinned to UTC above, the cast
+            # maps wall-clock → the identical instant DuckDB sees, so
+            # both engines keep computing on the same values.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

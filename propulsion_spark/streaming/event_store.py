@@ -66,6 +66,13 @@ class EventStoreTable:
         self.lease_ttl_s = lease_ttl_s
         self.manifest = JsonManifest(path)
         self._write_lock = threading.Lock()  # in-process writer serialization
+        # per-instance spools for the sync report / append aggregates —
+        # bounded O(streams-per-batch) dirs overwritten per sync, so the
+        # verdict/report never serialize row-per-stream onto the driver
+        # (stale spools of dead writers age out via manifest.vacuum)
+        tag = uuid.uuid4().hex[:12]
+        self._report_spool = os.path.join(path, f"_SPOOL-report-{tag}")
+        self._append_spool = os.path.join(path, f"_SPOOL-append-{tag}")
 
     @contextmanager
     def _commit(self):
@@ -163,47 +170,72 @@ class EventStoreTable:
                 .otherwise(OutcomeKind.OK),
             )
         )
-        # the verdict is one bounded row per stream touched by the batch
-        # (the report the caller receives anyway) — collect it ONCE and do
-        # all control flow driver-side, so a full-duplicate redelivery is
-        # exactly one Spark job: span groupBy + tails join + collect
+        # the verdict is one bounded row per touched stream, but a 100×
+        # catch-up batch can touch millions of streams — so it stays
+        # DISTRIBUTED: persisted for the append + report legs, never
+        # collected. The caller's report is spooled to parquet so it
+        # never references a tails view a later sync retires, and a
+        # full-duplicate redelivery stays cheap (span groupBy + tails
+        # join + the emptiness probe + an O(streams) spool write).
+        verdict = verdict.persist()
         try:
-            vrows = verdict.select("stream_name", "outcome", "tail").collect()
-            writable = [
-                (r.stream_name, r.tail)
-                for r in vrows
-                if r.outcome in (OutcomeKind.OK, OutcomeKind.PARTIAL_DUPLICATE)
-            ]
-            appended_by_stream = self._append_novel(m, batch, writable)
-        finally:
-            batch.unpersist()
-        # report rows built driver-side from the bounded collected verdict:
-        # no extra Spark job, and the result never references a tails view
-        # a later sync retires
-        report_rows = [
-            (
-                r.stream_name,
-                r.outcome,
-                r.tail,
-                appended_by_stream.get(r.stream_name, (0, r.tail))[1],
-                appended_by_stream.get(r.stream_name, (0, r.tail))[0],
+            # materialize the persisted verdict with ONE bounded action —
+            # a per-outcome count (≤4 rows) — instead of probing with
+            # isEmpty()/take(1), whose partial job would leave most
+            # verdict partitions uncached and force the append's
+            # broadcast to recompute the whole classification lineage
+            counts = {
+                r.outcome: r.n
+                for r in verdict.groupBy("outcome")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            writable_n = counts.get(OutcomeKind.OK, 0) + counts.get(
+                OutcomeKind.PARTIAL_DUPLICATE, 0
             )
-            for r in vrows
-        ]
-        return self.spark.createDataFrame(
-            report_rows,
+            writable = verdict.filter(
+                F.col("outcome").isin(OutcomeKind.OK, OutcomeKind.PARTIAL_DUPLICATE)
+            ).select("stream_name", "tail")
+            tail_stats = (
+                self._append_novel(m, batch, writable) if writable_n else None
+            )
+            report = verdict.select(
+                "stream_name", "outcome", F.col("tail").alias("prev_tail")
+            )
+            if tail_stats is not None:
+                report = report.join(tail_stats, "stream_name", "left").select(
+                    "stream_name",
+                    "outcome",
+                    "prev_tail",
+                    F.coalesce("new_tail", "prev_tail").alias("new_tail"),
+                    F.coalesce("appended", F.lit(0)).cast("long").alias("appended"),
+                )
+            else:
+                report = report.select(
+                    "stream_name",
+                    "outcome",
+                    "prev_tail",
+                    F.col("prev_tail").alias("new_tail"),
+                    F.lit(0).cast("long").alias("appended"),
+                )
+            report.write.mode("overwrite").parquet(self._report_spool)
+        finally:
+            verdict.unpersist()
+            batch.unpersist()
+        return self.spark.read.schema(
             "stream_name string, outcome string, prev_tail long, "
-            "new_tail long, appended long",
-        )
+            "new_tail long, appended long"
+        ).parquet(self._report_spool)
 
     def _append_novel(
-        self, m: dict, batch: DataFrame, writable: "list[tuple[str, int]]"
-    ) -> "dict[str, tuple[int, int]]":
+        self, m: dict, batch: DataFrame, writable: DataFrame
+    ) -> "DataFrame | None":
         """Append each writable stream's novel suffix as one bucketed
-        segment + tails delta; returns {stream: (appended, new_tail)}."""
-        if not writable:
-            return {}
-        wdf = self.spark.createDataFrame(writable, "stream_name string, tail long")
+        segment + tails delta; returns the durable per-stream append
+        aggregate ``(stream_name, appended, new_tail)`` (spooled parquet —
+        safe to join after caches are dropped). ``writable``: distributed
+        (stream_name, tail) rows — the caller guarantees ≥1 row (checked
+        against the bounded per-outcome counts, never an isEmpty probe)."""
         # redelivered rows can repeat (stream, idx) inside one batch;
         # appending both copies would corrupt the log permanently.
         # Dedup via a lag window over stream_name — not
@@ -211,10 +243,12 @@ class EventStoreTable:
         # partitioning the downstream groupBy(stream_name) can't reuse —
         # so the append agg rides the window's exchange and the batch
         # shuffles once, not twice. The broadcast join runs first to
-        # shrink the shuffle to writable streams only.
+        # shrink the shuffle to writable streams only. (AQE replaces the
+        # broadcast with a shuffle join once writable outgrows the
+        # threshold — exactly the right call at catch-up scale.)
         dw = Window.partitionBy("stream_name").orderBy("idx")
         novel = (
-            batch.join(F.broadcast(wdf), "stream_name")
+            batch.join(F.broadcast(writable), "stream_name")
             .filter(F.col("idx") >= F.col("tail"))
             .drop("tail")
             .withColumn("_prev_idx", F.lag("idx").over(dw))
@@ -223,19 +257,21 @@ class EventStoreTable:
             .cache()
         )
         try:
-            arows = (
+            # per-stream append aggregate, materialized DISTRIBUTED to a
+            # spool (writable non-empty ⇒ every writable stream has ≥1
+            # novel row, so the spool is non-empty too)
+            (
                 novel.groupBy("stream_name")
                 .agg(
                     F.count("*").alias("appended"),
                     (F.max("idx") + 1).alias("new_tail"),
                 )
-                .collect()
+                .write.mode("overwrite")
+                .parquet(self._append_spool)
             )
-            appended_by_stream = {
-                r.stream_name: (r.appended, r.new_tail) for r in arows
-            }
-            if not appended_by_stream:
-                return {}
+            tail_stats = self.spark.read.schema(
+                "stream_name string, appended long, new_tail long"
+            ).parquet(self._append_spool)
             cols = [f.name for f in self._empty_envelope().schema.fields]
             seg = f"seg-{uuid.uuid4().hex}"
             (
@@ -256,9 +292,8 @@ class EventStoreTable:
             # tails delta rides the same flip: data+tails stay consistent
             # even across a crash between writes and the pointer swap
             tdelta = f"t-{uuid.uuid4().hex}"
-            self.spark.createDataFrame(
-                [(s, t) for s, (_, t) in appended_by_stream.items()],
-                "stream_name string, tail long",
+            tail_stats.select(
+                "stream_name", F.col("new_tail").alias("tail")
             ).write.mode("overwrite").parquet(os.path.join(self.path, tdelta))
             tsegs = m["tails"] + [tdelta]
             if len(tsegs) > self.compact_after:
@@ -274,7 +309,7 @@ class EventStoreTable:
                 )
                 tsegs = [tbase]
             self.manifest.flip({"data": data, "tails": tsegs})
-            return appended_by_stream
+            return tail_stats
         finally:
             novel.unpersist()
 
@@ -327,8 +362,13 @@ class EventStoreTable:
             )
         )
         # materialize before the rewrite retires the segments it reads
-        # (bounded: one row per pruned stream)
-        report = self.spark.createDataFrame(report.collect(), report.schema)
+        # (bounded: one row per pruned stream) — spooled distributed,
+        # never row-per-stream on the driver
+        spool = self._report_spool + "-prune"
+        report.write.mode("overwrite").parquet(spool)
+        report = self.spark.read.schema(
+            "stream_name string, deleted long, remaining long"
+        ).parquet(spool)
         self._rewrite_buckets(m, touched, survivors)
         return report
 

@@ -134,16 +134,44 @@ class FileLease:
 
     def _hb_loop(self) -> None:
         # refresh mtime at 4× the staleness rate so a live holder inside a
-        # long Spark job never looks stale; stop the moment the token is
-        # gone (never refresh a thief's lease into immortality)
+        # long Spark job never looks stale. Two failure modes must NOT
+        # kill the heartbeat (a dead heartbeat silently re-opens the
+        # wrongful-steal window this thread exists to close):
+        # - transient OSErrors (NFS blip): retry next tick;
+        # - a momentarily-absent/foreign token (a racing steal's
+        #   rename→link-restore window): require the mismatch on TWO
+        #   consecutive ticks (fresh open+read each time) before giving
+        #   up, and log when we do — a real thief holds the lock for
+        #   far longer than one tick, a restore round-trip does not.
         assert self._hb_stop is not None
+        misses = 0
         while not self._hb_stop.wait(self.ttl_s / 4):
             try:
-                if self._read_token() != self.token:
+                with open(self.lock_path) as f:
+                    tok = f.read().split(":", 1)[0]
+            except FileNotFoundError:
+                tok = None
+            except OSError:
+                continue  # transient — keep heartbeating
+            if tok != self.token:
+                misses += 1
+                if misses >= 2:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "lease heartbeat for %s stopping: token %s… replaced "
+                        "on two consecutive ticks (lease stolen); the next "
+                        "fenced flip will abort",
+                        self.lock_path,
+                        self.token[:8],
+                    )
                     return
+                continue
+            misses = 0
+            try:
                 os.utime(self.lock_path, None)
             except OSError:
-                return
+                pass  # transient — retry next tick
 
     def _steal_if_stale(self) -> None:
         # fd-coherent observation: fstat + read describe the SAME lease
@@ -177,13 +205,23 @@ class FileLease:
             return
         # A FRESH lease raced in between our read and the rename — restore
         # it atomically iff no newer one has appeared since (os.link fails
-        # with EEXIST rather than clobbering). If the restore loses, the
-        # renamed-away holder's next verify()/fenced flip fails loudly —
-        # fencing, not this steal path, is the correctness backstop.
+        # with EEXIST rather than clobbering). HDFS / DBFS-on-FUSE have no
+        # hard links: fall back to os.replace guarded by a re-check that
+        # no newer lease appeared (a narrow window, acceptable because if
+        # the restore loses or double-restores, the affected holder's next
+        # verify()/fenced flip fails loudly — fencing, not this steal
+        # path, is the correctness backstop).
         try:
             os.link(stolen, self.lock_path)
-        except (FileExistsError, OSError):
-            pass
+        except FileExistsError:
+            pass  # a newer lease beat us; leave it be
+        except OSError:
+            if not os.path.exists(self.lock_path):
+                try:
+                    os.replace(stolen, self.lock_path)
+                    return  # replace consumed the stolen file
+                except OSError:
+                    pass
         try:
             os.unlink(stolen)
         except OSError:
@@ -266,10 +304,16 @@ class JsonManifest:
         Fenced: if a lease is attached, verify its token immediately
         before the pointer swap — a holder whose lease was stolen raises
         :class:`LeaseLostError` here instead of silently overwriting the
-        thief's commit. (The verify→replace window is microseconds with
-        no Spark work inside it; combined with the heartbeat this shrinks
-        the lost-update surface from "any commit longer than ttl" to a
-        scheduler-pause race.)"""
+        thief's commit. The verify→replace pair runs under an
+        ``fcntl.flock`` on a stable ``_FENCE`` file (never renamed by the
+        steal path, auto-released by the kernel on crash), so on local /
+        NFSv4 filesystems no scheduler pause between verify and replace
+        can interleave another flip: a stale holder paused there blocks
+        the thief's flip until its own replace lands, and its verify —
+        serialized under the same flock — already sees the thief's token
+        and aborts. On filesystems without flock semantics this degrades
+        to the previous microseconds-wide window, with the heartbeat
+        still shrinking wrongful steals to full-``ttl_s`` wedges."""
         import shutil
 
         old = self.load(None)
@@ -277,12 +321,30 @@ class JsonManifest:
         with open(tmp, "w") as f:
             f.write(json.dumps(new_value))
         if self.fence is not None:
+            fence_fd = None
             try:
-                self.fence.verify()
-            except LeaseLostError:
-                os.unlink(tmp)
-                raise
-        os.replace(tmp, self.pointer)
+                try:
+                    import fcntl
+
+                    fence_fd = os.open(
+                        os.path.join(self.dir, "_FENCE"), os.O_CREAT | os.O_RDWR
+                    )
+                    fcntl.flock(fence_fd, fcntl.LOCK_EX)
+                except (ImportError, OSError):
+                    if fence_fd is not None:
+                        os.close(fence_fd)
+                    fence_fd = None  # degrade: verify-then-replace
+                try:
+                    self.fence.verify()
+                except LeaseLostError:
+                    os.unlink(tmp)
+                    raise
+                os.replace(tmp, self.pointer)
+            finally:
+                if fence_fd is not None:
+                    os.close(fence_fd)  # releases the flock
+        else:
+            os.replace(tmp, self.pointer)
         gone = (
             self.segments_of(old) - self.segments_of(new_value)
             if old is not None
@@ -315,11 +377,14 @@ class JsonManifest:
             if (
                 entry == base
                 or entry == "_LOCK"
-                or entry.startswith("_LOCK.steal.")
-                or entry == "_SPOOL"
+                or entry == "_FENCE"
                 or entry.startswith(base + ".")
             ):
-                continue  # pointer, lease (+steal tmp), result spool, in-flight tmp
+                continue  # pointer, lease, fence file, in-flight tmp
+            # NOTE: _LOCK.steal.* files (leaked by a crash between a
+            # steal's os.replace and os.unlink) deliberately fall through
+            # to the age-guarded delete below, so they are reclaimed once
+            # older than grace_s instead of accumulating forever.
             if entry in keep:
                 continue
             path = os.path.join(self.dir, entry)

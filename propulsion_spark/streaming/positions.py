@@ -95,13 +95,16 @@ class PositionsTable:
         return _resolve(raw) if len(segs) > 1 else raw
 
     # ---- merge (the MERGE-upsert analog) ----------------------------------
-    def merge(self, updates: DataFrame) -> None:
+    def merge(self, updates: DataFrame, assume_nonempty: bool = False) -> None:
         """Upsert handler outcomes as an O(batch) delta segment; fold the
         log into one base segment every ``compact_after`` merges.
 
         ``updates`` columns: stream_name, pos, revision, malformed.
+        ``assume_nonempty``: skip the emptiness probe when the caller has
+        already proven ≥1 row (e.g. from its own bounded stats aggregate)
+        — saves one Spark job per micro-batch.
         """
-        if updates.isEmpty():
+        if not assume_nonempty and updates.isEmpty():
             return
         with self._commit():
             segs = self._segments()

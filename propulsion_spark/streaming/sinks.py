@@ -320,6 +320,14 @@ class StreamsSink:
         self.require_all = require_all
         self.fast_path = fast_path
         self.stats = SinkStats()
+        # per-sink outcome spool (see process_batch): one dir, overwritten
+        # each batch — bounded; unique per sink instance so two replicas
+        # sharing a positions path never clobber each other's in-flight
+        # spool. Stale spools of dead sinks age out via manifest.vacuum.
+        import os
+        import uuid
+
+        self._spool = os.path.join(positions.path, f"_SPOOL-{uuid.uuid4().hex[:12]}")
 
     @classmethod
     def start_concurrent(
@@ -386,61 +394,67 @@ class StreamsSink:
                 ),
                 OUTCOME_SCHEMA,
             )
-        # The outcome table is bounded (one row per touched stream per
-        # micro-batch): materialize it once, collect it, and drive
-        # progress, stats, and health bookkeeping from the driver — no
-        # cache leaks on executors, no re-invoked handlers if the caller
-        # acts on the returned table, and empty tail-poll batches fall
-        # out of the same path without rewriting positions. The
-        # materializing action is a noop WRITE, not the collect itself:
-        # on a collect query AQE coalesces the handler stage by shuffle
-        # BYTES (tiny here) down to a handful of tasks, serializing the
-        # per-stream Python handlers; the write path keeps the full
-        # shuffle-partition parallelism.
-        outcomes = grouped.cache()
-        try:
-            outcomes.write.format("noop").mode("overwrite").save()
-            rows = outcomes.collect()  # cache hit — no recompute
-        finally:
-            outcomes.unpersist()
-        if not rows:
-            return self.spark.createDataFrame([], OUTCOME_SCHEMA)
-        progressed = [
-            (r.stream_name, r.pos, r.revision, r.malformed)
-            for r in rows
-            if r.pos > r.prev_pos or r.malformed
-        ]
-        if progressed:
+        # The outcome table stays DISTRIBUTED end-to-end: the handler
+        # stage materializes exactly once into a per-sink parquet spool
+        # (a bounded O(streams-per-batch) write, overwritten each batch),
+        # and progress, stats, health, and the returned table all read
+        # from the spool. Why a spool write and not cache/collect:
+        # - the WRITE is the materializing action, so the handler stage
+        #   keeps full shuffle-partition parallelism (a collect query
+        #   lets AQE coalesce by shuffle BYTES — tiny here — serializing
+        #   the per-stream Python handlers);
+        # - a catch-up batch touching millions of streams never
+        #   serializes one row per stream onto the driver — positions
+        #   .merge() receives the outcome DataFrame directly;
+        # - the returned table re-reads the spool, never a retired
+        #   positions snapshot, and never re-invokes handlers;
+        # - driver-side collects are CAPPED: stats aggregate to one row
+        #   per outcome kind, failing-stream health to ≤10k rows.
+        grouped.write.mode("overwrite").parquet(self._spool)
+        outcomes = self.spark.read.schema(OUTCOME_SCHEMA).parquet(self._spool)
+        # ONE bounded control-plane job (a row per outcome kind) carries
+        # stats AND the progressed-count probe, so the happy/redelivery
+        # paths cost exactly two jobs: the spool write + this aggregate.
+        # The positions merge and failing-stream scan only run when the
+        # counts say there is something to merge/record.
+        agg_rows = (
+            outcomes.groupBy("outcome")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("n_events").alias("n_events"),
+                F.sum("n_deduped").alias("n_deduped"),
+                F.max("latency_ms").alias("max_latency_ms"),
+                F.sum("latency_ms").alias("sum_latency_ms"),
+                F.sum(
+                    ((F.col("pos") > F.col("prev_pos")) | F.col("malformed")).cast(
+                        "long"
+                    )
+                ).alias("n_progressed"),
+            )
+            .collect()  # bounded: one row per outcome kind
+        )
+        if sum(r.n_progressed for r in agg_rows):
             self.positions.merge(
-                self.spark.createDataFrame(
-                    progressed,
-                    "stream_name string, pos long, revision long, malformed boolean",
-                )
+                outcomes.filter(
+                    (F.col("pos") > F.col("prev_pos")) | F.col("malformed")
+                ).select("stream_name", "pos", "revision", "malformed"),
+                assume_nonempty=True,
             )
-        agg: dict[str, dict] = {}
-        for r in rows:
-            a = agg.setdefault(
-                r.outcome,
-                {
-                    "outcome": r.outcome,
-                    "n": 0,
-                    "n_events": 0,
-                    "n_deduped": 0,
-                    "max_latency_ms": 0.0,
-                    "sum_latency_ms": 0.0,
-                },
-            )
-            a["n"] += 1
-            a["n_events"] += r.n_events
-            a["n_deduped"] += r.n_deduped
-            a["max_latency_ms"] = max(a["max_latency_ms"], r.latency_ms)
-            a["sum_latency_ms"] += r.latency_ms
-        self.stats.record(list(agg.values()))
+        if agg_rows:
+            self.stats.record([r.asDict() for r in agg_rows])
         _FAILING = (OutcomeKind.EXN, OutcomeKind.TIMEOUT, OutcomeKind.RATE_LIMITED)
-        # driver-side health bookkeeping stays bounded
-        failing = [r.stream_name for r in rows if r.outcome in _FAILING][:10_000]
-        self.stats.record_failures(failing)
-        return self.spark.createDataFrame(rows, OUTCOME_SCHEMA)
+        if any(r.outcome in _FAILING for r in agg_rows):
+            # driver-side health bookkeeping stays bounded (explicit cap)
+            self.stats.record_failures(
+                [
+                    r.stream_name
+                    for r in outcomes.filter(F.col("outcome").isin(*_FAILING))
+                    .select("stream_name")
+                    .limit(10_000)
+                    .collect()
+                ]
+            )
+        return outcomes
 
     # -- streaming lifecycle -------------------------------------------------
     def run_stream(self, stream_df: DataFrame, checkpoint_location: str, **trigger):
@@ -478,11 +492,16 @@ class DeclarativeSink:
         positions: PositionsTable,
         outcome_table_path: str | None = None,
     ):
+        import os
+        import uuid
+
         self.spark = spark
         self.aggs = aggs
         self.positions = positions
         self.outcome_table_path = outcome_table_path
         self.stats = SinkStats()
+        # per-sink outcome spool — see StreamsSink.process_batch
+        self._spool = os.path.join(positions.path, f"_SPOOL-{uuid.uuid4().hex[:12]}")
 
     @classmethod
     def start(cls, spark: SparkSession, aggs, positions_path: str, **kw):
@@ -508,33 +527,41 @@ class DeclarativeSink:
             F.coalesce(F.first("_pos"), F.lit(0)).alias("prev_pos"),
             F.count("*").alias("n_events"),
         )
-        # see StreamsSink.process_batch: one Spark job for the bounded
-        # outcome table, everything else driven from the collected rows
-        # (the returned table must not re-read a retired positions
-        # snapshot; empty batches fall out without a positions rewrite)
+        # see StreamsSink.process_batch: the outcome table stays
+        # distributed — ONE materializing spool write, then progress /
+        # the outcome-table append / the returned table all read the
+        # spool (never a retired positions snapshot), and the only
+        # driver collect is a single aggregate row. A catch-up batch
+        # touching millions of streams never lands row-per-stream on
+        # the driver.
         schema = outcomes.schema
-        rows = outcomes.collect()
-        if not rows:
-            return self.spark.createDataFrame([], schema)
-        result = self.spark.createDataFrame(rows, schema)
-        self.positions.merge(
-            self.spark.createDataFrame(
-                [(r.stream_name, r.pos, 0, False) for r in rows],
-                "stream_name string, pos long, revision long, malformed boolean",
+        outcomes.write.mode("overwrite").parquet(self._spool)
+        result = self.spark.read.schema(schema).parquet(self._spool)
+        tot = result.agg(
+            F.count("*").alias("n"), F.sum("n_events").alias("n_events")
+        ).first()  # bounded control-plane job: one aggregate row
+        if tot.n:
+            self.positions.merge(
+                result.select(
+                    "stream_name",
+                    "pos",
+                    F.lit(0).cast("long").alias("revision"),
+                    F.lit(False).alias("malformed"),
+                ),
+                assume_nonempty=True,
             )
-        )
-        if self.outcome_table_path:
-            result.write.mode("append").parquet(self.outcome_table_path)
-        self.stats.record(
-            [
-                {
-                    "outcome": OutcomeKind.OK,
-                    "n": len(rows),
-                    "n_events": sum(r.n_events or 0 for r in rows),
-                    "n_deduped": 0,
-                }
-            ]
-        )
+            if self.outcome_table_path:
+                result.write.mode("append").parquet(self.outcome_table_path)
+            self.stats.record(
+                [
+                    {
+                        "outcome": OutcomeKind.OK,
+                        "n": tot.n,
+                        "n_events": tot.n_events or 0,
+                        "n_deduped": 0,
+                    }
+                ]
+            )
         return result
 
     def run_stream(self, stream_df: DataFrame, checkpoint_location: str, **trigger):

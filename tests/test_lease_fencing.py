@@ -85,6 +85,78 @@ class TestLeaseFencing:
         assert man.load(None) == ["s1"]
 
 
+class TestHeartbeatResilience:
+    def test_heartbeat_survives_transient_lock_absence(self, tmp_path):
+        """A racing steal's rename→restore window makes the lock vanish
+        for a moment; the heartbeat must NOT give up on one missed tick —
+        after the restore it keeps refreshing and the holder stays safe
+        past ttl_s."""
+        d = str(tmp_path)
+        lock = os.path.join(d, "_LOCK")
+        with FileLease(d, ttl_s=0.8) as a:
+            os.replace(lock, lock + ".steal.test")  # vanish for < 1 tick
+            time.sleep(0.1)
+            os.replace(lock + ".steal.test", lock)  # restored
+            time.sleep(1.6)  # 2× ttl: without a live heartbeat this is stale
+            assert a._hb_thread is not None and a._hb_thread.is_alive()
+            thief = FileLease(d, ttl_s=0.8, timeout_s=0.5)
+            with pytest.raises(TimeoutError):
+                thief.__enter__()
+            a.verify()
+
+    def test_heartbeat_stops_after_confirmed_token_mismatch(self, tmp_path):
+        """A genuinely-replaced token (two consecutive ticks) stops the
+        heartbeat — it must never refresh a thief's lease into
+        immortality."""
+        d = str(tmp_path)
+        lock = os.path.join(d, "_LOCK")
+        with FileLease(d, ttl_s=0.4) as a:
+            with open(lock, "w") as f:
+                f.write("feedfeedfeedfeed:0:0")  # thief's token
+            time.sleep(0.5)  # > 2 ticks (tick = 0.1s)
+            assert a._hb_thread is not None
+            a._hb_thread.join(timeout=2.0)
+            assert not a._hb_thread.is_alive()
+            with pytest.raises(LeaseLostError):
+                a.verify()
+
+
+class TestVacuumDebris:
+    def test_vacuum_reclaims_aged_steal_files(self, tmp_path):
+        """_LOCK.steal.* leaked by a crash mid-steal are deleted once
+        older than grace_s; fresh ones (a steal in flight) survive."""
+        d = str(tmp_path)
+        man = JsonManifest(d)
+        man.flip(["seg-live"])
+        os.makedirs(os.path.join(d, "seg-live"), exist_ok=True)
+        old_steal = os.path.join(d, "_LOCK.steal.deadbeef")
+        new_steal = os.path.join(d, "_LOCK.steal.cafebabe")
+        for p in (old_steal, new_steal):
+            with open(p, "w") as f:
+                f.write("tok:0:0")
+        past = time.time() - 7200
+        os.utime(old_steal, (past, past))
+        removed = man.vacuum(grace_s=3600.0)
+        assert "_LOCK.steal.deadbeef" in removed
+        assert os.path.exists(new_steal)
+        assert os.path.exists(os.path.join(d, "seg-live"))
+
+    def test_vacuum_spares_fence_file(self, tmp_path):
+        d = str(tmp_path)
+        man = JsonManifest(d)
+        lease = FileLease(d)
+        with lease:
+            man.fence = lease
+            man.flip(["seg-a"])  # creates _FENCE under flock
+        past = time.time() - 7200
+        fence = os.path.join(d, "_FENCE")
+        assert os.path.exists(fence)
+        os.utime(fence, (past, past))
+        removed = man.vacuum(grace_s=3600.0)
+        assert "_FENCE" not in removed
+        assert os.path.exists(fence)
+
+
 class TestSlowCommitIntegration:
     def test_slow_commit_with_heartbeat_survives_concurrent_driver(
         self, spark, tmp_path

@@ -1,0 +1,54 @@
+"""The wired LSH parameter rule (VERDICT r2 #3): (L, k) derive from
+corpus size on BOTH engines, buckets stay bounded at any n, and the
+plane budget is never exceeded."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from propulsion_spark.operators.similarity import (
+    MAX_PLANES,
+    P_BIT,
+    RECALL_TARGET,
+    TARGET_BUCKET,
+    active_lsh_params,
+    lsh_params,
+)
+
+
+class TestLshParamsRule:
+    @pytest.mark.parametrize("n", [10, 500, 2_000, 65_536, 1_000_000, 10**9, 10**12])
+    def test_bucket_boundedness_and_plane_budget(self, n):
+        L, k = lsh_params(n)
+        # expected bucket occupancy n / 2^k stays within 2× the target
+        # (ceil rounding) — the O(n · bucket) candidate-join invariant
+        assert n / (1 << k) <= 2 * TARGET_BUCKET
+        assert 1 <= L and 3 <= k
+        assert L * k <= MAX_PLANES
+
+    def test_k_monotonic_in_n(self):
+        ks = [lsh_params(n)[1] for n in (500, 5_000, 50_000, 500_000, 5_000_000)]
+        assert ks == sorted(ks) and ks[-1] > ks[0]
+
+    @pytest.mark.parametrize("n", [500, 2_000, 15_625, 65_536, 1_000_000])
+    def test_sql_rule_matches_python_rule(self, n):
+        """The oracle computes (L, k) in SQL; any drift from the Python
+        rule would hash-mismatch every LSH query — pin equality over a
+        range that includes an exact power-of-two boundary (65_536/256 =
+        2^8)."""
+        k_sql, L_sql = duckdb.sql(
+            f"""
+            SELECT k, greatest(1, least({MAX_PLANES} // k,
+                   CAST(ceil(ln(1 - {RECALL_TARGET}) / ln(1 - power({P_BIT}, k)))
+                        AS INT))) AS L
+            FROM (SELECT greatest(3, CAST(ceil(log2(greatest(2.0,
+                         {n} / {TARGET_BUCKET}.0))) AS INT)) AS k)
+            """
+        ).fetchone()
+        L_py, k_py = lsh_params(n)
+        assert (L_sql, k_sql) == (L_py, k_py)
+
+    def test_active_params_read_from_corpus_metadata(self):
+        # 500-vector corpus → k floors at 3; L from the calibrated p_bit
+        assert active_lsh_params("/root/testdata/sf0.001") == lsh_params(500)

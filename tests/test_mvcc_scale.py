@@ -155,6 +155,91 @@ class TestMultiDriverSafety:
             pass  # stolen from the dead holder
 
 
+class TestDistributedOutcomePath:
+    """VERDICT r2 #1: a micro-batch touching very many DISTINCT streams
+    must not serialize row-per-stream onto the driver — progress feeds
+    positions.merge the outcomes DataFrame directly, and driver collects
+    stay capped (per-outcome-kind stats, ≤10k failing streams, 1-row
+    aggregates). The spy below records every DataFrame.collect row count
+    during a batch and asserts the cap."""
+
+    CAP = 10_000
+
+    def _spy(self, monkeypatch):
+        from pyspark.sql import DataFrame
+
+        sizes: list[int] = []
+        orig = DataFrame.collect
+
+        def spying(df):
+            rows = orig(df)
+            sizes.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(DataFrame, "collect", spying)
+        return sizes
+
+    def _wide(self, spark, n):
+        from pyspark.sql import functions as F
+
+        return spark.range(n).select(
+            F.concat(F.lit("w-"), F.col("id")).alias("stream_name"),
+            F.lit(0).cast("long").alias("idx"),
+            (F.col("id") % 97).cast("double").alias("value"),
+            F.lit(20).cast("long").alias("size"),
+        )
+
+    def test_declarative_sink_25k_streams_capped_collects(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from pyspark.sql import functions as F
+
+        from propulsion_spark.streaming import DeclarativeSink
+
+        n = 25_000
+        wide = self._wide(spark, n)
+        sizes = self._spy(monkeypatch)
+        sink = DeclarativeSink.start(
+            spark, {"total": F.sum("value")}, str(tmp_path / "pos")
+        )
+        out = sink.process_batch(wide)
+        assert max(sizes, default=0) <= self.CAP
+        # the distributed path still recorded full progress + outcomes
+        assert out.count() == n
+        assert sink.positions.read().count() == n
+
+    def test_streams_sink_fastpath_capped_collects(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from propulsion_spark.streaming import StreamsSink
+
+        n = 12_000  # > CAP streams, grouped-pandas handler path
+        wide = self._wide(spark, n)
+        sizes = self._spy(monkeypatch)
+
+        def handle(stream, events):
+            return "ok", int(events["idx"].iloc[-1]) + 1
+
+        sink = StreamsSink.start_concurrent(
+            spark, handle, str(tmp_path / "pos"), fast_path=True
+        )
+        out = sink.process_batch(wide)
+        assert max(sizes, default=0) <= self.CAP
+        assert out.count() == n
+        assert sink.positions.read().count() == n
+
+    def test_event_store_sync_capped_collects(self, spark, tmp_path, monkeypatch):
+        n = 12_000
+        rows = [r for i in range(n) for r in envelope_rows(f"w-{i}", 0, 1)]
+        batch = mk_df(spark, rows)
+        sizes = self._spy(monkeypatch)
+        store = EventStoreTable(spark, str(tmp_path / "es"))
+        report = store.sync(batch)
+        assert max(sizes, default=0) <= self.CAP
+        assert report.count() == n
+        assert store.read_tails().count() == n
+
+
 class TestVacuum:
     def test_vacuum_removes_orphans_keeps_live(self, spark, tmp_path):
         """Crash between segment write and manifest flip leaves an
