@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from propulsion_spark.streaming.mvcc import FileLease, JsonManifest
 from propulsion_spark.streaming.sinks import OutcomeKind
 
-_EMPTY_MANIFEST = {"data": {}, "tails": []}
+_EMPTY_MANIFEST = {"data": {}, "tails": [], "unfold_buckets": []}
 
 
 class EventStoreTable:
@@ -90,9 +90,14 @@ class EventStoreTable:
     def _load(self) -> dict:
         m = self.manifest.load(None)
         if m is None:
-            return {"data": {}, "tails": []}
+            return {"data": {}, "tails": [], "unfold_buckets": []}
         if isinstance(m, list):  # pre-bucketing manifests: flat segment list
-            return {"data": {"0": m}, "tails": []}
+            return {"data": {"0": m}, "tails": [], "unfold_buckets": None}
+        if "unfold_buckets" not in m:
+            # legacy manifest: unknown which buckets hold unfolds — None
+            # makes unfold_compact fall back to one full derivation scan,
+            # after which the set is recorded
+            m = {**m, "unfold_buckets": None}
         return m
 
     def _bucket_col(self) -> F.Column:
@@ -265,12 +270,15 @@ class EventStoreTable:
                 .agg(
                     F.count("*").alias("appended"),
                     (F.max("idx") + 1).alias("new_tail"),
+                    # rides the same aggregate so unfold-bucket tracking
+                    # costs no extra pass over the batch
+                    F.max(F.col("is_unfold").cast("int")).alias("has_unfold"),
                 )
                 .write.mode("overwrite")
                 .parquet(self._append_spool)
             )
             tail_stats = self.spark.read.schema(
-                "stream_name string, appended long, new_tail long"
+                "stream_name string, appended long, new_tail long, has_unfold int"
             ).parquet(self._append_spool)
             cols = [f.name for f in self._empty_envelope().schema.fields]
             seg = f"seg-{uuid.uuid4().hex}"
@@ -308,7 +316,23 @@ class EventStoreTable:
                     .parquet(os.path.join(self.path, tbase))
                 )
                 tsegs = [tbase]
-            self.manifest.flip({"data": data, "tails": tsegs})
+            ub_old = m.get("unfold_buckets")
+            if ub_old is None:
+                new_ub = None  # legacy store: unknown until unfold_compact derives it
+            else:
+                # bounded job over the append spool (≤ n_buckets rows out):
+                # buckets receiving unfold rows this sync join the tracked set
+                touched_ub = {
+                    str(r.b)
+                    for r in tail_stats.filter(F.col("has_unfold") == 1)
+                    .select(self._bucket_col().cast("string").alias("b"))
+                    .distinct()
+                    .collect()
+                }
+                new_ub = sorted(set(ub_old) | touched_ub)
+            self.manifest.flip(
+                {"data": data, "tails": tsegs, "unfold_buckets": new_ub}
+            )
             return tail_stats
         finally:
             novel.unpersist()
@@ -373,11 +397,20 @@ class EventStoreTable:
         return report
 
     def _rewrite_buckets(
-        self, m: dict, buckets: "set[str]", replacement: DataFrame
+        self,
+        m: dict,
+        buckets: "set[str]",
+        replacement: DataFrame,
+        unfold_buckets: "list[str] | None | str" = "keep",
     ) -> None:
         """Replace the segment lists of ``buckets`` with one compacted
         segment holding ``replacement`` (already filtered to those
-        buckets); all other buckets' segments are untouched."""
+        buckets); all other buckets' segments are untouched.
+
+        ``unfold_buckets``: the tracked unfold-bearing set to record —
+        default ``"keep"`` preserves the manifest's current set (always
+        a safe superset: prune/compact never ADD unfold rows to a
+        bucket); unfold_compact passes the exact recomputed set."""
         cols = [f.name for f in self._empty_envelope().schema.fields]
         seg = f"seg-{uuid.uuid4().hex}"
         (
@@ -393,7 +426,8 @@ class EventStoreTable:
         for d in os.listdir(seg_dir):
             if d.startswith("bucket="):
                 data.setdefault(d.split("=", 1)[1], []).append(f"{seg}/{d}")
-        self.manifest.flip({"data": data, "tails": m["tails"]})
+        ub = m.get("unfold_buckets") if unfold_buckets == "keep" else unfold_buckets
+        self.manifest.flip({"data": data, "tails": m["tails"], "unfold_buckets": ub})
 
     def compact_bucket(self, bucket: str) -> None:
         """Fold one bucket's segment list into a single segment — the
@@ -406,20 +440,28 @@ class EventStoreTable:
 
     def unfold_compact(self) -> None:
         """Keep only the freshest unfold set per (stream, event_type)
-        (ref: Streams.fs:143-147) — run opportunistically. Rewrites only
-        buckets that actually hold unfold rows."""
+        (ref: Streams.fs:143-147) — run opportunistically. OPENS only
+        the buckets the manifest tracks as unfold-bearing (recorded at
+        append time from the same aggregate that maintains the tails),
+        so the invocation cost is O(unfold buckets), never a full-store
+        scan; a legacy manifest without the tracked set pays one
+        derivation scan and records it for every later run."""
         with self._commit():
             m = self._load()
-            touched = {
-                str(r.b)
-                for r in self.read()
-                .filter(F.col("is_unfold"))
-                .select(self._bucket_col().cast("string").alias("b"))
-                .distinct()
-                .collect()
-            }
-            touched &= set(m["data"])
+            ub = m.get("unfold_buckets")
+            if ub is None:  # legacy store: derive once, record below
+                ub = [
+                    str(r.b)
+                    for r in self.read()
+                    .filter(F.col("is_unfold"))
+                    .select(self._bucket_col().cast("string").alias("b"))
+                    .distinct()
+                    .collect()
+                ]
+            touched = set(ub) & set(m["data"])
             if not touched:
+                if m.get("unfold_buckets") is None:
+                    self.manifest.flip({**m, "unfold_buckets": sorted(touched)})
                 return
             current = self.read(buckets=touched)
             w = Window.partitionBy("stream_name", "event_type").orderBy(
@@ -432,4 +474,8 @@ class EventStoreTable:
                 .filter(F.col("rn") == 1)
                 .drop("rn")
             )
-            self._rewrite_buckets(m, touched, events.unionByName(unfolds))
+            # the compacted buckets still hold (exactly the freshest)
+            # unfolds — the tracked set is precisely `touched` afterwards
+            self._rewrite_buckets(
+                m, touched, events.unionByName(unfolds), unfold_buckets=sorted(touched)
+            )

@@ -91,3 +91,46 @@ class TestPruner:
         store.unfold_compact()
         kept = [r for r in store.read().collect() if r.is_unfold]
         assert len(kept) == 1 and kept[0].idx == 4
+
+    def test_unfold_compact_opens_only_tracked_buckets(self, spark, tmp_path):
+        """VERDICT r2 #4: unfold-bearing buckets are recorded in the
+        manifest at append time, so unfold_compact never scans the full
+        store — its reads touch ONLY buckets that hold unfold rows."""
+        from propulsion_spark.streaming.event_store import EventStoreTable
+
+        store = EventStoreTable(spark, str(tmp_path / "es"), n_buckets=16)
+        # many unfold-free streams spread across buckets...
+        for i in range(8):
+            store.sync(mk_df(spark, envelope_rows(f"plain-{i}", 0, 5)))
+        # ...plus one stream with an unfold
+        rows = envelope_rows("snappy", 0, 2)
+        unf = envelope_rows("snappy", 2, 1)
+        unf[0]["is_unfold"] = True
+        unf[0]["event_type"] = "snapshot"
+        store.sync(mk_df(spark, rows + unf))
+        m = store._load()
+        unfold_b = {
+            str(r.b)
+            for r in spark.createDataFrame([("snappy",)], "stream_name string")
+            .select(store._bucket_col().cast("string").alias("b"))
+            .collect()
+        }
+        assert m["unfold_buckets"] == sorted(unfold_b)
+        # spy on _data_paths: every read during unfold_compact must be
+        # bucket-restricted to the tracked set (no buckets=None scan)
+        seen: list = []
+        orig = store._data_paths
+
+        def spy(m_, buckets=None):
+            seen.append(buckets)
+            return orig(m_, buckets)
+
+        store._data_paths = spy
+        store.unfold_compact()
+        assert seen, "unfold_compact read nothing"
+        for b in seen:
+            assert b is not None and set(b) <= unfold_b
+        # freshest unfold retained, tracked set unchanged afterwards
+        kept = [r for r in store.read().collect() if r.is_unfold]
+        assert len(kept) == 1
+        assert store._load()["unfold_buckets"] == sorted(unfold_b)
