@@ -131,6 +131,38 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         )
         q.awaitTermination(600)
         timings["pipeline_e2e_availablenow"] = round(time.time() - t0, 3)
+
+        # stateful span kernel: gapped spans buffered across micro-batches,
+        # then filled, then redelivered — the requireAll-with-memory path
+        # (applyInPandasWithState) whose per-batch cost the bench tracks
+        # like the stateless sinks'. Three 1-file triggers: batch 1 buffers
+        # every stream's gapped suffix, batch 2 fills the gaps (dispatch),
+        # batch 3 full-duplicate redelivery (state-hit dedup).
+        from propulsion_spark.envelope import STREAM_EVENT_SCHEMA
+        from propulsion_spark.streaming.state_kernel import stateful_stream
+
+        cols = [f.name for f in STREAM_EVENT_SCHEMA.fields]
+        sub = envelope.filter(F.col("user_id") % 10 == 0).select(*cols)
+        indir = f"{tmp}/skin"
+        sub.filter(F.col("idx") % 3 != 1).coalesce(1).write.mode("append").parquet(indir)
+        fills = sub.filter(F.col("idx") % 3 == 1).coalesce(1)
+        fills.write.mode("append").parquet(indir)
+        fills.write.mode("append").parquet(indir)  # redelivery batch
+        outcomes = stateful_stream(
+            spark.readStream.schema(STREAM_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir),
+            handle,
+        )
+        t0 = time.time()
+        q = (
+            outcomes.writeStream.format("noop")
+            .option("checkpointLocation", f"{tmp}/skck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        timings["pipeline_state_kernel_gapped"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings
