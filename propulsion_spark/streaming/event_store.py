@@ -49,6 +49,12 @@ from propulsion_spark.streaming.sinks import OutcomeKind
 
 _EMPTY_MANIFEST = {"data": {}, "tails": [], "unfold_buckets": []}
 
+# below this many touched streams per sync, the verdict/report are
+# handled driver-side (one probe job — r2's single-job redelivery
+# shape); above it everything stays distributed and the report spools.
+# The cap bounds driver memory regardless of batch stream cardinality.
+DRIVER_REPORT_CAP = 10_000
+
 
 class EventStoreTable:
     def __init__(
@@ -175,20 +181,25 @@ class EventStoreTable:
                 .otherwise(OutcomeKind.OK),
             )
         )
-        # the verdict is one bounded row per touched stream, but a 100×
-        # catch-up batch can touch millions of streams — so it stays
-        # DISTRIBUTED: persisted for the append + report legs, never
-        # collected. The caller's report is spooled to parquet so it
-        # never references a tails view a later sync retires, and a
-        # full-duplicate redelivery stays cheap (span groupBy + tails
-        # join + the emptiness probe + an O(streams) spool write).
+        # the verdict is one bounded row per touched stream. Two report
+        # paths, picked by ONE probe job:
+        # - ≤ DRIVER_REPORT_CAP streams (the steady-state micro-batch):
+        #   the probe already collected every verdict row, so control
+        #   flow and the report are built driver-side — a full-duplicate
+        #   redelivery costs exactly one Spark job, same as r2;
+        # - above the cap (a 100× catch-up batch): the verdict stays
+        #   DISTRIBUTED — per-outcome counts materialize the persisted
+        #   rows, the append receives the writable rows as a DataFrame,
+        #   and the report is spooled to parquet so it never references
+        #   a tails view a later sync retires. Driver memory stays O(cap).
         verdict = verdict.persist()
         try:
-            # materialize the persisted verdict with ONE bounded action —
-            # a per-outcome count (≤4 rows) — instead of probing with
-            # isEmpty()/take(1), whose partial job would leave most
-            # verdict partitions uncached and force the append's
-            # broadcast to recompute the whole classification lineage
+            probe = verdict.limit(DRIVER_REPORT_CAP + 1).collect()
+            if len(probe) <= DRIVER_REPORT_CAP:
+                return self._report_small(m, batch, probe)
+            # cap exceeded → distributed path; one bounded aggregate
+            # fully materializes the persisted verdict (the probe's
+            # limit job may have computed only a prefix of it)
             counts = {
                 r.outcome: r.n
                 for r in verdict.groupBy("outcome")
@@ -231,6 +242,42 @@ class EventStoreTable:
             "stream_name string, outcome string, prev_tail long, "
             "new_tail long, appended long"
         ).parquet(self._report_spool)
+
+    def _report_small(self, m: dict, batch: DataFrame, vrows: list) -> DataFrame:
+        """Below-cap sync: verdict rows are already on the driver; feed
+        the append a tiny local writable relation and assemble the report
+        without touching the cluster again."""
+        writable = [
+            (r.stream_name, r.tail)
+            for r in vrows
+            if r.outcome in (OutcomeKind.OK, OutcomeKind.PARTIAL_DUPLICATE)
+        ]
+        appended_by_stream: dict = {}
+        if writable:
+            tail_stats = self._append_novel(
+                m,
+                batch,
+                self.spark.createDataFrame(writable, "stream_name string, tail long"),
+            )
+            appended_by_stream = {
+                r.stream_name: (r.appended, r.new_tail)
+                for r in tail_stats.collect()  # ≤ cap rows, from the spool
+            }
+        report_rows = [
+            (
+                r.stream_name,
+                r.outcome,
+                r.tail,
+                appended_by_stream.get(r.stream_name, (0, r.tail))[1],
+                appended_by_stream.get(r.stream_name, (0, r.tail))[0],
+            )
+            for r in vrows
+        ]
+        return self.spark.createDataFrame(
+            report_rows,
+            "stream_name string, outcome string, prev_tail long, "
+            "new_tail long, appended long",
+        )
 
     def _append_novel(
         self, m: dict, batch: DataFrame, writable: DataFrame

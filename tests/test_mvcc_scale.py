@@ -160,10 +160,13 @@ class TestDistributedOutcomePath:
     must not serialize row-per-stream onto the driver — progress feeds
     positions.merge the outcomes DataFrame directly, and driver collects
     stay capped (per-outcome-kind stats, ≤10k failing streams, 1-row
-    aggregates). The spy below records every DataFrame.collect row count
-    during a batch and asserts the cap."""
+    aggregates, and the event store's DRIVER_REPORT_CAP+1 path probe).
+    The spy below records every DataFrame.collect row count during a
+    batch and asserts the cap."""
 
-    CAP = 10_000
+    from propulsion_spark.streaming.event_store import DRIVER_REPORT_CAP
+
+    CAP = DRIVER_REPORT_CAP + 1
 
     def _spy(self, monkeypatch):
         from pyspark.sql import DataFrame

@@ -265,7 +265,9 @@ def main() -> int:
 
     record("sink_100k_streams_distributed", engine_wide, timed2(baseline_wide))
     results["sink_100k_streams_distributed"]["max_collect_rows"] = max_collect
-    collect_cap_ok = max_collect <= 10_000
+    from propulsion_spark.streaming.event_store import DRIVER_REPORT_CAP
+
+    collect_cap_ok = max_collect <= DRIVER_REPORT_CAP + 1
 
     shutil.rmtree(tmp, ignore_errors=True)
     worst = max(r["ratio"] for r in results.values())
