@@ -42,6 +42,8 @@ HEADLINE = [
     "lsh_bucket_stats_scaled",
     "multimodal_frame_sample",
     "multimodal_envelope",
+    "asof_join_orders",
+    "range_join_events_1h",
 ]
 
 

@@ -40,6 +40,7 @@ def load_all() -> dict[str, EngineQuery]:
         queries,
         similarity,
         textops,
+        timeseries,
         windows,
     )
 
