@@ -44,6 +44,7 @@ HEADLINE = [
     "multimodal_envelope",
     "asof_join_orders",
     "range_join_events_1h",
+    "sketch_distinct_kmv",
 ]
 
 

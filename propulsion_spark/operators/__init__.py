@@ -39,6 +39,7 @@ def load_all() -> dict[str, EngineQuery]:
         multimodal,
         queries,
         similarity,
+        sketches,
         textops,
         timeseries,
         windows,

@@ -72,13 +72,19 @@ class EventStoreTable:
         self.lease_ttl_s = lease_ttl_s
         self.manifest = JsonManifest(path)
         self._write_lock = threading.Lock()  # in-process writer serialization
-        # per-instance spools for the sync report / append aggregates —
-        # bounded O(streams-per-batch) dirs overwritten per sync, so the
-        # verdict/report never serialize row-per-stream onto the driver
-        # (stale spools of dead writers age out via manifest.vacuum)
-        tag = uuid.uuid4().hex[:12]
-        self._report_spool = os.path.join(path, f"_SPOOL-report-{tag}")
-        self._append_spool = os.path.join(path, f"_SPOOL-append-{tag}")
+        # spools for the sync report / append aggregates — bounded
+        # O(streams-per-batch) dirs, so the verdict/report never
+        # serialize row-per-stream onto the driver. The report spool
+        # ROTATES per sync (the previous sync's returned report must
+        # stay readable while the next sync runs); the append spool is
+        # only read inside the lock-serialized sync, so one fixed dir
+        # suffices. Stale spools of dead writers age out via vacuum.
+        from propulsion_spark.streaming.sinks import _SpoolRotation
+
+        self._report_spool = _SpoolRotation(path, keep=2)
+        self._append_spool = os.path.join(
+            path, f"_SPOOL-append-{uuid.uuid4().hex[:12]}"
+        )
 
     @contextmanager
     def _commit(self):
@@ -234,14 +240,15 @@ class EventStoreTable:
                     F.col("prev_tail").alias("new_tail"),
                     F.lit(0).cast("long").alias("appended"),
                 )
-            report.write.mode("overwrite").parquet(self._report_spool)
+            spool = self._report_spool.next()
+            report.write.mode("overwrite").parquet(spool)
         finally:
             verdict.unpersist()
             batch.unpersist()
         return self.spark.read.schema(
             "stream_name string, outcome string, prev_tail long, "
             "new_tail long, appended long"
-        ).parquet(self._report_spool)
+        ).parquet(spool)
 
     def _report_small(self, m: dict, batch: DataFrame, vrows: list) -> DataFrame:
         """Below-cap sync: verdict rows are already on the driver; feed
@@ -435,7 +442,7 @@ class EventStoreTable:
         # materialize before the rewrite retires the segments it reads
         # (bounded: one row per pruned stream) — spooled distributed,
         # never row-per-stream on the driver
-        spool = self._report_spool + "-prune"
+        spool = self._report_spool.next()
         report.write.mode("overwrite").parquet(spool)
         report = self.spark.read.schema(
             "stream_name string, deleted long, remaining long"

@@ -188,6 +188,44 @@ def _make_grouped_handler(
     return process
 
 
+class _SpoolRotation:
+    """Per-call outcome-spool directories with bounded retention.
+
+    One spool dir per ``next()`` call — REQUIRED for correctness, not
+    hygiene: concurrent tranche pumps share one sink and call
+    process_batch from several threads, and two overwrite-writes into a
+    shared dir race (one commit deletes the other's ``_temporary`` task
+    files mid-write). A rotation also keeps the PREVIOUS batch's
+    returned outcome table readable while the next batch runs. The
+    newest ``keep`` spools survive; older ones are deleted eagerly, and
+    spools of dead sinks age out via manifest.vacuum."""
+
+    def __init__(self, base_dir: str, keep: int = 4):
+        import collections
+        import os
+        import threading
+        import uuid
+
+        self._base = os.path.join(base_dir, f"_SPOOL-{uuid.uuid4().hex[:12]}")
+        self._keep = keep
+        self._recent: "collections.deque[str]" = collections.deque()
+        self._lock = threading.Lock()
+
+    def next(self) -> str:
+        import shutil
+        import uuid
+
+        path = f"{self._base}-{uuid.uuid4().hex[:8]}"
+        drop = None
+        with self._lock:
+            self._recent.append(path)
+            if len(self._recent) > self._keep:
+                drop = self._recent.popleft()
+        if drop is not None:
+            shutil.rmtree(drop, ignore_errors=True)
+        return path
+
+
 @dataclass
 class SinkStats:
     """Outcome/latency accumulation (ref: Scheduling.Stats,
@@ -320,14 +358,7 @@ class StreamsSink:
         self.require_all = require_all
         self.fast_path = fast_path
         self.stats = SinkStats()
-        # per-sink outcome spool (see process_batch): one dir, overwritten
-        # each batch — bounded; unique per sink instance so two replicas
-        # sharing a positions path never clobber each other's in-flight
-        # spool. Stale spools of dead sinks age out via manifest.vacuum.
-        import os
-        import uuid
-
-        self._spool = os.path.join(positions.path, f"_SPOOL-{uuid.uuid4().hex[:12]}")
+        self._spool = _SpoolRotation(positions.path)
 
     @classmethod
     def start_concurrent(
@@ -410,8 +441,9 @@ class StreamsSink:
         #   positions snapshot, and never re-invokes handlers;
         # - driver-side collects are CAPPED: stats aggregate to one row
         #   per outcome kind, failing-stream health to ≤10k rows.
-        grouped.write.mode("overwrite").parquet(self._spool)
-        outcomes = self.spark.read.schema(OUTCOME_SCHEMA).parquet(self._spool)
+        spool = self._spool.next()
+        grouped.write.mode("overwrite").parquet(spool)
+        outcomes = self.spark.read.schema(OUTCOME_SCHEMA).parquet(spool)
         # ONE bounded control-plane job (a row per outcome kind) carries
         # stats AND the progressed-count probe, so the happy/redelivery
         # paths cost exactly two jobs: the spool write + this aggregate.
@@ -502,16 +534,12 @@ class DeclarativeSink:
         positions: PositionsTable,
         outcome_table_path: str | None = None,
     ):
-        import os
-        import uuid
-
         self.spark = spark
         self.aggs = aggs
         self.positions = positions
         self.outcome_table_path = outcome_table_path
         self.stats = SinkStats()
-        # per-sink outcome spool — see StreamsSink.process_batch
-        self._spool = os.path.join(positions.path, f"_SPOOL-{uuid.uuid4().hex[:12]}")
+        self._spool = _SpoolRotation(positions.path)
 
     @classmethod
     def start(cls, spark: SparkSession, aggs, positions_path: str, **kw):
@@ -545,8 +573,9 @@ class DeclarativeSink:
         # touching millions of streams never lands row-per-stream on
         # the driver.
         schema = outcomes.schema
-        outcomes.write.mode("overwrite").parquet(self._spool)
-        result = self.spark.read.schema(schema).parquet(self._spool)
+        spool = self._spool.next()
+        outcomes.write.mode("overwrite").parquet(spool)
+        result = self.spark.read.schema(schema).parquet(spool)
         tot = result.agg(
             F.count("*").alias("n"), F.sum("n_events").alias("n_events")
         ).first()  # bounded control-plane job: one aggregate row
