@@ -441,8 +441,22 @@ class StreamsSink:
         #   positions snapshot, and never re-invokes handlers;
         # - driver-side collects are CAPPED: stats aggregate to one row
         #   per outcome kind, failing-stream health to ≤10k rows.
+        # The spool write goes through a short-lived cache: the handler
+        # stage's cost is per-GROUP Python work, which AQE's bytes-based
+        # partition coalescing cannot see — writing the raw plan lets
+        # AQE fold the (tiny) shuffle to 1-3 tasks and SERIALIZE
+        # thousands of per-stream handlers (measured 32 tasks → 3,
+        # 1.9 s → 4.9 s at sf0.1). A cached plan keeps its partitioning
+        # (canChangeCachedPlanOutputPartitioning default), so the write
+        # materializes at full parallelism; the cache is dropped as soon
+        # as the spool is durable, and everything downstream reads the
+        # spool. Cache size is bounded: one outcome row per stream.
         spool = self._spool.next()
-        grouped.write.mode("overwrite").parquet(spool)
+        outcomes_src = grouped.cache()
+        try:
+            outcomes_src.write.mode("overwrite").parquet(spool)
+        finally:
+            outcomes_src.unpersist()
         outcomes = self.spark.read.schema(OUTCOME_SCHEMA).parquet(spool)
         # ONE bounded control-plane job (a row per outcome kind) carries
         # stats AND the progressed-count probe, so the happy/redelivery
