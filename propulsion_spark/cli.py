@@ -218,6 +218,45 @@ def cmd_checkpoint(args) -> int:
     return 0
 
 
+def cmd_queries(args) -> int:
+    """List every registered query (name + one-line doc)."""
+    from propulsion_spark.operators import load_all
+
+    registry = load_all()
+    out = {
+        name: (q.doc.split(". ")[0] if q.doc else "")
+        for name, q in sorted(registry.items())
+    }
+    print(json.dumps({"n": len(out), "queries": out}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    """Run one registered query against a fixture dir; print rows as
+    JSON lines (bounded by --limit) or write the full result to
+    --out as parquet — the ad-hoc face of the same registry the
+    driver's correctness gate verifies."""
+    from propulsion_spark import get_spark
+    from propulsion_spark.operators import load_all
+
+    registry = load_all()
+    if args.name not in registry:
+        print(json.dumps({"error": f"unknown query {args.name!r}",
+                          "available": sorted(registry)}))
+        return 2
+    spark = get_spark("propulsion-query")
+    df = registry[args.name].build(spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"query": args.name, "out": args.out}))
+    else:
+        rows = df.limit(args.limit).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+    spark.stop()
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     """Remove orphaned MVCC segments (crashed commits) past the grace
     age — the Delta VACUUM analog for the store/positions layouts."""
@@ -274,6 +313,16 @@ def main(argv=None) -> int:
     va.add_argument("--path", required=True)
     va.add_argument("--grace-s", type=float, default=3600.0)
     va.set_defaults(fn=cmd_vacuum)
+
+    qs = sub.add_parser("queries", help="list registered queries")
+    qs.set_defaults(fn=cmd_queries)
+
+    qr = sub.add_parser("query", help="run a registered query")
+    qr.add_argument("name")
+    qr.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    qr.add_argument("--limit", type=int, default=20)
+    qr.add_argument("--out", help="write full result as parquet instead")
+    qr.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

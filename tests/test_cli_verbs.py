@@ -21,3 +21,41 @@ class TestInitIndex:
         assert first["verdicts"] == {"appended": 15}
         again = run_cli("index", "--store", f"{tmp_path}/store", "--index", f"{tmp_path}/index")
         assert again["verdicts"] == {"discarded": 15}  # exactly-once
+
+
+class TestQueryVerbs:
+    def test_queries_lists_full_registry(self):
+        rep = run_cli("queries")
+        assert rep["n"] >= 57
+        assert "pricing_summary" in rep["queries"]
+        assert "asof_join_orders" in rep["queries"]
+
+    def test_query_runs_and_writes_parquet(self, tmp_path):
+        import json as _json
+        import subprocess
+        import sys
+
+        proc = subprocess.run(
+            [sys.executable, "-m", "propulsion_spark.cli", "query",
+             "text_lang_stats", "--limit", "3"],
+            capture_output=True, text=True, timeout=240, cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        assert 1 <= len(lines) <= 3
+        assert "lang" in _json.loads(lines[0])
+        rep = run_cli(
+            "query", "text_lang_stats", "--out", str(tmp_path / "out")
+        )
+        assert rep["out"] == str(tmp_path / "out")
+
+    def test_query_unknown_name_errors(self):
+        import subprocess
+        import sys
+
+        proc = subprocess.run(
+            [sys.executable, "-m", "propulsion_spark.cli", "query", "nope"],
+            capture_output=True, text=True, timeout=120, cwd="/root/repo",
+        )
+        assert proc.returncode == 2
+        assert "unknown query" in proc.stdout
