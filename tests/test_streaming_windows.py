@@ -108,3 +108,47 @@ class TestTumblingStream:
         rows = spark.sql(f"SELECT * FROM {name} WHERE window_start = timestamp '2024-01-01 00:00:00'").collect()
         assert len(rows) == 1 and rows[0].n == 3  # late row never re-opened hour 0
         q.stop()
+
+
+class TestAsofEnrichStream:
+    def test_streamed_asof_matches_batch_operator(self, spark, tmp_path):
+        """Drive micro-batches through the foreachBatch as-of enricher
+        and assert the accumulated output equals the batch operator run
+        over the same events — the twin contract."""
+        from propulsion_spark.operators.timeseries import q_asof_join_orders
+        from propulsion_spark.streaming.windows import asof_enrich_foreach_batch
+        from propulsion_spark import load_table
+
+        sf = "/root/testdata/sf0.001"
+        events = load_table(spark, sf, "events").select("event_id", "ts", "user_id")
+        orders = load_table(spark, sf, "orders")
+        indir, out = str(tmp_path / "in"), str(tmp_path / "out")
+        os.makedirs(indir)
+        # split events into 3 files → 3 micro-batches
+        for bucket in range(3):
+            events.filter(events.event_id % 3 == bucket).coalesce(1).write.mode(
+                "append"
+            ).parquet(indir)
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                asof_enrich_foreach_batch(orders, out)
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            r.event_id: (r.o_orderkey, r.o_totalprice)
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            r.event_id: (r.o_orderkey, r.o_totalprice)
+            for r in q_asof_join_orders(spark, sf).collect()
+        }
+        assert got == want
