@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_buckets",
     "text_metrics",
+    "text_repetition",
     "similarity_topk_bruteforce",
     "similarity_lsh_topk",
     "lsh_bucket_stats",

@@ -238,3 +238,52 @@ def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+# --------------------------------------------------- repetition filter
+REP_THRESHOLD = 0.5  # dup-trigram fraction above which a doc is "repetitive"
+
+
+@register(
+    "text_repetition",
+    f"""
+SELECT doc_id,
+       CAST(len(tg) AS BIGINT) AS n_trigrams,
+       CAST(len(list_distinct(tg)) AS BIGINT) AS n_distinct_trigrams,
+       1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg) AS dup_trigram_frac,
+       (1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)) > {REP_THRESHOLD}
+           AS repetitive
+FROM (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) AS tg
+  FROM documents
+)
+""",
+    doc=f"Repetition quality signal (the Gopher-style duplicate-n-gram "
+    "filter): per document, the fraction of word trigrams that are "
+    f"repeats; docs above {REP_THRESHOLD} are flagged. Map-only array "
+    "HOFs inside whole-stage codegen — no explode, no shuffle; the "
+    "integer-ratio arithmetic is bit-identical across engines.",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tg = (
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({tg})").cast("long").alias("n_trigrams"),
+        F.expr(f"size(array_distinct({tg}))").cast("long").alias(
+            "n_distinct_trigrams"
+        ),
+        F.expr(
+            f"1.0D - cast(size(array_distinct({tg})) as double) / size({tg})"
+        ).alias("dup_trigram_frac"),
+        F.expr(
+            f"(1.0D - cast(size(array_distinct({tg})) as double) / size({tg}))"
+            f" > {REP_THRESHOLD}"
+        ).alias("repetitive"),
+    )
