@@ -287,3 +287,50 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" > {REP_THRESHOLD}"
         ).alias("repetitive"),
     )
+
+
+# --------------------------------------------------- reproducible splits
+TRAIN_PCT, VAL_PCT = 80, 10  # remainder → test
+
+
+@register(
+    "corpus_split_assign",
+    f"""
+SELECT source, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT source, n_chars,
+         CASE WHEN b < {TRAIN_PCT} THEN 'train'
+              WHEN b < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT source, n_chars,
+           {DUCK_H64.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS b
+    FROM documents
+  )
+)
+GROUP BY source, split
+""",
+    doc=f"Reproducible train/val/test assignment ({TRAIN_PCT}/{VAL_PCT}/"
+    f"{100 - TRAIN_PCT - VAL_PCT}) by md5(doc_id) hash range — the split "
+    "is a pure function of the document id, so it is stable across "
+    "engines, runs, repartitions, and corpus growth (a new doc never "
+    "moves an old one between splits). One map-only scan + rollup.",
+)
+def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.expr(SPARK_H64.format(x="cast(doc_id as string)")) % 100
+    split = (
+        F.when(b < TRAIN_PCT, "train")
+        .when(b < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
