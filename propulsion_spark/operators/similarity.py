@@ -382,9 +382,12 @@ params AS (
   SELECT k, greatest(1, least({MAX_PLANES} // k,
          CAST(ceil(ln(1 - {RECALL_TARGET}) / ln(1 - power({P_BIT}, k))) AS INT))) AS L
   FROM (
-    SELECT greatest(3, CAST(ceil(log2(greatest(2.0, {n_expr} / {TARGET_BUCKET}.0)))
+    -- the max() collapse guarantees ONE params row for a literal
+    -- n_expr too (a bare SELECT <literal> FROM embeddings yields one
+    -- row per embedding, and the later cross joins would multiply)
+    SELECT greatest(3, CAST(ceil(log2(greatest(2.0, n / {TARGET_BUCKET}.0)))
                         AS INT)) AS k
-    FROM embeddings
+    FROM (SELECT max(n) AS n FROM (SELECT {n_expr} AS n FROM embeddings))
   )
 ),
 planes AS (

@@ -242,6 +242,10 @@ class EventStoreTable:
                 )
             spool = self._report_spool.next()
             report.write.mode("overwrite").parquet(spool)
+            # retained by the rotation (keep=2) so the returned report
+            # outlives the next sync; a failed write leaves the spool
+            # in-flight, where only vacuum's age guard reclaims it
+            self._report_spool.done(spool)
         finally:
             verdict.unpersist()
             batch.unpersist()
@@ -444,6 +448,7 @@ class EventStoreTable:
         # never row-per-stream on the driver
         spool = self._report_spool.next()
         report.write.mode("overwrite").parquet(spool)
+        self._report_spool.done(spool)
         report = self.spark.read.schema(
             "stream_name string, deleted long, remaining long"
         ).parquet(spool)

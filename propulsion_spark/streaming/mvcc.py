@@ -385,6 +385,10 @@ class JsonManifest:
             # steal's os.replace and os.unlink) deliberately fall through
             # to the age-guarded delete below, so they are reclaimed once
             # older than grace_s instead of accumulating forever.
+            # _SPOOL-* dirs fall through too: LIVE sinks refresh their
+            # retained spools' mtimes on every batch (_SpoolRotation.next),
+            # keeping them inside the grace window; spools of DEAD sinks
+            # stop being refreshed and age out here.
             if entry in keep:
                 continue
             path = os.path.join(self.dir, entry)

@@ -196,9 +196,17 @@ class _SpoolRotation:
     process_batch from several threads, and two overwrite-writes into a
     shared dir race (one commit deletes the other's ``_temporary`` task
     files mid-write). A rotation also keeps the PREVIOUS batch's
-    returned outcome table readable while the next batch runs. The
-    newest ``keep`` spools survive; older ones are deleted eagerly, and
-    spools of dead sinks age out via manifest.vacuum."""
+    returned outcome table readable while the next batch runs.
+
+    Retention is COMPLETION-ordered, not creation-ordered: an in-flight
+    batch's spool is never deleted however many faster batches overlap
+    it (creation-order pruning would rmtree a slow tranche's spool out
+    from under its own write). ``done()`` moves a spool to the retained
+    set; only retained spools beyond ``keep`` are deleted. ``next()``
+    refreshes retained spools' mtimes so an operator-run
+    ``manifest.vacuum`` (which knows nothing of live sinks) never
+    age-collects an active sink's retention window; spools of DEAD
+    sinks stop being refreshed and age out through that same vacuum."""
 
     def __init__(self, base_dir: str, keep: int = 4):
         import collections
@@ -208,22 +216,39 @@ class _SpoolRotation:
 
         self._base = os.path.join(base_dir, f"_SPOOL-{uuid.uuid4().hex[:12]}")
         self._keep = keep
-        self._recent: "collections.deque[str]" = collections.deque()
+        self._inflight: "set[str]" = set()
+        self._done: "collections.deque[str]" = collections.deque()
         self._lock = threading.Lock()
 
     def next(self) -> str:
-        import shutil
+        import os
         import uuid
 
         path = f"{self._base}-{uuid.uuid4().hex[:8]}"
+        with self._lock:
+            self._inflight.add(path)
+            retained = list(self._done)
+        for p in retained:  # keep live retention out of vacuum's age window
+            try:
+                os.utime(p, None)
+            except OSError:
+                pass
+        return path
+
+    def done(self, path: str) -> None:
+        """The batch that owns ``path`` has finished writing AND reading
+        it (the returned DataFrame may still read it — the newest
+        ``keep`` completed spools stay on disk for exactly that)."""
+        import shutil
+
         drop = None
         with self._lock:
-            self._recent.append(path)
-            if len(self._recent) > self._keep:
-                drop = self._recent.popleft()
+            self._inflight.discard(path)
+            self._done.append(path)
+            if len(self._done) > self._keep:
+                drop = self._done.popleft()
         if drop is not None:
             shutil.rmtree(drop, ignore_errors=True)
-        return path
 
 
 @dataclass
@@ -452,54 +477,62 @@ class StreamsSink:
         # as the spool is durable, and everything downstream reads the
         # spool. Cache size is bounded: one outcome row per stream.
         spool = self._spool.next()
-        outcomes_src = grouped.cache()
         try:
-            outcomes_src.write.mode("overwrite").parquet(spool)
-        finally:
-            outcomes_src.unpersist()
-        outcomes = self.spark.read.schema(OUTCOME_SCHEMA).parquet(spool)
-        # ONE bounded control-plane job (a row per outcome kind) carries
-        # stats AND the progressed-count probe, so the happy/redelivery
-        # paths cost exactly two jobs: the spool write + this aggregate.
-        # The positions merge and failing-stream scan only run when the
-        # counts say there is something to merge/record.
-        agg_rows = (
-            outcomes.groupBy("outcome")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum("n_events").alias("n_events"),
-                F.sum("n_deduped").alias("n_deduped"),
-                F.max("latency_ms").alias("max_latency_ms"),
-                F.sum("latency_ms").alias("sum_latency_ms"),
-                F.sum(
-                    ((F.col("pos") > F.col("prev_pos")) | F.col("malformed")).cast(
-                        "long"
-                    )
-                ).alias("n_progressed"),
+            outcomes_src = grouped.cache()
+            try:
+                outcomes_src.write.mode("overwrite").parquet(spool)
+            finally:
+                outcomes_src.unpersist()
+            outcomes = self.spark.read.schema(OUTCOME_SCHEMA).parquet(spool)
+            # ONE bounded control-plane job (a row per outcome kind)
+            # carries stats AND the progressed-count probe, so the
+            # happy/redelivery paths cost exactly two jobs: the spool
+            # write + this aggregate. The positions merge and
+            # failing-stream scan only run when the counts say there is
+            # something to merge/record.
+            agg_rows = (
+                outcomes.groupBy("outcome")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("n_deduped").alias("n_deduped"),
+                    F.max("latency_ms").alias("max_latency_ms"),
+                    F.sum("latency_ms").alias("sum_latency_ms"),
+                    F.sum(
+                        ((F.col("pos") > F.col("prev_pos")) | F.col("malformed")).cast(
+                            "long"
+                        )
+                    ).alias("n_progressed"),
+                )
+                .collect()  # bounded: one row per outcome kind
             )
-            .collect()  # bounded: one row per outcome kind
-        )
-        if sum(r.n_progressed for r in agg_rows):
-            self.positions.merge(
-                outcomes.filter(
-                    (F.col("pos") > F.col("prev_pos")) | F.col("malformed")
-                ).select("stream_name", "pos", "revision", "malformed"),
-                assume_nonempty=True,
-            )
-        if agg_rows:
-            self.stats.record([r.asDict() for r in agg_rows])
-        _FAILING = (OutcomeKind.EXN, OutcomeKind.TIMEOUT, OutcomeKind.RATE_LIMITED)
-        if any(r.outcome in _FAILING for r in agg_rows):
-            # driver-side health bookkeeping stays bounded (explicit cap)
-            self.stats.record_failures(
-                [
+            if sum(r.n_progressed for r in agg_rows):
+                self.positions.merge(
+                    outcomes.filter(
+                        (F.col("pos") > F.col("prev_pos")) | F.col("malformed")
+                    ).select("stream_name", "pos", "revision", "malformed"),
+                    assume_nonempty=True,
+                )
+            if agg_rows:
+                self.stats.record([r.asDict() for r in agg_rows])
+            _FAILING = (OutcomeKind.EXN, OutcomeKind.TIMEOUT, OutcomeKind.RATE_LIMITED)
+            # the failing-stream scan job only runs when the counts show
+            # failures, but record_failures is ALWAYS called — its
+            # not-seen-this-batch deletion is what clears recovered
+            # streams from the health gauge
+            failing: list = []
+            if any(r.outcome in _FAILING for r in agg_rows):
+                # driver-side health bookkeeping stays bounded (explicit cap)
+                failing = [
                     r.stream_name
                     for r in outcomes.filter(F.col("outcome").isin(*_FAILING))
                     .select("stream_name")
                     .limit(10_000)
                     .collect()
                 ]
-            )
+            self.stats.record_failures(failing)
+        finally:
+            self._spool.done(spool)
         return outcomes
 
     # -- streaming lifecycle -------------------------------------------------
@@ -588,33 +621,36 @@ class DeclarativeSink:
         # the driver.
         schema = outcomes.schema
         spool = self._spool.next()
-        outcomes.write.mode("overwrite").parquet(spool)
-        result = self.spark.read.schema(schema).parquet(spool)
-        tot = result.agg(
-            F.count("*").alias("n"), F.sum("n_events").alias("n_events")
-        ).first()  # bounded control-plane job: one aggregate row
-        if tot.n:
-            self.positions.merge(
-                result.select(
-                    "stream_name",
-                    "pos",
-                    F.lit(0).cast("long").alias("revision"),
-                    F.lit(False).alias("malformed"),
-                ),
-                assume_nonempty=True,
-            )
-            if self.outcome_table_path:
-                result.write.mode("append").parquet(self.outcome_table_path)
-            self.stats.record(
-                [
-                    {
-                        "outcome": OutcomeKind.OK,
-                        "n": tot.n,
-                        "n_events": tot.n_events or 0,
-                        "n_deduped": 0,
-                    }
-                ]
-            )
+        try:
+            outcomes.write.mode("overwrite").parquet(spool)
+            result = self.spark.read.schema(schema).parquet(spool)
+            tot = result.agg(
+                F.count("*").alias("n"), F.sum("n_events").alias("n_events")
+            ).first()  # bounded control-plane job: one aggregate row
+            if tot.n:
+                self.positions.merge(
+                    result.select(
+                        "stream_name",
+                        "pos",
+                        F.lit(0).cast("long").alias("revision"),
+                        F.lit(False).alias("malformed"),
+                    ),
+                    assume_nonempty=True,
+                )
+                if self.outcome_table_path:
+                    result.write.mode("append").parquet(self.outcome_table_path)
+                self.stats.record(
+                    [
+                        {
+                            "outcome": OutcomeKind.OK,
+                            "n": tot.n,
+                            "n_events": tot.n_events or 0,
+                            "n_deduped": 0,
+                        }
+                    ]
+                )
+        finally:
+            self._spool.done(spool)
         return result
 
     def run_stream(self, stream_df: DataFrame, checkpoint_location: str, **trigger):

@@ -107,7 +107,14 @@ def asof_enrich_foreach_batch(
                 F.col("_t").alias("ts"),
                 *[F.col(f"_last.{c}").alias(c) for c in payload],
             )
-            .write.mode("append")
+            # idempotent under foreachBatch's at-least-once replays: the
+            # output is partitioned by batch id and dynamically
+            # overwritten, so a re-run of batch N replaces exactly its
+            # own partition instead of appending duplicates
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
             .parquet(out_path)
         )
 
