@@ -99,6 +99,43 @@ class TestStreamsSink:
         assert out["user-1"].outcome == OutcomeKind.TIMEOUT
         assert out["user-1"].pos == 0
 
+    def test_spool_rotation_is_completion_ordered(self, tmp_path):
+        """In-flight spools are never deleted no matter how many faster
+        batches overlap; retention applies only to completed spools
+        (review r4: creation-ordered pruning rmtree'd a slow tranche's
+        spool out from under its own write)."""
+        import os
+
+        from propulsion_spark.streaming.sinks import _SpoolRotation
+
+        rot = _SpoolRotation(str(tmp_path), keep=2)
+        paths = []
+        for _ in range(5):  # 5 overlapping in-flight batches
+            p = rot.next()
+            os.makedirs(p)
+            paths.append(p)
+        assert all(os.path.isdir(p) for p in paths)  # none deleted
+        for p in paths:
+            rot.done(p)
+        assert [os.path.isdir(p) for p in paths] == [False, False, False, True, True]
+
+    def test_failing_gauge_clears_on_recovered_batch(self, spark, tmp_path):
+        """A stream that failed in batch N and succeeded in batch N+1
+        must leave the failing-streams health gauge (review r4: the
+        clearing happens via record_failures' not-seen-this-batch
+        deletion, which must run even when a batch has NO failures)."""
+
+        def flaky(stream, events):
+            if int(events["idx"].max()) < 3:
+                raise TimeoutError("transient")
+            return "ok", int(events["idx"].iloc[-1]) + 1
+
+        sink = StreamsSink.start_concurrent(spark, flaky, str(tmp_path / "pf"))
+        sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 2)))
+        assert "user-1" in sink.stats.failing_streams
+        sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 6)))
+        assert sink.stats.failing_streams == {}
+
     def test_malformed_quarantine(self, spark, tmp_path):
         def handle(stream, events):
             raise MalformedStreamError("bad payload")
