@@ -687,11 +687,13 @@ class ParallelSink:
             for pdf in batches:
                 yield handle(pdf)
 
-        out = df.mapInPandas(run, self.output_schema)
-        out = out.cache()
-        out.count()  # force: faults propagate (abend)
+        # eager localCheckpoint: forces the handler stage (faults
+        # propagate → abend) AND severs the lineage, so a caller acting
+        # on the returned table never re-invokes the handlers (the old
+        # cache→count→unpersist left an unpersisted plan that recomputed
+        # — re-running side-effecting handlers — on any later action)
+        out = df.mapInPandas(run, self.output_schema).localCheckpoint(eager=True)
         self.batches += 1
-        out.unpersist()
         return out
 
     def run_stream(self, stream_df: DataFrame, checkpoint_location: str, **trigger):

@@ -199,3 +199,20 @@ class TestParallelSink:
         sink = ParallelSink(spark, handle_items, "stream_name string")
         with pytest.raises(Exception, match="item failure"):
             sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 5)))
+
+    def test_returned_table_never_reinvokes_handlers(self, spark):
+        """Acting on the returned table must not re-run the (side-
+        effecting, at-least-once) handlers — the checkpointed result is
+        the record of what already happened."""
+        acc = spark.sparkContext.accumulator(0)
+
+        def handle_items(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc.add(len(pdf))
+            return pd.DataFrame({"stream_name": pdf["stream_name"]})
+
+        sink = ParallelSink(spark, handle_items, "stream_name string")
+        out = sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 5)))
+        handled = acc.value
+        assert handled == 5
+        assert out.count() == 5 and len(out.collect()) == 5  # two more actions
+        assert acc.value == handled  # no re-invocation
