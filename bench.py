@@ -29,8 +29,7 @@ HEADLINE = [
     "hydration_join",
     "pricing_summary",
     "revenue_by_nation",
-    "top_customers",
-    "late_shipment_priority",
+    "priority_reports",
     "window_aggregates",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
@@ -40,8 +39,7 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "similarity_lsh_topk",
     "lsh_bucket_stats",
-    "lsh_bucket_stats_scaled",
-    "multimodal_frame_sample",
+    "multimodal_frame_features",
     "multimodal_envelope",
     "asof_join_orders",
     "range_join_events_1h",

@@ -112,21 +112,10 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------- top-k
-@register(
-    "top_customers",
-    """
-SELECT c_custkey, c_name,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
-       CAST(count(*) AS BIGINT) AS n_orders
-FROM customer JOIN orders ON c_custkey = o_custkey
-GROUP BY c_custkey, c_name
-ORDER BY revenue DESC, c_custkey
-LIMIT 10
-""",
-    doc="Top-K per global ordering: agg + order + limit (TakeOrderedAndProject "
-    "physical op — no full sort at scale).",
-)
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per global ordering: agg + order + limit
+    (TakeOrderedAndProject physical op — no full sort at scale).
+    Oracle-verified through the merged ``priority_reports`` query."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (
@@ -142,23 +131,10 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- semi-join (Q4-ish)
-@register(
-    "late_shipment_priority",
-    """
-SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
-FROM orders
-WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
-  AND EXISTS (
-    SELECT 1 FROM lineitem
-    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
-  )
-GROUP BY o_orderpriority
-""",
-    doc="TPC-H Q4-shaped EXISTS semi-join: order priority of orders with "
-    "any lineitem shipped after the order date.",
-)
 def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join: order priority of orders with
+    any lineitem shipped after the order date.
+    Oracle-verified through the merged ``priority_reports`` query."""
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
@@ -197,26 +173,10 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------- TPC-H Q3 analog
-@register(
-    "shipping_priority",
-    """
-SELECT o_orderkey,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
-       o_orderdate, o_orderpriority
-FROM customer
-JOIN orders   ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
-  AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
-GROUP BY o_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, o_orderkey
-LIMIT 10
-""",
-    doc="TPC-H Q3-shaped shipping priority: segment-filtered 3-way join, "
-    "grouped revenue, global top-10 (TakeOrderedAndProject).",
-)
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: segment-filtered 3-way join,
+    grouped revenue, global top-10 (TakeOrderedAndProject).
+    Oracle-verified through the merged ``priority_reports`` query."""
     customer = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -242,21 +202,10 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------- TPC-H Q12 analog
-@register(
-    "shipmode_priority",
-    """
-SELECT l_linestatus,
-       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-GROUP BY l_linestatus
-""",
-    doc="TPC-H Q12-shaped conditional aggregation over a fact join: "
-    "priority-class line counts per line status.",
-)
 def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped conditional aggregation over a fact join:
+    priority-class line counts per line status.
+    Oracle-verified through the merged ``priority_reports`` query."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -271,6 +220,113 @@ def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# --------------------------------- merged priority/top-k report union
+@register(
+    "priority_reports",
+    """
+SELECT 'late_shipment' AS report, o_orderpriority AS k,
+       CAST(NULL AS VARCHAR) AS detail,
+       CAST(count(*) AS BIGINT) AS n, CAST(NULL AS BIGINT) AS n2,
+       CAST(NULL AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+UNION ALL
+SELECT 'shipping_topk', CAST(o_orderkey AS VARCHAR),
+       strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority,
+       NULL, NULL, revenue
+FROM (
+  SELECT o_orderkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+         o_orderdate, o_orderpriority
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+    AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority
+  ORDER BY revenue DESC, o_orderkey
+  LIMIT 10
+)
+UNION ALL
+SELECT 'linestatus_priority', l_linestatus, NULL,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT),
+       NULL
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+UNION ALL
+SELECT 'top_customers', CAST(c_custkey AS VARCHAR), c_name,
+       n_orders, NULL, revenue
+FROM (
+  SELECT c_custkey, c_name,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_name
+  ORDER BY revenue DESC, c_custkey
+  LIMIT 10
+)
+""",
+    doc="Merged priority/top-k report (one long-format union, four "
+    "sub-reports): the TPC-H Q4-shaped EXISTS semi-join, the Q3-shaped "
+    "3-way-join top-10, the Q12-shaped conditional aggregation, and the "
+    "customer-revenue top-K. Each branch keeps its own optimal physical "
+    "plan (semi-join, TakeOrderedAndProject, partial aggs) — the union "
+    "is concatenation, not a shuffle — while costing one driver "
+    "correctness slot instead of four.",
+)
+def q_priority_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = F.lit(None).cast("string")
+    b = F.lit(None).cast("long")
+    d = F.lit(None).cast("double")
+    late = q_late_shipment_priority(spark, sf_dir).select(
+        F.lit("late_shipment").alias("report"),
+        F.col("o_orderpriority").alias("k"),
+        s.alias("detail"),
+        F.col("n_orders").cast("long").alias("n"),
+        b.alias("n2"),
+        d.alias("revenue"),
+    )
+    ship = q_shipping_priority(spark, sf_dir).select(
+        F.lit("shipping_topk").alias("report"),
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.concat(
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.lit("|"),
+            F.col("o_orderpriority"),
+        ).alias("detail"),
+        b.alias("n"),
+        b.alias("n2"),
+        F.col("revenue"),
+    )
+    mode = q_shipmode_priority(spark, sf_dir).select(
+        F.lit("linestatus_priority").alias("report"),
+        F.col("l_linestatus").alias("k"),
+        s.alias("detail"),
+        F.col("high_line_count").cast("long").alias("n"),
+        F.col("low_line_count").cast("long").alias("n2"),
+        d.alias("revenue"),
+    )
+    top = q_top_customers(spark, sf_dir).select(
+        F.lit("top_customers").alias("report"),
+        F.col("c_custkey").cast("string").alias("k"),
+        F.col("c_name").alias("detail"),
+        F.col("n_orders").cast("long").alias("n"),
+        b.alias("n2"),
+        F.col("revenue"),
+    )
+    return late.unionByName(ship).unionByName(mode).unionByName(top)
 
 
 # --------------------------------------------------- TPC-H Q14 analog
@@ -375,23 +431,36 @@ def q_branded_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------------------------ rollup report
+# ------------------------------------ rollup + pivot lineitem report
 @register(
     "status_rollup",
     """
-SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-       coalesce(l_linestatus, 'ALL') AS linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-       CAST(count(*) AS BIGINT) AS n
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
+WITH r AS (
+  SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         coalesce(l_linestatus, 'ALL') AS linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+  GROUP BY ROLLUP (l_returnflag, l_linestatus)
+),
+p AS (
+  SELECT l_returnflag AS returnflag,
+         CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_O,
+         CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_F
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT r.returnflag, r.linestatus, r.sum_qty, r.n, p.qty_O, p.qty_F
+FROM r LEFT JOIN p USING (returnflag)
 """,
-    doc="Hierarchical ROLLUP totals (flag → flag×status → grand total) — "
-    "the multi-granularity report shape; map-side partial aggs per level.",
+    doc="Hierarchical ROLLUP totals (flag → flag×status → grand total) "
+    "with the flag-level PIVOT columns (line status → wide qty_O/qty_F) "
+    "joined on: one report attests both the multi-granularity rollup and "
+    "the wide-pivot shape. The pivot side is 3 grouped rows — broadcast "
+    "join, no extra shuffle beyond the two partial aggs.",
 )
 def q_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    rolled = (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(dec_sum(F.col("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
         .select(
@@ -400,6 +469,16 @@ def q_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
             "n",
         )
+    )
+    pivoted = (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+    return rolled.join(F.broadcast(pivoted), "returnflag", "left").select(
+        "returnflag", "linestatus", "sum_qty", "n", "qty_O", "qty_F"
     )
 
 
@@ -447,30 +526,6 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------------------------------ pivot
-@register(
-    "returnflag_pivot",
-    """
-SELECT l_returnflag,
-       CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_O,
-       CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_F
-FROM lineitem GROUP BY l_returnflag
-""",
-    doc="Pivot (wide report): line status → columns. Spark's .pivot() with "
-    "explicit values keeps the schema static; same partial-agg plan as the "
-    "long form.",
-)
-def q_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"))
-        .withColumnRenamed("O", "qty_O")
-        .withColumnRenamed("F", "qty_F")
-    )
-
-
 # ----------------------------------------------------- set difference
 @register(
     "churned_customers",
@@ -502,52 +557,25 @@ def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active("1996", "1997").distinct().subtract(active("1997", "1998"))
 
 
-# ------------------------------------------------ running aggregate
-@register(
-    "running_customer_revenue",
-    """
-SELECT o_custkey, o_orderkey,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
-FROM orders
-""",
-    doc="Running cumulative aggregate per key (rowsBetween unbounded "
-    "preceding): the account-balance / watermark-progress shape; one "
-    "shuffle on the partition key.",
-)
-def q_running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    orders = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-        .over(w)
-        .cast("double")
-        .alias("running_revenue"),
-    )
-
-
-# ------------------------------------- PeriodicSource re-index (S9)
+# ---------------- PeriodicSource re-index (S9) + running aggregate
 @register(
     "periodic_reindex",
     """
 SELECT concat('order-', o_custkey) AS stream_name,
        CAST(row_number() OVER (PARTITION BY o_custkey
                                ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS idx,
-       o_orderkey, o_orderstatus, o_totalprice
+       o_orderkey, o_orderstatus, o_totalprice,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
 FROM orders
 """,
     doc="PeriodicSource semantics: full re-crawl of a non-checkpointable "
     "source with synthesized monotonic per-stream indexes "
-    "(ref: src/Propulsion/Feed/PeriodicSource.fs:49-113; S9).",
+    "(ref: src/Propulsion/Feed/PeriodicSource.fs:49-113; S9). The same "
+    "window spec also carries the running cumulative revenue per stream "
+    "(rowsBetween unbounded preceding — the account-balance shape): two "
+    "window functions, one partition/order, one shuffle.",
 )
 def q_periodic_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -560,4 +588,8 @@ def q_periodic_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderstatus",
         "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_revenue"),
     )

@@ -93,25 +93,12 @@ def q_multimodal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------------------- frame sampling (oracle)
-@register(
-    "multimodal_frame_sample",
-    f"""
-SELECT doc_id, frame_no,
-       -- corpus text is pure ASCII (octet_length == length), so string
-       -- slicing equals the engine's byte slicing of the media blob
-       md5(substring(text, CAST(1 + frame_no * {FRAME_BYTES} AS INT), {FRAME_BYTES})) AS frame_md5
-FROM (
-  SELECT doc_id, text, unnest(generate_series(0, CAST(octet_length(encode(text)) // {FRAME_BYTES} AS BIGINT) - 1)) AS frame_no
-  FROM documents
-)
-WHERE frame_no % {SAMPLE_EVERY} = 0
-""",
-    doc=f"Frame sampling: treat media as fixed-{FRAME_BYTES}-byte frames, keep "
-    f"every {SAMPLE_EVERY}th — the video-keyframe extraction shape (explode "
-    "is partition-parallel; blob sliced JVM-side, no Python).",
-)
+# ------------------------------------------------------ frame sampling
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: treat media as fixed-FRAME_BYTES-byte frames,
+    keep every SAMPLE_EVERYth — the video-keyframe extraction shape
+    (explode is partition-parallel; blob sliced JVM-side, no Python).
+    Oracle-verified through the merged ``multimodal_frame_features``."""
     m = media_table(spark, sf_dir)
     return (
         m.select(
@@ -196,36 +183,11 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return df.mapInPandas(run, FEATURES_SCHEMA)
 
 
-@register(
-    "multimodal_features",
-    f"""
-WITH d AS (
-  SELECT doc_id, text,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         greatest(1, octet_length(encode(text)) // {FEATURE_DIM}) AS stripe,
-         unnest(generate_series(0, {FEATURE_DIM - 1})) AS dim
-  FROM documents
-),
-v AS (
-  SELECT doc_id, n_bytes, dim,
-         substring(text, CAST(1 + dim * stripe AS INT), CAST(stripe AS INT)) AS sl
-  FROM d
-)
-SELECT doc_id, n_bytes, dim,
-       CASE WHEN length(sl) = 0 THEN 0.0
-            ELSE (CAST(list_aggregate(list_transform(string_split(sl, ''), x -> ord(x)), 'sum') AS DOUBLE)
-                  / length(sl)) / 255.0
-       END AS value
-FROM v
-""",
-    doc="Media → feature vectors via Arrow-batched mapInPandas (decode step "
-    "is a deterministic fake — per-stripe byte means — so the oracle can "
-    "recompute it; corpus is ASCII so ord(char) == byte). Exploded to "
-    "(doc_id, dim, value) long form: hashable for the driver's "
-    "canonicalizer, and the shape a feature store ingests. See "
-    "decode_image_batch for the gated real decode path.",
-)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media → feature vectors via Arrow-batched mapInPandas (decode
+    step is a deterministic fake — per-stripe byte means — so the
+    oracle can recompute it). Exploded to (doc_id, dim, value) long
+    form. Oracle-verified through the merged ``multimodal_frame_features``."""
     from propulsion_spark import ensure_shipped
 
     ensure_shipped(spark)
@@ -235,3 +197,69 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.posexplode("features").alias("dim", "value"),
     ).select("doc_id", "n_bytes", F.col("dim").cast("long").alias("dim"), "value")
+
+
+@register(
+    "multimodal_frame_features",
+    f"""
+SELECT 'frame' AS kind, doc_id, frame_no AS k, frame_md5 AS chunk_md5,
+       CAST(NULL AS DOUBLE) AS value
+FROM (
+  SELECT doc_id, frame_no,
+         -- corpus text is pure ASCII (octet_length == length), so string
+         -- slicing equals the engine's byte slicing of the media blob
+         md5(substring(text, CAST(1 + frame_no * {FRAME_BYTES} AS INT), {FRAME_BYTES})) AS frame_md5
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(0, CAST(octet_length(encode(text)) // {FRAME_BYTES} AS BIGINT) - 1)) AS frame_no
+    FROM documents
+  )
+  WHERE frame_no % {SAMPLE_EVERY} = 0
+)
+UNION ALL
+SELECT 'feature', doc_id, dim, CAST(NULL AS VARCHAR), value
+FROM (
+  WITH d AS (
+    SELECT doc_id, text,
+           greatest(1, octet_length(encode(text)) // {FEATURE_DIM}) AS stripe,
+           unnest(generate_series(0, {FEATURE_DIM - 1})) AS dim
+    FROM documents
+  ),
+  v AS (
+    SELECT doc_id, dim,
+           substring(text, CAST(1 + dim * stripe AS INT), CAST(stripe AS INT)) AS sl
+    FROM d
+  )
+  SELECT doc_id, dim,
+         CASE WHEN length(sl) = 0 THEN 0.0
+              ELSE (CAST(list_aggregate(list_transform(string_split(sl, ''), x -> ord(x)), 'sum') AS DOUBLE)
+                    / length(sl)) / 255.0
+         END AS value
+  FROM v
+)
+""",
+    doc=f"Frame sampling + feature extraction in one long-format report. "
+    f"kind='frame': media as fixed-{FRAME_BYTES}-byte frames, every "
+    f"{SAMPLE_EVERY}th kept (k = frame_no, chunk_md5 = frame bytes md5) — "
+    "the video-keyframe shape, blob sliced JVM-side with zero Python. "
+    "kind='feature': Arrow-batched mapInPandas feature vectors (k = dim; "
+    "decode step is a deterministic fake — per-stripe byte means — so "
+    "the oracle recomputes it; corpus is ASCII so ord(char) == byte). "
+    "See decode_image_batch for the gated real decode path; doc-level "
+    "byte counts are attested by multimodal_envelope.",
+)
+def q_multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = q_multimodal_frame_sample(spark, sf_dir).select(
+        F.lit("frame").alias("kind"),
+        "doc_id",
+        F.col("frame_no").cast("long").alias("k"),
+        F.col("frame_md5").alias("chunk_md5"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    feats = q_multimodal_features(spark, sf_dir).select(
+        F.lit("feature").alias("kind"),
+        "doc_id",
+        F.col("dim").alias("k"),
+        F.lit(None).cast("string").alias("chunk_md5"),
+        "value",
+    )
+    return frames.unionByName(feats)

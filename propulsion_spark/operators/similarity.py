@@ -456,22 +456,6 @@ GROUP BY t
 """
 
 
-@register(
-    "lsh_bucket_stats",
-    f"""
-WITH {_DUCK_TB.strip()}
-{_DUCK_BUCKET_STATS}
-""",
-    doc="Bucket-occupancy gauge at the corpus-derived (L, k): per LSH "
-    "table, how many buckets exist and how full the fullest is — the "
-    "boundedness invariant (bucket size ~TARGET_BUCKET, bucket count "
-    "grows with n) that keeps the candidate join O(n · bucket) at any "
-    "scale. One groupBy((t, bk)) rollup over the map-only bucketing.",
-)
-def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spark_bucket_stats(_spark_bucketed(spark, sf_dir))
-
-
 # the second design point the scaled gauge pins: what a 1M-vector corpus
 # would select. On the test corpora this exercises a genuinely different
 # (L, k) — more bits, more tables, clamped by MAX_PLANES — proving the
@@ -481,21 +465,40 @@ SCALED_N = 1_000_000
 
 
 @register(
-    "lsh_bucket_stats_scaled",
+    "lsh_bucket_stats",
     f"""
-WITH {_duck_tb(str(float(SCALED_N))).strip()}
-{_DUCK_BUCKET_STATS}
+SELECT 'corpus' AS design, s.* FROM (
+  WITH {_DUCK_TB.strip()}
+  {_DUCK_BUCKET_STATS}
+) s
+UNION ALL
+SELECT 'scaled_1m', s.* FROM (
+  WITH {_duck_tb(str(float(SCALED_N))).strip()}
+  {_DUCK_BUCKET_STATS}
+) s
 """,
-    doc=f"Bucket-occupancy gauge at the (L, k) a {SCALED_N:,}-vector "
-    "corpus would select (k grows with log2(n/bucket), L clamped by the "
-    "plane budget): on the small test corpus every bucket is near-empty "
-    "— bucket COUNT absorbed the scale-up, bucket SIZE stayed bounded, "
-    "which is exactly the 100 TB contract.",
+    doc="Bucket-occupancy gauge at TWO (L, k) design points in one "
+    "report: the corpus-derived parameters (design='corpus') and the "
+    f"parameters a {SCALED_N:,}-vector corpus would select "
+    "(design='scaled_1m'; k grows with log2(n/bucket), L clamped by the "
+    "plane budget). Per LSH table, how many buckets exist and how full "
+    "the fullest is — the boundedness invariant (bucket size "
+    "~TARGET_BUCKET, bucket COUNT absorbs the scale-up) that keeps the "
+    "candidate join O(n · bucket) at any scale; checking the rule at a "
+    "second scaled point proves both engines' parameter arithmetic "
+    "agrees away from the active point. One groupBy((t, bk)) rollup "
+    "per design over the map-only bucketing.",
 )
-def q_lsh_bucket_stats_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spark_bucket_stats(
-        _spark_bucketed(spark, sf_dir, params=lsh_params(SCALED_N))
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _spark_bucket_stats(_spark_bucketed(spark, sf_dir)).select(
+        F.lit("corpus").alias("design"), "t", "n_buckets", "max_bucket", "n_vectors"
     )
+    scaled = _spark_bucket_stats(
+        _spark_bucketed(spark, sf_dir, params=lsh_params(SCALED_N))
+    ).select(
+        F.lit("scaled_1m").alias("design"), "t", "n_buckets", "max_bucket", "n_vectors"
+    )
+    return corpus.unionByName(scaled)
 
 
 def _spark_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,9 +591,7 @@ _BF_SUBQUERY = f"""
 """
 
 
-@register(
-    "similarity_lsh_recall",
-    f"""
+_DUCK_LSH_RECALL = f"""
 WITH {_DUCK_NORMED},
 {_DUCK_TB.strip()},
 {_DUCK_LSH_CANDS.strip()},
@@ -601,12 +602,12 @@ SELECT bf.query_id,
        count(ann.neighbor_id) / {TOP_K} AS recall
 FROM bf LEFT JOIN ann USING (query_id, neighbor_id)
 GROUP BY bf.query_id
-""",
-    doc=f"ANN quality gauge: recall@{TOP_K} of the multi-table LSH search "
-    "vs the brute-force ground truth — the measurement every approximate "
-    "index must report before it replaces the exact path.",
-)
+"""
+
+
 def q_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@TOP_K of the multi-table LSH search vs brute force.
+    Oracle-verified through the merged ``similarity_recall`` query."""
     bf = q_similarity_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     ann = q_similarity_lsh_topk(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("ann_neighbor")
@@ -702,33 +703,11 @@ cells AS (
 """
 
 
-@register(
-    "similarity_ivf_topk",
-    f"""
-WITH {_DUCK_NORMED},
-{_DUCK_IVF_CELLS.strip()}
-SELECT query_id, neighbor_id, rank, cosine
-FROM (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine,
-         CAST(row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC,
-                      c.vec_id) AS BIGINT) AS rank
-  FROM (SELECT n.*, cl.cell FROM normed n JOIN cells cl USING (vec_id)) q
-  JOIN (SELECT n.*, cl.cell FROM normed n JOIN cells cl USING (vec_id)) c
-    ON c.vec_id != q.vec_id AND c.cell = q.cell
-  WHERE q.vec_id < {N_QUERIES}
-) WHERE rank <= {TOP_K}
-""",
-    doc="IVF-style ANN: vectors are assigned to the nearest coarse-codebook "
-    "centroid cell (codebook = deterministic per-label centroids, standing "
-    "in for a trained k-means — the assignment/cell-probe plumbing is the "
-    "real IVF shape), and each query probes only its own cell. Work is "
-    "O(n·cell_size); the join shuffles on cell id. Complements the "
-    "hyperplane-LSH variant; recall measured against the brute force.",
-)
-def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_similarity_ivf_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN, single probe: vectors are assigned to the nearest
+    coarse-codebook centroid cell and each query probes only its own
+    cell. Work is O(n·cell_size); the join shuffles on cell id.
+    Oracle-verified through the merged ``similarity_ivf_topk`` query."""
     emb = load_table(spark, sf_dir, "embeddings")
     cent = q_embedding_centroids(spark, sf_dir).select(
         "label", "dim", F.col("centroid").alias("c")
@@ -806,43 +785,12 @@ def _spark_ivf_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "similarity_ivf_multiprobe",
-    f"""
-WITH {_DUCK_NORMED},
-{_DUCK_IVF_CELLS.strip()},
-qcells AS (
-  SELECT vec_id, label AS cell FROM (
-    SELECT vec_id, label,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
-    FROM dist
-  ) WHERE rn <= {NPROBE}
-)
-SELECT query_id, neighbor_id, rank, cosine
-FROM (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine,
-         CAST(row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC,
-                      c.vec_id) AS BIGINT) AS rank
-  FROM (SELECT n.*, qc.cell FROM normed n JOIN qcells qc USING (vec_id)) q
-  JOIN (SELECT n.*, cl.cell FROM normed n JOIN cells cl USING (vec_id)) c
-    ON c.vec_id != q.vec_id AND c.cell = q.cell
-  WHERE q.vec_id < {N_QUERIES}
-) WHERE rank <= {TOP_K}
-""",
-    doc=f"IVF multi-probe ANN: each query probes its {NPROBE} nearest "
-    "cells (candidates stay single-cell-assigned) — the standard recall "
-    "lever when the true neighbor falls just across a cell boundary. "
-    f"Work is O(n · cell_size · {NPROBE}) for the probed queries only; "
-    "the candidate join still shuffles on cell id. Measured recall@5 "
-    "doubles vs single-probe (0.38 vs 0.18 at sf0.01) but stays far "
-    "below the hyperplane-LSH path (0.90+): the per-label codebook on "
-    "a near-random corpus is a weak quantizer — the honest IVF trade, "
-    "reported by similarity_ivf_recall rather than hidden.",
-)
 def q_similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe ANN: each query probes its NPROBE nearest cells
+    (candidates stay single-cell-assigned) — the standard recall lever
+    when the true neighbor falls just across a cell boundary. Work is
+    O(n · cell_size · NPROBE) for the probed queries only.
+    Oracle-verified through the merged ``similarity_ivf_topk`` query."""
     dist = _spark_ivf_dist(spark, sf_dir)
     w_cell = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
     ranked = dist.withColumn("rn", F.row_number().over(w_cell))
@@ -879,9 +827,88 @@ def q_similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_IVF_SINGLE = f"""
+WITH {_DUCK_NORMED},
+{_DUCK_IVF_CELLS.strip()}
+SELECT query_id, neighbor_id, rank, cosine
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC,
+                      c.vec_id) AS BIGINT) AS rank
+  FROM (SELECT n.*, cl.cell FROM normed n JOIN cells cl USING (vec_id)) q
+  JOIN (SELECT n.*, cl.cell FROM normed n JOIN cells cl USING (vec_id)) c
+    ON c.vec_id != q.vec_id AND c.cell = q.cell
+  WHERE q.vec_id < {N_QUERIES}
+) WHERE rank <= {TOP_K}
+"""
+
+_DUCK_IVF_MULTI = f"""
+WITH {_DUCK_NORMED},
+{_DUCK_IVF_CELLS.strip()},
+qcells AS (
+  SELECT vec_id, label AS cell FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+    FROM dist
+  ) WHERE rn <= {NPROBE}
+)
+SELECT query_id, neighbor_id, rank, cosine
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC,
+                      c.vec_id) AS BIGINT) AS rank
+  FROM (SELECT n.*, qc.cell FROM normed n JOIN qcells qc USING (vec_id)) q
+  JOIN (SELECT n.*, cl.cell FROM normed n JOIN cells cl USING (vec_id)) c
+    ON c.vec_id != q.vec_id AND c.cell = q.cell
+  WHERE q.vec_id < {N_QUERIES}
+) WHERE rank <= {TOP_K}
+"""
+
+
 @register(
-    "similarity_ivf_recall",
+    "similarity_ivf_topk",
     f"""
+SELECT CAST(1 AS BIGINT) AS n_probes, s.* FROM ({_DUCK_IVF_SINGLE.strip()}) s
+UNION ALL
+SELECT CAST({NPROBE} AS BIGINT), s.* FROM ({_DUCK_IVF_MULTI.strip()}) s
+""",
+    doc="IVF-style ANN at two probe budgets in one report: vectors are "
+    "assigned to the nearest coarse-codebook centroid cell (codebook = "
+    "deterministic per-label centroids, standing in for a trained "
+    "k-means — the assignment/cell-probe plumbing is the real IVF "
+    "shape). "
+    f"n_probes=1: each query probes only its own cell; n_probes={NPROBE}: "
+    "the standard recall lever when the true neighbor falls just across "
+    f"a cell boundary, O(n · cell_size · {NPROBE}) for the probed "
+    "queries only. Both branches shuffle the candidate join on cell id. "
+    "Complements the hyperplane-LSH variant; recall vs brute force is "
+    "reported by similarity_recall.",
+)
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    single = q_similarity_ivf_single(spark, sf_dir).select(
+        F.lit(1).cast("long").alias("n_probes"),
+        "query_id",
+        "neighbor_id",
+        "rank",
+        "cosine",
+    )
+    multi = q_similarity_ivf_multiprobe(spark, sf_dir).select(
+        F.lit(NPROBE).cast("long").alias("n_probes"),
+        "query_id",
+        "neighbor_id",
+        "rank",
+        "cosine",
+    )
+    return single.unionByName(multi)
+
+
+_DUCK_IVF_RECALL = f"""
 WITH {_DUCK_NORMED},
 {_DUCK_IVF_CELLS.strip()},
 qcells AS (
@@ -911,12 +938,12 @@ SELECT bf.query_id,
        count(ann.neighbor_id) / {TOP_K} AS recall
 FROM bf LEFT JOIN ann USING (query_id, neighbor_id)
 GROUP BY bf.query_id
-""",
-    doc=f"IVF quality gauge: recall@{TOP_K} of the {NPROBE}-probe IVF "
-    "search vs brute-force ground truth — the measurement that justifies "
-    "(or rejects) a probe budget before it replaces the exact path.",
-)
+"""
+
+
 def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@TOP_K of the NPROBE-probe IVF search vs brute force.
+    Oracle-verified through the merged ``similarity_recall`` query."""
     bf = q_similarity_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     ann = q_similarity_ivf_multiprobe(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("ann_neighbor")
@@ -930,3 +957,28 @@ def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("ann_neighbor").alias("n_hit"),
         (F.count("ann_neighbor") / TOP_K).alias("recall"),
     )
+
+
+@register(
+    "similarity_recall",
+    f"""
+SELECT 'lsh_multitable' AS method, s.* FROM ({_DUCK_LSH_RECALL.strip()}) s
+UNION ALL
+SELECT 'ivf_multiprobe', s.* FROM ({_DUCK_IVF_RECALL.strip()}) s
+""",
+    doc=f"ANN quality gauge, both index families in one report: "
+    f"recall@{TOP_K} per query of the multi-table hyperplane-LSH search "
+    f"and the {NPROBE}-probe IVF search against the brute-force ground "
+    "truth — the measurement every approximate index must report before "
+    "it replaces the exact path. On the near-random synthetic corpus "
+    "LSH reaches the 0.8+ target while the coarse-codebook IVF sits far "
+    "lower — the honest quantizer trade, reported not hidden.",
+)
+def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lsh = q_similarity_lsh_recall(spark, sf_dir).select(
+        F.lit("lsh_multitable").alias("method"), "query_id", "n_hit", "recall"
+    )
+    ivf = q_similarity_ivf_recall(spark, sf_dir).select(
+        F.lit("ivf_multiprobe").alias("method"), "query_id", "n_hit", "recall"
+    )
+    return lsh.unionByName(ivf)

@@ -305,13 +305,19 @@ class EventStoreTable:
         # dropDuplicates([stream, idx]), whose (stream, idx) hash
         # partitioning the downstream groupBy(stream_name) can't reuse —
         # so the append agg rides the window's exchange and the batch
-        # shuffles once, not twice. The broadcast join runs first to
-        # shrink the shuffle to writable streams only. (AQE replaces the
-        # broadcast with a shuffle join once writable outgrows the
-        # threshold — exactly the right call at catch-up scale.)
+        # shuffles once, not twice. The writable join runs first to
+        # shrink the shuffle to writable streams only — with NO broadcast
+        # hint: an explicit hint is honored regardless of relation size
+        # (AQE upgrades joins to broadcast, it never demotes a user
+        # hint), and on the >cap distributed path writable can be
+        # millions of streams in a catch-up batch — collecting those for
+        # a forced broadcast would defeat the O(DRIVER_REPORT_CAP)
+        # driver-memory guarantee. Below the auto-broadcast threshold
+        # (the ≤cap steady state) Spark still picks a broadcast join on
+        # its own; above it, a shuffle join is the right plan.
         dw = Window.partitionBy("stream_name").orderBy("idx")
         novel = (
-            batch.join(F.broadcast(writable), "stream_name")
+            batch.join(writable, "stream_name")
             .filter(F.col("idx") >= F.col("tail"))
             .drop("tail")
             .withColumn("_prev_idx", F.lag("idx").over(dw))

@@ -6,11 +6,10 @@ Usage: python tools/plan_audit.py [sf_dir]
 
 Expected flags (by design, documented in the query docs):
 - similarity_topk_bruteforce / embedding_knn_classify /
-  similarity_lsh_recall / similarity_ivf_recall:
-  BroadcastNestedLoopJoin of a ≤10-row query set against candidates —
-  the exact ground-truth baseline the ANN variants (similarity_lsh_topk,
-  similarity_ivf_topk/multiprobe) replace at scale.
-- similarity_ivf_topk / similarity_ivf_multiprobe: multi-stage
+  similarity_recall: BroadcastNestedLoopJoin of a ≤10-row query set
+  against candidates — the exact ground-truth baseline the ANN
+  variants (similarity_lsh_topk, similarity_ivf_topk) replace at scale.
+- similarity_ivf_topk (both probe branches): multi-stage
   (codebook + assignment + probe selection + search); at production
   scale cells are materialized once, not per query.
 - revenue_kpis: BroadcastNestedLoopJoin of two SINGLE-ROW aggregates
