@@ -281,14 +281,26 @@ def corpus_n(sf_dir: str) -> int:
         ).fetchone()[0]
 
 
-_PARAM_CACHE: dict[str, tuple[int, int]] = {}
+_PARAM_CACHE: dict[tuple, tuple[int, int]] = {}
 
 
 def active_lsh_params(sf_dir: str) -> tuple[int, int]:
-    """The (tables, bits) every LSH query at ``sf_dir`` uses."""
-    if sf_dir not in _PARAM_CACHE:
-        _PARAM_CACHE[sf_dir] = lsh_params(corpus_n(sf_dir))
-    return _PARAM_CACHE[sf_dir]
+    """The (tables, bits) every LSH query at ``sf_dir`` uses.
+
+    Cached per (path, file mtime+size): a corpus regenerated in-place
+    with a different row count invalidates the cache automatically, so
+    Spark can never keep stale parameters while the DuckDB oracle
+    recomputes (L, k) from the live count(*)."""
+    import os
+
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        key = (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:  # non-local path: fall back to the corpus count itself
+        key = (sf_dir, corpus_n(sf_dir))
+    if key not in _PARAM_CACHE:
+        _PARAM_CACHE[key] = lsh_params(corpus_n(sf_dir))
+    return _PARAM_CACHE[key]
 # Deterministic pseudo-random hyperplanes, shared by both engines:
 # INTEGER weight w(p,d) = md5("plane-p-d") % 2001 - 1000 ∈ [-1000, 1000].
 # Embeddings are quantized once to integers floor(x · 2^20), so every

@@ -53,6 +53,25 @@ except ImportError:  # pragma: no cover - exercised on delta-less sandboxes
     HAVE_DELTA = False
 
 
+_RETENTION_CHECK = "spark.databricks.delta.retentionDurationCheck.enabled"
+
+
+def _vacuum_with_short_retention(spark: SparkSession, tables, grace_s: float) -> None:
+    """Vacuum with the retention safety check suspended for THIS call
+    only: the previous conf value is restored in a finally, so other
+    Delta vacuums on the shared session keep their protection."""
+    prev = spark.conf.get(_RETENTION_CHECK, None)
+    spark.conf.set(_RETENTION_CHECK, "false")
+    try:
+        for t in tables:
+            t.vacuum(grace_s / 3600.0)
+    finally:
+        if prev is None:
+            spark.conf.unset(_RETENTION_CHECK)
+        else:
+            spark.conf.set(_RETENTION_CHECK, prev)
+
+
 def _require_delta() -> None:
     if not HAVE_DELTA:
         raise ImportError(
@@ -112,10 +131,7 @@ class DeltaPositionsTable:
 
     def vacuum(self, grace_s: float = 3600.0) -> list:
         if self._exists():
-            self.spark.conf.set(
-                "spark.databricks.delta.retentionDurationCheck.enabled", "false"
-            )
-            self._table().vacuum(grace_s / 3600.0)
+            _vacuum_with_short_retention(self.spark, [self._table()], grace_s)
         return []
 
     def purge(self, keep_streams: "DataFrame | None" = None) -> None:
@@ -209,9 +225,13 @@ class DeltaEventStoreTable:
             writable = verdict.filter(
                 F.col("outcome").isin(OutcomeKind.OK, OutcomeKind.PARTIAL_DUPLICATE)
             ).select("stream_name", "tail")
+            # no broadcast hint: an explicit hint is never demoted by AQE,
+            # and writable can be millions of streams in a catch-up batch
+            # (same rationale as EventStoreTable._append_novel) — Spark
+            # auto-broadcasts the small steady-state relation on its own
             dw = Window.partitionBy("stream_name").orderBy("idx")
             novel = (
-                batch.join(F.broadcast(writable), "stream_name")
+                batch.join(writable, "stream_name")
                 .filter(F.col("idx") >= F.col("tail"))
                 .drop("tail")
                 .withColumn("_p", F.lag("idx").over(dw))
@@ -342,10 +362,13 @@ class DeltaEventStoreTable:
         )
 
     def vacuum(self, grace_s: float = 3600.0) -> list:
-        self.spark.conf.set(
-            "spark.databricks.delta.retentionDurationCheck.enabled", "false"
+        _vacuum_with_short_retention(
+            self.spark,
+            [
+                DeltaTable.forPath(self.spark, p)
+                for p in (self._data, self._tails)
+                if self._exists(p)
+            ],
+            grace_s,
         )
-        for p in (self._data, self._tails):
-            if self._exists(p):
-                DeltaTable.forPath(self.spark, p).vacuum(grace_s / 3600.0)
         return []

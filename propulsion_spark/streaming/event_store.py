@@ -81,7 +81,13 @@ class EventStoreTable:
         # suffices. Stale spools of dead writers age out via vacuum.
         from propulsion_spark.streaming.sinks import _SpoolRotation
 
+        # SEPARATE rotations for sync and prune: with a shared one, two
+        # prunes after a sync would rmtree the sync's still-held report
+        # (and vice versa). Each verb's returned report stays readable
+        # until ``keep`` more completed calls of the SAME verb — read
+        # or persist a report within that window (documented on sync()).
         self._report_spool = _SpoolRotation(path, keep=2)
+        self._prune_spool = _SpoolRotation(path, keep=2)
         self._append_spool = os.path.join(
             path, f"_SPOOL-append-{uuid.uuid4().hex[:12]}"
         )
@@ -158,7 +164,12 @@ class EventStoreTable:
 
         Per-sync cost is O(batch) + O(tails view): one delta data segment
         (bucket-partitioned), one tails delta, one manifest flip — the
-        store's total size never enters the plan."""
+        store's total size never enters the plan.
+
+        Report lifetime: on the >cap distributed path the returned table
+        reads a spool retained for the next 2 completed sync() calls on
+        this instance — act on (or persist) the report within that
+        window; prune() reports rotate independently."""
         with self._commit():
             return self._sync_locked(batch)
 
@@ -451,10 +462,11 @@ class EventStoreTable:
         )
         # materialize before the rewrite retires the segments it reads
         # (bounded: one row per pruned stream) — spooled distributed,
-        # never row-per-stream on the driver
-        spool = self._report_spool.next()
+        # never row-per-stream on the driver; prune's own rotation so a
+        # held sync report can't be reclaimed by prune traffic
+        spool = self._prune_spool.next()
         report.write.mode("overwrite").parquet(spool)
-        self._report_spool.done(spool)
+        self._prune_spool.done(spool)
         report = self.spark.read.schema(
             "stream_name string, deleted long, remaining long"
         ).parquet(spool)

@@ -517,20 +517,25 @@ class StreamsSink:
                 self.stats.record([r.asDict() for r in agg_rows])
             _FAILING = (OutcomeKind.EXN, OutcomeKind.TIMEOUT, OutcomeKind.RATE_LIMITED)
             # the failing-stream scan job only runs when the counts show
-            # failures, but record_failures is ALWAYS called — its
-            # not-seen-this-batch deletion is what clears recovered
-            # streams from the health gauge
-            failing: list = []
-            if any(r.outcome in _FAILING for r in agg_rows):
-                # driver-side health bookkeeping stays bounded (explicit cap)
-                failing = [
-                    r.stream_name
-                    for r in outcomes.filter(F.col("outcome").isin(*_FAILING))
-                    .select("stream_name")
-                    .limit(10_000)
-                    .collect()
-                ]
-            self.stats.record_failures(failing)
+            # failures, but record_failures is called on every batch that
+            # TOUCHED streams — its not-seen-this-batch deletion is what
+            # clears recovered streams from the health gauge. Zero-touch
+            # batches (idle tail polls) skip the call entirely: an empty
+            # poll says nothing about a failing stream's recovery, so it
+            # must not drop persistently-failing streams out of health
+            # tracking.
+            if agg_rows:
+                failing: list = []
+                if any(r.outcome in _FAILING for r in agg_rows):
+                    # driver-side health bookkeeping stays bounded (explicit cap)
+                    failing = [
+                        r.stream_name
+                        for r in outcomes.filter(F.col("outcome").isin(*_FAILING))
+                        .select("stream_name")
+                        .limit(10_000)
+                        .collect()
+                    ]
+                self.stats.record_failures(failing)
         finally:
             self._spool.done(spool)
         return outcomes

@@ -51,6 +51,30 @@ class TestEventStoreSync:
         assert out["user-1"].appended == 0
         assert store.read().count() == 2
 
+    def test_sync_report_survives_prune_traffic(self, spark, store, monkeypatch):
+        """A held distributed-path sync report must stay readable across
+        subsequent prune() calls (advice r4: a rotation shared by sync
+        and prune rmtree'd the sync spool after any two later calls of
+        either verb)."""
+        from propulsion_spark.streaming import event_store as es
+
+        monkeypatch.setattr(es, "DRIVER_REPORT_CAP", 1)  # force spooled path
+        report = store.sync(
+            mk_df(
+                spark,
+                envelope_rows("user-1", 0, 2)
+                + envelope_rows("user-2", 0, 2)
+                + envelope_rows("user-3", 0, 2),
+            )
+        )
+        req = spark.createDataFrame(
+            [("user-1", 0)], "stream_name string, until_idx long"
+        )
+        store.prune(req)
+        store.prune(req)
+        # two completed prunes later, the sync report still reads
+        assert report.count() == 3
+
     def test_multi_stream_batch(self, spark, store):
         store.sync(mk_df(spark, envelope_rows("user-1", 0, 3)))
         batch = mk_df(

@@ -52,3 +52,20 @@ class TestLshParamsRule:
     def test_active_params_read_from_corpus_metadata(self):
         # 500-vector corpus → k floors at 3; L from the calibrated p_bit
         assert active_lsh_params("/root/testdata/sf0.001") == lsh_params(500)
+
+    def test_cache_invalidates_on_corpus_regeneration(self, tmp_path):
+        """A corpus regenerated in-place with a different row count must
+        re-derive (L, k) in the same process (advice r4: a path-keyed
+        cache kept stale Spark params while the DuckDB oracle recomputed
+        from live count(*), a spurious cross-engine mismatch)."""
+        import time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = tmp_path / "embeddings.parquet"
+        pq.write_table(pa.table({"vec_id": list(range(500))}), p)
+        assert active_lsh_params(str(tmp_path)) == lsh_params(500)
+        time.sleep(0.01)  # ensure a distinct mtime_ns
+        pq.write_table(pa.table({"vec_id": list(range(100_000))}), p)
+        assert active_lsh_params(str(tmp_path)) == lsh_params(100_000)

@@ -136,6 +136,24 @@ class TestStreamsSink:
         sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 6)))
         assert sink.stats.failing_streams == {}
 
+    def test_empty_batch_keeps_failing_gauge(self, spark, tmp_path):
+        """An idle tail-poll (zero-row micro-batch) touches no streams,
+        so it must NOT clear a persistently-failing stream from the
+        health gauge (advice r4: record_failures([]) on empty polls
+        dropped failing streams out of health tracking without them
+        ever succeeding)."""
+
+        def failing(stream, events):
+            raise TimeoutError("still down")
+
+        sink = StreamsSink.start_concurrent(spark, failing, str(tmp_path / "pe"))
+        sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 2)))
+        assert "user-1" in sink.stats.failing_streams
+        sink.process_batch(
+            spark.createDataFrame([], STREAM_EVENT_SCHEMA)  # idle poll
+        )
+        assert "user-1" in sink.stats.failing_streams
+
     def test_malformed_quarantine(self, spark, tmp_path):
         def handle(stream, events):
             raise MalformedStreamError("bad payload")
