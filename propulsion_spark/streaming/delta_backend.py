@@ -296,8 +296,10 @@ class DeltaEventStoreTable:
         Delta's data skipping restricts the rewrite to files containing
         matching (bucket-partitioned) streams."""
         current = self.read()
+        # no broadcast hint (mass-retention prunes can carry millions of
+        # request rows; AQE never demotes an explicit hint)
         report = (
-            current.join(F.broadcast(requests), "stream_name")
+            current.join(requests, "stream_name")
             .groupBy("stream_name")
             .agg(
                 F.sum((F.col("idx") <= F.col("until_idx")).cast("long")).alias(

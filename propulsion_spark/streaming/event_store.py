@@ -444,12 +444,16 @@ class EventStoreTable:
                 [], "stream_name string, deleted long, remaining long"
             )
         current = self.read(buckets=touched)
-        tagged = current.join(F.broadcast(requests), "stream_name", "left")
+        # no broadcast hint: a mass-retention prune can carry millions of
+        # request rows, and an explicit hint is honored regardless of
+        # size (AQE never demotes it) — Spark auto-broadcasts small
+        # request sets on its own, same rationale as _append_novel
+        tagged = current.join(requests, "stream_name", "left")
         survivors = tagged.filter(
             F.col("until_idx").isNull() | (F.col("idx") > F.col("until_idx"))
         ).drop("until_idx")
         report = (
-            current.join(F.broadcast(requests), "stream_name")
+            current.join(requests, "stream_name")
             .groupBy("stream_name")
             .agg(
                 F.sum((F.col("idx") <= F.col("until_idx")).cast("long")).alias(

@@ -676,7 +676,11 @@ class ParallelSink:
     pandas function run via mapInPandas: partition-parallel, faults
     abend the batch. Use when per-stream ordering doesn't matter."""
 
-    def __init__(self, spark: SparkSession, handle_items, output_schema):
+    def __init__(
+        self, spark: SparkSession, handle_items, output_schema, spool_dir=None
+    ):
+        import tempfile
+
         from propulsion_spark import ensure_shipped
 
         ensure_shipped(spark)
@@ -684,6 +688,7 @@ class ParallelSink:
         self.handle_items = handle_items
         self.output_schema = output_schema
         self.batches = 0
+        self._spool = _SpoolRotation(spool_dir or tempfile.mkdtemp())
 
     def process_batch(self, df: DataFrame, batch_id: int = 0) -> DataFrame:
         handle = self.handle_items
@@ -692,12 +697,21 @@ class ParallelSink:
             for pdf in batches:
                 yield handle(pdf)
 
-        # eager localCheckpoint: forces the handler stage (faults
-        # propagate → abend) AND severs the lineage, so a caller acting
-        # on the returned table never re-invokes the handlers (the old
-        # cache→count→unpersist left an unpersisted plan that recomputed
-        # — re-running side-effecting handlers — on any later action)
-        out = df.mapInPandas(run, self.output_schema).localCheckpoint(eager=True)
+        # Spool the handler outputs to parquet — the same durability
+        # pattern as StreamsSink. The write is the single action that
+        # runs the handler stage (faults propagate → abend); the
+        # returned table reads the spool, so a caller acting on it never
+        # re-invokes the (side-effecting, at-least-once) handlers AND
+        # survives executor loss — unlike localCheckpoint, whose
+        # lineage-truncated blocks die with the executor that held them.
+        spool = self._spool.next()
+        try:
+            df.mapInPandas(run, self.output_schema).write.mode(
+                "overwrite"
+            ).parquet(spool)
+            out = self.spark.read.schema(self.output_schema).parquet(spool)
+        finally:
+            self._spool.done(spool)
         self.batches += 1
         return out
 

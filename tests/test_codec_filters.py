@@ -216,3 +216,22 @@ class TestParallelSink:
         assert handled == 5
         assert out.count() == 5 and len(out.collect()) == 5  # two more actions
         assert acc.value == handled  # no re-invocation
+
+    def test_returned_table_survives_cache_loss(self, spark):
+        """The outcome table is durable (parquet spool), not executor
+        block storage: it must stay readable — without re-running the
+        handlers — even after every cached/checkpointed block is gone
+        (the localCheckpoint failure mode at scale: lose one executor
+        after the checkpoint and the batch is unrecoverable)."""
+        acc = spark.sparkContext.accumulator(0)
+
+        def handle_items(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc.add(len(pdf))
+            return pd.DataFrame({"stream_name": pdf["stream_name"]})
+
+        sink = ParallelSink(spark, handle_items, "stream_name string")
+        out = sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 5)))
+        handled = acc.value
+        spark.catalog.clearCache()  # simulate storage/executor loss
+        assert out.count() == 5
+        assert acc.value == handled  # durable result, no handler re-run
