@@ -38,6 +38,7 @@ HEADLINE = [
     "text_repetition",
     "similarity_topk_bruteforce",
     "similarity_lsh_topk",
+    "similarity_ivf_topk",
     "lsh_bucket_stats",
     "multimodal_frame_features",
     "multimodal_envelope",

@@ -774,6 +774,38 @@ def q_similarity_ivf_single(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ IVF multi-probe
 NPROBE = 2  # query probes its 2 nearest cells; candidates keep 1 cell
 
+# one Lloyd iteration from the seeded assignment: fixed-point member
+# means per cell, then re-measured distances — mirrors
+# _spark_ivf_dist_learned exactly (same floor(x·2^30) integer sums,
+# same DECIMAL(20,12) distance aggregation)
+_DUCK_IVF_LEARNED = f"""
+cent1 AS (
+  SELECT cell AS label, dim,
+         CAST(sum(CAST(floor(x * {_CENTROID_SCALE}) AS BIGINT)) AS DOUBLE)
+             / (count(*) * {_CENTROID_SCALE}) AS c
+  FROM expl JOIN cells USING (vec_id) GROUP BY cell, dim
+),
+dist1 AS (
+  SELECT vec_id, label,
+         CAST(sum(CAST((x - c) * (x - c) AS DECIMAL(20,12))) AS DOUBLE) AS d2
+  FROM expl JOIN cent1 USING (dim) GROUP BY vec_id, label
+),
+cells1 AS (
+  SELECT vec_id, label AS cell FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+    FROM dist1
+  ) WHERE rn = 1
+),
+qcells1 AS (
+  SELECT vec_id, label AS cell FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+    FROM dist1
+  ) WHERE rn <= {NPROBE}
+)
+"""
+
 
 def _spark_ivf_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, d2): exact fixed-point distance of every vector
@@ -797,13 +829,77 @@ def _spark_ivf_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spark_ivf_expl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dim, x): embeddings in long form, x as double."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+
+
+def _spark_ivf_dist_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, d2) under the LEARNED codebook: one distributed
+    Lloyd iteration from the label-seeded centroids — assign every
+    vector to its nearest seeded cell, recompute each cell's centroid
+    as the fixed-point mean of its members (exact integer sum of
+    floor(x·2^30), so the aggregate is deterministic under any
+    partitioning), then re-measure distances against the new codebook.
+    Both steps are groupBy aggregates + a broadcast of the (cells×dims)
+    codebook — no driver-side data, scales with the corpus. Cells keep
+    their seed label identity; a cell that loses all members simply
+    drops out of the codebook (inner joins on both engines)."""
+    dist0 = _spark_ivf_dist(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
+    assign0 = (
+        dist0.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("label").alias("cell"))
+    )
+    expl = _spark_ivf_expl(spark, sf_dir)
+    scaled = F.floor(F.col("x") * _CENTROID_SCALE).cast("long")
+    cent1 = (
+        expl.join(assign0, "vec_id")
+        .groupBy("cell", "dim")
+        .agg(
+            (
+                F.sum(scaled).cast("double") / (F.count("*") * _CENTROID_SCALE)
+            ).alias("c")
+        )
+        .withColumnRenamed("cell", "label")
+    )
+    diff = F.col("x") - F.col("c")
+    return (
+        expl.join(F.broadcast(cent1), "dim")
+        .groupBy("vec_id", "label")
+        .agg(F.sum((diff * diff).cast("decimal(20,12)")).cast("double").alias("d2"))
+    )
+
+
 def q_similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF multi-probe ANN: each query probes its NPROBE nearest cells
     (candidates stay single-cell-assigned) — the standard recall lever
     when the true neighbor falls just across a cell boundary. Work is
     O(n · cell_size · NPROBE) for the probed queries only.
     Oracle-verified through the merged ``similarity_ivf_topk`` query."""
-    dist = _spark_ivf_dist(spark, sf_dir)
+    return _ivf_multiprobe_from_dist(spark, sf_dir, _spark_ivf_dist(spark, sf_dir))
+
+
+def q_similarity_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe ANN over the learned (one-Lloyd-iteration)
+    codebook — same search, better quantizer.
+    Oracle-verified through the merged ``similarity_ivf_topk`` query."""
+    return _ivf_multiprobe_from_dist(
+        spark, sf_dir, _spark_ivf_dist_learned(spark, sf_dir)
+    )
+
+
+def _ivf_multiprobe_from_dist(
+    spark: SparkSession, sf_dir: str, dist: DataFrame
+) -> DataFrame:
     w_cell = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
     ranked = dist.withColumn("rn", F.row_number().over(w_cell))
     assign = ranked.filter(F.col("rn") == 1).select(
@@ -882,42 +978,69 @@ FROM (
 ) WHERE rank <= {TOP_K}
 """
 
+_DUCK_IVF_LEARNED_SEARCH = f"""
+WITH {_DUCK_NORMED},
+{_DUCK_IVF_CELLS.strip()},
+{_DUCK_IVF_LEARNED.strip()}
+SELECT query_id, neighbor_id, rank, cosine
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC,
+                      c.vec_id) AS BIGINT) AS rank
+  FROM (SELECT n.*, qc.cell FROM normed n JOIN qcells1 qc USING (vec_id)) q
+  JOIN (SELECT n.*, cl.cell FROM normed n JOIN cells1 cl USING (vec_id)) c
+    ON c.vec_id != q.vec_id AND c.cell = q.cell
+  WHERE q.vec_id < {N_QUERIES}
+) WHERE rank <= {TOP_K}
+"""
+
 
 @register(
     "similarity_ivf_topk",
     f"""
-SELECT CAST(1 AS BIGINT) AS n_probes, s.* FROM ({_DUCK_IVF_SINGLE.strip()}) s
+SELECT 'seeded' AS codebook, CAST(1 AS BIGINT) AS n_probes, s.*
+FROM ({_DUCK_IVF_SINGLE.strip()}) s
 UNION ALL
-SELECT CAST({NPROBE} AS BIGINT), s.* FROM ({_DUCK_IVF_MULTI.strip()}) s
+SELECT 'seeded', CAST({NPROBE} AS BIGINT), s.* FROM ({_DUCK_IVF_MULTI.strip()}) s
+UNION ALL
+SELECT 'learned', CAST({NPROBE} AS BIGINT), s.*
+FROM ({_DUCK_IVF_LEARNED_SEARCH.strip()}) s
 """,
-    doc="IVF-style ANN at two probe budgets in one report: vectors are "
-    "assigned to the nearest coarse-codebook centroid cell (codebook = "
-    "deterministic per-label centroids, standing in for a trained "
-    "k-means — the assignment/cell-probe plumbing is the real IVF "
-    "shape). "
+    doc="IVF-style ANN at two probe budgets AND two codebooks in one "
+    "report. codebook='seeded': vectors are assigned to the nearest "
+    "per-label centroid cell; codebook='learned': one distributed Lloyd "
+    "iteration refines the codebook (assign → fixed-point member means "
+    "→ reassign), the standard k-means training step, in exact "
+    "floor(x·2^30) integer arithmetic so Spark and the oracle agree "
+    "bit-for-bit. "
     f"n_probes=1: each query probes only its own cell; n_probes={NPROBE}: "
     "the standard recall lever when the true neighbor falls just across "
     f"a cell boundary, O(n · cell_size · {NPROBE}) for the probed "
-    "queries only. Both branches shuffle the candidate join on cell id. "
+    "queries only. All branches shuffle the candidate join on cell id. "
     "Complements the hyperplane-LSH variant; recall vs brute force is "
     "reported by similarity_recall.",
 )
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["query_id", "neighbor_id", "rank", "cosine"]
     single = q_similarity_ivf_single(spark, sf_dir).select(
+        F.lit("seeded").alias("codebook"),
         F.lit(1).cast("long").alias("n_probes"),
-        "query_id",
-        "neighbor_id",
-        "rank",
-        "cosine",
+        *cols,
     )
     multi = q_similarity_ivf_multiprobe(spark, sf_dir).select(
+        F.lit("seeded").alias("codebook"),
         F.lit(NPROBE).cast("long").alias("n_probes"),
-        "query_id",
-        "neighbor_id",
-        "rank",
-        "cosine",
+        *cols,
     )
-    return single.unionByName(multi)
+    learned = q_similarity_ivf_learned(spark, sf_dir).select(
+        F.lit("learned").alias("codebook"),
+        F.lit(NPROBE).cast("long").alias("n_probes"),
+        *cols,
+    )
+    return single.unionByName(multi).unionByName(learned)
 
 
 _DUCK_IVF_RECALL = f"""
@@ -953,13 +1076,8 @@ GROUP BY bf.query_id
 """
 
 
-def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@TOP_K of the NPROBE-probe IVF search vs brute force.
-    Oracle-verified through the merged ``similarity_recall`` query."""
-    bf = q_similarity_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    ann = q_similarity_ivf_multiprobe(spark, sf_dir).select(
-        "query_id", F.col("neighbor_id").alias("ann_neighbor")
-    )
+def _recall_vs_bruteforce(bf: DataFrame, ann: DataFrame) -> DataFrame:
+    ann = ann.select("query_id", F.col("neighbor_id").alias("ann_neighbor"))
     joined = bf.join(
         ann,
         (bf.query_id == ann.query_id) & (bf.neighbor_id == ann.ann_neighbor),
@@ -971,12 +1089,55 @@ def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@TOP_K of the NPROBE-probe IVF search vs brute force.
+    Oracle-verified through the merged ``similarity_recall`` query."""
+    bf = q_similarity_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_vs_bruteforce(bf, q_similarity_ivf_multiprobe(spark, sf_dir))
+
+
+def q_similarity_ivf_learned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@TOP_K of the learned-codebook IVF search vs brute force.
+    Oracle-verified through the merged ``similarity_recall`` query."""
+    bf = q_similarity_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_vs_bruteforce(bf, q_similarity_ivf_learned(spark, sf_dir))
+
+
+_DUCK_IVF_LEARNED_RECALL = f"""
+WITH {_DUCK_NORMED},
+{_DUCK_IVF_CELLS.strip()},
+{_DUCK_IVF_LEARNED.strip()},
+bf AS ({_BF_SUBQUERY}),
+ann AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC,
+                        c.vec_id) AS BIGINT) AS rank
+    FROM (SELECT n.*, qc.cell FROM normed n JOIN qcells1 qc USING (vec_id)) q
+    JOIN (SELECT n.*, cl.cell FROM normed n JOIN cells1 cl USING (vec_id)) c
+      ON c.vec_id != q.vec_id AND c.cell = q.cell
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+)
+SELECT bf.query_id,
+       CAST(count(ann.neighbor_id) AS BIGINT) AS n_hit,
+       count(ann.neighbor_id) / {TOP_K} AS recall
+FROM bf LEFT JOIN ann USING (query_id, neighbor_id)
+GROUP BY bf.query_id
+"""
+
+
 @register(
     "similarity_recall",
     f"""
 SELECT 'lsh_multitable' AS method, s.* FROM ({_DUCK_LSH_RECALL.strip()}) s
 UNION ALL
 SELECT 'ivf_multiprobe', s.* FROM ({_DUCK_IVF_RECALL.strip()}) s
+UNION ALL
+SELECT 'ivf_learned', s.* FROM ({_DUCK_IVF_LEARNED_RECALL.strip()}) s
 """,
     doc=f"ANN quality gauge, both index families in one report: "
     f"recall@{TOP_K} per query of the multi-table hyperplane-LSH search "
@@ -993,4 +1154,7 @@ def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = q_similarity_ivf_recall(spark, sf_dir).select(
         F.lit("ivf_multiprobe").alias("method"), "query_id", "n_hit", "recall"
     )
-    return lsh.unionByName(ivf)
+    learned = q_similarity_ivf_learned_recall(spark, sf_dir).select(
+        F.lit("ivf_learned").alias("method"), "query_id", "n_hit", "recall"
+    )
+    return lsh.unionByName(ivf).unionByName(learned)
