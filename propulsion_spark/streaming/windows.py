@@ -119,3 +119,123 @@ def asof_enrich_foreach_batch(
         )
 
     return enrich
+
+
+def range_lookback_foreach_batch(
+    spark,
+    state_path: str,
+    out_path: str,
+    key: str = "user_id",
+    lookback_s: int = 3600,
+    late_s: int = 600,
+):
+    """Streaming twin of ``range_join_events_1h``: a ``foreachBatch``
+    callable that, per micro-batch, counts/sums each event's same-key
+    priors within the lookback window against watermark-bounded durable
+    state, using the batch operator's banded plan (equi-join on
+    (key, lookback-bucket) with a 2-bucket probe explode + exact
+    interval filter — never an O(n²) inequality join).
+
+    State is the stream's own recent history, kept as VERSIONED parquet
+    snapshots under ``state_path`` (``v<batch_id>``, ``_SUCCESS``-gated):
+    each batch reads the newest complete version OLDER than itself,
+    unions the current batch, and writes survivors newer than
+    ``max(ts) - lookback - late`` as its own version. Replay of batch N
+    therefore re-reads exactly the inputs the first attempt saw and
+    rewrites the same artifacts — and the output is partitioned by
+    ``_batch_id`` with dynamic overwrite, so at-least-once foreachBatch
+    delivery never duplicates rows (same contract as
+    ``asof_enrich_foreach_batch``). State size is bounded by the
+    watermark (``late_s``), not by stream lifetime: rows older than
+    lookback+late are dropped at every snapshot, so per-batch cost is
+    O(batch + window volume) regardless of how long the stream runs.
+
+    Lateness semantics: every event in the batch gets an output row,
+    but an event arriving later than ``late_s`` may undercount priors
+    that were already compacted away — the watermark trade, stated
+    rather than hidden.
+    """
+    import os
+    import shutil
+    from datetime import timedelta
+
+    bucket_us = lookback_s * 1_000_000
+    state_schema = f"{key} long, ts timestamp, value double"
+
+    def _versions() -> "list[int]":
+        try:
+            names = os.listdir(state_path)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[1:])
+            for n in names
+            if n.startswith("v")
+            and n[1:].isdigit()
+            and os.path.exists(os.path.join(state_path, n, "_SUCCESS"))
+        )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        probe = batch.select("event_id", key, "ts", "value")
+        prior_versions = [v for v in _versions() if v < batch_id]
+        hist = probe.drop("event_id")
+        if prior_versions:
+            hist = hist.unionByName(
+                spark.read.schema(state_schema).parquet(
+                    os.path.join(state_path, f"v{prior_versions[-1]}")
+                )
+            )
+        bucket = F.expr(f"unix_micros(ts) div {bucket_us}")
+        probe_b = probe.withColumn(
+            "bucket", F.explode(F.array(bucket - 1, bucket))
+        )
+        build = hist.select(
+            F.col(key).alias("_b_key"),
+            bucket.alias("bucket"),
+            F.col("ts").alias("_b_ts"),
+            F.col("value").alias("_b_value"),
+        )
+        pairs = probe_b.join(
+            build,
+            (probe_b[key] == build._b_key) & (probe_b.bucket == build.bucket),
+        ).filter(
+            (F.col("_b_ts") >= F.col("ts") - F.expr(f"INTERVAL {lookback_s} SECOND"))
+            & (F.col("_b_ts") < F.col("ts"))
+        )
+        agg = pairs.groupBy("event_id").agg(
+            F.count("*").alias("n_prior_1h"),
+            F.sum(F.col("_b_value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("prior_value_sum"),
+        )
+        (
+            probe.join(agg, "event_id", "left")
+            .select(
+                "event_id",
+                key,
+                "ts",
+                F.coalesce("n_prior_1h", F.lit(0)).cast("long").alias("n_prior_1h"),
+                F.coalesce("prior_value_sum", F.lit(0.0)).alias("prior_value_sum"),
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+        mx = probe.agg(F.max("ts")).first()[0]
+        if mx is None:
+            return  # empty batch: no state advance, no version churn
+        cutoff = mx - timedelta(seconds=lookback_s + late_s)
+        (
+            hist.filter(F.col("ts") >= F.lit(cutoff))
+            .write.mode("overwrite")
+            .parquet(os.path.join(state_path, f"v{batch_id}"))
+        )
+        # keep this version + the previous one (replay of N needs N-1);
+        # everything older is dead under monotone batch ids
+        for v in _versions():
+            if v < batch_id and (prior_versions and v != prior_versions[-1]):
+                shutil.rmtree(os.path.join(state_path, f"v{v}"), ignore_errors=True)
+
+    return process

@@ -152,3 +152,90 @@ class TestAsofEnrichStream:
             for r in q_asof_join_orders(spark, sf).collect()
         }
         assert got == want
+
+
+class TestRangeLookbackStream:
+    def _read_out(self, spark, out):
+        return {
+            r.event_id: (r.n_prior_1h, round(r.prior_value_sum, 6))
+            for r in spark.read.parquet(out).collect()
+        }
+
+    def test_streamed_range_join_matches_batch_replays_idempotently(
+        self, spark, tmp_path
+    ):
+        """Drive 3 time-ordered micro-batches through the foreachBatch
+        range-lookback twin: the accumulated output must equal the
+        batch operator over the same events (the twin contract), a
+        replay of the last batch must change nothing (at-least-once
+        safety), and state snapshots must compact to the newest two
+        versions (watermark-bounded state, not stream-lifetime)."""
+        import os
+
+        from propulsion_spark import load_table
+        from propulsion_spark.operators.timeseries import q_range_join_events_1h
+        from propulsion_spark.streaming.windows import range_lookback_foreach_batch
+
+        sf = "/root/testdata/sf0.001"
+        events = load_table(spark, sf, "events").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        q1, q2 = events.selectExpr(
+            "percentile(unix_micros(ts), array(0.33, 0.66)) AS q"
+        ).first()[0]
+        import pyspark.sql.functions as F
+
+        us = F.expr("unix_micros(ts)")
+        batches = [
+            events.filter(us <= q1),
+            events.filter((us > q1) & (us <= q2)),
+            events.filter(us > q2),
+        ]
+        state, out = str(tmp_path / "state"), str(tmp_path / "out")
+        fb = range_lookback_foreach_batch(spark, state, out)
+        for i, b in enumerate(batches):
+            fb(b, i)
+
+        got = self._read_out(spark, out)
+        want = {
+            r.event_id: (r.n_prior_1h, round(r.prior_value_sum, 6))
+            for r in q_range_join_events_1h(spark, sf).collect()
+        }
+        assert got == want
+
+        # at-least-once replay of the last batch: same output, same state
+        fb(batches[2], 2)
+        assert self._read_out(spark, out) == want
+
+        # compaction: only the newest two state versions survive
+        versions = sorted(n for n in os.listdir(state) if n.startswith("v"))
+        assert versions == ["v1", "v2"]
+
+    def test_range_lookback_under_real_stream(self, spark, tmp_path):
+        """Plumbing check: the twin runs under a real AvailableNow
+        foreachBatch query and produces one row per event."""
+        from propulsion_spark import load_table
+        from propulsion_spark.streaming.windows import range_lookback_foreach_batch
+
+        sf = "/root/testdata/sf0.001"
+        events = load_table(spark, sf, "events").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        indir = str(tmp_path / "in")
+        events.coalesce(1).write.mode("append").parquet(indir)
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        ).parquet(indir)
+        q = (
+            stream.writeStream.foreachBatch(
+                range_lookback_foreach_batch(
+                    spark, str(tmp_path / "state"), str(tmp_path / "out")
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        n = spark.read.parquet(str(tmp_path / "out")).count()
+        assert n == events.count()
