@@ -50,7 +50,26 @@ def cmd_sync(args) -> int:
 
     # ---- sink ----
     kind, _, dst = args.to.partition(":")
-    if kind == "stats":
+    if getattr(args, "curate", False):
+        # the flagship LLM-data story as one pipeline: quality gates →
+        # repetition filter → cross-batch dedup → split assignment →
+        # curated store. --to is the output root (curated:<path> or a
+        # bare path); document sources bypass the stream filter (docs
+        # have no stream envelope).
+        from propulsion_spark.pipelines import CurationPipeline
+
+        pipe = CurationPipeline(spark, dst if kind == "curated" else args.to)
+
+        class CurateSink:
+            def __init__(self):
+                self.stats = pipe.stats
+                self.pipe = pipe
+
+            def process_batch(self, df, batch_id=0):
+                pipe.process_batch(df, batch_id)
+
+        sink = CurateSink()
+    elif kind == "stats":
         counters = {"events": 0, "streams": set()}
 
         def handle(stream, events):
@@ -86,14 +105,16 @@ def cmd_sync(args) -> int:
         print(f"unknown sink: {args.to}", file=sys.stderr)
         return 2
 
-    # wrap the sink with the stream filter
+    # wrap the sink with the stream filter (documents have no stream
+    # envelope, so the curation path is not wrapped)
     inner = sink
+    if not getattr(args, "curate", False):
 
-    class FilteredSink:
-        def process_batch(self, df, batch_id=0):
-            return inner.process_batch(sfilter.apply(df), batch_id)
+        class FilteredSink:
+            def process_batch(self, df, batch_id=0):
+                return inner.process_batch(sfilter.apply(df), batch_id)
 
-    sink = FilteredSink()
+        sink = FilteredSink()
 
     # ---- source ----
     skind, _, src = args.source.partition(":")
@@ -107,6 +128,17 @@ def cmd_sync(args) -> int:
 
         cls = TailingFeedSource if args.follow else SinglePassFeedSource
         source = cls(spark, lambda: ["0"], read_page, sink, ckpt, source_id="events")
+    elif skind == "documents":
+        docs = load_table(spark, src, "documents")
+
+        def read_doc_page(tranche, pos):
+            if pos >= 1:
+                return Batch(items=None, checkpoint=pos, is_tail=True)
+            return Batch(items=docs, checkpoint=1, is_tail=True)
+
+        source = SinglePassFeedSource(
+            spark, lambda: ["0"], read_doc_page, sink, ckpt, source_id="documents"
+        )
     elif skind == "changefeed":
         source = ChangeFeedSource(
             spark, src, sink, ckpt, stop_at_tail=not args.follow
@@ -148,9 +180,14 @@ def cmd_sync(args) -> int:
 
     report = {"source": args.source, "to": args.to, "caught_up": source.ran_to_completion}
     if hasattr(inner, "stats"):
-        report["stats"] = inner.stats.as_dict()
+        s = inner.stats
+        report["stats"] = s if isinstance(s, dict) else s.as_dict()
     if hasattr(inner, "outcomes"):
         report["outcomes"] = inner.outcomes
+    if hasattr(inner, "pipe"):
+        report["splits"] = [
+            r.asDict() for r in inner.pipe.split_stats().collect()
+        ]
     print(json.dumps(report))
     spark.stop()
     return 0
@@ -286,6 +323,12 @@ def main(argv=None) -> int:
     s.add_argument("--deny-stream", action="append")
     s.add_argument("-e", "--event-type", action="append")
     s.add_argument("--deny-event-type", action="append")
+    s.add_argument(
+        "--curate",
+        action="store_true",
+        help="route document batches through the curation pipeline "
+        "(quality + repetition gates, dedup, split assignment)",
+    )
     s.set_defaults(fn=cmd_sync)
 
     st = sub.add_parser("stats", help="event-type stats over a fixture dir")

@@ -3,9 +3,12 @@ continuous flow (the batch twin is the ``corpus_curation`` oracle
 query).
 
     raw document batches (change feed / any feed source)
-      → quality gates      (declarative: alpha ratio, token bounds)
+      → quality gates      (declarative: alpha ratio, token bounds,
+                            Gopher-style dup-trigram repetition)
       → cross-batch dedup  (fingerprint table: first-writer-wins)
-      → curated store      (append-only parquet)
+      → split assignment   (train/val/test by md5(doc_id) hash range —
+                            pure function of the id, stable forever)
+      → curated store      (append-only parquet, split column attached)
       + per-language corpus stats
 
 The fingerprint table is the same MVCC parquet pattern as
@@ -25,8 +28,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from propulsion_spark.operators.dedup import normalized
-from propulsion_spark.operators.textops import _toks
+from propulsion_spark.operators.dedup import SPARK_H64, normalized
+from propulsion_spark.operators.textops import REP_THRESHOLD, TRAIN_PCT, VAL_PCT, _toks
 
 
 class _FingerprintTable:
@@ -86,31 +89,51 @@ class CurationPipeline:
         out_path: str,
         min_alpha_ratio: float = 0.7,
         token_bounds: tuple[int, int] = (10, 5000),
+        max_dup_trigram_frac: float = REP_THRESHOLD,
+        assign_splits: bool = True,
     ):
         self.spark = spark
         self.out_path = out_path
         self.min_alpha_ratio = min_alpha_ratio
         self.token_bounds = token_bounds
+        self.max_dup_trigram_frac = max_dup_trigram_frac
+        self.assign_splits = assign_splits
         self.fingerprints = _FingerprintTable(spark, f"{out_path}/_fingerprints")
         self.curated_path = f"{out_path}/curated"
-        self.stats = {"seen": 0, "rejected_quality": 0, "deduped": 0, "kept": 0}
+        self.stats = {
+            "seen": 0,
+            "rejected_quality": 0,
+            "rejected_repetition": 0,
+            "deduped": 0,
+            "kept": 0,
+        }
         self._lock = threading.Lock()
 
     # -- one batch ---------------------------------------------------------
     def process_batch(self, df: DataFrame, batch_id: int = 0) -> None:
+        # dup-trigram fraction, same columnar expression as the
+        # text_repetition operator (Gopher-style repetition gate)
+        tg = (
+            "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        )
         scored = df.select(
             "*",
             F.expr(
                 "length(regexp_replace(text, '[^A-Za-z]', '')) / length(text)"
             ).alias("_alpha"),
             F.expr(f"size({_toks('spark')})").alias("_ntok"),
+            F.expr(
+                f"1.0D - cast(size(array_distinct({tg})) as double) / size({tg})"
+            ).alias("_dup3"),
             F.expr(f"md5({normalized('spark')})").alias("fp"),
         )
         lo, hi = self.token_bounds
-        passed = scored.filter(
+        passed_q = scored.filter(
             (F.col("_alpha") >= self.min_alpha_ratio)
             & F.col("_ntok").between(lo, hi)
         )
+        passed = passed_q.filter(F.col("_dup3") <= self.max_dup_trigram_frac)
         # intra-batch keeper, then cross-batch anti-join vs seen fps
         keeper = passed.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
         fresh = keeper.join(self.fingerprints.read(), "fp", "left_anti").select(
@@ -123,13 +146,27 @@ class CurationPipeline:
         kept_docs = kept_docs.cache()
         try:
             n_seen = df.count()
+            n_passed_q = passed_q.count()
             n_passed = passed.count()
             n_kept = kept_docs.count()
-            kept_docs.drop("fp").write.mode("append").parquet(self.curated_path)
+            out = kept_docs.drop("fp")
+            if self.assign_splits:
+                # reproducible split label: pure function of doc_id
+                # (same rule as corpus_split_assign), so replays and
+                # corpus growth never move a doc between splits
+                b = F.expr(SPARK_H64.format(x="cast(doc_id as string)")) % 100
+                out = out.withColumn(
+                    "split",
+                    F.when(b < TRAIN_PCT, "train")
+                    .when(b < TRAIN_PCT + VAL_PCT, "val")
+                    .otherwise("test"),
+                )
+            out.write.mode("append").parquet(self.curated_path)
             self.fingerprints.register(kept_docs.select("fp", F.col("doc_id").alias("keeper")))
             with self._lock:
                 self.stats["seen"] += n_seen
-                self.stats["rejected_quality"] += n_seen - n_passed
+                self.stats["rejected_quality"] += n_seen - n_passed_q
+                self.stats["rejected_repetition"] += n_passed_q - n_passed
                 self.stats["deduped"] += n_passed - n_kept
                 self.stats["kept"] += n_kept
         finally:
@@ -138,6 +175,18 @@ class CurationPipeline:
     # -- results -----------------------------------------------------------
     def curated(self) -> DataFrame:
         return self.spark.read.parquet(self.curated_path)
+
+    def split_stats(self) -> DataFrame:
+        """Docs/chars per (source, split) over the curated store —
+        the corpus_split_assign rollup restricted to survivors."""
+        return (
+            self.curated()
+            .groupBy("source", "split")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+        )
 
     def lang_stats(self) -> DataFrame:
         return (

@@ -78,3 +78,25 @@ class TestCli:
         )
         out = run_cli("checkpoint", "--path", str(tmp_path / "ck"), "--group", "grp9")
         assert out.get("events/0/grp9") == 1
+
+
+class TestCliCurate:
+    def test_sync_curate_documents(self, tmp_path):
+        """The flagship LLM-data story as one CLI invocation: documents
+        source → quality/repetition gates → dedup → split assignment →
+        curated store, with per-split totals in the report."""
+        rep = run_cli(
+            "sync",
+            "--from", "documents:/root/testdata/sf0.001",
+            "--to", f"curated:{tmp_path / 'corpus'}",
+            "--curate",
+            "--checkpoints", str(tmp_path / "ck"),
+        )
+        assert rep["caught_up"] is True
+        s = rep["stats"]
+        assert s["seen"] > 0 and s["kept"] > 0
+        assert s["seen"] == (
+            s["kept"] + s["rejected_quality"] + s["rejected_repetition"] + s["deduped"]
+        )
+        assert rep["splits"], "per-split rollup missing"
+        assert {r["split"] for r in rep["splits"]} <= {"train", "val", "test"}

@@ -73,3 +73,53 @@ class TestCurationPipeline:
         q2.awaitTermination(120)
         kept = sorted(r.doc_id for r in pipe.curated().collect())
         assert kept == [1, 3]  # 2 deduped against batch-1's fingerprint
+
+
+REPETITIVE = "spam spam spam spam spam " * 20  # all-alpha, enough tokens,
+# but one distinct trigram → dup_trigram_frac ≈ 1
+
+
+class TestCurationRepetitionAndSplits:
+    def test_repetition_gate_and_split_labels(self, spark, tmp_path):
+        """VERDICT r4 #7: the Gopher-style repetition filter and the
+        hash-range split are pipeline stages, not just standalone
+        queries — a repetitive doc is rejected (counted separately from
+        alpha/token quality) and every kept doc carries a reproducible
+        split label."""
+        from pyspark.sql import functions as F
+
+        from propulsion_spark.operators.dedup import SPARK_H64
+        from propulsion_spark.operators.textops import TRAIN_PCT, VAL_PCT
+
+        pipe = CurationPipeline(spark, str(tmp_path / "out"))
+        pipe.process_batch(
+            mk(spark, [doc(1, GOOD), doc(2, REPETITIVE), doc(3, NUMERIC)])
+        )
+        assert pipe.stats["rejected_repetition"] == 1
+        assert pipe.stats["rejected_quality"] == 1
+        assert pipe.stats["kept"] == 1
+        rows = pipe.curated().collect()
+        assert [r.doc_id for r in rows] == [1]
+        assert rows[0].split in ("train", "val", "test")
+        # the label is the pure hash-range function of doc_id — recompute
+        want = (
+            spark.range(1, 2)
+            .select(
+                (F.expr(SPARK_H64.format(x="cast(id as string)")) % 100).alias("b")
+            )
+            .first()
+            .b
+        )
+        expect = (
+            "train" if want < TRAIN_PCT
+            else "val" if want < TRAIN_PCT + VAL_PCT
+            else "test"
+        )
+        assert rows[0].split == expect
+        splits = {(r.source, r.split): r.n_docs for r in pipe.split_stats().collect()}
+        assert splits == {("s", expect): 1}
+
+    def test_splits_can_be_disabled(self, spark, tmp_path):
+        pipe = CurationPipeline(spark, str(tmp_path / "out"), assign_splits=False)
+        pipe.process_batch(mk(spark, [doc(1, GOOD)]))
+        assert "split" not in pipe.curated().columns
