@@ -72,6 +72,8 @@ class EventStoreTable:
         self.lease_ttl_s = lease_ttl_s
         self.manifest = JsonManifest(path)
         self._write_lock = threading.Lock()  # in-process writer serialization
+        #: cross-commit lease liveness totals (exported as propulsion_lease_*)
+        self.lease_counters = {"heartbeats": 0, "steals": 0, "lost": 0}
         # spools for the sync report / append aggregates — bounded
         # O(streams-per-batch) dirs, so the verdict/report never
         # serialize row-per-stream onto the driver. The report spool
@@ -97,7 +99,7 @@ class EventStoreTable:
         """Fenced commit scope (see PositionsTable._commit): lease token
         verified at every manifest flip inside — a stolen lease raises
         LeaseLostError instead of silently dropping the peer's commit."""
-        with self._write_lock, FileLease(self.path, ttl_s=self.lease_ttl_s) as lease:
+        with self._write_lock, FileLease(self.path, ttl_s=self.lease_ttl_s, counters=self.lease_counters) as lease:
             self.manifest.fence = lease
             try:
                 yield lease

@@ -26,6 +26,8 @@ class MetricsExporter:
         self._sinks: list = []
         self._sources: list = []
         self._monitors: list = []
+        self._stores: list = []
+        self._gauges: list = []
 
     def register_sink(self, sink) -> "MetricsExporter":
         self._sinks.append(sink)
@@ -37,6 +39,21 @@ class MetricsExporter:
 
     def register_monitor(self, monitor) -> "MetricsExporter":
         self._monitors.append(monitor)
+        return self
+
+    def register_store(self, name: str, store) -> "MetricsExporter":
+        """An EventStoreTable / PositionsTable: exports lease liveness
+        totals (``propulsion_lease_*``) and spool retention depths
+        (``propulsion_spool_*``)."""
+        self._stores.append((name, store))
+        return self
+
+    def register_gauge(self, name: str, fn) -> "MetricsExporter":
+        """A custom gauge family: ``fn()`` returns either a number or an
+        iterable of ``(labels_dict, value)`` rows, evaluated at scrape
+        time. Used for e.g. the LSH bucket-boundedness gauges
+        (:func:`lsh_boundedness_gauge`)."""
+        self._gauges.append((name, fn))
         return self
 
     def lines(self) -> Iterable[str]:
@@ -59,6 +76,12 @@ class MetricsExporter:
             yield _fmt(
                 "propulsion_scheduler_failing_streams", g, len(stats["failing"])
             )
+            spool = getattr(sink, "_spool", None)
+            if spool is not None:
+                d = spool.depth()
+                yield "# TYPE propulsion_spool_retained gauge"
+                yield _fmt("propulsion_spool_retained", g, d["retained"])
+                yield _fmt("propulsion_spool_inflight", g, d["inflight"])
         for mon in self._monitors:
             snap = mon.snapshot()
             yield "# TYPE propulsion_scheduler_busy_streams gauge"
@@ -66,6 +89,32 @@ class MetricsExporter:
             if snap:
                 oldest = max(v["age_s"] for v in snap.values())
                 yield _fmt("propulsion_scheduler_oldest_busy_seconds", g, oldest)
+        for name, store in self._stores:
+            lbl = {**g, "store": name}
+            counters = getattr(store, "lease_counters", None)
+            if counters:
+                yield "# TYPE propulsion_lease_events_total counter"
+                for kind, n in sorted(counters.items()):
+                    yield _fmt(
+                        "propulsion_lease_events_total", {**lbl, "kind": kind}, n
+                    )
+            yield "# TYPE propulsion_spool_retained gauge"
+            for spool_name in ("_report_spool", "_prune_spool", "_spool"):
+                spool = getattr(store, spool_name, None)
+                if spool is None:
+                    continue
+                d = spool.depth()
+                slbl = {**lbl, "spool": spool_name.strip("_")}
+                yield _fmt("propulsion_spool_retained", slbl, d["retained"])
+                yield _fmt("propulsion_spool_inflight", slbl, d["inflight"])
+        for name, fn in self._gauges:
+            yield f"# TYPE {name} gauge"
+            v = fn()
+            if isinstance(v, (int, float)):
+                yield _fmt(name, g, v)
+            else:
+                for labels, value in v:
+                    yield _fmt(name, {**g, **labels}, value)
         for src in self._sources:
             yield "# TYPE propulsion_feed_position gauge"
             for tranche, st in src.tranches.items():
@@ -78,3 +127,34 @@ class MetricsExporter:
 
     def render(self) -> str:
         return "\n".join(self.lines()) + "\n"
+
+
+def lsh_boundedness_gauge(spark, sf_dir: str):
+    """Gauge callable for :meth:`MetricsExporter.register_gauge`: the
+    LSH index's bucket-boundedness invariant as scrapeable rows —
+    per (design, table): max bucket size, bucket count, corpus size,
+    plus the active (L, k) design point. A max_bucket trending toward
+    n_vectors means the O(n·bucket) candidate-join bound is eroding
+    and (L, k) must be re-derived (``active_lsh_params`` does this
+    from live corpus size; the gauge is how an operator notices).
+
+    Runs one bounded Spark aggregate per scrape (L × 2 design rows) —
+    scrape-rate cost, not hot-path cost.
+    """
+
+    def scrape():
+        from propulsion_spark.operators.similarity import (
+            active_lsh_params,
+            q_lsh_bucket_stats,
+        )
+
+        L, k = active_lsh_params(sf_dir)
+        rows = [({"param": "L"}, L), ({"param": "k"}, k)]
+        for r in q_lsh_bucket_stats(spark, sf_dir).collect():
+            lbl = {"design": r.design, "table": str(r.t)}
+            rows.append(({**lbl, "stat": "max_bucket"}, r.max_bucket))
+            rows.append(({**lbl, "stat": "n_buckets"}, r.n_buckets))
+            rows.append(({**lbl, "stat": "n_vectors"}, r.n_vectors))
+        return rows
+
+    return scrape

@@ -84,6 +84,7 @@ class FileLease:
         ttl_s: float = 30.0,
         timeout_s: float = 60.0,
         heartbeat: bool = True,
+        counters: dict | None = None,
     ):
         self.lock_path = os.path.join(dir_path, "_LOCK")
         self.ttl_s = ttl_s
@@ -94,6 +95,15 @@ class FileLease:
         self._hb_stop: threading.Event | None = None
         self._hb_thread: threading.Thread | None = None
         self._held = False
+        #: liveness counters, exported as ``propulsion_lease_*`` by
+        #: MetricsExporter (GIL-atomic increments; approximate by design).
+        #: Leases are per-commit ephemerals — pass the owning table's
+        #: dict so totals accumulate across commits.
+        self.counters = (
+            counters
+            if counters is not None
+            else {"heartbeats": 0, "steals": 0, "lost": 0}
+        )
 
     # ---- token helpers ----------------------------------------------------
     def _read_token(self) -> str | None:
@@ -110,6 +120,7 @@ class FileLease:
         """Fencing check: raise if the lock no longer carries our token
         (a peer judged us stale and stole the lease mid-commit)."""
         if not self.owns():
+            self.counters["lost"] += 1
             raise LeaseLostError(
                 f"lease {self.lock_path} lost mid-commit (token {self.token[:8]}… "
                 "no longer on the lock file) — refusing to flip the manifest"
@@ -165,11 +176,13 @@ class FileLease:
                         self.lock_path,
                         self.token[:8],
                     )
+                    self.counters["lost"] += 1
                     return
                 continue
             misses = 0
             try:
                 os.utime(self.lock_path, None)
+                self.counters["heartbeats"] += 1
             except OSError:
                 pass  # transient — retry next tick
 
@@ -202,6 +215,7 @@ class FileLease:
             actual = None
         if actual == observed:
             os.unlink(stolen)  # confirmed: we broke the stale lease we observed
+            self.counters["steals"] += 1
             return
         # A FRESH lease raced in between our read and the rename — restore
         # it atomically iff no newer one has appeared since (os.link fails

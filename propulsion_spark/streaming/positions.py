@@ -69,6 +69,8 @@ class PositionsTable:
         self.lease_ttl_s = lease_ttl_s
         self.manifest = JsonManifest(path)
         self._write_lock = threading.Lock()  # in-process writer serialization
+        #: cross-commit lease liveness totals (exported as propulsion_lease_*)
+        self.lease_counters = {"heartbeats": 0, "steals": 0, "lost": 0}
 
     @contextmanager
     def _commit(self):
@@ -76,7 +78,7 @@ class PositionsTable:
         the lease attached to the manifest so every flip inside verifies
         the fencing token (LeaseLostError instead of a silent lost update
         if a peer wrongly judged us stale)."""
-        with self._write_lock, FileLease(self.path, ttl_s=self.lease_ttl_s) as lease:
+        with self._write_lock, FileLease(self.path, ttl_s=self.lease_ttl_s, counters=self.lease_counters) as lease:
             self.manifest.fence = lease
             try:
                 yield lease

@@ -235,6 +235,13 @@ class _SpoolRotation:
                 pass
         return path
 
+    def depth(self) -> dict:
+        """Gauge snapshot: spools being written right now vs completed
+        spools held for returned-table reads (exported as
+        ``propulsion_spool_*`` by MetricsExporter)."""
+        with self._lock:
+            return {"inflight": len(self._inflight), "retained": len(self._done)}
+
     def done(self, path: str) -> None:
         """The batch that owns ``path`` has finished writing AND reading
         it (the returned DataFrame may still read it — the newest

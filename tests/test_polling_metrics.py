@@ -146,3 +146,47 @@ class TestRunStream:
         pos = {r.stream_name: r.pos for r in sink.positions.read().collect()}
         assert pos == {"user-1": 6}
         assert sink.stats.outcomes.get("duplicate") is None  # no re-reads
+
+
+class TestNewGaugeExports:
+    def test_store_lease_and_spool_gauges(self, spark, tmp_path):
+        """VERDICT r4 #8: lease liveness totals and spool retention
+        depth are scrapeable, not just computed."""
+        from propulsion_spark.streaming.event_store import EventStoreTable
+
+        store = EventStoreTable(spark, str(tmp_path / "es"))
+        store.sync(mk_df(spark, envelope_rows("user-1", 0, 3)))
+        store.lease_counters["steals"] += 1  # simulate an observed steal
+        text = (
+            MetricsExporter(group="g1").register_store("es", store).render()
+        )
+        assert (
+            'propulsion_lease_events_total{group="g1",kind="steals",store="es"} 1'
+            in text
+        )
+        assert 'propulsion_spool_retained{group="g1",spool="report_spool",store="es"}' in text
+        assert 'propulsion_spool_inflight{group="g1",spool="prune_spool",store="es"} 0' in text
+
+    def test_sink_spool_depth_gauge(self, spark, tmp_path):
+        def handle(stream, events):
+            return "ok", int(events["idx"].iloc[-1]) + 1
+
+        sink = StreamsSink.start_concurrent(spark, handle, str(tmp_path / "pos"))
+        sink.process_batch(mk_df(spark, envelope_rows("user-1", 0, 3)))
+        text = MetricsExporter(group="g1").register_sink(sink).render()
+        assert 'propulsion_spool_retained{group="g1"} 1' in text
+        assert 'propulsion_spool_inflight{group="g1"} 0' in text
+
+    def test_lsh_boundedness_gauge(self, spark):
+        from propulsion_spark.streaming.metrics import lsh_boundedness_gauge
+
+        text = (
+            MetricsExporter(group="g1")
+            .register_gauge(
+                "propulsion_lsh_bucket", lsh_boundedness_gauge(spark, "/root/testdata/sf0.001")
+            )
+            .render()
+        )
+        assert 'propulsion_lsh_bucket{group="g1",param="L"}' in text
+        assert 'propulsion_lsh_bucket{group="g1",param="k"}' in text
+        assert 'design="corpus"' in text and 'stat="max_bucket"' in text
