@@ -25,6 +25,12 @@ both, skip-marked when delta-spark is not installed — it is not baked
 into this sandbox, so the suite exercises the parquet backend here and
 the delta backend on any machine with ``pip install delta-spark``).
 
+**Validation status: UNVALIDATED here.** This sandbox cannot install
+``delta-spark``, so the conformance matrix has only ever executed
+against the parquet backend; the Delta legs are recorded skips. The
+exact contract a deployment must verify before trusting these adapters
+is ``docs/DELTA_CONFORMANCE.md`` — run it wherever delta-spark installs.
+
 Session requirement: build the SparkSession with
 
     from delta import configure_spark_with_delta_pip
