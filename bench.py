@@ -97,6 +97,27 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         fsink.process_batch(envelope)
         timings["pipeline_ingest_fastpath"] = round(time.time() - t0, 3)
 
+        # unordered item-level fan-out (ParallelSink): handler outputs
+        # spooled durably to parquet — tracks the spool-write cost that
+        # replaced localCheckpoint (r5)
+        import pandas as pd
+        from propulsion_spark.streaming import ParallelSink
+
+        def handle_items(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame(
+                {"stream_name": pdf["stream_name"], "double_idx": pdf["idx"] * 2}
+            )
+
+        psink = ParallelSink(
+            spark,
+            handle_items,
+            "stream_name string, double_idx long",
+            spool_dir=f"{tmp}/pspool",
+        )
+        t0 = time.time()
+        psink.process_batch(envelope)
+        timings["pipeline_parallel_sink"] = round(time.time() - t0, 3)
+
         # the same fold, fully declarative (no Python handler hop)
         from pyspark.sql import functions as F
         from propulsion_spark.streaming import DeclarativeSink

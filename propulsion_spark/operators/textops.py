@@ -296,27 +296,40 @@ TRAIN_PCT, VAL_PCT = 80, 10  # remainder → test
 @register(
     "corpus_split_assign",
     f"""
-SELECT source, split,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS total_chars
-FROM (
+WITH base AS (
   SELECT source, n_chars,
          CASE WHEN b < {TRAIN_PCT} THEN 'train'
               WHEN b < {TRAIN_PCT + VAL_PCT} THEN 'val'
-              ELSE 'test' END AS split
+              ELSE 'test' END AS split,
+         fp
   FROM (
     SELECT source, n_chars,
-           {DUCK_H64.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS b
+           {DUCK_H64.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS b,
+           md5({normalized('duck')}) AS fp
     FROM documents
   )
+),
+fps AS (
+  SELECT fp, count(DISTINCT split) AS n_splits FROM base GROUP BY fp
 )
+SELECT source, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated
+FROM base JOIN fps USING (fp)
 GROUP BY source, split
 """,
     doc=f"Reproducible train/val/test assignment ({TRAIN_PCT}/{VAL_PCT}/"
     f"{100 - TRAIN_PCT - VAL_PCT}) by md5(doc_id) hash range — the split "
     "is a pure function of the document id, so it is stable across "
     "engines, runs, repartitions, and corpus growth (a new doc never "
-    "moves an old one between splits). One map-only scan + rollup.",
+    "moves an old one between splits) — PLUS per-cell contamination: "
+    "n_contaminated counts docs whose normalized-text fingerprint also "
+    "appears in a different split (train/test leakage, the check every "
+    "eval pipeline needs before trusting held-out metrics). One "
+    "map-side split scan + one fp-keyed aggregate join — no cross "
+    "product, scales with corpus size.",
 )
 def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -326,11 +339,19 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(b < TRAIN_PCT + VAL_PCT, "val")
         .otherwise("test")
     )
+    base = docs.select(
+        "source",
+        "n_chars",
+        split.alias("split"),
+        F.expr(f"md5({normalized('spark')})").alias("fp"),
+    )
+    fps = base.groupBy("fp").agg(F.countDistinct("split").alias("n_splits"))
     return (
-        docs.select("source", "n_chars", split.alias("split"))
+        base.join(fps, "fp")
         .groupBy("source", "split")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
+            F.sum((F.col("n_splits") > 1).cast("long")).alias("n_contaminated"),
         )
     )

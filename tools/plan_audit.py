@@ -9,9 +9,11 @@ Expected flags (by design, documented in the query docs):
   similarity_recall: BroadcastNestedLoopJoin of a ≤10-row query set
   against candidates — the exact ground-truth baseline the ANN
   variants (similarity_lsh_topk, similarity_ivf_topk) replace at scale.
-- similarity_ivf_topk (both probe branches): multi-stage
-  (codebook + assignment + probe selection + search); at production
-  scale cells are materialized once, not per query.
+- similarity_ivf_topk (all three branches: seeded 1-probe, seeded
+  multi-probe, learned): multi-stage (codebook + assignment + probe
+  selection + search, plus one Lloyd iteration for the learned
+  codebook); at production scale codebook + cell assignments are
+  materialized once, not per query.
 - revenue_kpis: BroadcastNestedLoopJoin of two SINGLE-ROW aggregates
   (Q6 forecast × Q14 promo share) — a 1×1 cross join, by design.
 """
