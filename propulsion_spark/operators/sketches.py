@@ -35,13 +35,52 @@ KMV_K = 64
 HASH_BITS = 52
 HASH_SPACE = float(1 << HASH_BITS)  # M
 
+# HLL design point: 2^8 = 256 registers from the first byte of md5;
+# rho from the next 52 bits. Registers, their integer power sum, and
+# the raw estimate are all exact-arithmetic → bit-identical on both
+# engines (unlike HLL++'s implementation-defined layout).
+HLL_B = 8
+HLL_M = 1 << HLL_B
+_POW53 = 1 << 53
+# alpha_256 from integer-valued doubles only (a bare 0.7213 literal
+# parses as DECIMAL in DuckDB — 1-ulp portability trap, see _duck_dot)
+_ALPHA_SQL = f"((7213.0/10000.0) / (1.0 + (1079.0/1000.0)/{HLL_M}.0))"
+# raw HLL estimate: alpha·m²/Σ2^-M_j with the power sum kept INTEGER
+# (Σ 2^(53-M_j) ≤ 256·2^52 < 2^63): a float Σ2^-M_j would round
+# order-dependently under partial aggregation; the integer sum cannot.
+_HLL_EST_SQL = f"{_ALPHA_SQL} * {HLL_M * HLL_M}.0 * {_POW53}.0 / CAST(s AS DOUBLE)"
+
+_DUCK_HLL = f"""
+hll_regs AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT)
+             AS bucket,
+         max(53 - length(bin(
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 13)) AS BIGINT)
+         ))) AS m_j
+  FROM events GROUP BY 1, 2
+),
+hll AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_used,
+         CAST(sum(CAST(1 AS BIGINT) << (53 - m_j)) AS BIGINT)
+           + ({HLL_M} - count(*)) * CAST({_POW53} AS BIGINT) AS s
+  FROM hll_regs GROUP BY event_type
+),
+hll_exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+"""
+
 
 @register(
     "sketch_distinct_kmv",
     f"""
-SELECT event_type,
+WITH {_DUCK_HLL.strip()}
+SELECT 'kmv' AS method, event_type,
        CAST(count(*) AS BIGINT) AS n_kept,
-       CAST(max(h) AS BIGINT) AS kth_hash,
+       CAST(max(h) AS BIGINT) AS detail,
        CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
             ELSE ({KMV_K} - 1) * CAST({1 << HASH_BITS} AS DOUBLE) / max(h)
             END AS est_distinct,
@@ -58,13 +97,23 @@ FROM (
 )
 WHERE rn <= {KMV_K}
 GROUP BY event_type
+UNION ALL
+SELECT 'hll', event_type, n_used, s, {_HLL_EST_SQL}, exact_distinct
+FROM hll JOIN hll_exact USING (event_type)
 """,
-    doc=f"K-minimum-values distinct-count sketch (K={KMV_K}) of users per "
-    "event type, with the exact distinct count alongside for error "
-    "inspection. 52-bit md5 hashes make the kept set AND the estimator "
-    "arithmetic bit-identical across engines — an oracle-checkable "
-    "approximate aggregate. Mergeable by construction (union, re-take "
-    "K smallest).",
+    doc=f"Two mergeable distinct-count sketch families per event type in "
+    f"one report, both bit-identical across engines. method='kmv': "
+    f"K-minimum-values (K={KMV_K}; Beyer et al. SIGMOD'07) — detail is "
+    "the kth-smallest 52-bit md5 hash. method='hll': a deterministic "
+    f"HyperLogLog ({HLL_M} registers from the md5 first byte, rho from "
+    "the next 52 bits; raw estimate only — the small-range linear-"
+    "counting correction needs ln(), whose last-ulp rounding is not "
+    "portable, so the consumer applies it from n_kept = used registers) "
+    "— detail is the integer register power sum Σ2^(53-M_j), which IS "
+    "the mergeable state (min per register under union ⇒ take max M_j). "
+    "Exact distinct alongside for error inspection. Production note: "
+    "Spark's native approx_count_distinct (HLL++) is the raw-speed "
+    "tool; these are the oracle-checkable design points.",
 )
 def q_sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -81,11 +130,41 @@ def q_sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("exact_distinct", F.count("*").over(wc))
         .filter(F.col("rn") <= KMV_K)
     )
-    return kept.groupBy("event_type").agg(
+    kmv = kept.groupBy("event_type").agg(
         F.count("*").alias("n_kept"),
-        F.max("h").alias("kth_hash"),
+        F.max("h").alias("detail"),
         F.when(F.count("*") < KMV_K, F.count("*").cast("double"))
         .otherwise((KMV_K - 1) * F.lit(HASH_SPACE) / F.max("h"))
         .alias("est_distinct"),
         F.min("exact_distinct").alias("exact_distinct"),
+    ).select(F.lit("kmv").alias("method"), "*")
+
+    md = F.md5(F.col("user_id").cast("string"))
+    regs = (
+        ev.select(
+            "event_type",
+            F.conv(F.substring(md, 1, 2), 16, 10).cast("long").alias("bucket"),
+            F.conv(F.substring(md, 3, 13), 16, 10).cast("long").alias("hh"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max(F.lit(53) - F.length(F.expr("bin(hh)"))).alias("m_j"))
     )
+    hll = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - m_j)"))
+            + (HLL_M - F.count("*")) * F.lit(_POW53)
+        ).alias("s"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    hll = hll.join(exact, "event_type").select(
+        F.lit("hll").alias("method"),
+        "event_type",
+        "n_kept",
+        F.col("s").alias("detail"),
+        F.expr(_HLL_EST_SQL).alias("est_distinct"),
+        "exact_distinct",
+    )
+    return kmv.unionByName(hll)
