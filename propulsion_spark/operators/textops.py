@@ -220,12 +220,18 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       CAST(sum(CAST(length({_toks('duck')}) AS BIGINT)) AS BIGINT) AS total_tokens
+       CAST(sum(CAST(length({_toks('duck')}) AS BIGINT)) AS BIGINT) AS total_tokens,
+       quantile_cont(n_chars, 0.5) AS median_chars
 FROM documents
 GROUP BY lang
 """,
-    doc="Corpus rollup per language: doc/char/token totals — the shape of "
-    "every corpus-composition report over a crawl.",
+    doc="Corpus rollup per language: doc/char/token totals plus the exact "
+    "median doc length — the shape of every corpus-composition report "
+    "over a crawl. Median only (not p95/p99): the 0.5 interpolation "
+    "factor is dyadic, so the continuous-quantile arithmetic is "
+    "bit-identical across engines; non-dyadic quantiles interpolate "
+    "with engine-ordered float ops and belong behind approx_percentile "
+    "at scale anyway.",
 )
 def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -236,6 +242,7 @@ def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
             F.sum("n_tokens").alias("total_tokens"),
+            F.expr("percentile(n_chars, 0.5d)").alias("median_chars"),
         )
     )
 
