@@ -217,6 +217,36 @@ def cmd_init(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Fold multi-segment buckets back to one segment each (the OPTIMIZE
+    maintenance verb): bounded per call, each bucket its own fenced
+    commit, safe alongside live writers."""
+    from propulsion_spark import get_spark
+    from propulsion_spark.streaming.event_store import EventStoreTable
+
+    spark = get_spark("propulsion-compact")
+    store = EventStoreTable(spark, args.store)
+    before = store.bucket_segment_counts()
+    done = store.auto_compact(
+        max_segments=args.max_segments, max_buckets=args.max_buckets
+    )
+    after = store.bucket_segment_counts()
+    print(
+        json.dumps(
+            {
+                "store": args.store,
+                "compacted_buckets": done,
+                "max_segments_before": max(before.values()) if before else 0,
+                "max_segments_after": max(after.values()) if after else 0,
+                "total_segments_before": sum(before.values()),
+                "total_segments_after": sum(after.values()),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def cmd_index(args) -> int:
     """Build/extend the CDC span index from an event-store table
     (the `propulsion index` verb analog)."""
@@ -338,6 +368,14 @@ def main(argv=None) -> int:
     ini = sub.add_parser("init", help="provision the storage layout")
     ini.add_argument("--path", required=True)
     ini.set_defaults(fn=cmd_init)
+
+    cp = sub.add_parser(
+        "compact", help="fold multi-segment store buckets (OPTIMIZE analog)"
+    )
+    cp.add_argument("--store", required=True)
+    cp.add_argument("--max-segments", type=int, default=16)
+    cp.add_argument("--max-buckets", type=int, default=None)
+    cp.set_defaults(fn=cmd_compact)
 
     ix = sub.add_parser("index", help="build the CDC span index from a store")
     ix.add_argument("--store", required=True)

@@ -521,6 +521,40 @@ class EventStoreTable:
                 return
             self._rewrite_buckets(m, {bucket}, self.read(buckets={bucket}))
 
+    def bucket_segment_counts(self) -> "dict[str, int]":
+        """Per-bucket data-segment counts — the read-amplification gauge
+        (each sync appends one segment per touched bucket; a reader of
+        bucket b opens every one of its segments). Exported as
+        ``propulsion_store_segments`` by MetricsExporter."""
+        m = self._load()
+        return {b: len(s) for b, s in m["data"].items()}
+
+    def auto_compact(
+        self, max_segments: int = 16, max_buckets: "int | None" = None
+    ) -> "list[str]":
+        """Compaction POLICY over :meth:`compact_bucket`: fold every
+        bucket whose segment count exceeds ``max_segments``, worst
+        first, optionally capped at ``max_buckets`` per call so the
+        maintenance cost is bounded and spreadable across idle windows.
+        Returns the buckets compacted.
+
+        Deliberately NOT run inside sync(): compaction rewrites
+        O(bucket) data while sync writes O(batch) — coupling them would
+        make write latency proportional to accumulated history. The
+        operator (or the ``compact`` CLI verb / an idle-trigger hook)
+        runs this at its own cadence; every compaction is its own
+        fenced commit, so it interleaves safely with live syncs."""
+        counts = self.bucket_segment_counts()
+        worst = sorted(
+            (b for b, n in counts.items() if n > max_segments),
+            key=lambda b: -counts[b],
+        )
+        if max_buckets is not None:
+            worst = worst[:max_buckets]
+        for b in worst:
+            self.compact_bucket(b)
+        return worst
+
     def unfold_compact(self) -> None:
         """Keep only the freshest unfold set per (stream, event_type)
         (ref: Streams.fs:143-147) — run opportunistically. OPENS only

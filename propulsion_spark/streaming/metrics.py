@@ -98,6 +98,20 @@ class MetricsExporter:
                     yield _fmt(
                         "propulsion_lease_events_total", {**lbl, "kind": kind}, n
                     )
+            seg_counts = getattr(store, "bucket_segment_counts", None)
+            if seg_counts is not None:
+                counts = seg_counts()
+                yield "# TYPE propulsion_store_segments gauge"
+                yield _fmt(
+                    "propulsion_store_segments",
+                    {**lbl, "stat": "max_per_bucket"},
+                    max(counts.values()) if counts else 0,
+                )
+                yield _fmt(
+                    "propulsion_store_segments",
+                    {**lbl, "stat": "total"},
+                    sum(counts.values()),
+                )
             yield "# TYPE propulsion_spool_retained gauge"
             for spool_name in ("_report_spool", "_prune_spool", "_spool"):
                 spool = getattr(store, spool_name, None)

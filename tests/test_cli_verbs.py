@@ -64,3 +64,39 @@ class TestQueryVerbs:
         )
         assert proc.returncode == 2
         assert "unknown query" in proc.stdout
+
+
+class TestCompactVerb:
+    def test_compact_reports_fold(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        store_path = str(tmp_path / "es")
+        # build a multi-segment store in-process via the CLI's own sync
+        r = subprocess.run(
+            [sys.executable, "-c", f"""
+import sys; sys.path.insert(0, '/root/repo')
+from propulsion_spark import get_spark
+from propulsion_spark.streaming.event_store import EventStoreTable
+sys.path.insert(0, '/root/repo/tests')
+from test_streaming_sinks import envelope_rows, mk_df
+spark = get_spark('seed-compact')
+store = EventStoreTable(spark, {store_path!r})
+for i in range(3):
+    store.sync(mk_df(spark, envelope_rows('user-1', i * 2, 2)))
+print(max(store.bucket_segment_counts().values()))
+"""],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert int(r.stdout.strip().splitlines()[-1]) == 3
+        proc = subprocess.run(
+            [sys.executable, "-m", "propulsion_spark.cli", "compact",
+             "--store", store_path, "--max-segments", "1"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        rep = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert rep["compacted_buckets"]
+        assert rep["max_segments_after"] == 1

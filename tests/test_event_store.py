@@ -158,3 +158,45 @@ class TestPruner:
         kept = [r for r in store.read().collect() if r.is_unfold]
         assert len(kept) == 1
         assert store._load()["unfold_buckets"] == sorted(unfold_b)
+
+
+class TestDataCompaction:
+    def test_auto_compact_folds_worst_buckets(self, spark, store):
+        """Each sync appends one segment per touched bucket; the
+        OPTIMIZE-analog policy folds over-threshold buckets back to one
+        segment, worst first, bounded per call — with identical data
+        before and after."""
+        for i in range(4):
+            store.sync(mk_df(spark, envelope_rows("user-1", i * 3, 3)))
+        counts = store.bucket_segment_counts()
+        assert max(counts.values()) == 4  # read amplification accrued
+        before = sorted(
+            (r.stream_name, r.idx) for r in store.read().collect()
+        )
+        done = store.auto_compact(max_segments=1)
+        assert done  # the accrued bucket was compacted
+        after_counts = store.bucket_segment_counts()
+        assert max(after_counts.values()) == 1
+        after = sorted((r.stream_name, r.idx) for r in store.read().collect())
+        assert after == before  # rewrite, not data change
+
+    def test_auto_compact_respects_caps(self, spark, store):
+        for u in ("user-1", "user-2", "user-3"):
+            for i in range(3):
+                store.sync(mk_df(spark, envelope_rows(u, i * 2, 2)))
+        over = [b for b, n in store.bucket_segment_counts().items() if n > 1]
+        done = store.auto_compact(max_segments=1, max_buckets=1)
+        assert len(done) == 1  # bounded maintenance slice
+        assert done[0] in over
+        # a second call keeps draining
+        store.auto_compact(max_segments=1)
+        assert max(store.bucket_segment_counts().values()) == 1
+
+    def test_compact_interleaves_with_sync(self, spark, store):
+        store.sync(mk_df(spark, envelope_rows("user-1", 0, 3)))
+        store.sync(mk_df(spark, envelope_rows("user-1", 3, 3)))
+        store.auto_compact(max_segments=1)
+        out = sync_map(store, mk_df(spark, envelope_rows("user-1", 6, 2)))
+        assert out["user-1"].outcome == OutcomeKind.OK
+        assert out["user-1"].new_tail == 8
+        assert store.read().count() == 8
