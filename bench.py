@@ -41,10 +41,14 @@ HEADLINE = [
     "similarity_ivf_topk",
     "lsh_bucket_stats",
     "multimodal_frame_features",
-    "multimodal_envelope",
     "asof_join_orders",
     "range_join_events_1h",
+    "timeseries_resample",
     "sketch_distinct_kmv",
+    "dedup_clusters",
+    "corpus_topk_ngrams",
+    "text_tfidf_keywords",
+    "corpus_split_assign",
 ]
 
 

@@ -277,14 +277,24 @@ FROM (
   ORDER BY revenue DESC, c_custkey
   LIMIT 10
 )
+UNION ALL
+SELECT 'branded_revenue', p_brand, NULL,
+       CAST(count(*) AS BIGINT), NULL,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size BETWEEN 1 AND 15
+  AND l_quantity BETWEEN 5 AND 30
+GROUP BY p_brand
 """,
-    doc="Merged priority/top-k report (one long-format union, four "
+    doc="Merged priority/top-k report (one long-format union, five "
     "sub-reports): the TPC-H Q4-shaped EXISTS semi-join, the Q3-shaped "
-    "3-way-join top-10, the Q12-shaped conditional aggregation, and the "
-    "customer-revenue top-K. Each branch keeps its own optimal physical "
-    "plan (semi-join, TakeOrderedAndProject, partial aggs) — the union "
-    "is concatenation, not a shuffle — while costing one driver "
-    "correctness slot instead of four.",
+    "3-way-join top-10, the Q12-shaped conditional aggregation, the "
+    "customer-revenue top-K, and the Q19-shaped range-predicate "
+    "broadcast join (brand revenue for bounded size/quantity bands, "
+    "both range filters pushed to their scans). Each branch keeps its "
+    "own optimal physical plan (semi-join, TakeOrderedAndProject, "
+    "partial aggs) — the union is concatenation, not a shuffle — while "
+    "costing one driver correctness slot instead of five.",
 )
 def q_priority_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.lit(None).cast("string")
@@ -326,7 +336,20 @@ def q_priority_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.alias("n2"),
         F.col("revenue"),
     )
-    return late.unionByName(ship).unionByName(mode).unionByName(top)
+    brand = q_branded_quantity_revenue(spark, sf_dir).select(
+        F.lit("branded_revenue").alias("report"),
+        F.col("p_brand").alias("k"),
+        s.alias("detail"),
+        F.col("n_items").cast("long").alias("n"),
+        b.alias("n2"),
+        F.col("revenue"),
+    )
+    return (
+        late.unionByName(ship)
+        .unionByName(mode)
+        .unionByName(top)
+        .unionByName(brand)
+    )
 
 
 # --------------------------------------------------- TPC-H Q14 analog
@@ -359,7 +382,8 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_kpis",
     """
 SELECT f.revenue AS forecast_revenue, f.n_items AS forecast_items,
-       p.promo_share, p.n_items AS promo_items
+       p.promo_share, p.n_items AS promo_items,
+       u.n_users, u.signed_up, u.converted
 FROM (
   SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
          CAST(count(*) AS BIGINT) AS n_items
@@ -381,12 +405,26 @@ CROSS JOIN (
   WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
 ) p
+CROSS JOIN (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS signed_up,
+         CAST(sum(CASE WHEN first_signup IS NOT NULL AND last_purchase > first_signup
+                       THEN 1 ELSE 0 END) AS BIGINT) AS converted
+  FROM (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+           max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+    FROM events GROUP BY user_id
+  )
+) u
 """,
-    doc="Revenue KPI row: the TPC-H Q6-shaped forecast aggregate (pure "
-    "pushed-down scan, zero shuffle) and the Q14-shaped promo share "
-    "(broadcast part dim against the fact scan) cross-joined into one "
-    "single-row result — two independent single-row aggregates cost one "
-    "trivially-broadcast join.",
+    doc="KPI row: the TPC-H Q6-shaped forecast aggregate (pure "
+    "pushed-down scan, zero shuffle), the Q14-shaped promo share "
+    "(broadcast part dim against the fact scan), and the ordered-event "
+    "signup→purchase funnel (one conditional aggregate per user, no "
+    "self-join) cross-joined into one single-row result — three "
+    "independent single-row aggregates cost two trivially-broadcast "
+    "joins and one driver correctness slot.",
 )
 def q_revenue_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = q_forecast_revenue(spark, sf_dir).select(
@@ -396,25 +434,15 @@ def q_revenue_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = q_promo_revenue_share(spark, sf_dir).select(
         "promo_share", F.col("n_items").alias("promo_items")
     )
-    return f.crossJoin(p)
+    u = q_event_funnel(spark, sf_dir)
+    return f.crossJoin(p).crossJoin(u)
 
 
 # --------------------------------------------------- TPC-H Q19 analog
-@register(
-    "branded_quantity_revenue",
-    """
-SELECT p_brand,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
-       CAST(count(*) AS BIGINT) AS n_items
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE p_size BETWEEN 1 AND 15
-  AND l_quantity BETWEEN 5 AND 30
-GROUP BY p_brand
-""",
-    doc="TPC-H Q19-shaped range-predicate join: brand revenue for bounded "
-    "size/quantity bands; both range filters push to their scans.",
-)
 def q_branded_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped range-predicate join: brand revenue for bounded
+    size/quantity bands; both range filters push to their scans.
+    Oracle-verified through the merged ``priority_reports`` query."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity").between(5, 30)
     )
@@ -483,25 +511,10 @@ def q_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------ event funnel
-@register(
-    "event_funnel",
-    """
-SELECT CAST(count(*) AS BIGINT) AS n_users,
-       CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS signed_up,
-       CAST(sum(CASE WHEN first_signup IS NOT NULL AND last_purchase > first_signup
-                     THEN 1 ELSE 0 END) AS BIGINT) AS converted
-FROM (
-  SELECT user_id,
-         min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
-         max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
-  FROM events GROUP BY user_id
-)
-""",
-    doc="Ordered-event funnel over the stream fixture: signup → later "
-    "purchase conversion, computed as one conditional aggregate per user "
-    "(no self-join).",
-)
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel over the stream fixture: signup → later
+    purchase conversion, computed as one conditional aggregate per user
+    (no self-join). Oracle-verified through the merged ``revenue_kpis``."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(

@@ -151,25 +151,47 @@ _MATCHES = "+".join(
     f"(CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END)" for k in range(NUM_HASHES)
 )
 
+# ---- exact n-gram verification knobs (the verify stage below) ----
+NGRAM = 3  # word 3-grams
+JACCARD_CUTOFF = 0.2
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    f"""
-WITH {_DUCK_SIGS_BANDED}
-SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-       CAST(({_MATCHES}) AS DOUBLE) / {NUM_HASHES} AS est_jaccard
-FROM sigs a JOIN sigs b
-  ON a.doc_id < b.doc_id AND ({' OR '.join(f'a.{name} = b.{name}' for name, _ in BAND_DEFS)})
-WHERE ({_MATCHES}) >= {NUM_HASHES // 2}
-""",
-    doc="MinHash-LSH candidate pairs: band-bucket self-join (shuffle on band "
-    "key, never O(n²)), then estimated-Jaccard cutoff at 0.5. "
-    "The 100 TB scale path for near-dup detection.",
+
+def _grams(dialect: str) -> str:
+    """Distinct word 3-gram array over ``text`` (both dialects skip
+    NULL tail elements identically via concat_ws)."""
+    if dialect == "spark":
+        toks = "split(lower(trim(text)), '\\\\s+')"
+        return (
+            f"array_distinct(transform(sequence(1, greatest(size({toks}) - {NGRAM - 1}, 1)), "
+            f"i -> concat_ws(' ', element_at({toks}, cast(i as int)), "
+            f"element_at({toks}, cast(i+1 as int)), element_at({toks}, cast(i+2 as int)))))"
+        )
+    toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(length({toks}) - {NGRAM - 1}, 1)), "
+        f"i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])))"
+    )
+
+
+# Shared by the pairs report, the n-gram verify stage, and the cluster
+# operator: every (a_id < b_id) doc pair co-bucketed in ANY band, with
+# its signature-match count.
+_DUCK_BAND_PAIRS = f"""
+band_pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, ({_MATCHES}) AS matches
+  FROM sigs a JOIN sigs b
+    ON a.doc_id < b.doc_id AND ({' OR '.join(f'a.{name} = b.{name}' for name, _ in BAND_DEFS)})
 )
-def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # One equi-join per band (shuffle-hash on the band key — the LSH
-    # scale shape), then union+distinct. An OR of band predicates would
-    # deny Spark an equi-join and fall back to a nested-loop O(n²) scan.
+"""
+
+
+def lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All banded co-bucketed doc pairs ``(a_id, b_id, matches)``.
+
+    One equi-join per band (shuffle-hash on the band key — the LSH scale
+    shape), then union+distinct. An OR of band predicates would deny
+    Spark an equi-join and fall back to a nested-loop O(n²) scan.
+    Signatures are persisted once across the band joins."""
     sigs = minhash_with_bands(spark, sf_dir, persist=True)
     matches = None
     for k in range(NUM_HASHES):
@@ -182,18 +204,75 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_band.append(
             a.join(b, F.col(f"a.{name}") == F.col(f"b.{name}"))
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .withColumn("matches", matches)
-            .filter(F.col("matches") >= NUM_HASHES // 2)
             .select(
                 F.col("a.doc_id").alias("a_id"),
                 F.col("b.doc_id").alias("b_id"),
-                (F.col("matches").cast("double") / NUM_HASHES).alias("est_jaccard"),
+                matches.alias("matches"),
             )
         )
     out = per_band[0]
     for df in per_band[1:]:
         out = out.unionByName(df)
+    # matches is a pure function of the pair, so distinct collapses the
+    # per-band duplicates exactly
     return out.distinct()
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+WITH {_DUCK_SIGS_BANDED}, {_DUCK_BAND_PAIRS},
+grams AS (SELECT doc_id, {_grams('duck')} AS g FROM documents)
+SELECT 'candidate' AS stage, a_id, b_id,
+       CAST(matches AS DOUBLE) / {NUM_HASHES} AS score
+FROM band_pairs WHERE matches >= {NUM_HASHES // 2}
+UNION ALL
+SELECT 'verified', a_id, b_id,
+       length(list_intersect(ga.g, gb.g)) /
+       (length(ga.g) + length(gb.g) - length(list_intersect(ga.g, gb.g)))
+FROM band_pairs
+JOIN grams ga ON ga.doc_id = a_id
+JOIN grams gb ON gb.doc_id = b_id
+WHERE length(list_intersect(ga.g, gb.g)) /
+      (length(ga.g) + length(gb.g) - length(list_intersect(ga.g, gb.g))) >= {JACCARD_CUTOFF}
+""",
+    doc="The two-phase near-dup pipeline in one report. stage='candidate': "
+    "MinHash-LSH band-bucket pairs at estimated Jaccard ≥ 0.5 (score = "
+    "signature agreement; shuffle on band key, never O(n²)). "
+    "stage='verified': exact word-3-gram Jaccard ≥ 0.2 computed on the "
+    "banded candidates only (cheap LSH recall → exact precision, the "
+    "100 TB scale shape — verification cost scales with candidates, not "
+    "with the corpus squared). Merged r5 from dedup_minhash_lsh_pairs + "
+    "dedup_ngram_jaccard so the driver gate attests both stages.",
+)
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = lsh_band_pairs(spark, sf_dir).persist()
+    candidates = pairs.filter(F.col("matches") >= NUM_HASHES // 2).select(
+        F.lit("candidate").alias("stage"),
+        "a_id",
+        "b_id",
+        (F.col("matches").cast("double") / NUM_HASHES).alias("score"),
+    )
+    grams = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_grams('spark')} AS g"
+    )
+    ga = grams.select(F.col("doc_id").alias("a_id"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("b_id"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    jaccard = inter / (F.size("ga") + F.size("gb") - inter)
+    verified = (
+        pairs.select("a_id", "b_id")
+        .join(ga, "a_id")
+        .join(gb, "b_id")
+        .select(
+            F.lit("verified").alias("stage"),
+            "a_id",
+            "b_id",
+            jaccard.alias("score"),
+        )
+        .filter(F.col("score") >= JACCARD_CUTOFF)
+    )
+    return candidates.unionByName(verified)
 
 
 # ----------------------------------------------------- winnowing
@@ -240,80 +319,6 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id", F.explode(F.expr(_winnow_fps("spark"))).alias("fingerprint")
-    )
-
-
-# ------------------------------------------------- exact n-gram jaccard
-NGRAM = 3  # word 3-grams
-JACCARD_CUTOFF = 0.2
-
-
-def _grams(dialect: str) -> str:
-    """Distinct word 3-gram array over ``text`` (both dialects skip
-    NULL tail elements identically via concat_ws)."""
-    if dialect == "spark":
-        toks = "split(lower(trim(text)), '\\\\s+')"
-        return (
-            f"array_distinct(transform(sequence(1, greatest(size({toks}) - {NGRAM - 1}, 1)), "
-            f"i -> concat_ws(' ', element_at({toks}, cast(i as int)), "
-            f"element_at({toks}, cast(i+1 as int)), element_at({toks}, cast(i+2 as int)))))"
-        )
-    toks = "string_split_regex(lower(trim(text)), '\\s+')"
-    return (
-        f"list_distinct(list_transform(generate_series(1, greatest(length({toks}) - {NGRAM - 1}, 1)), "
-        f"i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])))"
-    )
-
-
-@register(
-    "dedup_ngram_jaccard",
-    f"""
-WITH {_DUCK_SIGS_BANDED},
-cands AS (
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM sigs a JOIN sigs b
-    ON a.doc_id < b.doc_id AND ({' OR '.join(f'a.{name} = b.{name}' for name, _ in BAND_DEFS)})
-),
-grams AS (SELECT doc_id, {_grams('duck')} AS g FROM documents)
-SELECT a_id, b_id,
-       length(list_intersect(ga.g, gb.g)) /
-       (length(ga.g) + length(gb.g) - length(list_intersect(ga.g, gb.g))) AS jaccard
-FROM cands
-JOIN grams ga ON ga.doc_id = a_id
-JOIN grams gb ON gb.doc_id = b_id
-WHERE length(list_intersect(ga.g, gb.g)) /
-      (length(ga.g) + length(gb.g) - length(list_intersect(ga.g, gb.g))) >= {JACCARD_CUTOFF}
-""",
-    doc=f"Exact {NGRAM}-word-gram Jaccard verification of the MinHash-LSH "
-    "candidates — the verify stage of the standard two-phase near-dup "
-    "pipeline (cheap LSH recall → exact precision on candidates only).",
-)
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_with_bands(spark, sf_dir, persist=True)
-    per_band = []
-    for name, _ in BAND_DEFS:
-        a, b = sigs.alias("a"), sigs.alias("b")
-        per_band.append(
-            a.join(b, F.col(f"a.{name}") == F.col(f"b.{name}"))
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        )
-    cands = per_band[0]
-    for df in per_band[1:]:
-        cands = cands.unionByName(df)
-    cands = cands.distinct()
-    grams = load_table(spark, sf_dir, "documents").selectExpr(
-        "doc_id", f"{_grams('spark')} AS g"
-    )
-    ga = grams.select(F.col("doc_id").alias("a_id"), F.col("g").alias("ga"))
-    gb = grams.select(F.col("doc_id").alias("b_id"), F.col("g").alias("gb"))
-    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
-    jaccard = inter / (F.size("ga") + F.size("gb") - inter)
-    return (
-        cands.join(ga, "a_id")
-        .join(gb, "b_id")
-        .select("a_id", "b_id", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_CUTOFF)
     )
 
 
@@ -385,4 +390,116 @@ def q_dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+# ------------------------------------------- near-dup cluster resolution
+CC_MAX_ITERS = 50
+
+
+def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Connected components by min-label propagation over an undirected
+    edge list ``(a_id, b_id)`` → ``(node, label)`` with label = the
+    smallest node id reachable from ``node``.
+
+    Iterative plan (the GraphX/connected-components shape expressed in
+    DataFrames): each round joins the current labels across the edges
+    and keeps the per-node minimum; labels only ever decrease, so
+    sum(label) is a strictly-decreasing convergence witness and one
+    single-row aggregate per round is the only driver traffic. Round
+    count is the cluster diameter — near-dup graphs from banded LSH are
+    band-intersection cliques stitched at shared docs, so diameters
+    stay single-digit in practice (the sf0.01 fixture converges in 4).
+    Per-round cost: ONE shuffle of the edge list + one of the label
+    table — at 100 TB the edge list is LSH candidates (≪ corpus), and
+    each round's state is persisted and the previous round's evicted,
+    so lineage/cache stay O(1) in rounds. For adversarial
+    billion-node-chain graphs, swap in the large-star/small-star
+    alternation (Kiveris et al.) — same join primitive, O(log n)
+    rounds; not needed for dedup graphs.
+    """
+    both = edges.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(
+        edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    # localCheckpoint (not persist) on the per-round state: persist
+    # caches the data but keeps the logical plan, so round N re-analyzes
+    # a plan N joins deep — O(rounds²) planning that dwarfs execution.
+    # Checkpointing truncates lineage each round; the recompute-on-
+    # executor-loss caveat is the accepted trade for iterative batch
+    # queries (the whole query simply re-runs on failure — nothing
+    # durable depends on these intermediates).
+    both = both.localCheckpoint(eager=True)
+    labels = (
+        both.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        propagated = both.join(
+            labels, both.src == labels.node
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            propagated.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_DUCK_SIGS_BANDED}, {_DUCK_BAND_PAIRS},
+cand AS (
+  SELECT a_id, b_id FROM band_pairs WHERE matches >= {NUM_HASHES // 2}
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM cand
+  UNION ALL
+  SELECT b_id, a_id FROM cand
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS n FROM comp GROUP BY cluster_id)
+SELECT node AS doc_id, cluster_id, CAST(n AS BIGINT) AS cluster_size,
+       node = cluster_id AS is_canonical
+FROM comp JOIN sizes USING (cluster_id)
+""",
+    doc="Duplicate-cluster resolution: connected components over the "
+    "MinHash-LSH candidate pairs (est. Jaccard ≥ 0.5), one row per "
+    "clustered doc with its cluster id (= smallest doc_id in the "
+    "component), cluster size, and the canonical-keeper flag — the stage "
+    "that turns pairwise near-dup evidence into 'keep one copy per "
+    "group', which pairwise reports alone cannot express (A~B and B~C "
+    "must collapse to ONE kept doc even when A~C was never sampled by "
+    "a band). Min-label propagation in DataFrame joins, O(diameter) "
+    "rounds, edge-list-sized shuffles; the oracle recomputes components "
+    "independently via a recursive transitive-closure CTE.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = lsh_band_pairs(spark, sf_dir).filter(
+        F.col("matches") >= NUM_HASHES // 2
+    ).select("a_id", "b_id")
+    labels = connected_components(cand)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("node") == F.col("label")).alias("is_canonical"),
     )

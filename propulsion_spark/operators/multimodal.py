@@ -68,21 +68,12 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------- envelope (oracle)
-@register(
-    "multimodal_envelope",
-    f"""
-SELECT doc_id, md5(text) AS media_md5,  -- ASCII: md5(text bytes) == md5(blob)
-       'application/x-synthetic' AS media_type,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(octet_length(encode(text)) // {FRAME_BYTES} AS BIGINT) AS n_frames
-FROM documents
-""",
-    doc="Multimodal binary envelope: opaque media bytes + typed metadata "
-    "(media projected as md5 at the oracle boundary — raw bytes hash "
-    "differently across engines). Metadata-only plans prune the blob "
-    "column at the parquet scan.",
-)
 def q_multimodal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary envelope: opaque media bytes + typed metadata
+    (media projected as md5 at the oracle boundary — raw bytes hash
+    differently across engines). Metadata-only plans prune the blob
+    column at the parquet scan. Oracle-verified through the merged
+    ``multimodal_frame_features`` (kind='envelope')."""
     m = media_table(spark, sf_dir)
     return m.select(
         "doc_id",
@@ -236,16 +227,24 @@ FROM (
          END AS value
   FROM v
 )
+UNION ALL
+SELECT 'envelope', doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT),
+       md5(text) || '|application/x-synthetic',
+       CAST(octet_length(encode(text)) // {FRAME_BYTES} AS DOUBLE)
+FROM documents
 """,
-    doc=f"Frame sampling + feature extraction in one long-format report. "
+    doc=f"The multimodal surface in one long-format report. "
+    f"kind='envelope': the opaque-binary envelope row per doc (k = byte "
+    "count, chunk_md5 = media md5 + typed media_type, value = frame "
+    "count) — metadata-only plans prune the blob column at the scan. "
     f"kind='frame': media as fixed-{FRAME_BYTES}-byte frames, every "
     f"{SAMPLE_EVERY}th kept (k = frame_no, chunk_md5 = frame bytes md5) — "
     "the video-keyframe shape, blob sliced JVM-side with zero Python. "
     "kind='feature': Arrow-batched mapInPandas feature vectors (k = dim; "
     "decode step is a deterministic fake — per-stripe byte means — so "
     "the oracle recomputes it; corpus is ASCII so ord(char) == byte). "
-    "See decode_image_batch for the gated real decode path; doc-level "
-    "byte counts are attested by multimodal_envelope.",
+    "See decode_image_batch for the gated real decode path.",
 )
 def q_multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = q_multimodal_frame_sample(spark, sf_dir).select(
@@ -262,4 +261,13 @@ def q_multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("chunk_md5"),
         "value",
     )
-    return frames.unionByName(feats)
+    env = q_multimodal_envelope(spark, sf_dir).select(
+        F.lit("envelope").alias("kind"),
+        "doc_id",
+        F.col("n_bytes").alias("k"),
+        F.concat(F.col("media_md5"), F.lit("|"), F.col("media_type")).alias(
+            "chunk_md5"
+        ),
+        F.col("n_frames").cast("double").alias("value"),
+    )
+    return frames.unionByName(feats).unionByName(env)

@@ -9,12 +9,12 @@ double results are bit-identical for the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from propulsion_spark import load_table
 from propulsion_spark.operators import register
-from propulsion_spark.operators.dedup import DUCK_H64, SPARK_H64, normalized
+from propulsion_spark.operators.dedup import DUCK_H64, SPARK_H64, _grams, normalized
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 _SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -296,8 +296,125 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- corpus n-gram statistics
+TOPK_NGRAMS = 5
+
+
+@register(
+    "corpus_topk_ngrams",
+    f"""
+WITH grams AS (
+  SELECT lang, doc_id, unnest({_grams('duck')}) AS gram FROM documents
+),
+dfq AS (SELECT lang, gram, count(*) AS doc_freq FROM grams GROUP BY 1, 2)
+SELECT lang, CAST(rank AS BIGINT) AS rank, gram,
+       CAST(doc_freq AS BIGINT) AS doc_freq
+FROM (
+  SELECT lang, gram, doc_freq,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY doc_freq DESC, gram) AS rank
+  FROM dfq
+) WHERE rank <= {TOPK_NGRAMS}
+""",
+    doc=f"Corpus n-gram statistics: the top-{TOPK_NGRAMS} word trigrams "
+    "per language by document frequency (ties → lexicographic) — the "
+    "boilerplate/contamination census run before and after dedup (a "
+    "trigram in half the corpus is template text; a benchmark trigram "
+    "in train is leakage). Per-doc-distinct trigrams mean one explode + "
+    "count(*) IS doc frequency; partial aggregation absorbs the explode "
+    "fan-out map-side, and the final top-k window runs over the "
+    "(lang, gram) aggregate — corpus-scale input, vocabulary-scale "
+    "shuffle.",
+)
+def q_corpus_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("lang", F.explode(F.expr(_grams("spark"))).alias("gram"))
+    dfq = grams.groupBy("lang", "gram").agg(F.count("*").alias("doc_freq"))
+    w = Window.partitionBy("lang").orderBy(F.col("doc_freq").desc(), F.col("gram"))
+    return (
+        dfq.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK_NGRAMS)
+        .select("lang", "rank", "gram", F.col("doc_freq").cast("long").alias("doc_freq"))
+    )
+
+
+# ------------------------------------------------ TF-IDF keyword extraction
+TFIDF_TOPK = 3
+
+
+@register(
+    "text_tfidf_keywords",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_toks('duck')}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+       CAST(tf AS BIGINT) AS tf, CAST(doc_freq AS BIGINT) AS doc_freq, score
+FROM (
+  SELECT doc_id, token, tf, doc_freq,
+         CAST(tf * n_docs AS DOUBLE) / doc_freq AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY CAST(tf * n_docs AS DOUBLE) / doc_freq DESC,
+                                     token) AS rank
+  FROM tf JOIN dfq USING (token) CROSS JOIN n
+) WHERE rank <= {TFIDF_TOPK}
+""",
+    doc=f"TF-IDF keyword extraction: top-{TFIDF_TOPK} terms per document "
+    "scored tf × (N / df) — the linear-idf variant, deliberately: one "
+    "integer product and ONE exactly-rounded IEEE division ranks "
+    "identically to tf·(N/df) and is bit-identical across engines, "
+    "where ln(N/df) would drift in the last ulp between libm builds. "
+    "Plan shape: term-frequency aggregate (doc-key shuffle absorbed "
+    "map-side by partial agg), vocabulary-sized doc-frequency "
+    "aggregate, corpus count broadcast as a single-row cross join, "
+    "top-k window per doc. The keyword/topic-tagging stage of a "
+    "curation pipeline.",
+)
+def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_toks("spark"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("doc_freq")
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        tf.join(dfq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select(
+            "doc_id",
+            "rank",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            "score",
+        )
+    )
+
+
 # --------------------------------------------------- reproducible splits
 TRAIN_PCT, VAL_PCT = 80, 10  # remainder → test
+
+# Domain-mixture sampling rates in basis points of 10000, keyed by
+# language: the up/down-weighting every pre-training data recipe
+# applies per domain/language before tokenization. Deterministic: a
+# doc is sampled iff H64(md5(doc_id||'-mix')) % 10000 < its rate, so
+# the sample is reproducible and a corpus re-run never flips old docs.
+MIXTURE_BP = {"en": 10000, "zh": 2500}
+MIXTURE_DEFAULT_BP = 5000
+
+
+def _mixture_case() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {bp}" for lang, bp in sorted(MIXTURE_BP.items())
+    )
+    return f"CASE lang {whens} ELSE {MIXTURE_DEFAULT_BP} END"
 
 
 @register(
@@ -308,11 +425,13 @@ WITH base AS (
          CASE WHEN b < {TRAIN_PCT} THEN 'train'
               WHEN b < {TRAIN_PCT + VAL_PCT} THEN 'val'
               ELSE 'test' END AS split,
-         fp
+         fp, sampled
   FROM (
     SELECT source, n_chars,
            {DUCK_H64.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS b,
-           md5({normalized('duck')}) AS fp
+           md5({normalized('duck')}) AS fp,
+           ({DUCK_H64.format(x="concat(CAST(doc_id AS VARCHAR), '-mix')")} % 10000
+              < {_mixture_case()}) AS sampled
     FROM documents
   )
 ),
@@ -323,7 +442,10 @@ SELECT source, split,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_contaminated
+           AS n_contaminated,
+       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN sampled THEN n_chars ELSE 0 END) AS BIGINT)
+           AS sampled_chars
 FROM base JOIN fps USING (fp)
 GROUP BY source, split
 """,
@@ -334,9 +456,14 @@ GROUP BY source, split
     "moves an old one between splits) — PLUS per-cell contamination: "
     "n_contaminated counts docs whose normalized-text fingerprint also "
     "appears in a different split (train/test leakage, the check every "
-    "eval pipeline needs before trusting held-out metrics). One "
-    "map-side split scan + one fp-keyed aggregate join — no cross "
-    "product, scales with corpus size.",
+    "eval pipeline needs before trusting held-out metrics) — PLUS "
+    "domain-mixture sampling: n_sampled/sampled_chars count the docs a "
+    "per-language mixture recipe (MIXTURE_BP basis points, e.g. en "
+    "kept fully, zh downsampled to 25%) would keep, selected by an "
+    "independent deterministic hash so the sample composes with the "
+    "split instead of correlating with it. One map-side scan + one "
+    "fp-keyed aggregate join — no cross product, scales with corpus "
+    "size.",
 )
 def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -346,11 +473,16 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(b < TRAIN_PCT + VAL_PCT, "val")
         .otherwise("test")
     )
+    sampled = (
+        F.expr(SPARK_H64.format(x="concat(cast(doc_id as string), '-mix')")) % 10000
+        < F.expr(_mixture_case())
+    )
     base = docs.select(
         "source",
         "n_chars",
         split.alias("split"),
         F.expr(f"md5({normalized('spark')})").alias("fp"),
+        sampled.alias("sampled"),
     )
     fps = base.groupBy("fp").agg(F.countDistinct("split").alias("n_splits"))
     return (
@@ -360,5 +492,9 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
             F.sum((F.col("n_splits") > 1).cast("long")).alias("n_contaminated"),
+            F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
+            F.sum(F.when(F.col("sampled"), F.col("n_chars")).otherwise(0)).alias(
+                "sampled_chars"
+            ),
         )
     )

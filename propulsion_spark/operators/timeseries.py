@@ -156,3 +156,85 @@ def q_range_join_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_prior_1h", F.lit(0)).cast("long").alias("n_prior_1h"),
         F.coalesce("prior_value_sum", F.lit(0.0)).alias("prior_value_sum"),
     )
+
+
+# --------------------------------------------- resample + gap-fill
+@register(
+    "timeseries_resample",
+    """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         count(*) AS n_events,
+         max(value) AS hi,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM spans
+),
+joined AS (
+  SELECT s.user_id, s.hour, h.n_events, h.hi, h.volume
+  FROM spine s LEFT JOIN hourly h USING (user_id, hour)
+),
+grouped AS (
+  SELECT *, count(hi) OVER (PARTITION BY user_id ORDER BY hour
+                            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM joined
+)
+SELECT user_id, hour,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       max(hi) OVER (PARTITION BY user_id, grp) AS hi_ffill,
+       coalesce(volume, 0.0) AS volume,
+       (n_events IS NULL) AS gap_filled
+FROM grouped
+""",
+    doc="Time-series resampling with gap fill: each user's event stream "
+    "regularized onto an hourly grid from its first to its last active "
+    "hour — empty hours materialized with n_events=0 and the per-hour "
+    "max forward-filled across the gap (the resample→ffill shape "
+    "feature pipelines need before windowed models). The dense spine "
+    "comes from sequence()/explode per user (rows ∝ span hours, never "
+    "a calendar cross join), and the forward fill is the "
+    "run-numbering trick — a running count of non-null hours defines "
+    "fill groups, max within group carries the value — instead of "
+    "last(ignorenulls), keeping the whole plan in exactly-typed "
+    "aggregates that are bit-identical across engines. Decimal sums "
+    "for the volume column; one shuffle per aggregate grain and the "
+    "fill windows reuse the user partitioning.",
+)
+def q_timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.max("value").alias("hi"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("volume"),
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")).alias("hour"),
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = joined.withColumn("grp", F.count("hi").over(w_run))
+    w_grp = Window.partitionBy("user_id", "grp")
+    return grouped.select(
+        "user_id",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.max("hi").over(w_grp).alias("hi_ffill"),
+        F.coalesce("volume", F.lit(0.0)).alias("volume"),
+        F.col("n_events").isNull().alias("gap_filled"),
+    )

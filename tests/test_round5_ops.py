@@ -1,0 +1,177 @@
+"""Unit tests for the round-5 operators: connected-components cluster
+resolution, TF-IDF keywords, corpus n-gram stats, mixture sampling, and
+time-series resample/gap-fill — targeted semantic cases the corpus-wide
+oracle parity test (test_oracle_parity) can't isolate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from propulsion_spark.operators.dedup import connected_components
+from propulsion_spark.operators.textops import (
+    MIXTURE_BP,
+    MIXTURE_DEFAULT_BP,
+    _mixture_case,
+)
+
+
+def _labels(spark, pairs):
+    edges = spark.createDataFrame(pairs, "a_id long, b_id long")
+    return {
+        r["node"]: r["label"] for r in connected_components(edges).collect()
+    }
+
+
+class TestConnectedComponents:
+    def test_chain_collapses_to_min(self, spark):
+        # transitive chain: A~B, B~C never sampled A~C — one cluster
+        got = _labels(spark, [(1, 2), (2, 3), (3, 4)])
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    def test_disjoint_components_stay_apart(self, spark):
+        got = _labels(spark, [(5, 9), (20, 30), (30, 25)])
+        assert got == {5: 5, 9: 5, 20: 20, 25: 20, 30: 20}
+
+    def test_long_chain_needs_multiple_rounds(self, spark):
+        # path graph of 12 nodes: min-label needs several propagation
+        # rounds; convergence detection must not stop early
+        n = 12
+        got = _labels(spark, [(i, i + 1) for i in range(n)])
+        assert set(got.values()) == {0}
+        assert len(got) == n + 1
+
+    def test_min_id_is_canonical_regardless_of_edge_order(self, spark):
+        # the smallest doc_id arrives via the "wrong" end of the edges
+        got = _labels(spark, [(50, 40), (40, 7), (90, 50)])
+        assert set(got.values()) == {7}
+
+
+class TestDedupClustersQuery:
+    def test_clusters_partition_the_paired_docs(self, spark):
+        from propulsion_spark.operators import load_all
+
+        reg = load_all()
+        sf = "/root/testdata/sf0.001"
+        rows = reg["dedup_clusters"].build(spark, sf).collect()
+        assert rows, "fixture corpus has near-dup pairs"
+        by_cluster: dict[int, list] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+        for cid, members in by_cluster.items():
+            # cluster id is the min member id and exactly one canonical
+            assert min(m["doc_id"] for m in members) == cid
+            assert sum(1 for m in members if m["is_canonical"]) == 1
+            assert all(m["cluster_size"] == len(members) for m in members)
+        # every candidate pair lands in ONE cluster (that's the point)
+        pairs = (
+            reg["dedup_minhash_lsh_pairs"]
+            .build(spark, sf)
+            .filter(F.col("stage") == "candidate")
+            .select("a_id", "b_id")
+            .collect()
+        )
+        label = {r["doc_id"]: r["cluster_id"] for r in rows}
+        for p in pairs:
+            assert label[p["a_id"]] == label[p["b_id"]]
+
+
+class TestMixtureSampling:
+    def test_case_expression_covers_default(self):
+        expr = _mixture_case()
+        assert f"ELSE {MIXTURE_DEFAULT_BP}" in expr
+        for lang, bp in MIXTURE_BP.items():
+            assert f"WHEN '{lang}' THEN {bp}" in expr
+
+    def test_sampling_is_deterministic_and_lang_rated(self, spark):
+        from propulsion_spark import load_table
+        from propulsion_spark.operators.dedup import SPARK_H64
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        sampled = (
+            F.expr(SPARK_H64.format(x="concat(cast(doc_id as string), '-mix')"))
+            % 10000
+            < F.expr(_mixture_case())
+        )
+        agg = (
+            docs.select("lang", sampled.alias("s"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"), F.sum(F.col("s").cast("long")).alias("k"))
+            .collect()
+        )
+        rates = {r["lang"]: (r["k"], r["n"]) for r in agg}
+        # en keeps everything (rate 10000/10000)
+        k, n = rates["en"]
+        assert k == n
+        # zh is downsampled hard (2500 bp): strictly fewer than all
+        k, n = rates["zh"]
+        assert 0 < k < n
+        # deterministic: a second evaluation is identical
+        again = (
+            docs.select("lang", sampled.alias("s"))
+            .groupBy("lang")
+            .agg(F.sum(F.col("s").cast("long")).alias("k"))
+            .collect()
+        )
+        assert {r["lang"]: r["k"] for r in again} == {
+            lang: k for lang, (k, _) in rates.items()
+        }
+
+
+class TestTimeseriesResample:
+    def test_gap_rows_forward_fill(self, spark):
+        t0 = dt.datetime(2024, 1, 1, 0, 30)
+        rows = [
+            (1, t0, 10.0),
+            (1, t0 + dt.timedelta(hours=3, minutes=5), 4.0),  # 2-hour gap
+            (2, t0, 7.0),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        ev.createOrReplaceTempView("_r5_events")
+
+        from propulsion_spark.operators.timeseries import q_timeseries_resample
+        from unittest import mock
+
+        import propulsion_spark.operators.timeseries as ts_mod
+
+        with mock.patch.object(ts_mod, "load_table", lambda s, d, t: ev):
+            out = q_timeseries_resample(spark, "ignored").orderBy(
+                "user_id", "hour"
+            ).collect()
+        u1 = [r for r in out if r["user_id"] == 1]
+        assert len(u1) == 4  # hours 0..3 inclusive
+        assert [r["n_events"] for r in u1] == [1, 0, 0, 1]
+        assert [r["gap_filled"] for r in u1] == [False, True, True, False]
+        # the 10.0 observed at hour 0 carries across the two empty hours
+        assert [r["hi_ffill"] for r in u1] == [10.0, 10.0, 10.0, 4.0]
+        assert [r["volume"] for r in u1] == [10.0, 0.0, 0.0, 4.0]
+        u2 = [r for r in out if r["user_id"] == 2]
+        assert len(u2) == 1 and u2[0]["n_events"] == 1
+
+
+class TestTfidfKeywords:
+    def test_rare_term_outranks_common(self, spark):
+        from unittest import mock
+
+        import propulsion_spark.operators.textops as t_mod
+        from propulsion_spark.operators.textops import q_text_tfidf_keywords
+
+        docs = spark.createDataFrame(
+            [
+                (0, "alpha alpha shared", "en", "s", 18),
+                (1, "beta shared shared", "en", "s", 18),
+                (2, "gamma shared other", "en", "s", 18),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        with mock.patch.object(t_mod, "load_table", lambda s, d, t: docs):
+            out = q_text_tfidf_keywords(spark, "ignored").collect()
+        top = {r["doc_id"]: r["token"] for r in out if r["rank"] == 1}
+        # doc 0: 'alpha' (tf=2, df=1, score 6) beats 'shared' (tf=1, df=3)
+        assert top[0] == "alpha"
+        assert top[1] == "beta"
+        assert top[2] == "gamma"
+        d0 = {r["token"]: r for r in out if r["doc_id"] == 0}
+        assert d0["alpha"]["score"] == 2 * 3 / 1

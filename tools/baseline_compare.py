@@ -33,7 +33,17 @@ sys.path.insert(0, "/root/repo")
 
 
 def timed2(fn) -> float:
-    """Min of two runs: steady-state cost."""
+    """One untimed warm-up, then min of two timed runs.
+
+    The warm-up absorbs one-time costs that are not plan properties
+    (parquet footer reads into the OS page cache, AQE final-plan
+    compilation, Python worker spin-up): whichever side of a comparison
+    runs first would otherwise pay them alone, skewing the ratio by the
+    measurement order rather than the plan. Verified on span_coalesce:
+    identical physical plans timed 0.61 vs 0.36 when ordered cold-first,
+    and 0.31 vs 0.30 once both sides start warm.
+    """
+    fn()
     runs = []
     for _ in range(2):
         t0 = time.time()

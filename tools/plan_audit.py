@@ -14,8 +14,14 @@ Expected flags (by design, documented in the query docs):
   selection + search, plus one Lloyd iteration for the learned
   codebook); at production scale codebook + cell assignments are
   materialized once, not per query.
-- revenue_kpis: BroadcastNestedLoopJoin of two SINGLE-ROW aggregates
-  (Q6 forecast × Q14 promo share) — a 1×1 cross join, by design.
+- revenue_kpis: BroadcastNestedLoopJoin of three SINGLE-ROW aggregates
+  (Q6 forecast × Q14 promo share × event funnel) — 1×1 cross joins,
+  by design.
+- text_tfidf_keywords: one BroadcastNestedLoopJoin of the SINGLE-ROW
+  corpus count against the tf×df join — a broadcast scalar, by design.
+- dedup_clusters: the returned plan is the final label/size join; the
+  min-label propagation rounds ran at build time behind
+  localCheckpoint, so the audited plan is intentionally shallow.
 """
 
 from __future__ import annotations
