@@ -58,7 +58,11 @@ def cmd_sync(args) -> int:
         # have no stream envelope).
         from propulsion_spark.pipelines import CurationPipeline
 
-        pipe = CurationPipeline(spark, dst if kind == "curated" else args.to)
+        pipe = CurationPipeline(
+            spark,
+            dst if kind == "curated" else args.to,
+            near_dedup=getattr(args, "near_dedup", False),
+        )
 
         class CurateSink:
             def __init__(self):
@@ -358,6 +362,13 @@ def main(argv=None) -> int:
         action="store_true",
         help="route document batches through the curation pipeline "
         "(quality + repetition gates, dedup, split assignment)",
+    )
+    s.add_argument(
+        "--near-dedup",
+        action="store_true",
+        help="with --curate: also drop MinHash-LSH near-duplicates "
+        "(intra-batch connected-components canonical keep + cross-batch "
+        "band table)",
     )
     s.set_defaults(fn=cmd_sync)
 

@@ -112,26 +112,37 @@ _DUCK_SIGS = f"""
 """
 
 
-def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: 5-char shingles → 64-bit hash → 8 xor-mixed
-    min-hashes per doc. Pure map stage (no shuffle); JVM-side higher-order
-    functions, one md5 per shingle. Oracle-verified through
-    ``dedup_minhash_lsh_pairs`` (whose DuckDB oracle recomputes the full
-    signature matrix from scratch)."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .withColumn("norm", F.expr(normalized("spark")))
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """MinHash signatures over any frame with (doc_id, text): 5-char
+    shingles → 64-bit hash → 8 xor-mixed min-hashes per doc. Pure map
+    stage (no shuffle); JVM-side higher-order functions, one md5 per
+    shingle."""
+    return (
+        docs.withColumn("norm", F.expr(normalized("spark")))
         .withColumn("hs", F.expr(_shingle_hashes("spark")))
+        .selectExpr("doc_id", *_minhash_cols("spark"))
     )
-    return docs.selectExpr("doc_id", *_minhash_cols("spark"))
+
+
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-table binding of :func:`minhash_signatures`.
+    Oracle-verified through ``dedup_minhash_lsh_pairs`` (whose DuckDB
+    oracle recomputes the full signature matrix from scratch)."""
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def with_bands(sigs: DataFrame) -> DataFrame:
+    """Attach the band keys (concatenated signature rows) to a
+    signature frame."""
+    for name, cols in BAND_DEFS:
+        sigs = sigs.withColumn(name, F.concat_ws("_", *cols))
+    return sigs
 
 
 def minhash_with_bands(
     spark: SparkSession, sf_dir: str, persist: bool = False
 ) -> DataFrame:
-    df = q_dedup_minhash_signatures(spark, sf_dir)
-    for name, cols in BAND_DEFS:
-        df = df.withColumn(name, F.concat_ws("_", *cols))
+    df = with_bands(q_dedup_minhash_signatures(spark, sf_dir))
     if persist:
         # materialize signatures once: every band self-join reads them
         # 2×, and recomputing means re-hashing every shingle (the
@@ -173,6 +184,30 @@ def _grams(dialect: str) -> str:
     )
 
 
+# Spark-side two-step gram computation: tokenizing INSIDE the gram
+# lambda would re-run split(lower(trim(text))) for every element_at
+# call — O(tokens²) regex splits per document. Materializing the token
+# array as its own projection runs the split once per row; Catalyst's
+# CollapseProject deliberately refuses to inline a non-cheap alias
+# referenced more than once, so the two projections survive to the
+# physical plan. (Measured at sf0.1: corpus_topk_ngrams 8.3 s → see
+# commit for the after number.)
+SPARK_TOKS = "split(lower(trim(text)), '\\\\s+')"
+_SPARK_GRAMS_FROM_TK = (
+    f"array_distinct(transform(sequence(1, greatest(size(tk) - {NGRAM - 1}, 1)), "
+    "i -> concat_ws(' ', element_at(tk, cast(i as int)), "
+    "element_at(tk, cast(i+1 as int)), element_at(tk, cast(i+2 as int)))))"
+)
+
+
+def grams_column(docs: DataFrame, *keep: str) -> DataFrame:
+    """``keep... , g`` — distinct word-3-gram array per doc, tokens
+    materialized once (see SPARK_TOKS note)."""
+    return docs.withColumn("tk", F.expr(SPARK_TOKS)).select(
+        *keep, F.expr(_SPARK_GRAMS_FROM_TK).alias("g")
+    )
+
+
 # Shared by the pairs report, the n-gram verify stage, and the cluster
 # operator: every (a_id < b_id) doc pair co-bucketed in ANY band, with
 # its signature-match count.
@@ -185,18 +220,23 @@ band_pairs AS (
 """
 
 
-def lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All banded co-bucketed doc pairs ``(a_id, b_id, matches)``.
-
-    One equi-join per band (shuffle-hash on the band key — the LSH scale
-    shape), then union+distinct. An OR of band predicates would deny
-    Spark an equi-join and fall back to a nested-loop O(n²) scan.
-    Signatures are persisted once across the band joins."""
-    sigs = minhash_with_bands(spark, sf_dir, persist=True)
+def signature_matches() -> F.Column:
+    """Signature-agreement count between aliased sides ``a`` and ``b``."""
     matches = None
     for k in range(NUM_HASHES):
         term = F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1).otherwise(0)
         matches = term if matches is None else (matches + term)
+    return matches
+
+
+def band_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """All banded co-bucketed doc pairs ``(a_id, b_id, matches)`` from a
+    banded-signature frame.
+
+    One equi-join per band (shuffle-hash on the band key — the LSH scale
+    shape), then union+distinct. An OR of band predicates would deny
+    Spark an equi-join and fall back to a nested-loop O(n²) scan."""
+    matches = signature_matches()
     per_band = []
     for name, _ in BAND_DEFS:
         a = sigs.alias("a")
@@ -216,6 +256,12 @@ def lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matches is a pure function of the pair, so distinct collapses the
     # per-band duplicates exactly
     return out.distinct()
+
+
+def lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-table binding of :func:`band_pairs_from_sigs`; signatures
+    persisted once across the band joins."""
+    return band_pairs_from_sigs(minhash_with_bands(spark, sf_dir, persist=True))
 
 
 @register(
@@ -253,9 +299,7 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_id",
         (F.col("matches").cast("double") / NUM_HASHES).alias("score"),
     )
-    grams = load_table(spark, sf_dir, "documents").selectExpr(
-        "doc_id", f"{_grams('spark')} AS g"
-    )
+    grams = grams_column(load_table(spark, sf_dir, "documents"), "doc_id")
     ga = grams.select(F.col("doc_id").alias("a_id"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("b_id"), F.col("g").alias("gb"))
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))

@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 
 from propulsion_spark import load_table
 from propulsion_spark.operators import register
-from propulsion_spark.operators.dedup import DUCK_H64, SPARK_H64, _grams, normalized
+from propulsion_spark.operators.dedup import (
+    DUCK_H64,
+    SPARK_H64,
+    _grams,
+    grams_column,
+    normalized,
+)
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 _SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -328,7 +334,9 @@ FROM (
 )
 def q_corpus_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select("lang", F.explode(F.expr(_grams("spark"))).alias("gram"))
+    grams = grams_column(docs, "lang").select(
+        "lang", F.explode(F.col("g")).alias("gram")
+    )
     dfq = grams.groupBy("lang", "gram").agg(F.count("*").alias("doc_freq"))
     w = Window.partitionBy("lang").orderBy(F.col("doc_freq").desc(), F.col("gram"))
     return (

@@ -6,6 +6,10 @@ query).
       → quality gates      (declarative: alpha ratio, token bounds,
                             Gopher-style dup-trigram repetition)
       → cross-batch dedup  (fingerprint table: first-writer-wins)
+      → near-dup dedup     (optional: MinHash-LSH — intra-batch
+                            connected-components canonical keep, then a
+                            greedy band-table check against every
+                            earlier batch)
       → split assignment   (train/val/test by md5(doc_id) hash range —
                             pure function of the id, stable forever)
       → curated store      (append-only parquet, split column attached)
@@ -15,7 +19,9 @@ The fingerprint table is the same MVCC parquet pattern as
 PositionsTable (Delta MERGE on a cluster); the dedup check is one
 left-anti join per batch on the fingerprint — exactly the shape that
 scales to 100 TB (shuffle on fp only for the batch increment, broadcast
-while small via AQE). Everything is JVM-side; no Python in the hot path.
+while small via AQE). Everything is JVM-side; no Python in the hot path
+(the near-dup stage's component loop is bounded driver control-plane:
+one single-row aggregate per propagation round).
 """
 
 from __future__ import annotations
@@ -28,7 +34,17 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from propulsion_spark.operators.dedup import SPARK_H64, normalized
+from propulsion_spark.operators.dedup import (
+    MH_NAMES,
+    NUM_HASHES,
+    SPARK_H64,
+    band_pairs_from_sigs,
+    connected_components,
+    minhash_signatures,
+    normalized,
+    with_bands,
+    BAND_DEFS,
+)
 from propulsion_spark.operators.textops import REP_THRESHOLD, TRAIN_PCT, VAL_PCT, _toks
 
 
@@ -79,6 +95,63 @@ class _FingerprintTable:
             self._retired = [old] if old else []
 
 
+class _BandTable:
+    """Seen-band registry for streaming near-dup: one row per
+    (band key, keeper doc) with the keeper's MinHash signature, so a new
+    doc co-bucketed with ANY earlier keeper can be signature-checked
+    without rereading earlier batches. All rows are kept (two per doc —
+    one per band), not one-per-band: collapsing to a single keeper per
+    band would let a non-near-dup band collision evict a signature and
+    silently lose recall for later batches. MVCC pointer-flip like the
+    fingerprint table."""
+
+    SCHEMA = "band string, keeper long, " + ", ".join(
+        f"{m} long" for m in MH_NAMES
+    )
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._retired: list[str] = []
+        self._write_lock = threading.Lock()
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_VERSION")
+
+    def _current_version(self) -> str | None:
+        try:
+            with open(self._pointer) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def read(self) -> DataFrame:
+        v = self._current_version()
+        if v is None:
+            return self.spark.createDataFrame([], self.SCHEMA)
+        return self.spark.read.parquet(os.path.join(self.path, v))
+
+    def register(self, novel: DataFrame) -> None:
+        with self._write_lock:
+            merged = (
+                self.read()
+                .unionByName(novel.select("band", "keeper", *MH_NAMES))
+                .dropDuplicates(["band", "keeper"])
+            )
+            version = f"v-{uuid.uuid4().hex}"
+            merged.write.mode("overwrite").parquet(os.path.join(self.path, version))
+            old = self._current_version()
+            tmp = self._pointer + f".{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                f.write(version)
+            os.replace(tmp, self._pointer)
+            for stale in self._retired:
+                shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
+            self._retired = [old] if old else []
+
+
 class CurationPipeline:
     """Feed-source sink: each batch of raw documents flows through
     quality gates and cross-batch dedup into the curated store."""
@@ -91,6 +164,7 @@ class CurationPipeline:
         token_bounds: tuple[int, int] = (10, 5000),
         max_dup_trigram_frac: float = REP_THRESHOLD,
         assign_splits: bool = True,
+        near_dedup: bool = False,
     ):
         self.spark = spark
         self.out_path = out_path
@@ -98,16 +172,70 @@ class CurationPipeline:
         self.token_bounds = token_bounds
         self.max_dup_trigram_frac = max_dup_trigram_frac
         self.assign_splits = assign_splits
+        self.near_dedup = near_dedup
         self.fingerprints = _FingerprintTable(spark, f"{out_path}/_fingerprints")
+        self.bands = (
+            _BandTable(spark, f"{out_path}/_bands") if near_dedup else None
+        )
         self.curated_path = f"{out_path}/curated"
         self.stats = {
             "seen": 0,
             "rejected_quality": 0,
             "rejected_repetition": 0,
             "deduped": 0,
+            "near_deduped": 0,
             "kept": 0,
         }
         self._lock = threading.Lock()
+
+    # -- near-dup stage ----------------------------------------------------
+    def _near_dedup_batch(
+        self, docs: DataFrame
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(survivors, band rows to register, persisted sigs handle).
+
+        Intra-batch: exact duplicate-cluster resolution — connected
+        components over the batch's LSH candidate pairs, keep the
+        canonical (min doc_id) per cluster. Cross-batch: greedy — a
+        survivor co-bucketed with ANY earlier keeper whose signature
+        agrees on ≥ half the min-hashes is a near-dup of that earlier
+        cluster and is dropped. Greedy-vs-exact is the standard
+        streaming trade: clusters never merge retroactively across
+        batches, which is exactly the first-writer-wins behavior the
+        exact-dedup stage already has."""
+        sigs = with_bands(minhash_signatures(docs)).persist()
+        pairs = band_pairs_from_sigs(sigs).filter(
+            F.col("matches") >= NUM_HASHES // 2
+        ).select("a_id", "b_id")
+        labels = connected_components(pairs)
+        dropped = labels.filter(F.col("node") != F.col("label")).select(
+            F.col("node").alias("doc_id")
+        )
+        canon = docs.join(dropped, "doc_id", "left_anti")
+        # cross-batch check: explode each survivor to its band keys once
+        band_col = F.explode(
+            F.array(*[F.col(name) for name, _ in BAND_DEFS])
+        ).alias("band")
+        exploded = sigs.select("doc_id", *MH_NAMES, band_col)
+        table = self.bands.read()
+        agree = None
+        for m in MH_NAMES:
+            term = F.when(F.col(f"n.{m}") == F.col(f"t.{m}"), 1).otherwise(0)
+            agree = term if agree is None else (agree + term)
+        hits = (
+            exploded.alias("n")
+            .join(table.alias("t"), "band")
+            .filter(agree >= NUM_HASHES // 2)
+            .select(F.col("n.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        survivors = canon.join(hits, "doc_id", "left_anti")
+        new_bands = exploded.join(survivors.select("doc_id"), "doc_id").select(
+            F.col("band"), F.col("doc_id").alias("keeper"), *MH_NAMES
+        )
+        # sigs stays persisted until the caller has materialized both
+        # frames (process_batch unpersists after the writes)
+        return survivors, new_bands, sigs
 
     # -- one batch ---------------------------------------------------------
     def process_batch(self, df: DataFrame, batch_id: int = 0) -> None:
@@ -139,15 +267,22 @@ class CurationPipeline:
         fresh = keeper.join(self.fingerprints.read(), "fp", "left_anti").select(
             F.col("fp").alias("_kfp"), F.col("keeper").alias("_keeper")
         )
-        kept_docs = passed.join(
+        exact_kept = passed.join(
             fresh,
             (passed.fp == F.col("_kfp")) & (passed.doc_id == F.col("_keeper")),
         ).select(*df.columns, "fp")
-        kept_docs = kept_docs.cache()
+        exact_kept = exact_kept.cache()
+        sigs = new_bands = None
+        if self.near_dedup:
+            kept_docs, new_bands, sigs = self._near_dedup_batch(exact_kept)
+            kept_docs = kept_docs.cache()
+        else:
+            kept_docs = exact_kept
         try:
             n_seen = df.count()
             n_passed_q = passed_q.count()
             n_passed = passed.count()
+            n_exact = exact_kept.count()
             n_kept = kept_docs.count()
             out = kept_docs.drop("fp")
             if self.assign_splits:
@@ -163,14 +298,21 @@ class CurationPipeline:
                 )
             out.write.mode("append").parquet(self.curated_path)
             self.fingerprints.register(kept_docs.select("fp", F.col("doc_id").alias("keeper")))
+            if new_bands is not None:
+                self.bands.register(new_bands)
             with self._lock:
                 self.stats["seen"] += n_seen
                 self.stats["rejected_quality"] += n_seen - n_passed_q
                 self.stats["rejected_repetition"] += n_passed_q - n_passed
-                self.stats["deduped"] += n_passed - n_kept
+                self.stats["deduped"] += n_passed - n_exact
+                self.stats["near_deduped"] += n_exact - n_kept
                 self.stats["kept"] += n_kept
         finally:
-            kept_docs.unpersist()
+            exact_kept.unpersist()
+            if kept_docs is not exact_kept:
+                kept_docs.unpersist()
+            if sigs is not None:
+                sigs.unpersist()
 
     # -- results -----------------------------------------------------------
     def curated(self) -> DataFrame:

@@ -123,3 +123,48 @@ class TestCurationRepetitionAndSplits:
         pipe = CurationPipeline(spark, str(tmp_path / "out"), assign_splits=False)
         pipe.process_batch(mk(spark, [doc(1, GOOD)]))
         assert "split" not in pipe.curated().columns
+
+
+class TestCurationNearDedup:
+    def test_intra_and_cross_batch_near_dup(self, spark, tmp_path):
+        """near_dedup=True: docs that share most MinHash rows collapse —
+        within a batch via connected components (min-id canonical kept),
+        and across batches via the band table — while genuinely
+        different docs survive."""
+        base = GOOD + " alpha beta gamma delta epsilon zeta"
+        near1 = base.replace("lazy", "sleepy")  # 1-word edit → near-dup
+        other = (
+            "completely different content about distributed query engines "
+            "and shuffle partitioning strategies for large clusters " * 2
+        )
+        pipe = CurationPipeline(spark, str(tmp_path / "out"), near_dedup=True)
+        pipe.process_batch(
+            mk(spark, [doc(10, base), doc(11, near1), doc(12, other)])
+        )
+        kept1 = sorted(r.doc_id for r in pipe.curated().collect())
+        assert kept1 == [10, 12]  # 11 clustered with 10, canonical kept
+        assert pipe.stats["near_deduped"] == 1
+
+        # cross-batch: a fresh near-dup of batch-1's canonical is dropped
+        # by the band table; a novel doc passes
+        near2 = base.replace("quick", "rapid")
+        novel = (
+            "unrelated narrative describing watermark semantics and "
+            "stateful stream processing with bounded lateness windows " * 2
+        )
+        pipe.process_batch(mk(spark, [doc(20, near2), doc(21, novel)]))
+        kept2 = sorted(r.doc_id for r in pipe.curated().collect())
+        assert kept2 == [10, 12, 21]
+        assert pipe.stats["near_deduped"] == 2
+        assert pipe.stats["kept"] == 3
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        """Redelivering the same batch adds nothing: the canonical doc
+        itself hits the band table (its own signature is registered) or
+        the exact-fingerprint table first."""
+        pipe = CurationPipeline(spark, str(tmp_path / "out"), near_dedup=True)
+        batch = mk(spark, [doc(1, GOOD)])
+        pipe.process_batch(batch)
+        pipe.process_batch(batch)
+        kept = [r.doc_id for r in pipe.curated().collect()]
+        assert kept == [1]

@@ -32,24 +32,33 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def timed2(fn) -> float:
-    """One untimed warm-up, then min of two timed runs.
+def timed_pair(fa, fb, rounds: int = 2) -> tuple[float, float]:
+    """Warm both sides untimed, then time them INTERLEAVED (a,b,a,b)
+    and report each side's min.
 
-    The warm-up absorbs one-time costs that are not plan properties
-    (parquet footer reads into the OS page cache, AQE final-plan
-    compilation, Python worker spin-up): whichever side of a comparison
-    runs first would otherwise pay them alone, skewing the ratio by the
-    measurement order rather than the plan. Verified on span_coalesce:
-    identical physical plans timed 0.61 vs 0.36 when ordered cold-first,
-    and 0.31 vs 0.30 once both sides start warm.
+    Two defenses, both necessary on this host:
+    - the warm-up absorbs one-time costs that are not plan properties
+      (parquet footers into the page cache, AQE final-plan compilation,
+      Python worker spin-up) — whichever side ran first would otherwise
+      pay them alone. Verified on span_coalesce: identical physical
+      plans timed 0.61 vs 0.36 cold-first, 0.31 vs 0.30 warm.
+    - interleaving bounds ambient-load drift to within one round;
+      timing side A's runs back-to-back and then side B's hands any
+      multi-second load spike entirely to one side (documented ±50-100%
+      swings here), which min-of-N cannot undo.
     """
-    fn()
-    runs = []
-    for _ in range(2):
+    fa()
+    fb()
+    ta: list[float] = []
+    tb: list[float] = []
+    for _ in range(rounds):
         t0 = time.time()
-        fn()
-        runs.append(time.time() - t0)
-    return round(min(runs), 3)
+        fa()
+        ta.append(time.time() - t0)
+        t0 = time.time()
+        fb()
+        tb.append(time.time() - t0)
+    return round(min(ta), 3), round(min(tb), 3)
 
 
 def main() -> int:
@@ -89,9 +98,11 @@ def main() -> int:
     q = registry["pricing_summary"]
     record(
         "analytic_group_agg",
-        timed2(lambda: run_noop(q.build(spark, sf_dir))),
-        # the oracle SQL is the hand-written form of the same computation
-        timed2(lambda: run_noop(spark.sql(q.oracle))),
+        *timed_pair(
+            lambda: run_noop(q.build(spark, sf_dir)),
+            # the oracle SQL is the hand-written form of the same computation
+            lambda: run_noop(spark.sql(q.oracle)),
+        ),
     )
 
     # ---- stateful coalesce query vs identical raw window SQL ------------
@@ -99,8 +110,8 @@ def main() -> int:
     envelope.createOrReplaceTempView("se")
     record(
         "dedup_coalesce",
-        timed2(lambda: run_noop(registry["span_coalesce"].build(spark, sf_dir))),
-        timed2(
+        *timed_pair(
+            lambda: run_noop(registry["span_coalesce"].build(spark, sf_dir)),
             lambda: run_noop(
                 spark.sql(
                     """SELECT stream_name, min(idx) s, count(*) n FROM (
@@ -109,7 +120,7 @@ def main() -> int:
                          FROM se WHERE event_id % 7 != 3)
                        GROUP BY stream_name, g"""
                 )
-            )
+            ),
         ),
     )
 
@@ -138,7 +149,7 @@ def main() -> int:
         )
         out.unpersist()
 
-    record("ingest_fold", timed2(engine_fold), timed2(baseline_fold))
+    record("ingest_fold", *timed_pair(engine_fold, baseline_fold))
 
     # ---- handler ingest: grouped-pandas sink vs the identical raw
     #      applyInPandas (the baseline for Python-handler work) -----------
@@ -164,8 +175,7 @@ def main() -> int:
 
     record(
         "ingest_python_handler",
-        timed2(lambda: sink.process_batch(envelope)),
-        timed2(raw_grouped),
+        *timed_pair(lambda: sink.process_batch(envelope), raw_grouped),
     )
 
     # ---- idempotent sink vs raw dedup-append (anti-join + append) -------
@@ -175,11 +185,11 @@ def main() -> int:
 
     record(
         "idempotent_sink_redelivery",
-        timed2(lambda: store.sync(envelope)),
-        timed2(
+        *timed_pair(
+            lambda: store.sync(envelope),
             lambda: envelope.join(existing, ["stream_name", "idx"], "left_anti")
             .write.mode("append")
-            .parquet(f"{tmp}/raw_store")
+            .parquet(f"{tmp}/raw_store"),
         ),
     )
 
@@ -194,7 +204,6 @@ def main() -> int:
     batch0 = envelope.limit(2000).cache()
     batch0.count()
     small.sync(batch0)
-    cost_1x = timed2(lambda: small.sync(batch0))
     big = EventStoreTable(spark, f"{tmp}/flat_big")
     big.sync(batch0)
     for i in range(9):  # grow: 9 more distinct stream sets
@@ -202,7 +211,9 @@ def main() -> int:
             "stream_name", F.concat(F.lit(f"g{i}-"), F.col("stream_name"))
         )
         big.sync(grown)
-    cost_10x = timed2(lambda: big.sync(batch0))
+    cost_10x, cost_1x = timed_pair(
+        lambda: big.sync(batch0), lambda: small.sync(batch0)
+    )
     record("redelivery_flat_10x", cost_10x, cost_1x)
 
     # ---- flatness: positions merge is O(batch) however many streams
@@ -217,7 +228,6 @@ def main() -> int:
     delta.count()
     p1 = PositionsTable(spark, f"{tmp}/pos_small")
     p1.merge(delta)
-    merge_1x = timed2(lambda: p1.merge(delta))
     p2 = PositionsTable(spark, f"{tmp}/pos_big")
     for i in range(10):
         p2.merge(
@@ -225,7 +235,9 @@ def main() -> int:
                 "stream_name", F.concat(F.lit(f"g{i}-"), F.col("stream_name"))
             )
         )
-    merge_10x = timed2(lambda: p2.merge(delta))
+    merge_10x, merge_1x = timed_pair(
+        lambda: p2.merge(delta), lambda: p1.merge(delta)
+    )
     record("positions_merge_flat_10x", merge_10x, merge_1x)
     batch0.unpersist(), delta.unpersist()
 
@@ -252,16 +264,6 @@ def main() -> int:
         collect_sizes.append(len(rows))
         return rows
 
-    _DF.collect = spying_collect
-    try:
-        wsink = DeclarativeSink.start(
-            spark, {"total": F.sum("value")}, tempfile.mkdtemp(dir=tmp)
-        )
-        engine_wide = timed2(lambda: wsink.process_batch(wide))
-    finally:
-        _DF.collect = orig_collect
-    max_collect = max(collect_sizes, default=0)
-
     def baseline_wide():
         out = wide.groupBy("stream_name").agg(
             F.sum("value").alias("total"), (F.max("idx") + 1).alias("pos")
@@ -273,7 +275,21 @@ def main() -> int:
         )
         out.unpersist()
 
-    record("sink_100k_streams_distributed", engine_wide, timed2(baseline_wide))
+    # the collect spy stays armed across both interleaved sides; only
+    # the engine path performs collects, so max_collect measures it
+    _DF.collect = spying_collect
+    try:
+        wsink = DeclarativeSink.start(
+            spark, {"total": F.sum("value")}, tempfile.mkdtemp(dir=tmp)
+        )
+        engine_wide, base_wide = timed_pair(
+            lambda: wsink.process_batch(wide), baseline_wide
+        )
+    finally:
+        _DF.collect = orig_collect
+    max_collect = max(collect_sizes, default=0)
+
+    record("sink_100k_streams_distributed", engine_wide, base_wide)
     results["sink_100k_streams_distributed"]["max_collect_rows"] = max_collect
     from propulsion_spark.streaming.event_store import DRIVER_REPORT_CAP
 
