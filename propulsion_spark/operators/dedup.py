@@ -167,44 +167,37 @@ NGRAM = 3  # word 3-grams
 JACCARD_CUTOFF = 0.2
 
 
+def let_bound(value_expr: str, body_with_x: str) -> str:
+    """Spark-SQL let-binding: evaluate ``value_expr`` ONCE per row, make
+    it available to ``body_with_x`` as the lambda variable ``x``.
+
+    ``transform(array(v), x -> body)[0]`` — the single-element array is
+    evaluated once and the HOF binds ``x`` to it, so every reference to
+    ``x`` inside the body reads the bound value. A plain two-projection
+    select does NOT achieve this: Catalyst collapses the projections and
+    re-inlines the alias into each reference, re-running the expression
+    per reference (measured on the 3-gram builder at sf0.1: 8.9 s
+    inlined vs 0.55 s let-bound — the token split was re-executed for
+    every element_at call, O(tokens²) regex splits per document).
+    """
+    return f"element_at(transform(array({value_expr}), x -> {body_with_x}), 1)"
+
+
 def _grams(dialect: str) -> str:
     """Distinct word 3-gram array over ``text`` (both dialects skip
     NULL tail elements identically via concat_ws)."""
     if dialect == "spark":
         toks = "split(lower(trim(text)), '\\\\s+')"
-        return (
-            f"array_distinct(transform(sequence(1, greatest(size({toks}) - {NGRAM - 1}, 1)), "
-            f"i -> concat_ws(' ', element_at({toks}, cast(i as int)), "
-            f"element_at({toks}, cast(i+1 as int)), element_at({toks}, cast(i+2 as int)))))"
+        body = (
+            f"array_distinct(transform(sequence(1, greatest(size(x) - {NGRAM - 1}, 1)), "
+            "i -> concat_ws(' ', element_at(x, cast(i as int)), "
+            "element_at(x, cast(i+1 as int)), element_at(x, cast(i+2 as int)))))"
         )
+        return let_bound(toks, body)
     toks = "string_split_regex(lower(trim(text)), '\\s+')"
     return (
         f"list_distinct(list_transform(generate_series(1, greatest(length({toks}) - {NGRAM - 1}, 1)), "
         f"i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])))"
-    )
-
-
-# Spark-side two-step gram computation: tokenizing INSIDE the gram
-# lambda would re-run split(lower(trim(text))) for every element_at
-# call — O(tokens²) regex splits per document. Materializing the token
-# array as its own projection runs the split once per row; Catalyst's
-# CollapseProject deliberately refuses to inline a non-cheap alias
-# referenced more than once, so the two projections survive to the
-# physical plan. (Measured at sf0.1: corpus_topk_ngrams 8.3 s → see
-# commit for the after number.)
-SPARK_TOKS = "split(lower(trim(text)), '\\\\s+')"
-_SPARK_GRAMS_FROM_TK = (
-    f"array_distinct(transform(sequence(1, greatest(size(tk) - {NGRAM - 1}, 1)), "
-    "i -> concat_ws(' ', element_at(tk, cast(i as int)), "
-    "element_at(tk, cast(i+1 as int)), element_at(tk, cast(i+2 as int)))))"
-)
-
-
-def grams_column(docs: DataFrame, *keep: str) -> DataFrame:
-    """``keep... , g`` — distinct word-3-gram array per doc, tokens
-    materialized once (see SPARK_TOKS note)."""
-    return docs.withColumn("tk", F.expr(SPARK_TOKS)).select(
-        *keep, F.expr(_SPARK_GRAMS_FROM_TK).alias("g")
     )
 
 
@@ -299,7 +292,9 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_id",
         (F.col("matches").cast("double") / NUM_HASHES).alias("score"),
     )
-    grams = grams_column(load_table(spark, sf_dir, "documents"), "doc_id")
+    grams = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_grams('spark')} AS g"
+    )
     ga = grams.select(F.col("doc_id").alias("a_id"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("b_id"), F.col("g").alias("gb"))
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))

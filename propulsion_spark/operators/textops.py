@@ -18,7 +18,6 @@ from propulsion_spark.operators.dedup import (
     DUCK_H64,
     SPARK_H64,
     _grams,
-    grams_column,
     normalized,
 )
 
@@ -257,6 +256,23 @@ def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 REP_THRESHOLD = 0.5  # dup-trigram fraction above which a doc is "repetitive"
 
 
+def repetition_counts_expr() -> str:
+    """``struct<n, d>`` — total and distinct word-trigram counts, with
+    the token split and the gram build let-bound so each is evaluated
+    once per reference instead of once per gram (see
+    :func:`propulsion_spark.operators.dedup.let_bound`)."""
+    from propulsion_spark.operators.dedup import let_bound
+
+    tg = let_bound(
+        "split(text, ' ')",
+        "transform(sequence(1, greatest(size(x) - 2, 1)), "
+        "i -> concat_ws(' ', slice(x, cast(i as int), 3)))",
+    )
+    return let_bound(
+        tg, "named_struct('n', size(x), 'd', size(array_distinct(x)))"
+    )
+
+
 @register(
     "text_repetition",
     f"""
@@ -282,22 +298,16 @@ FROM (
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tg = (
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
-    )
+    st = repetition_counts_expr()
     return docs.select(
         "doc_id",
-        F.expr(f"size({tg})").cast("long").alias("n_trigrams"),
-        F.expr(f"size(array_distinct({tg}))").cast("long").alias(
-            "n_distinct_trigrams"
-        ),
+        F.expr(f"({st}).n").cast("long").alias("n_trigrams"),
+        F.expr(f"({st}).d").cast("long").alias("n_distinct_trigrams"),
         F.expr(
-            f"1.0D - cast(size(array_distinct({tg})) as double) / size({tg})"
+            f"1.0D - cast(({st}).d as double) / ({st}).n"
         ).alias("dup_trigram_frac"),
         F.expr(
-            f"(1.0D - cast(size(array_distinct({tg})) as double) / size({tg}))"
-            f" > {REP_THRESHOLD}"
+            f"(1.0D - cast(({st}).d as double) / ({st}).n) > {REP_THRESHOLD}"
         ).alias("repetitive"),
     )
 
@@ -334,8 +344,8 @@ FROM (
 )
 def q_corpus_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    grams = grams_column(docs, "lang").select(
-        "lang", F.explode(F.col("g")).alias("gram")
+    grams = docs.select(
+        "lang", F.explode(F.expr(_grams("spark"))).alias("gram")
     )
     dfq = grams.groupBy("lang", "gram").agg(F.count("*").alias("doc_freq"))
     w = Window.partitionBy("lang").orderBy(F.col("doc_freq").desc(), F.col("gram"))

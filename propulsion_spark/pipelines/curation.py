@@ -241,10 +241,9 @@ class CurationPipeline:
     def process_batch(self, df: DataFrame, batch_id: int = 0) -> None:
         # dup-trigram fraction, same columnar expression as the
         # text_repetition operator (Gopher-style repetition gate)
-        tg = (
-            "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
-            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
-        )
+        from propulsion_spark.operators.textops import repetition_counts_expr
+
+        st = repetition_counts_expr()
         scored = df.select(
             "*",
             F.expr(
@@ -252,7 +251,7 @@ class CurationPipeline:
             ).alias("_alpha"),
             F.expr(f"size({_toks('spark')})").alias("_ntok"),
             F.expr(
-                f"1.0D - cast(size(array_distinct({tg})) as double) / size({tg})"
+                f"1.0D - cast(({st}).d as double) / ({st}).n"
             ).alias("_dup3"),
             F.expr(f"md5({normalized('spark')})").alias("fp"),
         )
