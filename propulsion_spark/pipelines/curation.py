@@ -27,7 +27,6 @@ one single-row aggregate per propagation round).
 from __future__ import annotations
 
 import os
-import shutil
 import threading
 import uuid
 
@@ -48,108 +47,92 @@ from propulsion_spark.operators.dedup import (
 from propulsion_spark.operators.textops import REP_THRESHOLD, TRAIN_PCT, VAL_PCT, _toks
 
 
-class _FingerprintTable:
-    """Seen-fingerprint registry: (fp, keeper doc_id). MVCC pointer-flip."""
+class _DeltaRegistry:
+    """Append-then-compact keyed registry — the PositionsTable shape
+    (SURVEY §2.4 W8 store mapping) for curation state: each register()
+    writes ONLY the batch's rows as a delta segment (O(batch) — a full
+    rewrite per batch would make ingest cost grow with everything ever
+    seen), reads resolve base+deltas with the subclass's fold, and the
+    segment log folds into one base every ``compact_after`` registers
+    (amortized O(table / compact_after)). Manifest flips are atomic and
+    lease-fenced (FileLease) so two drivers sharing a curated store
+    cannot interleave commits."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    #: subclasses set: DDL schema string and column list
+    SCHEMA = ""
+    COLS: list[str] = []
+
+    def __init__(self, spark: SparkSession, path: str, compact_after: int = 8):
+        from propulsion_spark.streaming.mvcc import FileLease, JsonManifest
+
         self.spark = spark
         self.path = path
-        self._retired: list[str] = []
+        self.compact_after = compact_after
+        self.manifest = JsonManifest(path)
+        self._FileLease = FileLease
         self._write_lock = threading.Lock()
         os.makedirs(path, exist_ok=True)
 
-    @property
-    def _pointer(self) -> str:
-        return os.path.join(self.path, "_VERSION")
-
-    def _current_version(self) -> str | None:
-        try:
-            with open(self._pointer) as f:
-                return f.read().strip() or None
-        except FileNotFoundError:
-            return None
+    def _resolve(self, df: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
 
     def read(self) -> DataFrame:
-        v = self._current_version()
-        if v is None:
-            return self.spark.createDataFrame([], "fp string, keeper long")
-        return self.spark.read.parquet(os.path.join(self.path, v))
+        segs = self.manifest.load([])
+        if not segs:
+            return self.spark.createDataFrame([], self.SCHEMA)
+        raw = self.spark.read.parquet(*[os.path.join(self.path, s) for s in segs])
+        return self._resolve(raw) if len(segs) > 1 else raw
 
     def register(self, novel: DataFrame) -> None:
-        with self._write_lock:
-            merged = (
-                self.read()
-                .unionByName(novel.select("fp", "keeper"))
-                .groupBy("fp")
-                .agg(F.min("keeper").alias("keeper"))
-            )
-            version = f"v-{uuid.uuid4().hex}"
-            merged.write.mode("overwrite").parquet(os.path.join(self.path, version))
-            old = self._current_version()
-            tmp = self._pointer + f".{uuid.uuid4().hex}.tmp"
-            with open(tmp, "w") as f:
-                f.write(version)
-            os.replace(tmp, self._pointer)
-            for stale in self._retired:
-                shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
-            self._retired = [old] if old else []
+        with self._write_lock, self._FileLease(self.path) as lease:
+            self.manifest.fence = lease
+            try:
+                segs = self.manifest.load([])
+                delta = f"d-{uuid.uuid4().hex}"
+                self._resolve(novel.select(*self.COLS)).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(self.path, delta))
+                segs = segs + [delta]
+                if len(segs) > self.compact_after:
+                    base = f"v-{uuid.uuid4().hex}"
+                    self._resolve(
+                        self.spark.read.parquet(
+                            *[os.path.join(self.path, s) for s in segs]
+                        )
+                    ).write.mode("overwrite").parquet(os.path.join(self.path, base))
+                    segs = [base]
+                self.manifest.flip(segs)
+            finally:
+                self.manifest.fence = None
 
 
-class _BandTable:
+class _FingerprintTable(_DeltaRegistry):
+    """Seen-fingerprint registry: (fp, keeper doc_id); first-writer-wins
+    resolved as min(keeper) — deterministic under replays."""
+
+    SCHEMA = "fp string, keeper long"
+    COLS = ["fp", "keeper"]
+
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        return df.groupBy("fp").agg(F.min("keeper").alias("keeper"))
+
+
+class _BandTable(_DeltaRegistry):
     """Seen-band registry for streaming near-dup: one row per
     (band key, keeper doc) with the keeper's MinHash signature, so a new
     doc co-bucketed with ANY earlier keeper can be signature-checked
-    without rereading earlier batches. All rows are kept (two per doc —
-    one per band), not one-per-band: collapsing to a single keeper per
-    band would let a non-near-dup band collision evict a signature and
-    silently lose recall for later batches. MVCC pointer-flip like the
-    fingerprint table."""
+    without rereading earlier batches. All (band, keeper) rows are kept,
+    not one-per-band: collapsing to a single keeper per band would let a
+    non-near-dup band collision evict a signature and silently lose
+    recall for later batches."""
 
     SCHEMA = "band string, keeper long, " + ", ".join(
         f"{m} long" for m in MH_NAMES
     )
+    COLS = ["band", "keeper", *MH_NAMES]
 
-    def __init__(self, spark: SparkSession, path: str):
-        self.spark = spark
-        self.path = path
-        self._retired: list[str] = []
-        self._write_lock = threading.Lock()
-        os.makedirs(path, exist_ok=True)
-
-    @property
-    def _pointer(self) -> str:
-        return os.path.join(self.path, "_VERSION")
-
-    def _current_version(self) -> str | None:
-        try:
-            with open(self._pointer) as f:
-                return f.read().strip() or None
-        except FileNotFoundError:
-            return None
-
-    def read(self) -> DataFrame:
-        v = self._current_version()
-        if v is None:
-            return self.spark.createDataFrame([], self.SCHEMA)
-        return self.spark.read.parquet(os.path.join(self.path, v))
-
-    def register(self, novel: DataFrame) -> None:
-        with self._write_lock:
-            merged = (
-                self.read()
-                .unionByName(novel.select("band", "keeper", *MH_NAMES))
-                .dropDuplicates(["band", "keeper"])
-            )
-            version = f"v-{uuid.uuid4().hex}"
-            merged.write.mode("overwrite").parquet(os.path.join(self.path, version))
-            old = self._current_version()
-            tmp = self._pointer + f".{uuid.uuid4().hex}.tmp"
-            with open(tmp, "w") as f:
-                f.write(version)
-            os.replace(tmp, self._pointer)
-            for stale in self._retired:
-                shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
-            self._retired = [old] if old else []
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        return df.dropDuplicates(["band", "keeper"])
 
 
 class CurationPipeline:

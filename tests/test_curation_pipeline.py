@@ -168,3 +168,35 @@ class TestCurationNearDedup:
         pipe.process_batch(batch)
         kept = [r.doc_id for r in pipe.curated().collect()]
         assert kept == [1]
+
+
+class TestDeltaRegistries:
+    def test_register_is_a_delta_not_a_rewrite(self, spark, tmp_path):
+        """Each register() appends one O(batch) segment; the log folds
+        into a single base after compact_after registers — the same
+        O(batch)-not-O(table) invariant PositionsTable keeps."""
+        from propulsion_spark.pipelines.curation import _FingerprintTable
+
+        t = _FingerprintTable(spark, str(tmp_path / "fps"), compact_after=3)
+        for i in range(3):
+            t.register(
+                spark.createDataFrame([(f"fp{i}", i)], "fp string, keeper long")
+            )
+        segs = t.manifest.load([])
+        assert len(segs) == 3 and all(s.startswith("d-") for s in segs)
+        # 4th register crosses compact_after → folded to one base
+        t.register(spark.createDataFrame([("fp0", 99)], "fp string, keeper long"))
+        segs = t.manifest.load([])
+        assert len(segs) == 1 and segs[0].startswith("v-")
+        rows = {r["fp"]: r["keeper"] for r in t.read().collect()}
+        # min-keeper fold survived the compaction (99 lost to 0)
+        assert rows == {"fp0": 0, "fp1": 1, "fp2": 2}
+
+    def test_multi_segment_read_resolves_newest_wins(self, spark, tmp_path):
+        from propulsion_spark.pipelines.curation import _FingerprintTable
+
+        t = _FingerprintTable(spark, str(tmp_path / "fps"), compact_after=10)
+        t.register(spark.createDataFrame([("a", 5)], "fp string, keeper long"))
+        t.register(spark.createDataFrame([("a", 3)], "fp string, keeper long"))
+        rows = {r["fp"]: r["keeper"] for r in t.read().collect()}
+        assert rows == {"a": 3}
