@@ -22,6 +22,10 @@ Expected flags (by design, documented in the query docs):
 - dedup_clusters: the returned plan is the final label/size join; the
   min-label propagation rounds ran at build time behind
   localCheckpoint, so the audited plan is intentionally shallow.
+- priority_reports / sketch_distinct_kmv: >4 exchanges by
+  construction — long-format UNIONs where each arm keeps its own
+  optimal aggregate (5 sub-reports / KMV+HLL branches); the union
+  itself is concatenation, not a shuffle.
 """
 
 from __future__ import annotations
