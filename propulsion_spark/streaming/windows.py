@@ -239,3 +239,145 @@ def range_lookback_foreach_batch(
                 shutil.rmtree(os.path.join(state_path, f"v{v}"), ignore_errors=True)
 
     return process
+
+
+def resample_ffill_foreach_batch(
+    spark,
+    state_path: str,
+    out_path: str,
+    key: str = "user_id",
+):
+    """Streaming twin of ``timeseries_resample``: a ``foreachBatch``
+    callable that keeps each key's event stream regularized onto an
+    hourly grid ACROSS micro-batches — hours with no events (including
+    whole gap hours between batches) are materialized with n_events=0
+    and the last observed per-hour max forward-filled into them.
+
+    State is one carry row per key — ``(key, last_hour, last_hi)``, the
+    newest emitted grid hour and the value to carry into the next gap —
+    kept as versioned ``_SUCCESS``-gated parquet snapshots exactly like
+    ``range_lookback_foreach_batch``'s history (replay of batch N reads
+    the same v(N-1) state and rewrites the same artifacts), and the
+    output is ``_batch_id``-partitioned with dynamic overwrite, so
+    at-least-once foreachBatch delivery never duplicates grid rows.
+    State is O(keys), not O(events) — the resample needs only the carry
+    value, never history.
+
+    Lateness: an event older than its key's already-emitted grid
+    (ts-hour ≤ last_hour) cannot retrofit closed hours; it is dropped
+    with the same stated watermark trade as the other twins. A key
+    absent from a batch does not tick (event-time progress is
+    per-key).
+    """
+    import os
+    import shutil
+
+    state_schema = f"{key} long, last_hour timestamp, last_hi double"
+
+    def _versions() -> "list[int]":
+        try:
+            names = os.listdir(state_path)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[1:])
+            for n in names
+            if n.startswith("v")
+            and n[1:].isdigit()
+            and os.path.exists(os.path.join(state_path, n, "_SUCCESS"))
+        )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        prior_versions = [v for v in _versions() if v < batch_id]
+        if prior_versions:
+            carry = spark.read.schema(state_schema).parquet(
+                os.path.join(state_path, f"v{prior_versions[-1]}")
+            )
+        else:
+            carry = spark.createDataFrame([], state_schema)
+
+        hourly = (
+            batch.select(key, F.date_trunc("hour", F.col("ts")).alias("hour"),
+                         "value")
+            .join(carry.select(key, "last_hour"), key, "left")
+            # late events for already-emitted hours are dropped (stated)
+            .filter(F.col("last_hour").isNull() | (F.col("hour") > F.col("last_hour")))
+            .groupBy(key, "hour")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.max("value").alias("hi"),
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("volume"),
+            )
+        )
+        # per-key grid bounds: resume at last_hour+1h when state exists
+        spans = (
+            hourly.groupBy(key)
+            .agg(F.min("hour").alias("b0"), F.max("hour").alias("h1"))
+            .join(carry, key, "left")
+            .select(
+                key,
+                F.coalesce(
+                    F.col("last_hour") + F.expr("INTERVAL 1 HOUR"), F.col("b0")
+                ).alias("h0"),
+                "h1",
+                "last_hour",
+                "last_hi",
+            )
+        )
+        spine = spans.select(
+            key,
+            "last_hi",
+            F.explode(F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")).alias("hour"),
+        )
+        joined = spine.join(hourly, [key, "hour"], "left")
+        w_run = (
+            Window.partitionBy(key)
+            .orderBy("hour")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        grouped = joined.withColumn("grp", F.count("hi").over(w_run))
+        w_grp = Window.partitionBy(key, "grp")
+        grid = grouped.select(
+            key,
+            "hour",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            # grp=0 rows precede this batch's first observation: carry
+            # the previous batch's last value across the gap
+            F.coalesce(F.max("hi").over(w_grp), F.col("last_hi")).alias("hi_ffill"),
+            F.coalesce("volume", F.lit(0.0)).alias("volume"),
+            F.col("n_events").isNull().alias("gap_filled"),
+        )
+        (
+            grid.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+        # next carry: newest grid hour + its forward-filled value per
+        # touched key, plus untouched keys' rows verbatim
+        w_last = Window.partitionBy(key).orderBy(F.col("hour").desc())
+        touched = (
+            grid.withColumn("_rn", F.row_number().over(w_last))
+            .filter(F.col("_rn") == 1)
+            .select(
+                key,
+                F.col("hour").alias("last_hour"),
+                F.col("hi_ffill").alias("last_hi"),
+            )
+        )
+        new_carry = touched.unionByName(
+            carry.join(touched.select(key), key, "left_anti")
+        )
+        new_carry.write.mode("overwrite").parquet(
+            os.path.join(state_path, f"v{batch_id}")
+        )
+        for v in _versions():
+            if v < batch_id and (prior_versions and v != prior_versions[-1]):
+                shutil.rmtree(os.path.join(state_path, f"v{v}"), ignore_errors=True)
+
+    return process

@@ -239,3 +239,95 @@ class TestRangeLookbackStream:
         q.awaitTermination(300)
         n = spark.read.parquet(str(tmp_path / "out")).count()
         assert n == events.count()
+
+
+class TestResampleStream:
+    def test_grid_continuous_across_batches_and_replays(self, spark, tmp_path):
+        """Drive hand-crafted micro-batches through the foreachBatch
+        resample twin: hourly grid rows must be continuous per key
+        ACROSS batches (inter-batch gap hours materialized with the
+        carried value), late events for closed hours must be dropped,
+        and a replay of the last batch must change nothing."""
+        import datetime as dt
+
+        from propulsion_spark.streaming.windows import resample_ffill_foreach_batch
+
+        t0 = dt.datetime(2024, 1, 1, 0, 30)
+
+        def mk(rows):
+            return spark.createDataFrame(
+                rows, "user_id long, ts timestamp, value double"
+            )
+
+        state, out = str(tmp_path / "state"), str(tmp_path / "out")
+        fb = resample_ffill_foreach_batch(spark, state, out)
+        # batch 0: hour 0 (hi 10) and hour 1 (hi 4)
+        fb(mk([(1, t0, 10.0), (1, t0 + dt.timedelta(hours=1), 4.0)]), 0)
+        # batch 1: next event at hour 4 → hours 2,3 are inter-batch gaps;
+        # plus a LATE event back in hour 0 (must be dropped)
+        fb(
+            mk(
+                [
+                    (1, t0 + dt.timedelta(hours=4), 7.0),
+                    (1, t0 - dt.timedelta(minutes=10), 99.0),
+                ]
+            ),
+            1,
+        )
+
+        def read_grid():
+            return {
+                (r.user_id, r.hour): (
+                    r.n_events,
+                    r.hi_ffill,
+                    r.volume,
+                    r.gap_filled,
+                )
+                for r in spark.read.parquet(out).collect()
+            }
+
+        got = read_grid()
+        h = lambda k: dt.datetime(2024, 1, 1, k)
+        assert got == {
+            (1, h(0)): (1, 10.0, 10.0, False),
+            (1, h(1)): (1, 4.0, 4.0, False),
+            (1, h(2)): (0, 4.0, 0.0, True),   # carried across the batch gap
+            (1, h(3)): (0, 4.0, 0.0, True),
+            (1, h(4)): (1, 7.0, 7.0, False),
+        }
+        # replay of batch 1: identical grid (no duplicate rows)
+        fb(
+            mk([(1, t0 + dt.timedelta(hours=4), 7.0)]),
+            1,
+        )
+        assert read_grid() == got
+
+    def test_untouched_keys_keep_their_carry(self, spark, tmp_path):
+        import datetime as dt
+
+        from propulsion_spark.streaming.windows import resample_ffill_foreach_batch
+
+        t0 = dt.datetime(2024, 6, 1, 12, 0)
+
+        def mk(rows):
+            return spark.createDataFrame(
+                rows, "user_id long, ts timestamp, value double"
+            )
+
+        state, out = str(tmp_path / "state"), str(tmp_path / "out")
+        fb = resample_ffill_foreach_batch(spark, state, out)
+        fb(mk([(1, t0, 5.0), (2, t0, 6.0)]), 0)
+        # only key 1 ticks in batch 1
+        fb(mk([(1, t0 + dt.timedelta(hours=2), 8.0)]), 1)
+        # key 2 reappears in batch 2: its gap is filled from ITS carry
+        fb(mk([(2, t0 + dt.timedelta(hours=3), 9.0)]), 2)
+        rows = {
+            (r.user_id, r.hour): (r.n_events, r.hi_ffill)
+            for r in spark.read.parquet(out).collect()
+        }
+        h = lambda k: dt.datetime(2024, 6, 1, 12 + k)
+        assert rows[(1, h(1))] == (0, 5.0)
+        assert rows[(1, h(2))] == (1, 8.0)
+        assert rows[(2, h(1))] == (0, 6.0)
+        assert rows[(2, h(2))] == (0, 6.0)
+        assert rows[(2, h(3))] == (1, 9.0)
