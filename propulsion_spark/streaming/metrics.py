@@ -56,6 +56,17 @@ class MetricsExporter:
         self._gauges.append((name, fn))
         return self
 
+    def register_curation(self, pipeline) -> "MetricsExporter":
+        """A :class:`~propulsion_spark.pipelines.CurationPipeline`:
+        exports its per-stage document counters
+        (``propulsion_curation_docs_total{stage=...}`` — seen,
+        rejected_quality, rejected_repetition, deduped, near_deduped,
+        kept) so an operator can watch gate/dedup rates live."""
+        return self.register_gauge(
+            "propulsion_curation_docs_total",
+            lambda: [({"stage": k}, v) for k, v in sorted(pipeline.stats.items())],
+        )
+
     def lines(self) -> Iterable[str]:
         g = {"group": self.group}
         for sink in self._sinks:

@@ -114,6 +114,33 @@ class TestMetricsExporter:
         assert 'propulsion_scheduler_outcomes_total{group="g1",outcome="ok"} 1' in text
         assert 'propulsion_scheduler_busy_streams{group="g1"} 1' in text
 
+    def test_curation_counters(self, spark, tmp_path):
+        import pandas as pd
+
+        from propulsion_spark.pipelines import CurationPipeline
+
+        pipe = CurationPipeline(spark, str(tmp_path / "cur"))
+        good = (
+            "the quick brown fox jumps over the lazy dog and keeps running far " * 2
+        )
+        pipe.process_batch(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    [
+                        {"doc_id": 1, "text": good, "lang": "en", "source": "s",
+                         "n_chars": len(good)},
+                        {"doc_id": 2, "text": good, "lang": "en", "source": "s",
+                         "n_chars": len(good)},
+                    ]
+                ),
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+        )
+        text = MetricsExporter(group="g2").register_curation(pipe).render()
+        assert 'propulsion_curation_docs_total{group="g2",stage="seen"} 2' in text
+        assert 'propulsion_curation_docs_total{group="g2",stage="deduped"} 1' in text
+        assert 'propulsion_curation_docs_total{group="g2",stage="kept"} 1' in text
+
 
 class TestRunStream:
     def test_streams_sink_attaches_to_streaming_query(self, spark, tmp_path):
