@@ -1,0 +1,132 @@
+"""Sequence packing — the concat-and-chunk step every pre-training
+pipeline runs after curation: documents are laid out as one contiguous
+token stream per split (deterministic doc_id order) and cut into
+fixed-length training sequences; each doc's global token offset decides
+which sequence(s) it lands in, and docs straddling a boundary span two.
+
+The hard part at 100 TB is the GLOBAL running token offset: a single
+`sum() OVER (ORDER BY doc_id)` window puts the whole corpus in one
+task. This implements the classic two-phase distributed prefix sum
+instead:
+
+1. range-partition by (split, doc_id) and sort within partitions — the
+   global order becomes (partition id, row order);
+2. one Arrow-batched pass per partition computes local running sums
+   (mapInPandas with a per-split carry across the partition's batches —
+   no shuffle, no whole-partition materialization);
+3. per-(partition, split) totals — one bounded row per partition — are
+   collected, prefix-summed on the driver (control-plane: O(partitions)
+   rows), and broadcast-joined back as each partition's starting
+   offset.
+
+Offsets are deterministic for a given (split, doc_id) order regardless
+of partition boundaries, so re-runs and different cluster sizes produce
+identical packing — the reproducibility contract training jobs need.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LOCAL_SCHEMA_SUFFIX = [
+    T.StructField("_pid", T.IntegerType(), False),
+    T.StructField("_local_cum", T.LongType(), False),
+]
+
+
+def _with_local_cumsum(ranged: DataFrame, split_col: str, token_col: str) -> DataFrame:
+    """Add per-partition running token sums (carry kept across the
+    partition's Arrow batches) and the physical partition id."""
+    import pandas as pd  # noqa: F401
+    from pyspark import TaskContext
+
+    out_schema = T.StructType(list(ranged.schema.fields) + _LOCAL_SCHEMA_SUFFIX)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        pid = TaskContext.get().partitionId()
+        carry: dict[str, int] = {}
+        for pdf in batches:
+            cum = []
+            for split, n in zip(pdf[split_col], pdf[token_col]):
+                carry[split] = carry.get(split, 0) + int(n)
+                cum.append(carry[split])
+            pdf = pdf.assign(_pid=pid, _local_cum=cum)
+            yield pdf
+
+    return ranged.mapInPandas(run, out_schema)
+
+
+def pack_documents(
+    docs: DataFrame,
+    seq_len: int,
+    split_col: str = "split",
+    order_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign every document its place in the packed token stream.
+
+    Input needs (split_col, order_col, token_col) columns; returns one
+    row per doc: ``split, doc_id, n_tokens, offset`` (global token
+    offset within the split's stream), ``first_seq``/``last_seq`` (the
+    fixed-``seq_len`` training sequences the doc occupies — equal
+    unless the doc straddles a boundary), and ``n_seqs`` spanned.
+    Zero-token docs take no space (first_seq = last_seq = the sequence
+    at their offset).
+    """
+    spark = docs.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    base = docs.select(
+        F.col(split_col).alias("split"),
+        F.col(order_col).alias("doc_id"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )
+    ranged = base.repartitionByRange(
+        n_parts, "split", "doc_id"
+    ).sortWithinPartitions("split", "doc_id")
+    local = _with_local_cumsum(ranged, "split", "n_tokens")
+    # bounded control plane: one row per (physical partition, split)
+    totals = (
+        local.groupBy("_pid", "split")
+        .agg(F.max("_local_cum").alias("_part_total"))
+        .collect()
+    )
+    prefix: dict[tuple[int, str], int] = {}
+    running: dict[str, int] = {}
+    for row in sorted(totals, key=lambda r: (r["split"], r["_pid"])):
+        prefix[(row["_pid"], row["split"])] = running.get(row["split"], 0)
+        running[row["split"]] = (
+            running.get(row["split"], 0) + row["_part_total"]
+        )
+    prefix_df = spark.createDataFrame(
+        [(pid, split, off) for (pid, split), off in prefix.items()],
+        "_pid int, split string, _prefix long",
+    )
+    packed = local.join(F.broadcast(prefix_df), ["_pid", "split"]).select(
+        "split",
+        "doc_id",
+        "n_tokens",
+        (F.col("_prefix") + F.col("_local_cum") - F.col("n_tokens")).alias(
+            "offset"
+        ),
+    )
+    last_token = F.col("offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0))
+    return packed.select(
+        "split",
+        "doc_id",
+        "n_tokens",
+        "offset",
+        F.expr(f"offset div {seq_len}").alias("first_seq"),
+        (last_token / seq_len).cast("long").alias("last_seq"),
+        (
+            (last_token / seq_len).cast("long")
+            - F.expr(f"offset div {seq_len}")
+            + 1
+        ).alias("n_seqs"),
+    )

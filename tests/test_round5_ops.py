@@ -175,3 +175,48 @@ class TestTfidfKeywords:
         assert top[2] == "gamma"
         d0 = {r["token"]: r for r in out if r["doc_id"] == 0}
         assert d0["alpha"]["score"] == 2 * 3 / 1
+
+
+class TestSequencePacking:
+    def test_offsets_exact_and_boundary_straddle(self, spark):
+        from propulsion_spark.operators.packing import pack_documents
+
+        rows = [
+            ("train", 1, 60),
+            ("train", 2, 50),  # offset 60 → straddles the 100 boundary
+            ("train", 3, 0),   # zero-token doc takes no space
+            ("train", 4, 95),  # offset 110
+            ("val", 10, 30),   # independent stream per split
+        ]
+        docs = spark.createDataFrame(rows, "split string, doc_id long, n_tokens long")
+        got = {
+            r["doc_id"]: (r["offset"], r["first_seq"], r["last_seq"], r["n_seqs"])
+            for r in pack_documents(docs, seq_len=100).collect()
+        }
+        assert got[1] == (0, 0, 0, 1)
+        assert got[2] == (60, 0, 1, 2)  # straddles sequences 0 and 1
+        assert got[3] == (110, 1, 1, 1)
+        assert got[4] == (110, 1, 2, 2)
+        assert got[10] == (0, 0, 0, 1)
+
+    def test_offsets_independent_of_partitioning(self, spark):
+        """The two-phase prefix sum must produce identical offsets for
+        any partition count — the reproducibility contract."""
+        from propulsion_spark.operators.packing import pack_documents
+
+        rows = [("train", i, (i * 7) % 13 + 1) for i in range(200)]
+        docs = spark.createDataFrame(rows, "split string, doc_id long, n_tokens long")
+        a = {
+            r["doc_id"]: r["offset"]
+            for r in pack_documents(docs, 64, num_partitions=1).collect()
+        }
+        b = {
+            r["doc_id"]: r["offset"]
+            for r in pack_documents(docs, 64, num_partitions=7).collect()
+        }
+        assert a == b
+        # offsets are a dense prefix sum in doc_id order
+        run = 0
+        for i in range(200):
+            assert a[i] == run
+            run += (i * 7) % 13 + 1
