@@ -715,30 +715,17 @@ cells AS (
 """
 
 
-def q_similarity_ivf_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_similarity_ivf_single(
+    spark: SparkSession, sf_dir: str, dist: DataFrame | None = None
+) -> DataFrame:
     """IVF-style ANN, single probe: vectors are assigned to the nearest
     coarse-codebook centroid cell and each query probes only its own
     cell. Work is O(n·cell_size); the join shuffles on cell id.
-    Oracle-verified through the merged ``similarity_ivf_topk`` query."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = q_embedding_centroids(spark, sf_dir).select(
-        "label", "dim", F.col("centroid").alias("c")
-    )
-    expl = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "xf")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).cast("long").alias("dim"),
-        F.col("xf").cast("double").alias("x"),
-    )
-    diff = F.col("x") - F.col("c")
-    dist = (
-        expl.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "label")
-        .agg(
-            F.sum((diff * diff).cast("decimal(20,12)")).cast("double").alias("d2")
-        )
-    )
+    ``dist`` lets the merged report share one persisted distance table
+    across its branches. Oracle-verified through the merged
+    ``similarity_ivf_topk`` query."""
+    if dist is None:
+        dist = _spark_ivf_dist(spark, sf_dir)
     w_cell = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
     cells = (
         dist.withColumn("rn", F.row_number().over(w_cell))
@@ -841,7 +828,9 @@ def _spark_ivf_expl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spark_ivf_dist_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spark_ivf_dist_learned(
+    spark: SparkSession, sf_dir: str, dist0: DataFrame | None = None
+) -> DataFrame:
     """(vec_id, label, d2) under the LEARNED codebook: one distributed
     Lloyd iteration from the label-seeded centroids — assign every
     vector to its nearest seeded cell, recompute each cell's centroid
@@ -852,7 +841,8 @@ def _spark_ivf_dist_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook — no driver-side data, scales with the corpus. Cells keep
     their seed label identity; a cell that loses all members simply
     drops out of the codebook (inner joins on both engines)."""
-    dist0 = _spark_ivf_dist(spark, sf_dir)
+    if dist0 is None:
+        dist0 = _spark_ivf_dist(spark, sf_dir)
     w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
     assign0 = (
         dist0.withColumn("rn", F.row_number().over(w))
@@ -1025,17 +1015,24 @@ FROM ({_DUCK_IVF_LEARNED_SEARCH.strip()}) s
 )
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["query_id", "neighbor_id", "rank", "cosine"]
-    single = q_similarity_ivf_single(spark, sf_dir).select(
+    # the (vec × cell) seeded distance table feeds all three branches
+    # (single assignment, multi-probe selection, and the Lloyd
+    # iteration's starting assignment): persist it ONCE instead of
+    # re-aggregating the dims×cells explosion per branch
+    dist0 = _spark_ivf_dist(spark, sf_dir).persist()
+    single = q_similarity_ivf_single(spark, sf_dir, dist=dist0).select(
         F.lit("seeded").alias("codebook"),
         F.lit(1).cast("long").alias("n_probes"),
         *cols,
     )
-    multi = q_similarity_ivf_multiprobe(spark, sf_dir).select(
+    multi = _ivf_multiprobe_from_dist(spark, sf_dir, dist0).select(
         F.lit("seeded").alias("codebook"),
         F.lit(NPROBE).cast("long").alias("n_probes"),
         *cols,
     )
-    learned = q_similarity_ivf_learned(spark, sf_dir).select(
+    learned = _ivf_multiprobe_from_dist(
+        spark, sf_dir, _spark_ivf_dist_learned(spark, sf_dir, dist0=dist0)
+    ).select(
         F.lit("learned").alias("codebook"),
         F.lit(NPROBE).cast("long").alias("n_probes"),
         *cols,
@@ -1148,13 +1145,30 @@ SELECT 'ivf_learned', s.* FROM ({_DUCK_IVF_LEARNED_RECALL.strip()}) s
     "lower — the honest quantizer trade, reported not hidden.",
 )
 def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lsh = q_similarity_lsh_recall(spark, sf_dir).select(
+    # share the expensive common inputs across the three recall
+    # branches: the brute-force ground truth (each branch joins against
+    # it) and the seeded (vec × cell) distance table (feeds both IVF
+    # probe selections and the Lloyd iteration) are each persisted once
+    bf = (
+        q_similarity_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    dist0 = _spark_ivf_dist(spark, sf_dir).persist()
+    lsh = _recall_vs_bruteforce(bf, q_similarity_lsh_topk(spark, sf_dir)).select(
         F.lit("lsh_multitable").alias("method"), "query_id", "n_hit", "recall"
     )
-    ivf = q_similarity_ivf_recall(spark, sf_dir).select(
+    ivf = _recall_vs_bruteforce(
+        bf, _ivf_multiprobe_from_dist(spark, sf_dir, dist0)
+    ).select(
         F.lit("ivf_multiprobe").alias("method"), "query_id", "n_hit", "recall"
     )
-    learned = q_similarity_ivf_learned_recall(spark, sf_dir).select(
+    learned = _recall_vs_bruteforce(
+        bf,
+        _ivf_multiprobe_from_dist(
+            spark, sf_dir, _spark_ivf_dist_learned(spark, sf_dir, dist0=dist0)
+        ),
+    ).select(
         F.lit("ivf_learned").alias("method"), "query_id", "n_hit", "recall"
     )
     return lsh.unionByName(ivf).unionByName(learned)
