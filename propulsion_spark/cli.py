@@ -328,6 +328,46 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Sequence-pack a (curated) corpus: assign every document its
+    global token offset and fixed-length training-sequence span (the
+    concat-and-chunk step downstream of `sync --curate`), write the
+    assignment parquet, and report per-split sequence totals."""
+    from pyspark.sql import functions as F
+
+    from propulsion_spark import get_spark
+    from propulsion_spark.operators.packing import pack_documents
+
+    spark = get_spark("propulsion-pack")
+    docs = spark.read.parquet(args.src)
+    if "n_tokens" not in docs.columns:
+        docs = docs.withColumn(
+            "n_tokens", F.expr("size(split(lower(trim(text)), '\\\\s+'))")
+        )
+    if "split" not in docs.columns:
+        docs = docs.withColumn("split", F.lit("train"))
+    packed = pack_documents(docs, args.seq_len)
+    packed.write.mode("overwrite").parquet(args.out)
+    stats = {
+        r["split"]: {
+            "n_docs": r["n_docs"],
+            "n_tokens": r["n_tokens"],
+            "n_seqs": r["n_seqs"],
+        }
+        for r in spark.read.parquet(args.out)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            (F.max("last_seq") + 1).alias("n_seqs"),
+        )
+        .collect()
+    }
+    print(json.dumps({"seq_len": args.seq_len, "out": args.out, "splits": stats}))
+    spark.stop()
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     """Remove orphaned MVCC segments (crashed commits) past the grace
     age — the Delta VACUUM analog for the store/positions layouts."""
@@ -405,6 +445,14 @@ def main(argv=None) -> int:
     va.add_argument("--path", required=True)
     va.add_argument("--grace-s", type=float, default=3600.0)
     va.set_defaults(fn=cmd_vacuum)
+
+    pk = sub.add_parser(
+        "pack", help="sequence-pack a curated corpus into training sequences"
+    )
+    pk.add_argument("--src", required=True, help="curated-corpus parquet dir")
+    pk.add_argument("--out", required=True, help="packing-assignment output dir")
+    pk.add_argument("--seq-len", type=int, default=2048)
+    pk.set_defaults(fn=cmd_pack)
 
     qs = sub.add_parser("queries", help="list registered queries")
     qs.set_defaults(fn=cmd_queries)

@@ -442,20 +442,24 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     smallest node id reachable from ``node``.
 
     Iterative plan (the GraphX/connected-components shape expressed in
-    DataFrames): each round joins the current labels across the edges
-    and keeps the per-node minimum; labels only ever decrease, so
-    sum(label) is a strictly-decreasing convergence witness and one
-    single-row aggregate per round is the only driver traffic. Round
-    count is the cluster diameter — near-dup graphs from banded LSH are
-    band-intersection cliques stitched at shared docs, so diameters
-    stay single-digit in practice (the sf0.01 fixture converges in 4).
-    Per-round cost: ONE shuffle of the edge list + one of the label
-    table — at 100 TB the edge list is LSH candidates (≪ corpus), and
-    each round's state is persisted and the previous round's evicted,
-    so lineage/cache stay O(1) in rounds. For adversarial
-    billion-node-chain graphs, swap in the large-star/small-star
-    alternation (Kiveris et al.) — same join primitive, O(log n)
-    rounds; not needed for dedup graphs.
+    DataFrames): each round (1) joins the current labels across the
+    edges and keeps the per-node minimum, then (2) compresses pointers
+    — l(x) ← l(l(x)), a label-table self-join — so the distance from
+    any node to its component minimum HALVES per round on top of the
+    one-hop propagation: O(log n) rounds even for adversarial
+    path-graph inputs (a pure one-hop loop needs O(diameter) — a
+    300-node chain converges here in ~9 rounds instead of 300, pinned
+    by test). Labels only ever decrease, so sum(label) is a
+    strictly-decreasing convergence witness and one single-row
+    aggregate per round is the only driver traffic. Near-dup graphs
+    from banded LSH are band-intersection cliques stitched at shared
+    docs (single-digit diameters); the compression step is what makes
+    the operator safe for arbitrary edge lists at 100 TB, the same
+    guarantee the large-star/small-star alternation (Kiveris et al.)
+    gives, with the same join primitive. Per-round cost: one shuffle
+    of the edge list + two of the label table; each round's state is
+    checkpointed and the previous round's evicted, so lineage stays
+    O(1) in rounds.
     """
     both = edges.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
@@ -481,10 +485,20 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         propagated = both.join(
             labels, both.src == labels.node
         ).select(F.col("dst").alias("node"), "label")
-        new_labels = (
+        merged = (
             propagated.unionByName(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer compression: follow one extra hop through the label
+        # table (every label IS a node, but the left join + coalesce
+        # keeps this robust rather than relying on it)
+        parents = merged.select(
+            F.col("node").alias("label"), F.col("label").alias("_grand")
+        )
+        new_labels = (
+            merged.join(parents, "label", "left")
+            .select("node", F.coalesce("_grand", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]

@@ -100,3 +100,32 @@ print(max(store.bucket_segment_counts().values()))
         rep = json.loads(proc.stdout.strip().splitlines()[-1])
         assert rep["compacted_buckets"]
         assert rep["max_segments_after"] == 1
+
+
+class TestPackVerb:
+    def test_pack_curated_corpus(self, tmp_path):
+        import duckdb
+
+        src = str(tmp_path / "docs")
+        # write a tiny corpus parquet (doc_id, text, split)
+        con = duckdb.connect()
+        con.execute(
+            f"""COPY (
+                 SELECT i AS doc_id,
+                        'one two three four five' AS text,
+                        CASE WHEN i % 2 = 0 THEN 'train' ELSE 'val' END AS split
+                 FROM range(10) t(i)
+               ) TO '{src}' (FORMAT PARQUET)"""
+        )
+        rep = run_cli(
+            "pack", "--src", src, "--out", str(tmp_path / "packed"),
+            "--seq-len", "8",
+        )
+        assert rep["seq_len"] == 8
+        # 5 docs × 5 tokens per split = 25 tokens → ceil(25/8) = 4 seqs
+        for split in ("train", "val"):
+            assert rep["splits"][split] == {
+                "n_docs": 5,
+                "n_tokens": 25,
+                "n_seqs": 4,
+            }

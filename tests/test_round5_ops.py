@@ -220,3 +220,44 @@ class TestSequencePacking:
         for i in range(200):
             assert a[i] == run
             run += (i * 7) % 13 + 1
+
+
+class TestConnectedComponentsRandomized:
+    def test_matches_union_find_on_seeded_random_graphs(self, spark):
+        """Cross-check the distributed min-label propagation against a
+        pure-Python union-find on seeded random graphs (including a
+        dense one and a sparse chain-heavy one)."""
+        import random
+
+        for seed, n_nodes, n_edges in [(1, 30, 15), (2, 40, 80), (3, 25, 24)]:
+            rng = random.Random(seed)
+            edges = [
+                tuple(rng.sample(range(n_nodes), 2)) for _ in range(n_edges)
+            ]
+            parent = list(range(n_nodes))
+
+            def find(a):
+                while parent[a] != a:
+                    parent[a] = parent[parent[a]]
+                    a = parent[a]
+                return a
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            touched = {x for e in edges for x in e}
+            want = {x: find(x) for x in touched}
+            got = _labels(spark, [(a, b) for a, b in edges])
+            assert got == want, f"seed {seed}"
+
+
+class TestConnectedComponentsPathological:
+    def test_long_path_converges_within_round_cap(self, spark):
+        """300-node path graph: one-hop-only min propagation would need
+        ~300 rounds — far past CC_MAX_ITERS=50 — so this test fails if
+        the pointer-compression step is ever dropped; with it the loop
+        converges in O(log n) rounds."""
+        got = _labels(spark, [(i, i + 1) for i in range(300)])
+        assert set(got.values()) == {0}
+        assert len(got) == 301
