@@ -75,18 +75,29 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------- minhash sigs
-def _shingle_hashes(dialect: str) -> str:
-    """Expression for the array of 64-bit shingle hashes over ``norm``."""
+def _shingle_hashes(dialect: str, distinct: bool = False) -> str:
+    """Expression for the array of 64-bit shingle hashes over ``norm``.
+
+    ``distinct=True`` deduplicates shingles BEFORE hashing — correct
+    ONLY for consumers insensitive to multiplicity and position
+    (MinHash: min-over-hashes is unchanged by repeats, and on
+    boilerplate-heavy corpora the distinct set is a small fraction of
+    the occurrence stream). Winnowing must keep the positional stream:
+    its sliding windows are over text positions."""
     if dialect == "spark":
         shingles = (
             f"transform(sequence(1, greatest(length(norm) - {SHINGLE - 1}, 1)),"
             f" i -> substring(norm, i, {SHINGLE}))"
         )
+        if distinct:
+            shingles = f"array_distinct({shingles})"
         return f"transform({shingles}, s -> {SPARK_H64.format(x='s')})"
     shingles = (
         f"list_transform(generate_series(1, greatest(length(norm) - {SHINGLE - 1}, 1)),"
         f" i -> substr(norm, CAST(i AS INT), {SHINGLE}))"
     )
+    if distinct:
+        shingles = f"list_distinct({shingles})"
     return f"list_transform({shingles}, s -> {DUCK_H64.format(x='s')})"
 
 
@@ -106,7 +117,7 @@ def _minhash_cols(dialect: str) -> list[str]:
 _DUCK_SIGS = f"""
   SELECT doc_id, {', '.join(_minhash_cols('duck'))}
   FROM (
-    SELECT doc_id, {_shingle_hashes('duck')} AS hs
+    SELECT doc_id, {_shingle_hashes('duck', distinct=True)} AS hs
     FROM (SELECT doc_id, {normalized('duck')} AS norm FROM documents)
   )
 """
@@ -116,10 +127,10 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     """MinHash signatures over any frame with (doc_id, text): 5-char
     shingles → 64-bit hash → 8 xor-mixed min-hashes per doc. Pure map
     stage (no shuffle); JVM-side higher-order functions, one md5 per
-    shingle."""
+    DISTINCT shingle (multiplicity cannot change a min)."""
     return (
         docs.withColumn("norm", F.expr(normalized("spark")))
-        .withColumn("hs", F.expr(_shingle_hashes("spark")))
+        .withColumn("hs", F.expr(_shingle_hashes("spark", distinct=True)))
         .selectExpr("doc_id", *_minhash_cols("spark"))
     )
 
