@@ -841,6 +841,16 @@ def _spark_ivf_dist_learned(
     codebook — no driver-side data, scales with the corpus. Cells keep
     their seed label identity; a cell that loses all members simply
     drops out of the codebook (inner joins on both engines)."""
+    cent1 = _spark_ivf_learned_codebook(spark, sf_dir, dist0=dist0)
+    return _dist_to_codebook(_spark_ivf_expl(spark, sf_dir), cent1)
+
+
+def _spark_ivf_learned_codebook(
+    spark: SparkSession, sf_dir: str, dist0: DataFrame | None = None
+) -> DataFrame:
+    """(label, dim, c): the one-Lloyd-iteration codebook — assign every
+    vector to its nearest seeded cell, recompute each cell's centroid as
+    the fixed-point mean of its members."""
     if dist0 is None:
         dist0 = _spark_ivf_dist(spark, sf_dir)
     w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
@@ -851,7 +861,7 @@ def _spark_ivf_dist_learned(
     )
     expl = _spark_ivf_expl(spark, sf_dir)
     scaled = F.floor(F.col("x") * _CENTROID_SCALE).cast("long")
-    cent1 = (
+    return (
         expl.join(assign0, "vec_id")
         .groupBy("cell", "dim")
         .agg(
@@ -861,9 +871,15 @@ def _spark_ivf_dist_learned(
         )
         .withColumnRenamed("cell", "label")
     )
+
+
+def _dist_to_codebook(expl: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, label, d2): exact fixed-point squared distance of every
+    exploded vector to every codebook centroid (broadcast codebook,
+    DECIMAL-exact aggregation — deterministic under any partitioning)."""
     diff = F.col("x") - F.col("c")
     return (
-        expl.join(F.broadcast(cent1), "dim")
+        expl.join(F.broadcast(cent), "dim")
         .groupBy("vec_id", "label")
         .agg(F.sum((diff * diff).cast("decimal(20,12)")).cast("double").alias("d2"))
     )

@@ -1,1 +1,2 @@
+from propulsion_spark.pipelines.ann_index import AnnIndex  # noqa: F401
 from propulsion_spark.pipelines.curation import CurationPipeline  # noqa: F401

@@ -1,0 +1,199 @@
+"""Materialized, partition-pruned ANN index — the serving-side face of
+the IVF operators (SURVEY §2.7 extension surface; batch twins:
+``similarity_ivf_topk`` / ``similarity_recall``).
+
+The operator queries recompute cell assignments per run — right for an
+oracle-checked report, wrong for serving. At 100 TB you build the index
+ONCE and amortize it:
+
+- **build**: every vector's IVF cell assignment (seeded or learned
+  codebook — the same fixed-point arithmetic as the operators) is
+  materialized with the vector and its norm, written
+  ``partitionBy(cell)``; the (cells × dims) codebook is stored
+  alongside.
+- **search**: queries rank cells against the broadcast-sized codebook,
+  the probed cell ids (a bounded driver list: ≤ queries × n_probes)
+  become a static partition filter, and the scan reads ONLY those
+  cells' files — the partition-pruning contract is asserted by test via
+  ``inputFiles()``, not assumed.
+- **append**: new vectors are assigned with the STORED codebook (the
+  quantizer is frozen at build time — the standard IVF contract; recall
+  drift under distribution shift is a rebuild decision, not a silent
+  re-train) and appended as new files in their cells' partitions.
+
+Search results match the batch operator exactly for the same codebook
+and probe count (pinned by test).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from propulsion_spark.operators.similarity import (
+    NPROBE,
+    TOP_K,
+    _dist_to_codebook,
+    _spark_dot,
+    _spark_ivf_learned_codebook,
+    q_embedding_centroids,
+)
+
+#: guard: probed-cell lists stay bounded driver control-plane
+MAX_PROBE_CELLS = 10_000
+
+
+def _explode_dims(vectors: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+
+
+class AnnIndex:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    @property
+    def _vectors_path(self) -> str:
+        return os.path.join(self.path, "vectors")
+
+    @property
+    def _codebook_path(self) -> str:
+        return os.path.join(self.path, "codebook")
+
+    # ---- build -----------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        sf_dir: str,
+        path: str,
+        learned: bool = False,
+    ) -> "AnnIndex":
+        """Materialize the index from the corpus ``embeddings`` table."""
+        from propulsion_spark import load_table
+
+        if learned:
+            codebook = _spark_ivf_learned_codebook(spark, sf_dir)
+        else:
+            codebook = q_embedding_centroids(spark, sf_dir).select(
+                "label", "dim", F.col("centroid").alias("c")
+            )
+        codebook = codebook.persist()
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        idx = cls(spark, path)
+        codebook.write.mode("overwrite").parquet(idx._codebook_path)
+        idx._assign_and_write(emb, codebook, mode="overwrite")
+        codebook.unpersist()
+        return idx
+
+    def _assign_and_write(
+        self, vectors: DataFrame, codebook: DataFrame, mode: str
+    ) -> None:
+        dist = _dist_to_codebook(_explode_dims(vectors), codebook)
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
+        assign = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("label").alias("cell"))
+        )
+        (
+            vectors.join(assign, "vec_id")
+            .select(
+                "vec_id",
+                "embedding",
+                F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+                "cell",
+            )
+            .write.mode(mode)
+            .partitionBy("cell")
+            .parquet(self._vectors_path)
+        )
+
+    # ---- incremental append ---------------------------------------------
+    def append(self, vectors: DataFrame) -> None:
+        """Assign ``(vec_id, embedding)`` rows with the STORED codebook
+        and append them to their cells' partitions."""
+        codebook = self.spark.read.parquet(self._codebook_path)
+        self._assign_and_write(vectors, codebook, mode="append")
+
+    # ---- search ----------------------------------------------------------
+    def codebook(self) -> DataFrame:
+        return self.spark.read.parquet(self._codebook_path)
+
+    def probed_vectors(self, cells: list) -> DataFrame:
+        """The cell-filtered scan — isolated so tests can assert the
+        partition pruning on ``inputFiles()``."""
+        return self.spark.read.parquet(self._vectors_path).filter(
+            F.col("cell").isin(cells)
+        )
+
+    def search(
+        self,
+        queries: DataFrame,
+        top_k: int = TOP_K,
+        n_probes: int = NPROBE,
+    ) -> DataFrame:
+        """Top-k cosine neighbors per query row ``(query_id, embedding)``.
+
+        Plan: rank cells per query against the broadcast codebook, turn
+        the bounded probed-cell set into a static partition filter, then
+        one broadcast join of the (small) query side against only the
+        probed partitions. A query's own vector (same vec_id) is never
+        its own neighbor.
+        """
+        codebook = self.codebook()
+        qdist = _dist_to_codebook(
+            _explode_dims(queries, id_col="query_id"), codebook
+        )
+        w_cell = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
+        probes = (
+            qdist.withColumn("rn", F.row_number().over(w_cell))
+            .filter(F.col("rn") <= n_probes)
+            .select(F.col("vec_id").alias("query_id"), F.col("label").alias("cell"))
+        )
+        # bounded driver list → static partition pruning on the scan
+        cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+        if len(cells) > MAX_PROBE_CELLS:
+            raise ValueError(
+                f"{len(cells)} probed cells exceeds MAX_PROBE_CELLS="
+                f"{MAX_PROBE_CELLS}; batch the query set"
+            )
+        q = (
+            queries.select(
+                F.col("query_id"),
+                F.col("embedding").alias("q_emb"),
+                F.sqrt(_spark_dot("embedding", "embedding")).alias("q_nrm"),
+            )
+            .join(probes, "query_id")
+            .select("query_id", "q_emb", "q_nrm", F.col("cell").alias("q_cell"))
+        )
+        vectors = self.probed_vectors(cells)
+        pairs = vectors.join(
+            F.broadcast(q),
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("cell") == F.col("q_cell")),
+        )
+        cosine = _spark_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            pairs.select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine.alias("cosine"),
+            )
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= top_k)
+        )

@@ -1,0 +1,113 @@
+"""Materialized IVF ANN index: build → partition-pruned search →
+incremental append (pipelines/ann_index.py). The search contract is
+exact agreement with the batch IVF operator for the same codebook and
+probe count; the pruning contract is asserted on inputFiles(), not
+assumed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from propulsion_spark import load_table
+from propulsion_spark.operators.similarity import N_QUERIES, NPROBE, TOP_K
+from propulsion_spark.pipelines.ann_index import AnnIndex
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    return AnnIndex.build(
+        spark, SF, str(tmp_path_factory.mktemp("ann") / "idx"), learned=False
+    )
+
+
+def _queries(spark):
+    return load_table(spark, SF, "embeddings").filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+
+
+class TestAnnIndex:
+    def test_search_matches_batch_operator_exactly(self, spark, index):
+        """Same codebook (seeded), same probes → the materialized-index
+        search must reproduce the batch operator's neighbor lists,
+        ranks, and cosines bit-for-bit."""
+        from propulsion_spark.operators.similarity import (
+            _ivf_multiprobe_from_dist,
+            _spark_ivf_dist,
+        )
+
+        got = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in index.search(_queries(spark)).collect()
+        }
+        want = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in _ivf_multiprobe_from_dist(
+                spark, SF, _spark_ivf_dist(spark, SF)
+            ).collect()
+        }
+        assert got == want
+        assert len(got) == N_QUERIES * TOP_K
+
+    def test_search_reads_only_probed_partitions(self, spark, index):
+        """The pruning contract: the cell-filtered scan touches only the
+        probed cells' files — strictly fewer than the full index. Checked
+        on the files EXECUTION actually reads (input_file_name of the
+        filtered scan) and on the pushed PartitionFilters in the plan —
+        DataFrame.inputFiles() ignores filters and cannot see pruning."""
+        full = spark.read.parquet(index._vectors_path)
+        all_files = {
+            r["f"]
+            for r in full.select(F.input_file_name().alias("f")).distinct().collect()
+        }
+        n_cells = full.select("cell").distinct().count()
+        assert n_cells > NPROBE  # pruning must have something to prune
+        some_cells = [
+            r["cell"] for r in full.select("cell").distinct().limit(2).collect()
+        ]
+        probed = index.probed_vectors(some_cells)
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [cell" in plan
+        probed_files = {
+            r["f"]
+            for r in probed.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        assert probed_files and probed_files < all_files
+
+    def test_append_assigns_with_stored_codebook(self, spark, index):
+        """An appended copy of an existing vector lands in the same cell
+        and becomes that query's exact-match top neighbor."""
+        donor = (
+            load_table(spark, SF, "embeddings")
+            .filter(F.col("vec_id") == 3)
+            .select("vec_id", "embedding")
+        )
+        donor_cell = (
+            spark.read.parquet(index._vectors_path)
+            .filter(F.col("vec_id") == 3)
+            .select("cell")
+            .first()["cell"]
+        )
+        index.append(donor.select(F.lit(990001).alias("vec_id"), "embedding"))
+        appended = (
+            spark.read.parquet(index._vectors_path)
+            .filter(F.col("vec_id") == 990001)
+            .collect()
+        )
+        assert len(appended) == 1 and appended[0]["cell"] == donor_cell
+        top = (
+            index.search(
+                donor.select(F.col("vec_id").alias("query_id"), "embedding")
+            )
+            .filter(F.col("rank") == 1)
+            .first()
+        )
+        # the clone is a perfect cosine match and sorts first by id rule
+        assert top["neighbor_id"] == 990001
+        assert abs(top["cosine"] - 1.0) < 1e-9
