@@ -368,6 +368,44 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_ann(args) -> int:
+    """Build or query the materialized partition-pruned ANN index
+    (pipelines/ann_index.py) from the corpus embeddings table."""
+    from pyspark.sql import functions as F
+
+    from propulsion_spark import get_spark, load_table
+    from propulsion_spark.pipelines.ann_index import AnnIndex
+
+    spark = get_spark("propulsion-ann")
+    if args.action == "build":
+        idx = AnnIndex.build(spark, args.sf_dir, args.path, learned=args.learned)
+        vec = spark.read.parquet(idx._vectors_path)
+        print(
+            json.dumps(
+                {
+                    "built": args.path,
+                    "codebook": "learned" if args.learned else "seeded",
+                    "n_vectors": vec.count(),
+                    "n_cells": vec.select("cell").distinct().count(),
+                }
+            )
+        )
+    else:
+        idx = AnnIndex(spark, args.path)
+        queries = (
+            load_table(spark, args.sf_dir, "embeddings")
+            .filter(F.col("vec_id") < args.queries)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        rows = idx.search(
+            queries, top_k=args.top_k, n_probes=args.n_probes
+        ).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+    spark.stop()
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     """Remove orphaned MVCC segments (crashed commits) past the grace
     age — the Delta VACUUM analog for the store/positions layouts."""
@@ -453,6 +491,21 @@ def main(argv=None) -> int:
     pk.add_argument("--out", required=True, help="packing-assignment output dir")
     pk.add_argument("--seq-len", type=int, default=2048)
     pk.set_defaults(fn=cmd_pack)
+
+    an = sub.add_parser(
+        "ann", help="build/search the materialized partition-pruned ANN index"
+    )
+    an.add_argument("action", choices=["build", "search"])
+    an.add_argument("--path", required=True)
+    an.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    an.add_argument("--learned", action="store_true")
+    an.add_argument("--top-k", type=int, default=5)
+    an.add_argument("--n-probes", type=int, default=2)
+    an.add_argument(
+        "--queries", type=int, default=10,
+        help="use the first N corpus vectors as the query set",
+    )
+    an.set_defaults(fn=cmd_ann)
 
     qs = sub.add_parser("queries", help="list registered queries")
     qs.set_defaults(fn=cmd_queries)

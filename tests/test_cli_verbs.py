@@ -129,3 +129,25 @@ class TestPackVerb:
                 "n_tokens": 25,
                 "n_seqs": 4,
             }
+
+
+class TestAnnVerb:
+    def test_build_then_search(self, tmp_path):
+        rep = run_cli(
+            "ann", "build", "--path", str(tmp_path / "idx"),
+            "--sf-dir", "/root/testdata/sf0.001",
+        )
+        assert rep["codebook"] == "seeded"
+        assert rep["n_vectors"] > 0 and rep["n_cells"] > 1
+        import json as _json
+        import subprocess
+        import sys
+
+        out = subprocess.run(
+            [sys.executable, "-m", "propulsion_spark.cli", "ann", "search",
+             "--path", str(tmp_path / "idx"), "--queries", "2"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        rows = [_json.loads(line) for line in out.splitlines() if line.startswith("{")]
+        assert {r["query_id"] for r in rows} == {0, 1}
+        assert all(1 <= r["rank"] <= 5 for r in rows)
