@@ -191,6 +191,23 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         )
         q.awaitTermination(600)
         timings["pipeline_state_kernel_gapped"] = round(time.time() - t0, 3)
+
+        # materialized ANN index: one-time build, then the steady-state
+        # partition-pruned search the serving path pays per query batch
+        from propulsion_spark import load_table
+        from propulsion_spark.pipelines.ann_index import AnnIndex
+
+        t0 = time.time()
+        aidx = AnnIndex.build(spark, sf_dir, f"{tmp}/annidx")
+        timings["pipeline_ann_build"] = round(time.time() - t0, 3)
+        queries = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        t0 = time.time()
+        aidx.search(queries).write.format("noop").mode("overwrite").save()
+        timings["pipeline_ann_search"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings
