@@ -98,7 +98,11 @@ class AnnIndex:
         return idx
 
     def _assign_and_write(
-        self, vectors: DataFrame, codebook: DataFrame, mode: str
+        self,
+        vectors: DataFrame,
+        codebook: DataFrame,
+        mode: str,
+        batch_id: int = 0,
     ) -> None:
         dist = _dist_to_codebook(_explode_dims(vectors), codebook)
         w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
@@ -107,25 +111,50 @@ class AnnIndex:
             .filter(F.col("rn") == 1)
             .select("vec_id", F.col("label").alias("cell"))
         )
+        rows = vectors.join(assign, "vec_id").select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+            F.lit(batch_id).cast("long").alias("_batch_id"),
+            "cell",
+        )
+        # (_batch_id, cell) partitioning + dynamic overwrite makes every
+        # APPEND idempotent under replays: re-running batch N rewrites
+        # exactly its own partitions instead of appending duplicates —
+        # the same at-least-once contract as the streaming twins. A full
+        # BUILD uses static overwrite so stale partitions from any prior
+        # build (different cells/batches) cannot survive the rebuild.
         (
-            vectors.join(assign, "vec_id")
-            .select(
-                "vec_id",
-                "embedding",
-                F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
-                "cell",
+            rows.write.mode("overwrite")
+            .option(
+                "partitionOverwriteMode",
+                "dynamic" if mode == "append" else "static",
             )
-            .write.mode(mode)
-            .partitionBy("cell")
+            .partitionBy("_batch_id", "cell")
             .parquet(self._vectors_path)
         )
 
     # ---- incremental append ---------------------------------------------
-    def append(self, vectors: DataFrame) -> None:
+    def append(self, vectors: DataFrame, batch_id: int = 1) -> None:
         """Assign ``(vec_id, embedding)`` rows with the STORED codebook
-        and append them to their cells' partitions."""
+        and add them to their cells' partitions. Idempotent per
+        ``batch_id``: replaying the same batch id replaces its own rows
+        (dynamic partition overwrite), never duplicates them."""
         codebook = self.spark.read.parquet(self._codebook_path)
-        self._assign_and_write(vectors, codebook, mode="append")
+        self._assign_and_write(vectors, codebook, mode="append", batch_id=batch_id)
+
+    def stream_into(self, stream_df: DataFrame, checkpoint_location: str, **trigger):
+        """Continuously ingest an embedding stream ``(vec_id, embedding)``
+        into the index under the frozen codebook — foreachBatch with the
+        micro-batch id as the idempotence key."""
+        return (
+            stream_df.writeStream.foreachBatch(
+                lambda df, bid: self.append(df, batch_id=bid + 1)
+            )
+            .option("checkpointLocation", checkpoint_location)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
 
     # ---- search ----------------------------------------------------------
     def codebook(self) -> DataFrame:

@@ -111,3 +111,47 @@ class TestAnnIndex:
         # the clone is a perfect cosine match and sorts first by id rule
         assert top["neighbor_id"] == 990001
         assert abs(top["cosine"] - 1.0) < 1e-9
+
+
+class TestAnnIndexStreaming:
+    def test_stream_ingest_and_replay_idempotence(self, spark, tmp_path):
+        """Two appends under distinct batch ids both land; replaying a
+        batch id replaces its own rows instead of duplicating them; a
+        streamed feed drives the same path end-to-end."""
+        idx = AnnIndex.build(spark, SF, str(tmp_path / "idx"))
+        donor = (
+            load_table(spark, SF, "embeddings")
+            .filter(F.col("vec_id").isin(5, 6))
+            .select("vec_id", "embedding")
+        )
+        b1 = donor.filter(F.col("vec_id") == 5).select(
+            F.lit(880001).alias("vec_id"), "embedding"
+        )
+        idx.append(b1, batch_id=7)
+        idx.append(b1, batch_id=7)  # replay: must not duplicate
+        vec = spark.read.parquet(idx._vectors_path)
+        assert vec.filter(F.col("vec_id") == 880001).count() == 1
+
+        # streamed ingest: feed one parquet batch through stream_into
+        feed = str(tmp_path / "feed")
+        donor.filter(F.col("vec_id") == 6).select(
+            F.lit(880002).alias("vec_id"), "embedding"
+        ).coalesce(1).write.mode("append").parquet(feed)
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(feed)
+        q = idx.stream_into(stream, str(tmp_path / "ck"), availableNow=True)
+        q.awaitTermination(120)
+        vec = spark.read.parquet(idx._vectors_path)
+        assert vec.filter(F.col("vec_id") == 880002).count() == 1
+        # the streamed vector is searchable as an exact match
+        top = (
+            idx.search(
+                donor.filter(F.col("vec_id") == 6).select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                )
+            )
+            .filter(F.col("rank") == 1)
+            .first()
+        )
+        assert top["neighbor_id"] == 880002
