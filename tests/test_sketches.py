@@ -1,0 +1,88 @@
+"""Mergeability proof for the distinct-count sketches: the sketch of a
+union must equal the merge of per-partition sketches — the property
+that lets 100 TB rollups combine partial sketches without a global
+distinct shuffle. The operator doc claims it; this test pins it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from propulsion_spark import load_table
+from propulsion_spark.operators.sketches import HLL_M, KMV_K, _POW53
+
+SF = "/root/testdata/sf0.001"
+
+
+def _kmv_state(df):
+    """(event_type → sorted list of kept hashes): the KMV sketch state."""
+    hashed = df.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    out: dict[str, list[int]] = {}
+    for r in hashed.collect():
+        out.setdefault(r["event_type"], []).append(r["h"])
+    return {k: sorted(v)[:KMV_K] for k, v in out.items()}
+
+
+def _hll_regs(df):
+    """(event_type → {bucket: m_j}): the HLL register state."""
+    md = F.md5(F.col("user_id").cast("string"))
+    rows = (
+        df.select(
+            "event_type",
+            F.conv(F.substring(md, 1, 2), 16, 10).cast("long").alias("bucket"),
+            F.conv(F.substring(md, 3, 13), 16, 10).cast("long").alias("hh"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max(F.lit(53) - F.length(F.expr("bin(hh)"))).alias("m_j"))
+        .collect()
+    )
+    out: dict[str, dict[int, int]] = {}
+    for r in rows:
+        out.setdefault(r["event_type"], {})[r["bucket"]] = r["m_j"]
+    return out
+
+
+class TestSketchMergeability:
+    def test_kmv_merge_equals_full(self, spark):
+        """KMV merge rule: union the kept sets, re-take the K smallest —
+        identical state (hence identical estimate) to sketching the full
+        data directly."""
+        ev = load_table(spark, SF, "events")
+        full = _kmv_state(ev)
+        a = _kmv_state(ev.filter(F.col("event_id") % 2 == 0))
+        b = _kmv_state(ev.filter(F.col("event_id") % 2 == 1))
+        merged = {
+            k: sorted(set(a.get(k, [])) | set(b.get(k, [])))[:KMV_K]
+            for k in set(a) | set(b)
+        }
+        assert merged == full
+
+    def test_hll_merge_equals_full(self, spark):
+        """HLL merge rule: per-register max — identical registers (hence
+        identical integer power sum and estimate) to the full sketch."""
+        ev = load_table(spark, SF, "events")
+        full = _hll_regs(ev)
+        a = _hll_regs(ev.filter(F.col("event_id") % 2 == 0))
+        b = _hll_regs(ev.filter(F.col("event_id") % 2 == 1))
+        merged: dict[str, dict[int, int]] = {}
+        for side in (a, b):
+            for et, regs in side.items():
+                dst = merged.setdefault(et, {})
+                for bucket, m in regs.items():
+                    dst[bucket] = max(dst.get(bucket, 0), m)
+        assert merged == full
+        # and the derived integer power sum (the reported `detail`)
+        # matches per event type
+        for et, regs in full.items():
+            s_full = sum(1 << (53 - m) for m in regs.values()) + (
+                HLL_M - len(regs)
+            ) * _POW53
+            s_merged = sum(1 << (53 - m) for m in merged[et].values()) + (
+                HLL_M - len(merged[et])
+            ) * _POW53
+            assert s_full == s_merged
