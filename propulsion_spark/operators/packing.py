@@ -130,3 +130,35 @@ def pack_documents(
             + 1
         ).alias("n_seqs"),
     )
+
+
+def sequence_manifest(packed: DataFrame, seq_len: int) -> DataFrame:
+    """One row per training sequence: the documents that occupy it.
+
+    Input is :func:`pack_documents` output. Each doc explodes to the
+    sequences it spans (bounded by n_seqs, which straddling keeps at
+    ≤ ⌈n_tokens/seq_len⌉+1 — never a corpus-wide fan-out), then one
+    aggregate per (split, seq_id) collects the doc list and the number
+    of its tokens actually inside the sequence window — full sequences
+    report fill_tokens == seq_len; only each split's last sequence may
+    be partial. Zero-token docs ride along with 0 contribution (they
+    occupy a boundary, not space).
+    """
+    spans = packed.select(
+        "split",
+        "doc_id",
+        "n_tokens",
+        "offset",
+        F.explode(F.expr("sequence(first_seq, last_seq)")).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * seq_len
+    covered = F.greatest(
+        F.lit(0),
+        F.least(F.col("offset") + F.col("n_tokens"), seq_start + seq_len)
+        - F.greatest(F.col("offset"), seq_start),
+    )
+    return spans.groupBy("split", "seq_id").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        F.count("*").alias("n_docs"),
+        F.sum(covered).alias("fill_tokens"),
+    )

@@ -261,3 +261,27 @@ class TestConnectedComponentsPathological:
         got = _labels(spark, [(i, i + 1) for i in range(300)])
         assert set(got.values()) == {0}
         assert len(got) == 301
+
+
+class TestSequenceManifest:
+    def test_per_sequence_doc_lists_and_fill(self, spark):
+        from propulsion_spark.operators.packing import (
+            pack_documents,
+            sequence_manifest,
+        )
+
+        rows = [
+            ("train", 1, 60),
+            ("train", 2, 50),   # straddles seq 0→1
+            ("train", 3, 0),    # zero-token doc at offset 110
+            ("train", 4, 95),   # offset 110, straddles seq 1→2
+        ]
+        docs = spark.createDataFrame(rows, "split string, doc_id long, n_tokens long")
+        packed = pack_documents(docs, seq_len=100)
+        got = {
+            r["seq_id"]: (r["doc_ids"], r["n_docs"], r["fill_tokens"])
+            for r in sequence_manifest(packed, seq_len=100).collect()
+        }
+        assert got[0] == ([1, 2], 2, 100)       # 60 + first 40 of doc 2
+        assert got[1] == ([2, 3, 4], 3, 100)    # 10 + 0 + first 90 of doc 4
+        assert got[2] == ([4], 1, 5)            # the partial tail
