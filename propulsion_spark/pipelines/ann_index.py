@@ -87,13 +87,57 @@ class AnnIndex:
             codebook = q_embedding_centroids(spark, sf_dir).select(
                 "label", "dim", F.col("centroid").alias("c")
             )
-        codebook = codebook.persist()
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"
         )
+        return cls._materialize(spark, emb, codebook, path)
+
+    @classmethod
+    def build_from(
+        cls,
+        spark: SparkSession,
+        vectors: DataFrame,
+        path: str,
+        n_cells: int = 16,
+    ) -> "AnnIndex":
+        """Materialize an index over ANY ``(vec_id, embedding)`` frame —
+        e.g. feature vectors a pipeline just extracted. With no labels
+        to seed from, the codebook comes from hash-seeded cells
+        (vec_id % n_cells) refined by one Lloyd step: per-cell
+        fixed-point means, the same exact arithmetic as the corpus
+        codebooks."""
+        from propulsion_spark.operators.similarity import _CENTROID_SCALE
+
+        expl = _explode_dims(vectors)
+        seed = vectors.select(
+            "vec_id", (F.col("vec_id") % n_cells).alias("cell")
+        )
+        scaled = F.floor(F.col("x") * _CENTROID_SCALE).cast("long")
+        codebook = (
+            expl.join(seed, "vec_id")
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    F.sum(scaled).cast("double")
+                    / (F.count("*") * _CENTROID_SCALE)
+                ).alias("c")
+            )
+            .withColumnRenamed("cell", "label")
+        )
+        return cls._materialize(spark, vectors, codebook, path)
+
+    @classmethod
+    def _materialize(
+        cls,
+        spark: SparkSession,
+        vectors: DataFrame,
+        codebook: DataFrame,
+        path: str,
+    ) -> "AnnIndex":
+        codebook = codebook.persist()
         idx = cls(spark, path)
         codebook.write.mode("overwrite").parquet(idx._codebook_path)
-        idx._assign_and_write(emb, codebook, mode="overwrite")
+        idx._assign_and_write(vectors, codebook, mode="overwrite")
         codebook.unpersist()
         return idx
 

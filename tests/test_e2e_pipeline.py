@@ -94,3 +94,79 @@ class TestReactionPipeline:
         # consumer groups isolated in one store: writer vs reader cursors
         assert ckpt.position("changefeed", "0") == 2
         assert ckpt2.position("idx", "0") == index.active_epoch()[0] + 1
+
+
+class TestLlmDataPipeline:
+    def test_curate_featurize_index_search(self, spark, tmp_path):
+        """The flagship training-data loop through public APIs only:
+
+        raw docs → CurationPipeline (quality gates + exact & near dedup)
+        → extract_features (Arrow-batched mapInPandas featurizer)
+        → AnnIndex.build_from (hash-seeded one-Lloyd codebook)
+        → partition-pruned search finds the semantically-identical doc.
+        """
+        from pyspark.sql import functions as F
+
+        from propulsion_spark.operators.multimodal import extract_features
+        from propulsion_spark.pipelines import AnnIndex, CurationPipeline
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and keeps running far "
+            * 2
+        )
+        other = (
+            "completely different content about distributed query engines "
+            "and shuffle partitioning strategies for large clusters " * 2
+        )
+        third = (
+            "a third narrative describing watermark semantics and stateful "
+            "stream processing with bounded lateness and session windows " * 2
+        )
+        rows = [
+            {"doc_id": 1, "text": base, "lang": "en", "source": "s",
+             "n_chars": len(base)},
+            {"doc_id": 2, "text": base, "lang": "en", "source": "s",
+             "n_chars": len(base)},  # exact dup → dropped
+            {"doc_id": 3, "text": other, "lang": "en", "source": "s",
+             "n_chars": len(other)},
+            {"doc_id": 4, "text": third, "lang": "en", "source": "s",
+             "n_chars": len(third)},
+        ]
+        import pandas as pd
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(rows),
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        pipe = CurationPipeline(spark, str(tmp_path / "cur"), near_dedup=True)
+        pipe.process_batch(docs)
+        curated = pipe.curated()
+        assert sorted(r.doc_id for r in curated.collect()) == [1, 3, 4]
+
+        # featurize the curated docs (deterministic fake decode — the
+        # real embedder slots into the same mapInPandas signature)
+        feats = extract_features(
+            curated.select(
+                "doc_id",
+                F.encode(F.col("text"), "utf-8").alias("media"),
+            )
+        ).select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("features").cast("array<float>").alias("embedding"),
+        )
+        idx = AnnIndex.build_from(spark, feats, str(tmp_path / "idx"), n_cells=2)
+
+        # a fresh doc with doc 1's text must retrieve doc 1 as its top
+        # neighbor (cosine 1.0): featurize-then-search round trip
+        probe = extract_features(
+            spark.createDataFrame(
+                pd.DataFrame([{"doc_id": 100, "text": base}]),
+                "doc_id long, text string",
+            ).select("doc_id", F.encode(F.col("text"), "utf-8").alias("media"))
+        ).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("features").cast("array<float>").alias("embedding"),
+        )
+        top = idx.search(probe, top_k=2).filter(F.col("rank") == 1).first()
+        assert top["neighbor_id"] == 1
+        assert abs(top["cosine"] - 1.0) < 1e-6
