@@ -155,12 +155,39 @@ class AnnIndex:
             .filter(F.col("rn") == 1)
             .select("vec_id", F.col("label").alias("cell"))
         )
-        rows = vectors.join(assign, "vec_id").select(
-            "vec_id",
-            "embedding",
-            F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
-            F.lit(batch_id).cast("long").alias("_batch_id"),
-            "cell",
+        from propulsion_spark.operators.dedup import let_bound
+
+        # int8 quantization alongside the full-precision vector: qvec =
+        # round(x/scale·127) with scale = the vector's max |x| (zero
+        # vectors get scale 1 so the division is defined). The scale is
+        # let-bound so the array_max isn't re-inlined per element; qnrm
+        # is the DEQUANTIZED norm, precomputed so quantized search pays
+        # one dot product per candidate, not two.
+        qscale = let_bound(
+            "array_max(transform(embedding, v -> abs(cast(v as double))))",
+            "CASE WHEN x = 0.0D THEN 1.0D ELSE x END",
+        )
+        qvec = (
+            "transform(embedding, v -> "
+            "cast(round(cast(v as double) / qscale * 127.0D) as tinyint))"
+        )
+        dq = "transform(qvec, v -> cast(v as double) * qscale / 127.0D)"
+        rows = (
+            vectors.join(assign, "vec_id")
+            .withColumn("qscale", F.expr(qscale))
+            .withColumn("qvec", F.expr(qvec))
+            .select(
+                "vec_id",
+                "embedding",
+                F.sqrt(_spark_dot("embedding", "embedding")).alias("nrm"),
+                "qscale",
+                "qvec",
+                F.expr(
+                    f"sqrt(aggregate({dq}, 0.0D, (acc, p) -> acc + p * p))"
+                ).alias("qnrm"),
+                F.lit(batch_id).cast("long").alias("_batch_id"),
+                "cell",
+            )
         )
         # (_batch_id, cell) partitioning + dynamic overwrite makes every
         # APPEND idempotent under replays: re-running batch N rewrites
@@ -216,6 +243,7 @@ class AnnIndex:
         queries: DataFrame,
         top_k: int = TOP_K,
         n_probes: int = NPROBE,
+        quantized: bool = False,
     ) -> DataFrame:
         """Top-k cosine neighbors per query row ``(query_id, embedding)``.
 
@@ -224,6 +252,13 @@ class AnnIndex:
         one broadcast join of the (small) query side against only the
         probed partitions. A query's own vector (same vec_id) is never
         its own neighbor.
+
+        ``quantized=True`` ranks candidates by their int8-dequantized
+        vectors (¼ the bytes moved per candidate — at serving scale the
+        full-precision column stays parquet-pruned away); the query
+        side stays full precision (asymmetric quantized search). Use
+        the recall test's measurement, not hope, to decide whether the
+        quality trade fits a workload.
         """
         codebook = self.codebook()
         qdist = _dist_to_codebook(
@@ -252,12 +287,24 @@ class AnnIndex:
             .select("query_id", "q_emb", "q_nrm", F.col("cell").alias("q_cell"))
         )
         vectors = self.probed_vectors(cells)
+        if quantized:
+            vectors = vectors.withColumn(
+                "_dq",
+                F.expr("transform(qvec, v -> cast(v as double) * qscale / 127.0D)"),
+            ).select("vec_id", "cell", F.col("_dq").alias("_cand"), F.col("qnrm").alias("_cnrm"))
+        else:
+            vectors = vectors.select(
+                "vec_id",
+                "cell",
+                F.col("embedding").alias("_cand"),
+                F.col("nrm").alias("_cnrm"),
+            )
         pairs = vectors.join(
             F.broadcast(q),
             (F.col("vec_id") != F.col("query_id"))
             & (F.col("cell") == F.col("q_cell")),
         )
-        cosine = _spark_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
+        cosine = _spark_dot("q_emb", "_cand") / (F.col("q_nrm") * F.col("_cnrm"))
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id")
         )

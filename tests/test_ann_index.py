@@ -155,3 +155,40 @@ class TestAnnIndexStreaming:
             .first()
         )
         assert top["neighbor_id"] == 880002
+
+
+class TestQuantizedSearch:
+    def test_quantized_recall_measured(self, spark, tmp_path):
+        """Asymmetric int8 search: quality is measured against the
+        full-precision search, not assumed. On this corpus int8 barely
+        perturbs the ranking — recall@5 must stay high — and the
+        exact-clone probe still resolves at cosine ≈ 1."""
+        idx = AnnIndex.build(spark, SF, str(tmp_path / "idx"))
+        full = {
+            (r["query_id"], r["neighbor_id"])
+            for r in idx.search(_queries(spark)).collect()
+        }
+        quant = {
+            (r["query_id"], r["neighbor_id"])
+            for r in idx.search(_queries(spark), quantized=True).collect()
+        }
+        recall = len(full & quant) / len(full)
+        assert recall >= 0.9, f"int8 recall vs full precision = {recall}"
+
+        donor = (
+            load_table(spark, SF, "embeddings")
+            .filter(F.col("vec_id") == 2)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        # clone vec 2 into the index, then find it via quantized search
+        idx.append(
+            donor.select(F.lit(770001).alias("vec_id"), "embedding"),
+            batch_id=3,
+        )
+        top = (
+            idx.search(donor, quantized=True)
+            .filter(F.col("rank") == 1)
+            .first()
+        )
+        assert top["neighbor_id"] == 770001
+        assert abs(top["cosine"] - 1.0) < 1e-3  # int8 rounding tolerance
