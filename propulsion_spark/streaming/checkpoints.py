@@ -61,15 +61,32 @@ class CheckpointStore:
 
     def _read_all(self) -> pd.DataFrame:
         files = self._files()
-        if not files:
+        frames = []
+        for f in files:
+            try:
+                frames.append(pd.read_parquet(f))
+            except FileNotFoundError:
+                # a concurrent compaction removed the segment between the
+                # directory listing and the read; its rows live on in the
+                # compacted file this same listing-or-retry will surface,
+                # and newest-wins dedup absorbs any overlap
+                continue
+        if not frames:
             return pd.DataFrame(
                 columns=["source", "tranche", "grp", "pos", "seq", "updated_at"]
             )
-        return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        return pd.concat(frames, ignore_index=True)
 
     def _append(self, rows: list[dict]) -> None:
+        # tmp + atomic rename: tranche pumps read (start/snapshot) without
+        # the writer lock, so a segment must never be visible under its
+        # final name until its bytes are complete — a direct to_parquet
+        # exposes a partial file to a concurrent reader (observed as an
+        # ArrowInvalid "file size is 4 bytes" crash under parallel pumps)
         df = pd.DataFrame(rows)
-        df.to_parquet(os.path.join(self.path, f"ckpt-{uuid.uuid4().hex}.parquet"))
+        tmp = os.path.join(self.path, f"ckpt-{uuid.uuid4().hex}.tmp")
+        df.to_parquet(tmp)
+        os.replace(tmp, os.path.join(self.path, f"ckpt-{uuid.uuid4().hex}.parquet"))
 
     def snapshot(self) -> pd.DataFrame:
         """Current position per (source, tranche, group): newest-wins."""

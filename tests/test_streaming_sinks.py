@@ -508,3 +508,57 @@ class TestDispatchPrioritization:
         )
         out = pd.concat(list(process(iter([pdf]))), ignore_index=True)
         assert list(out["stream_name"]) == ["b-heavy", "c-mid", "a-light", "d-tail"]
+
+
+class TestCheckpointStoreConcurrency:
+    def test_parallel_pumps_never_see_partial_segments(self, tmp_path):
+        """Regression for a read/write race: tranche pumps call
+        start()/snapshot() without the writer lock, so an in-progress
+        segment write must never be visible under its final name
+        (observed as ArrowInvalid 'file size is 4 bytes'), and a
+        compaction deleting a just-listed segment must not crash the
+        reader. Hammer both paths concurrently for a few seconds."""
+        import threading
+        import time
+
+        from propulsion_spark.streaming.checkpoints import CheckpointStore
+
+        store = CheckpointStore(
+            str(tmp_path / "ck"), group="g", commit_interval_s=0
+        )
+        stop = time.monotonic() + 4.0
+        errors: list[BaseException] = []
+
+        def writer():
+            i = 0
+            while time.monotonic() < stop:
+                try:
+                    store.commit("s", "0", i)
+                    store.flush(force=True)
+                    store._maybe_compact(max_files=4)
+                except BaseException as e:  # noqa: BLE001
+                    errors.append(e)
+                    return
+                i += 1
+
+        def reader():
+            while time.monotonic() < stop:
+                try:
+                    store.start("s", "1", establish_origin=0)
+                    store.snapshot()
+                    store.position("s", "0")
+                except BaseException as e:  # noqa: BLE001
+                    errors.append(e)
+                    return
+
+        threads = [threading.Thread(target=writer)] + [
+            threading.Thread(target=reader) for _ in range(2)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors[:1]
+        # and the store is still coherent after the storm
+        snap = store.snapshot()
+        assert int(snap[snap.tranche == "0"].pos.iloc[0]) >= 0
