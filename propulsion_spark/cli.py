@@ -348,6 +348,12 @@ def cmd_pack(args) -> int:
         docs = docs.withColumn("split", F.lit("train"))
     packed = pack_documents(docs, args.seq_len)
     packed.write.mode("overwrite").parquet(args.out)
+    if getattr(args, "manifest", None):
+        from propulsion_spark.operators.packing import sequence_manifest
+
+        sequence_manifest(
+            spark.read.parquet(args.out), args.seq_len
+        ).write.mode("overwrite").parquet(args.manifest)
     stats = {
         r["split"]: {
             "n_docs": r["n_docs"],
@@ -398,7 +404,10 @@ def cmd_ann(args) -> int:
             .select(F.col("vec_id").alias("query_id"), "embedding")
         )
         rows = idx.search(
-            queries, top_k=args.top_k, n_probes=args.n_probes
+            queries,
+            top_k=args.top_k,
+            n_probes=args.n_probes,
+            quantized=getattr(args, "quantized", False),
         ).collect()
         for r in rows:
             print(json.dumps(r.asDict(), default=str))
@@ -490,6 +499,10 @@ def main(argv=None) -> int:
     pk.add_argument("--src", required=True, help="curated-corpus parquet dir")
     pk.add_argument("--out", required=True, help="packing-assignment output dir")
     pk.add_argument("--seq-len", type=int, default=2048)
+    pk.add_argument(
+        "--manifest",
+        help="also write the per-sequence doc manifest to this dir",
+    )
     pk.set_defaults(fn=cmd_pack)
 
     an = sub.add_parser(
@@ -504,6 +517,10 @@ def main(argv=None) -> int:
     an.add_argument(
         "--queries", type=int, default=10,
         help="use the first N corpus vectors as the query set",
+    )
+    an.add_argument(
+        "--quantized", action="store_true",
+        help="rank candidates by their stored int8 quantization",
     )
     an.set_defaults(fn=cmd_ann)
 

@@ -130,6 +130,30 @@ class TestPackVerb:
                 "n_seqs": 4,
             }
 
+    def test_pack_with_manifest(self, tmp_path):
+        import duckdb
+
+        src = str(tmp_path / "docs")
+        duckdb.connect().execute(
+            f"""COPY (
+                 SELECT i AS doc_id, 'one two three four five' AS text,
+                        'train' AS split
+                 FROM range(4) t(i)
+               ) TO '{src}' (FORMAT PARQUET)"""
+        )
+        rep = run_cli(
+            "pack", "--src", src, "--out", str(tmp_path / "packed"),
+            "--seq-len", "8", "--manifest", str(tmp_path / "manifest"),
+        )
+        assert rep["splits"]["train"]["n_seqs"] == 3  # ceil(20/8)
+        con = duckdb.connect()
+        rows = con.sql(
+            f"SELECT seq_id, n_docs, fill_tokens FROM "
+            f"read_parquet('{tmp_path}/manifest/*.parquet') ORDER BY seq_id"
+        ).fetchall()
+        assert [r[0] for r in rows] == [0, 1, 2]
+        assert [r[2] for r in rows] == [8, 8, 4]  # 20 tokens, last partial
+
 
 class TestAnnVerb:
     def test_build_then_search(self, tmp_path):
