@@ -339,15 +339,41 @@ def cmd_pack(args) -> int:
     from propulsion_spark.operators.packing import pack_documents
 
     spark = get_spark("propulsion-pack")
-    docs = spark.read.parquet(args.src)
-    if "n_tokens" not in docs.columns:
-        docs = docs.withColumn(
-            "n_tokens", F.expr("size(split(lower(trim(text)), '\\\\s+'))")
+
+    def derive(df):
+        if "n_tokens" not in df.columns:
+            df = df.withColumn(
+                "n_tokens", F.expr("size(split(lower(trim(text)), '\\\\s+'))")
+            )
+        if "split" not in df.columns:
+            df = df.withColumn("split", F.lit("train"))
+        return df
+
+    docs = derive(spark.read.parquet(args.src))
+    if getattr(args, "follow", False):
+        # incremental: pack new documents as they land in src, carrying
+        # each split's stream position across micro-batches
+        from propulsion_spark.streaming.packing import pack_foreach_batch
+
+        base = args.out.rstrip("/")
+        inner = pack_foreach_batch(
+            spark, args.state or base + "_state", args.out, args.seq_len
         )
-    if "split" not in docs.columns:
-        docs = docs.withColumn("split", F.lit("train"))
-    packed = pack_documents(docs, args.seq_len)
-    packed.write.mode("overwrite").parquet(args.out)
+        stream = spark.readStream.schema(
+            spark.read.parquet(args.src).schema
+        ).parquet(args.src)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: inner(derive(df), bid)
+            )
+            .option("checkpointLocation", base + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    else:
+        packed = pack_documents(docs, args.seq_len)
+        packed.write.mode("overwrite").parquet(args.out)
     if getattr(args, "manifest", None):
         from propulsion_spark.operators.packing import sequence_manifest
 
@@ -393,6 +419,22 @@ def cmd_ann(args) -> int:
                     "codebook": "learned" if args.learned else "seeded",
                     "n_vectors": vec.count(),
                     "n_cells": vec.select("cell").distinct().count(),
+                }
+            )
+        )
+    elif args.action == "stats":
+        idx = AnnIndex(spark, args.path)
+        print(json.dumps(idx.cell_skew()))
+    elif args.action == "reindex":
+        idx = AnnIndex(spark, args.path)
+        before = idx.cell_skew()
+        out = idx.reindex(dest=args.dest)
+        print(
+            json.dumps(
+                {
+                    "reindexed": out.path,
+                    "skew_before": before["skew"],
+                    "skew_after": out.cell_skew()["skew"],
                 }
             )
         )
@@ -503,13 +545,27 @@ def main(argv=None) -> int:
         "--manifest",
         help="also write the per-sequence doc manifest to this dir",
     )
+    pk.add_argument(
+        "--follow",
+        action="store_true",
+        help="incremental: pack documents as they land in --src, "
+        "carrying each split's stream position across micro-batches",
+    )
+    pk.add_argument(
+        "--state",
+        help="--follow: per-split carry-state dir (default <out>_state)",
+    )
     pk.set_defaults(fn=cmd_pack)
 
     an = sub.add_parser(
         "ann", help="build/search the materialized partition-pruned ANN index"
     )
-    an.add_argument("action", choices=["build", "search"])
+    an.add_argument("action", choices=["build", "search", "stats", "reindex"])
     an.add_argument("--path", required=True)
+    an.add_argument(
+        "--dest", default=None,
+        help="reindex: write the rebuilt index here instead of in place",
+    )
     an.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     an.add_argument("--learned", action="store_true")
     an.add_argument("--top-k", type=int, default=5)

@@ -31,6 +31,26 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
     return deco
 
 
+def finalize(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
+    """Materialize ``result`` then release explicitly persisted
+    intermediates.
+
+    Query builders that persist() shared inputs (LSH signatures, IVF
+    distance tables, brute-force ground truth) must not leak those
+    cached blocks into a long-lived session (CLI query loop, bench,
+    driver gate) — but unpersisting lazily-returned results too early
+    would recompute the intermediate per downstream branch.  So:
+    localCheckpoint(eager=True) pins the (small) result — its blocks
+    are lifecycle-managed by Spark's ContextCleaner once the DataFrame
+    is garbage collected, unlike persist() which needs an explicit
+    unpersist — then the intermediates are dropped immediately.
+    """
+    out = result.localCheckpoint(eager=True)
+    for df in intermediates:
+        df.unpersist()
+    return out
+
+
 def load_all() -> dict[str, EngineQuery]:
     """Import every operator module so REGISTRY is fully populated.
 

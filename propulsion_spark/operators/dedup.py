@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from propulsion_spark import load_table
-from propulsion_spark.operators import register
+from propulsion_spark.operators import finalize, register
 
 # 64-bit portable hash: first 15 hex digits of md5 → BIGINT (60 bits).
 SPARK_H64 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
@@ -296,7 +296,8 @@ WHERE length(list_intersect(ga.g, gb.g)) /
     "dedup_ngram_jaccard so the driver gate attests both stages.",
 )
 def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = lsh_band_pairs(spark, sf_dir).persist()
+    sigs = minhash_with_bands(spark, sf_dir, persist=True)
+    pairs = band_pairs_from_sigs(sigs).persist()
     candidates = pairs.filter(F.col("matches") >= NUM_HASHES // 2).select(
         F.lit("candidate").alias("stage"),
         "a_id",
@@ -322,7 +323,7 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("score") >= JACCARD_CUTOFF)
     )
-    return candidates.unionByName(verified)
+    return finalize(candidates.unionByName(verified), pairs, sigs)
 
 
 # ----------------------------------------------------- winnowing
@@ -492,6 +493,7 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
         propagated = both.join(
             labels, both.src == labels.node
@@ -515,8 +517,20 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Unconverged labels are WRONG clusters (nodes still pointing at
+        # a non-minimal label); handing them back silently would corrupt
+        # downstream canonical-keeper decisions. Pointer compression
+        # makes the default cap astronomically sufficient (O(log n)
+        # rounds), so hitting it means the cap was set too low — fail
+        # loudly rather than return wrong answers.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters="
+            f"{max_iters}; raise the cap (rounds needed ~ log2(diameter))"
+        )
     return labels
 
 
@@ -556,14 +570,16 @@ FROM comp JOIN sizes USING (cluster_id)
     "independently via a recursive transitive-closure CTE.",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = lsh_band_pairs(spark, sf_dir).filter(
+    sigs = minhash_with_bands(spark, sf_dir, persist=True)
+    cand = band_pairs_from_sigs(sigs).filter(
         F.col("matches") >= NUM_HASHES // 2
     ).select("a_id", "b_id")
     labels = connected_components(cand)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return labels.join(sizes, "label").select(
+    out = labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         "cluster_size",
         (F.col("node") == F.col("label")).alias("is_canonical"),
     )
+    return finalize(out, sigs)

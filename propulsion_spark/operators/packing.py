@@ -50,11 +50,15 @@ def _with_local_cumsum(ranged: DataFrame, split_col: str, token_col: str) -> Dat
         pid = TaskContext.get().partitionId()
         carry: dict[str, int] = {}
         for pdf in batches:
-            cum = []
-            for split, n in zip(pdf[split_col], pdf[token_col]):
-                carry[split] = carry.get(split, 0) + int(n)
-                cum.append(carry[split])
-            pdf = pdf.assign(_pid=pid, _local_cum=cum)
+            # vectorized: grouped cumsum at C speed + per-split carry
+            # lookup via Series.map (no per-row Python iteration)
+            toks = pdf[token_col].astype("int64")
+            splits = pdf[split_col]
+            cum = toks.groupby(splits, sort=False).cumsum()
+            base = splits.map(carry).fillna(0).astype("int64")
+            pdf = pdf.assign(_pid=pid, _local_cum=(cum + base).astype("int64"))
+            for s, tot in toks.groupby(splits, sort=False).sum().items():
+                carry[s] = carry.get(s, 0) + int(tot)
             yield pdf
 
     return ranged.mapInPandas(run, out_schema)
@@ -116,19 +120,27 @@ def pack_documents(
             "offset"
         ),
     )
-    last_token = F.col("offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0))
+    return with_seq_cols(packed, seq_len)
+
+
+def with_seq_cols(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Derive ``first_seq``/``last_seq``/``n_seqs`` from global token
+    offsets (shared by the batch operator and the streaming twin, which
+    shifts offsets by the carried stream position first). Integer
+    ``div`` throughout: double division loses exactness for token
+    offsets beyond 2^53."""
+    first_seq = F.expr(f"offset div {seq_len}")
+    last_seq = F.expr(
+        f"(offset + greatest(n_tokens - 1, CAST(0 AS LONG))) div {seq_len}"
+    )
     return packed.select(
         "split",
         "doc_id",
         "n_tokens",
         "offset",
-        F.expr(f"offset div {seq_len}").alias("first_seq"),
-        (last_token / seq_len).cast("long").alias("last_seq"),
-        (
-            (last_token / seq_len).cast("long")
-            - F.expr(f"offset div {seq_len}")
-            + 1
-        ).alias("n_seqs"),
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + 1).alias("n_seqs"),
     )
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from propulsion_spark import load_table
-from propulsion_spark.operators import register
+from propulsion_spark.operators import finalize, register
 
 DIM = 64
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -1053,7 +1053,7 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(NPROBE).cast("long").alias("n_probes"),
         *cols,
     )
-    return single.unionByName(multi).unionByName(learned)
+    return finalize(single.unionByName(multi).unionByName(learned), dist0)
 
 
 _DUCK_IVF_RECALL = f"""
@@ -1187,4 +1187,4 @@ def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("ivf_learned").alias("method"), "query_id", "n_hit", "recall"
     )
-    return lsh.unionByName(ivf).unionByName(learned)
+    return finalize(lsh.unionByName(ivf).unionByName(learned), bf, dist0)

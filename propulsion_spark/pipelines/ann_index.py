@@ -141,6 +141,62 @@ class AnnIndex:
         codebook.unpersist()
         return idx
 
+    def _assign_vectorized(
+        self, vectors: DataFrame, codebook: DataFrame
+    ) -> DataFrame:
+        """``vectors`` + a ``cell`` column: nearest-centroid assignment
+        as ONE Arrow-vectorized pandas UDF against a broadcast numpy
+        codebook — O(n) rows through the plan instead of the exact
+        path's O(n·dims·cells) dim-explode shuffle
+        (``similarity._dist_to_codebook``). The exact fixed-point path
+        exists for cross-engine oracle determinism; the serving index
+        doesn't need cross-ENGINE bit-exactness, only agreement with
+        the exact path's argmin — asserted by test, and guarded here:
+        rows whose two nearest cells are within float rounding of each
+        other are re-scored with the exact (x−c)² formulation before
+        the argmin (labels sorted ascending, so ties break to the
+        smaller label exactly like the exact path's ORDER BY d2,
+        label).
+
+        At 100 TB with √n cells this is the difference between feasible
+        and not: the explode path materializes n·dims·cells rows into a
+        shuffle; this path moves each vector once and does the argmin
+        in BLAS."""
+        import numpy as np
+        import pandas as pd
+
+        cb = codebook.toPandas()
+        piv = cb.pivot(index="label", columns="dim", values="c").sort_index()
+        C = np.ascontiguousarray(piv.to_numpy(dtype=np.float64))
+        labs = piv.index.to_numpy(dtype=np.int64)
+        c2 = (C * C).sum(axis=1)
+        bc = self.spark.sparkContext.broadcast((labs, C, c2))
+
+        def assign(emb: "pd.Series") -> "pd.Series":
+            labs, C, c2 = bc.value
+            if len(emb) == 0:
+                return pd.Series([], dtype="int64")
+            X = np.stack(emb.values).astype(np.float64)
+            # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖² — one matmul, O(n·cells)
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            best = np.argmin(d2, axis=1)
+            if C.shape[0] > 1:
+                # near-ties: the matmul form loses ~1e-15 relative
+                # precision; re-score ambiguous rows pairwise-exactly
+                part = np.partition(d2, 1, axis=1)
+                amb = np.flatnonzero(
+                    part[:, 1] - part[:, 0] <= 1e-9 * (1.0 + np.abs(part[:, 0]))
+                )
+                if len(amb):
+                    exact = ((X[amb, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                    best[amb] = np.argmin(exact, axis=1)
+            return pd.Series(labs[best])
+
+        assign.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+        return vectors.withColumn(
+            "cell", F.pandas_udf(assign, "bigint")("embedding")
+        )
+
     def _assign_and_write(
         self,
         vectors: DataFrame,
@@ -148,13 +204,7 @@ class AnnIndex:
         mode: str,
         batch_id: int = 0,
     ) -> None:
-        dist = _dist_to_codebook(_explode_dims(vectors), codebook)
-        w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
-        assign = (
-            dist.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("label").alias("cell"))
-        )
+        assigned = self._assign_vectorized(vectors, codebook)
         from propulsion_spark.operators.dedup import let_bound
 
         # int8 quantization alongside the full-precision vector: qvec =
@@ -173,7 +223,7 @@ class AnnIndex:
         )
         dq = "transform(qvec, v -> cast(v as double) * qscale / 127.0D)"
         rows = (
-            vectors.join(assign, "vec_id")
+            assigned
             .withColumn("qscale", F.expr(qscale))
             .withColumn("qvec", F.expr(qvec))
             .select(
@@ -226,6 +276,80 @@ class AnnIndex:
             .trigger(**(trigger or {"availableNow": True}))
             .start()
         )
+
+    # ---- drift monitoring / re-learning ---------------------------------
+    def cell_skew(self) -> dict:
+        """Cell-balance gauge: ``{n_cells, max_cell, mean_cell, skew}``
+        with skew = max/mean. The quantizer is frozen at build time, so
+        as an appended corpus drifts, vectors pile into few cells and
+        recall degrades SILENTLY — cell skew is the cheap observable
+        proxy (one count-by-partition-column aggregate over footer
+        metadata-sized work, no vector bytes read). Exported per scrape
+        via :meth:`MetricsExporter.register_ann_index`; a rising trend
+        is the rebuild signal (`reindex`)."""
+        rows = (
+            self.spark.read.parquet(self._vectors_path)
+            .groupBy("cell")
+            .count()
+            .collect()
+        )
+        counts = [r["count"] for r in rows]
+        if not counts:
+            return {"n_cells": 0, "max_cell": 0, "mean_cell": 0.0, "skew": 0.0}
+        mean = sum(counts) / len(counts)
+        return {
+            "n_cells": len(counts),
+            "max_cell": max(counts),
+            "mean_cell": mean,
+            "skew": max(counts) / mean,
+        }
+
+    def reindex(self, dest: "str | None" = None) -> "AnnIndex":
+        """Re-learn the codebook from the CURRENT stored vectors and
+        rebuild: one distributed Lloyd iteration seeded from the stored
+        assignment (per-cell fixed-point member means — the same exact
+        arithmetic as the build codebooks), then every live vector
+        (newest ``_batch_id`` copy per vec_id — re-ingested duplicates
+        are resolved durably here) is re-assigned under the new
+        codebook. In place by default (sources are materialized via
+        localCheckpoint before the overwrite, since Spark cannot
+        overwrite a path it is still reading); pass ``dest`` to build
+        the successor index alongside and cut traffic over — the shape
+        a 100 TB serving deployment wants."""
+        from propulsion_spark.operators.similarity import _CENTROID_SCALE
+
+        stored = self.spark.read.parquet(self._vectors_path)
+        w_new = Window.partitionBy("vec_id").orderBy(F.col("_batch_id").desc())
+        cur = (
+            stored.withColumn("_rn", F.row_number().over(w_new))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "embedding", "cell")
+        )
+        scaled = F.floor(F.col("x") * _CENTROID_SCALE).cast("long")
+        codebook = (
+            _explode_dims(cur)
+            .join(cur.select("vec_id", "cell"), "vec_id")
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    F.sum(scaled).cast("double")
+                    / (F.count("*") * _CENTROID_SCALE)
+                ).alias("c")
+            )
+            .withColumnRenamed("cell", "label")
+        )
+        target = AnnIndex(self.spark, dest) if dest else self
+        if dest is None:
+            # in-place: pin both reads to blocks before the overwrite
+            codebook = codebook.localCheckpoint(eager=True)
+            cur = cur.localCheckpoint(eager=True)
+        codebook = codebook.persist()
+        codebook.write.mode("overwrite").parquet(target._codebook_path)
+        target._assign_and_write(
+            cur.select("vec_id", "embedding"), codebook, mode="overwrite"
+        )
+        codebook.unpersist()
+        return target
 
     # ---- search ----------------------------------------------------------
     def codebook(self) -> DataFrame:
@@ -287,6 +411,22 @@ class AnnIndex:
             .select("query_id", "q_emb", "q_nrm", F.col("cell").alias("q_cell"))
         )
         vectors = self.probed_vectors(cells)
+        # A vec_id re-ingested in a later batch (or present in both the
+        # build and an append) would otherwise surface at multiple ranks
+        # and waste top-k slots: newest _batch_id wins before ranking.
+        # The window shuffles only the probed cells' rows, never the
+        # full index. (Limit of the probed-scan dedup: if the newest
+        # copy of a vec_id was re-assigned into a NON-probed cell, the
+        # stale probed copy still serves — re-ingesting under a frozen
+        # codebook keeps a vector in its original cell unless the
+        # vector itself changed, so this only affects mutated vectors;
+        # `reindex` resolves those durably.)
+        w_new = Window.partitionBy("vec_id").orderBy(F.col("_batch_id").desc())
+        vectors = (
+            vectors.withColumn("_rn_new", F.row_number().over(w_new))
+            .filter(F.col("_rn_new") == 1)
+            .drop("_rn_new")
+        )
         if quantized:
             vectors = vectors.withColumn(
                 "_dq",

@@ -60,17 +60,26 @@ class CheckpointStore:
         )
 
     def _read_all(self) -> pd.DataFrame:
-        files = self._files()
-        frames = []
-        for f in files:
-            try:
-                frames.append(pd.read_parquet(f))
-            except FileNotFoundError:
-                # a concurrent compaction removed the segment between the
-                # directory listing and the read; its rows live on in the
-                # compacted file this same listing-or-retry will surface,
-                # and newest-wins dedup absorbs any overlap
-                continue
+        # A concurrent _maybe_compact removes segments after writing the
+        # compacted file; a listing taken BEFORE that rename could both
+        # miss the compacted file and hit FileNotFoundError on the removed
+        # segments — skipping those would silently drop every compacted
+        # row (a start() on that view would roll positions back to
+        # origin).  Any FileNotFoundError therefore invalidates the whole
+        # listing: re-list and re-read until one listing reads cleanly.
+        while True:
+            files = self._files()
+            frames = []
+            clean = True
+            for f in files:
+                try:
+                    frames.append(pd.read_parquet(f))
+                except FileNotFoundError:
+                    clean = False
+                    break
+            if clean:
+                break
+            time.sleep(0.01)
         if not frames:
             return pd.DataFrame(
                 columns=["source", "tranche", "grp", "pos", "seq", "updated_at"]

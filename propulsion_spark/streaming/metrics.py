@@ -56,6 +56,25 @@ class MetricsExporter:
         self._gauges.append((name, fn))
         return self
 
+    def register_ann_index(self, name: str, index) -> "MetricsExporter":
+        """An :class:`~propulsion_spark.pipelines.ann_index.AnnIndex`:
+        exports the frozen-codebook drift gauges — per-scrape cell
+        balance (``propulsion_ann_cell_skew`` = max cell size / mean,
+        plus cell count and max size). Appends under a frozen quantizer
+        degrade recall silently as the corpus drifts; a rising skew
+        trend is the ``reindex`` signal."""
+
+        def scrape():
+            s = index.cell_skew()
+            lbl = {"index": name}
+            return [
+                ({**lbl, "stat": "skew"}, s["skew"]),
+                ({**lbl, "stat": "n_cells"}, s["n_cells"]),
+                ({**lbl, "stat": "max_cell"}, s["max_cell"]),
+            ]
+
+        return self.register_gauge("propulsion_ann_index_cells", scrape)
+
     def register_curation(self, pipeline) -> "MetricsExporter":
         """A :class:`~propulsion_spark.pipelines.CurationPipeline`:
         exports its per-stage document counters
