@@ -208,6 +208,45 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         aidx.search(queries).write.format("noop").mode("overwrite").save()
         timings["pipeline_ann_search"] = round(time.time() - t0, 3)
+
+        # ANN build at a 10× vector-count design point: the vectorized
+        # argmin assignment moves each vector once (O(n) rows), so the
+        # build scales ~linearly in corpus size — the separation from
+        # the old O(n·dims·cells) dim-explode shape shows here
+        emb10 = (
+            load_table(spark, sf_dir, "embeddings")
+            .select(
+                "vec_id",
+                "embedding",
+                F.explode(F.expr("sequence(0, 9)")).alias("rep"),
+            )
+            .select(
+                (F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+                "embedding",
+            )
+        )
+        t0 = time.time()
+        AnnIndex.build_from(spark, emb10, f"{tmp}/annidx10", n_cells=64)
+        timings["pipeline_ann_build_10x"] = round(time.time() - t0, 3)
+
+        # sequence packing over the documents table: the two-phase
+        # distributed prefix sum + vectorized per-partition cumsum
+        from propulsion_spark.operators.packing import pack_documents
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr(
+                "case when doc_id % 50 = 0 then 'valid' else 'train' end"
+            ).alias("split"),
+            F.expr("size(split(lower(trim(text)), '\\\\s+'))")
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        t0 = time.time()
+        pack_documents(docs, 2048).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["pipeline_pack"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings

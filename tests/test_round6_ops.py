@@ -1,0 +1,346 @@
+"""Round-6 surface: vectorized ANN assignment parity, index drift
+gauges + reindex, streaming packing twin, CC non-convergence error,
+checkpoint-store compaction-race retry, huge-offset seq exactness,
+and the pinned plan-audit expectations.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestVectorizedAssignmentParity:
+    def test_equals_exact_fixed_point_assignment(self, spark, tmp_path):
+        """The serving index's Arrow/BLAS argmin assignment must agree
+        with the exact fixed-point path (dim-explode + DECIMAL sums +
+        ORDER BY d2, label) on every corpus vector — the contract that
+        lets the index keep bit-identical search results while dropping
+        the O(n·dims·cells) shuffle."""
+        from propulsion_spark import load_table
+        from propulsion_spark.operators.similarity import (
+            _dist_to_codebook,
+            _spark_ivf_expl,
+            q_embedding_centroids,
+        )
+        from propulsion_spark.pipelines.ann_index import AnnIndex
+
+        codebook = q_embedding_centroids(spark, SF).select(
+            "label", "dim", F.col("centroid").alias("c")
+        )
+        dist = _dist_to_codebook(_spark_ivf_expl(spark, SF), codebook)
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
+        exact = {
+            r["vec_id"]: r["label"]
+            for r in dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+        idx = AnnIndex(spark, str(tmp_path / "noidx"))
+        emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in idx._assign_vectorized(emb, codebook).collect()
+        }
+        assert got == exact and len(got) > 0
+
+
+class TestAnnIndexDedupAndDrift:
+    def test_search_dedups_reingested_vec_id(self, spark, tmp_path):
+        """The same vec_id appended in two batches must surface at ONE
+        rank (newest batch wins), not burn two top-k slots."""
+        from propulsion_spark import load_table
+        from propulsion_spark.pipelines.ann_index import AnnIndex
+
+        idx = AnnIndex.build(spark, SF, str(tmp_path / "idx"))
+        donor = (
+            load_table(spark, SF, "embeddings")
+            .filter(F.col("vec_id") == 7)
+            .select(F.lit(880001).alias("vec_id"), "embedding")
+        )
+        idx.append(donor, batch_id=1)
+        idx.append(donor, batch_id=2)
+        stored = (
+            spark.read.parquet(idx._vectors_path)
+            .filter(F.col("vec_id") == 880001)
+            .collect()
+        )
+        assert len(stored) == 2  # two physical copies in two batches...
+        hits = (
+            idx.search(
+                load_table(spark, SF, "embeddings")
+                .filter(F.col("vec_id") == 7)
+                .select(F.col("vec_id").alias("query_id"), "embedding"),
+                top_k=50,
+            )
+            .filter(F.col("neighbor_id") == 880001)
+            .collect()
+        )
+        assert len(hits) == 1  # ...but one served rank
+
+    def test_skew_gauge_and_reindex_recall(self, spark, tmp_path):
+        """A drifted append (a tight synthetic cluster far from the
+        corpus) piles into few cells: skew rises. reindex() re-learns
+        the codebook from the stored vectors; recall@5 for the drifted
+        queries against brute force must not degrade, and the skew
+        gauge must drop (the cluster gets cells of its own)."""
+        from propulsion_spark import load_table
+        from propulsion_spark.pipelines.ann_index import AnnIndex
+        from propulsion_spark.streaming.metrics import MetricsExporter
+
+        idx = AnnIndex.build(spark, SF, str(tmp_path / "idx2"))
+        base_skew = idx.cell_skew()
+        assert base_skew["n_cells"] > 1
+
+        dim = len(
+            load_table(spark, SF, "embeddings").first()["embedding"]
+        )
+        # 40 near-identical far-away vectors: v_i = 9.0 everywhere with
+        # a tiny per-id wiggle in dim 0 (deterministic, no RNG)
+        drifted = spark.range(900000, 900040).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(1, {dim}), d -> cast("
+                "case when d = 1 then 9.0 + (id - 900000) * 0.001 "
+                "else 9.0 end as float))"
+            ).alias("embedding"),
+        )
+        idx.append(drifted, batch_id=1)
+        drift_skew = idx.cell_skew()
+        assert drift_skew["skew"] > base_skew["skew"]
+
+        exporter = MetricsExporter(group="t").register_ann_index("idx2", idx)
+        text = exporter.render()
+        assert "propulsion_ann_index_cells" in text and 'stat="skew"' in text
+
+        queries = drifted.limit(5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+        def recall_at_5(index):
+            from propulsion_spark.operators.similarity import _spark_dot
+
+            all_vecs = (
+                spark.read.parquet(index._vectors_path)
+                .select("vec_id", "embedding")
+                .dropDuplicates(["vec_id"])
+            )
+            q = queries.select(
+                F.col("query_id").alias("qid"), F.col("embedding").alias("qe")
+            )
+            cos = _spark_dot("qe", "embedding") / (
+                F.sqrt(_spark_dot("qe", "qe"))
+                * F.sqrt(_spark_dot("embedding", "embedding"))
+            )
+            wq = Window.partitionBy("qid").orderBy(
+                F.col("cos").desc(), F.col("vec_id")
+            )
+            truth = {
+                (r["qid"], r["vec_id"])
+                for r in all_vecs.join(
+                    F.broadcast(q), F.col("vec_id") != F.col("qid")
+                )
+                .select("qid", "vec_id", cos.alias("cos"))
+                .withColumn("rn", F.row_number().over(wq))
+                .filter(F.col("rn") <= 5)
+                .collect()
+            }
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in index.search(queries, top_k=5).collect()
+            }
+            return len(got & truth) / len(truth)
+
+        before = recall_at_5(idx)
+        idx.reindex()
+        after = recall_at_5(idx)
+        assert after >= before
+        assert idx.cell_skew()["skew"] < drift_skew["skew"]
+        # duplicates resolved durably: one physical row per vec_id
+        n = spark.read.parquet(idx._vectors_path).count()
+        n_ids = (
+            spark.read.parquet(idx._vectors_path)
+            .select("vec_id")
+            .distinct()
+            .count()
+        )
+        assert n == n_ids
+
+
+class TestStreamingPacking:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "split string, doc_id long, n_tokens long"
+        )
+
+    def test_ordered_batches_reproduce_batch_operator(self, spark, tmp_path):
+        """Feeding doc_id-ordered batches through the twin yields the
+        batch operator's offsets/seqs exactly."""
+        from propulsion_spark.operators.packing import pack_documents
+        from propulsion_spark.streaming.packing import pack_foreach_batch
+
+        rows = [
+            ("train", i, (i * 7) % 23 + 1) for i in range(60)
+        ] + [("valid", i, (i * 5) % 17 + 1) for i in range(40)]
+        process = pack_foreach_batch(
+            spark, str(tmp_path / "state"), str(tmp_path / "out"), seq_len=16
+        )
+        # three doc_id-ordered batches (splits interleaved)
+        cut1 = [r for r in rows if r[1] < 20]
+        cut2 = [r for r in rows if 20 <= r[1] < 45]
+        cut3 = [r for r in rows if r[1] >= 45]
+        for bid, cut in enumerate([cut1, cut2, cut3]):
+            process(self._docs(spark, cut), bid)
+        got = {
+            (r["split"], r["doc_id"]): (
+                r["offset"],
+                r["first_seq"],
+                r["last_seq"],
+                r["n_seqs"],
+            )
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        want = {
+            (r["split"], r["doc_id"]): (
+                r["offset"],
+                r["first_seq"],
+                r["last_seq"],
+                r["n_seqs"],
+            )
+            for r in pack_documents(self._docs(spark, rows), 16).collect()
+        }
+        assert got == want
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        """Re-running a batch id (at-least-once delivery) reads the same
+        prior state and rewrites the same output partition — offsets
+        unchanged, no duplicate rows."""
+        from propulsion_spark.streaming.packing import pack_foreach_batch
+
+        process = pack_foreach_batch(
+            spark, str(tmp_path / "state"), str(tmp_path / "out"), seq_len=8
+        )
+        b0 = self._docs(spark, [("train", 0, 5), ("train", 1, 6)])
+        b1 = self._docs(spark, [("train", 2, 7), ("valid", 0, 3)])
+        process(b0, 0)
+        process(b1, 1)
+        first = sorted(
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / "out"))
+            .drop("_batch_id")
+            .collect()
+        )
+        process(b1, 1)  # replay
+        second = sorted(
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / "out"))
+            .drop("_batch_id")
+            .collect()
+        )
+        assert first == second
+
+    def test_untouched_split_keeps_carry(self, spark, tmp_path):
+        """A split absent from a batch must resume from its carried
+        position when it reappears."""
+        from propulsion_spark.streaming.packing import pack_foreach_batch
+
+        process = pack_foreach_batch(
+            spark, str(tmp_path / "state"), str(tmp_path / "out"), seq_len=8
+        )
+        process(self._docs(spark, [("train", 0, 5), ("valid", 0, 4)]), 0)
+        process(self._docs(spark, [("train", 1, 6)]), 1)  # no valid docs
+        process(self._docs(spark, [("valid", 1, 2)]), 2)
+        out = {
+            (r["split"], r["doc_id"]): r["offset"]
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        assert out[("valid", 1)] == 4  # resumed after valid-0's 4 tokens
+        assert out[("train", 1)] == 5
+
+
+class TestSeqColsExactness:
+    def test_offsets_beyond_double_precision(self, spark):
+        """last_seq must be integer-exact for token offsets past 2^53
+        (a 100 TB corpus is ~2.5e13 tokens; double division rounds
+        there)."""
+        from propulsion_spark.operators.packing import with_seq_cols
+
+        big = (1 << 55) + 1  # not representable as a double
+        df = spark.createDataFrame(
+            [("train", 1, 3, big)],
+            "split string, doc_id long, n_tokens long, offset long",
+        )
+        r = with_seq_cols(df, 7).first()
+        assert r["first_seq"] == big // 7
+        assert r["last_seq"] == (big + 2) // 7
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+
+
+class TestCCNonConvergence:
+    def test_round_cap_raises_instead_of_wrong_clusters(self, spark):
+        from propulsion_spark.operators.dedup import connected_components
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "a_id long, b_id long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iters=1)
+        # and a sufficient cap still converges on the same input
+        labels = connected_components(chain, max_iters=50)
+        assert {r["label"] for r in labels.collect()} == {0}
+
+
+class TestCheckpointCompactionRetry:
+    def test_read_retries_on_vanished_segment(self, tmp_path, monkeypatch):
+        """A FileNotFoundError mid-read (concurrent compaction) must
+        invalidate the whole listing and re-read — never return a view
+        missing the compacted rows."""
+        import pandas as pd
+
+        from propulsion_spark.streaming.checkpoints import CheckpointStore
+
+        store = CheckpointStore(path=str(tmp_path / "ck"), group="g")
+        store._append_now("src", "0", 5, kind="Started")
+        store._append_now("src", "0", 9, kind="Checkpointed")
+
+        real = pd.read_parquet
+        calls = {"n": 0}
+
+        def flaky(path, *a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                # simulate: this segment was compacted away between the
+                # listing and the read
+                raise FileNotFoundError(path)
+            return real(path, *a, **k)
+
+        monkeypatch.setattr(pd, "read_parquet", flaky)
+        assert store.position("src", "0") == 9
+        assert calls["n"] >= 3  # first aborted, full re-read followed
+
+
+class TestPlanAuditPinned:
+    def test_flags_stay_within_expected_set(self, spark):
+        """tools/plan_audit.py's expected-flag set, enforced: a new
+        cartesian/BNLJ/shuffle-pileup on any query OUTSIDE the
+        documented expected set fails the suite instead of scrolling by
+        in a tool nobody runs."""
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        from plan_audit import EXPECTED_FLAGGED, audit
+
+        results = audit(spark, SF)
+        assert len(results) == 50
+        errors = {n: f for n, f in results.items() if any("ERROR" in x for x in f)}
+        assert not errors
+        flagged = {n for n, f in results.items() if f}
+        assert flagged <= EXPECTED_FLAGGED, (
+            f"unexpected plan flags: "
+            f"{ {n: results[n] for n in flagged - EXPECTED_FLAGGED} }"
+        )
