@@ -263,6 +263,95 @@ class TestStreamingPacking:
         assert out[("train", 1)] == 5
 
 
+class TestCurationPackingComposition:
+    def test_incremental_curate_then_pack(self, spark, tmp_path):
+        """The incremental corpus story end-to-end: curation appends
+        survivors to the curated store per batch; the packing twin
+        tails the curated store and extends each split's packed token
+        stream — corpus growth never reshuffles already-packed
+        sequences, and every curated doc is packed exactly once."""
+        from propulsion_spark.pipelines import CurationPipeline
+        from propulsion_spark.streaming.packing import pack_foreach_batch
+
+        good = (
+            "the quick brown fox jumps over the lazy dog and keeps "
+            "running far " * 2
+        )
+        rows1 = [
+            (1, good, "en", "s", len(good)),
+            (2, good + " extra tail", "en", "s", len(good) + 11),
+            (3, "12345 67890 " * 30, "en", "s", 360),  # fails quality
+            (4, good, "en", "s", len(good)),  # exact dup of 1
+        ]
+        rows2 = [
+            (5, good, "en", "s", len(good)),  # cross-batch dup: dropped
+            (6, good + " novel suffix", "en", "s", len(good) + 13),
+        ]
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+        pipe = CurationPipeline(spark, str(tmp_path / "cur"))
+        pack = pack_foreach_batch(
+            spark,
+            str(tmp_path / "pstate"),
+            str(tmp_path / "packed"),
+            seq_len=32,
+        )
+
+        def pack_stream():
+            """Tail the curated store with a file stream (exactly the
+            CLI pack --follow wiring) and drain it."""
+            cur = spark.read.parquet(pipe.curated_path)
+            q = (
+                spark.readStream.schema(cur.schema)
+                .parquet(pipe.curated_path)
+                .writeStream.foreachBatch(
+                    lambda df, bid: pack(
+                        df.withColumn(
+                            "n_tokens",
+                            F.expr(
+                                "size(split(lower(trim(text)), '\\\\s+'))"
+                            ).cast("long"),
+                        ),
+                        bid,
+                    )
+                )
+                .option(
+                    "checkpointLocation", str(tmp_path / "pck")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        pipe.process_batch(spark.createDataFrame(rows1, schema), 0)
+        pack_stream()
+        first_wave = {
+            r["doc_id"]: r["offset"]
+            for r in spark.read.parquet(str(tmp_path / "packed")).collect()
+        }
+        assert set(first_wave) == {1, 2}
+
+        pipe.process_batch(spark.createDataFrame(rows2, schema), 1)
+        pack_stream()
+        packed = spark.read.parquet(str(tmp_path / "packed"))
+        rows = packed.collect()
+        # every curated doc packed exactly once
+        assert sorted(r["doc_id"] for r in rows) == [1, 2, 6]
+        # growth extended the stream without moving wave-1 docs
+        for r in rows:
+            if r["doc_id"] in first_wave:
+                assert r["offset"] == first_wave[r["doc_id"]]
+        # offsets are a contiguous token stream per split
+        by_split: dict = {}
+        for r in rows:
+            by_split.setdefault(r["split"], []).append(r)
+        for rs in by_split.values():
+            rs.sort(key=lambda r: r["offset"])
+            pos = 0
+            for r in rs:
+                assert r["offset"] == pos
+                pos += r["n_tokens"]
+
+
 class TestSeqColsExactness:
     def test_offsets_beyond_double_precision(self, spark):
         """last_seq must be integer-exact for token offsets past 2^53
