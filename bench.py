@@ -148,6 +148,13 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         store.sync(envelope)
         timings["pipeline_store_resync"] = round(time.time() - t0, 3)
 
+        # change-data feed drain: read everything the store committed
+        # through the CDC log (segment-direct reads, no store scan)
+        t0 = time.time()
+        cdf, _ = store.changes(0)
+        cdf.write.format("noop").mode("overwrite").save()
+        timings["pipeline_store_cdc_drain"] = round(time.time() - t0, 3)
+
         # bounded e2e: changefeed dir → AvailableNow streaming run
         envelope.drop("user_id", "value").coalesce(4).write.mode("overwrite").parquet(
             f"{tmp}/feed"

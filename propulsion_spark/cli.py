@@ -147,6 +147,15 @@ def cmd_sync(args) -> int:
         source = ChangeFeedSource(
             spark, src, sink, ckpt, stop_at_tail=not args.follow
         )
+    elif skind == "store-cdc":
+        # react to committed appends of an engine store (the reference's
+        # flagship shape: store change feed → handler → checkpoint)
+        from propulsion_spark.sources.store_cdc import store_cdc_feed
+
+        source = store_cdc_feed(
+            spark, EventStoreTable(spark, src), sink, ckpt
+        )
+        source.stop_at_tail = not args.follow
     elif skind == "json":
         # each line is a JSON event; project the envelope fields out of it
         from pyspark.sql import functions as F2
@@ -473,7 +482,13 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("sync", help="pump a source into a sink until caught up")
-    s.add_argument("--from", dest="source", required=True)
+    s.add_argument(
+        "--from",
+        dest="source",
+        required=True,
+        help="events:<sf_dir> | documents:<sf_dir> | changefeed:<dir> | "
+        "store-cdc:<store_dir> | json:<file>",
+    )
     s.add_argument("--to", required=True)
     s.add_argument("--group", default="default")
     s.add_argument("--checkpoints", default="/tmp/propulsion-ckpt")

@@ -1,0 +1,264 @@
+"""Change-data feed over :class:`EventStoreTable` — the engine's own
+store exposed as a *source*, the way the reference's flagship pipeline
+consumes the Cosmos change feed (SURVEY §2.1 S1,
+ref: src/Propulsion.CosmosStore/CosmosStoreSource.fs:8-63) and the way
+Delta exposes Change Data Feed.
+
+Every appending ``sync`` commit writes one tiny CDC record (seq →
+segment dirs) under the store's lease, so the commit log doubles as a
+paged feed: readers page by ``seq``, each page's rows are read
+directly from the store's immutable bucket segments by executors —
+no copy of the data, no scan of the whole store.
+
+Two consumption surfaces, both over the same log:
+
+- :func:`store_cdc_feed` — the engine's consumer-group shape: a
+  :class:`TailingFeedSource` pump whose positions live in the
+  :class:`CheckpointStore` (N independent groups per store, commit
+  after sink completion — the reference's checkpointing model).
+- :class:`StoreCdcDataSource` — a NATIVE Spark structured-streaming
+  source (PySpark DataSource API, Spark 4): ``register_store_cdc(
+  spark)`` then ``spark.readStream.format("propulsion-store-cdc")
+  .option("path", store_path)`` — offsets ride Spark's own
+  offset/commit log, partitions = the batch's segment bucket dirs
+  (read in parallel on executors via Arrow), back-pressure via
+  ``maxSeqsPerTrigger``. This is the DSv2 micro-batch shape SURVEY §4
+  calls out as the one genuinely custom source integration.
+
+Semantics: append-only at-least-once (a seq re-read re-serves its
+rows — pair with write-pos dedup downstream, the engine standard).
+Prune deletions and compaction rewrites do not appear; a reader
+lagging past compaction gets :class:`CdcRetentionError` and re-seeds
+from a snapshot — the Delta-CDF-past-VACUUM contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from propulsion_spark.sources.feed import Batch, TailingFeedSource
+from propulsion_spark.streaming.checkpoints import CheckpointStore
+from propulsion_spark.streaming.event_store import EventStoreTable
+
+#: envelope DDL, kept in sync with envelope.STREAM_EVENT_SCHEMA
+_ENVELOPE_DDL = (
+    "stream_name string, category string, idx long, event_type string, "
+    "data string, meta string, event_id long, ts timestamp, "
+    "is_unfold boolean, size long"
+)
+_ENVELOPE_COLS = [
+    "stream_name",
+    "category",
+    "idx",
+    "event_type",
+    "data",
+    "meta",
+    "event_id",
+    "ts",
+    "is_unfold",
+    "size",
+]
+
+
+# --------------------------------------------------------------- feed pump
+def store_cdc_feed(
+    spark: SparkSession,
+    store: EventStoreTable,
+    sink,
+    checkpoints: CheckpointStore,
+    source_id: str = "store-cdc",
+    page_seqs: int = 64,
+    tail_sleep_s: float = 1.0,
+) -> TailingFeedSource:
+    """Consumer-group tailing pump over the store's change feed:
+    checkpoint = CDC seq, one page = up to ``page_seqs`` commits'
+    segments unioned into one distributed read."""
+
+    def read_page(tranche: str, pos: int) -> Batch:
+        from propulsion_spark.streaming.event_store import CdcRetentionError
+
+        recs = store._cdc_records(pos)
+        page, rest = recs[:page_seqs], recs[page_seqs:]
+        if not page:
+            return Batch(items=None, checkpoint=pos, is_tail=True)
+        if not rest:
+            df, new_pos = store.changes(pos)
+        else:  # serve this page's seqs only; the pump re-polls for the rest
+            paths = []
+            for rec in page:
+                for s in rec["segments"]:
+                    p = os.path.join(store.path, s)
+                    if not os.path.exists(p):
+                        raise CdcRetentionError(
+                            f"change-feed seq {rec['seq']} references "
+                            f"compacted-away segment {s}; re-seed from a "
+                            "snapshot"
+                        )
+                    paths.append(p)
+            df = spark.read.parquet(*paths)
+            new_pos = page[-1]["seq"]
+        return Batch(items=df, checkpoint=new_pos, is_tail=not rest)
+
+    src = TailingFeedSource(
+        spark,
+        read_tranches=lambda: ["0"],
+        read_page=read_page,
+        sink=sink,
+        checkpoints=checkpoints,
+        source_id=source_id,
+    )
+    src.tail_sleep_s = tail_sleep_s
+    return src
+
+
+# ------------------------------------------------- native Spark source
+try:  # PySpark ≥ 4.0 — gate so older runtimes keep the feed-pump path
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _SegmentsPartition(InputPartition):
+        def __init__(self, paths: "list[str]"):
+            self.paths = paths
+
+    class _StoreCdcStreamReader(DataSourceStreamReader):
+        def __init__(self, options: dict):
+            self.path = options["path"]
+            self.start_seq = int(options.get("startseq", 0))
+            self.max_seqs = int(options.get("maxseqspertrigger", 1 << 30))
+            self._last = None  # newest seq this reader has emitted
+
+        # -- offset log (Spark persists these dicts in its checkpoint) --
+        def initialOffset(self) -> dict:
+            return {"seq": self.start_seq}
+
+        def _records(self, since: int) -> "list[dict]":
+            d = os.path.join(self.path, "_cdc")
+            try:
+                names = sorted(
+                    n
+                    for n in os.listdir(d)
+                    if n.startswith("c-") and n.endswith(".json")
+                )
+            except FileNotFoundError:
+                return []
+            import json
+
+            out = []
+            for n in names:
+                if int(n[2:-5]) <= since:
+                    continue
+                with open(os.path.join(d, n)) as f:
+                    out.append(json.loads(f.read()))
+            return out
+
+        def latestOffset(self) -> dict:
+            recs = self._records(0)
+            latest = recs[-1]["seq"] if recs else self.start_seq
+            # admission control: at most maxSeqsPerTrigger commits per
+            # micro-batch, advancing from the newest offset this reader
+            # has handed to the engine
+            base = self._last if self._last is not None else self.start_seq
+            latest = min(latest, base + self.max_seqs)
+            latest = max(latest, base)
+            self._last = latest
+            return {"seq": latest}
+
+        def partitions(self, start: dict, end: dict):
+            # one partition per segment bucket dir → executors read the
+            # batch's buckets in parallel, directly from the store
+            recs = [
+                r
+                for r in self._records(start["seq"])
+                if r["seq"] <= end["seq"]
+            ]
+            parts = []
+            for rec in recs:
+                for s in rec["segments"]:
+                    p = os.path.join(self.path, s)
+                    if not os.path.exists(p):
+                        from propulsion_spark.streaming.event_store import (
+                            CdcRetentionError,
+                        )
+
+                        raise CdcRetentionError(
+                            f"change-feed seq {rec['seq']} references "
+                            f"compacted-away segment {s}; restart the "
+                            "query from a snapshot"
+                        )
+                    parts.append(_SegmentsPartition([p]))
+            # Spark requires ≥1 partition; an empty batch (planned
+            # between latestOffset calls) reads zero files
+            return parts or [_SegmentsPartition([])]
+
+        def read(self, partition):  # executes on Python workers
+            import pyarrow as pa
+            import pyarrow.dataset as pds
+
+            files = []
+            for p in partition.paths:
+                for root, _, names in os.walk(p):
+                    files.extend(
+                        os.path.join(root, n)
+                        for n in names
+                        if n.endswith(".parquet")
+                    )
+            if not files:
+                return iter(())
+            table = pds.dataset(files, format="parquet").to_table()
+            target = pa.schema(
+                [
+                    pa.field("stream_name", pa.string()),
+                    pa.field("category", pa.string()),
+                    pa.field("idx", pa.int64()),
+                    pa.field("event_type", pa.string()),
+                    pa.field("data", pa.string()),
+                    pa.field("meta", pa.string()),
+                    pa.field("event_id", pa.int64()),
+                    pa.field("ts", pa.timestamp("us")),
+                    pa.field("is_unfold", pa.bool_()),
+                    pa.field("size", pa.int64()),
+                ]
+            )
+            table = table.select(_ENVELOPE_COLS).cast(target)
+            return iter(table.to_batches())
+
+        def commit(self, end: dict) -> None:
+            pass  # Spark's own commit log is the source of truth
+
+    class StoreCdcDataSource(DataSource):
+        """``spark.readStream.format("propulsion-store-cdc")``.
+
+        Options: ``path`` (the store dir, required), ``startSeq``
+        (default 0 = from the feed's beginning), ``maxSeqsPerTrigger``
+        (commits admitted per micro-batch — the read-ahead gate)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "propulsion-store-cdc"
+
+        def schema(self) -> str:
+            return _ENVELOPE_DDL
+
+        def streamReader(self, schema):
+            return _StoreCdcStreamReader(
+                {k.lower(): v for k, v in self.options.items()}
+            )
+
+    def register_store_cdc(spark: SparkSession) -> None:
+        """Register the native source with this session (idempotent)."""
+        spark.dataSource.register(StoreCdcDataSource)
+
+except ImportError:  # pragma: no cover — PySpark < 4.0
+
+    StoreCdcDataSource = None
+
+    def register_store_cdc(spark: SparkSession) -> None:
+        raise NotImplementedError(
+            "the native store-cdc source needs the PySpark DataSource "
+            "API (Spark >= 4.0); use store_cdc_feed() instead"
+        )

@@ -36,6 +36,7 @@ the requests hash into.
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 import uuid
@@ -48,6 +49,13 @@ from propulsion_spark.streaming.mvcc import FileLease, JsonManifest
 from propulsion_spark.streaming.sinks import OutcomeKind
 
 _EMPTY_MANIFEST = {"data": {}, "tails": [], "unfold_buckets": []}
+
+
+class CdcRetentionError(RuntimeError):
+    """A change-feed reader lagged past compaction: a CDC record
+    references a segment the store has since folded away. Recover by
+    re-seeding from a snapshot (``read()`` + ``cdc_latest_seq()``) —
+    the same contract as reading Delta CDF past VACUUM retention."""
 
 # below this many touched streams per sync, the verdict/report are
 # handled driver-side (one probe job — r2's single-job redelivery
@@ -410,6 +418,17 @@ class EventStoreTable:
             self.manifest.flip(
                 {"data": data, "tails": tsegs, "unfold_buckets": new_ub}
             )
+            # change-data-feed record: one tiny JSON per appending
+            # commit, AFTER the flip (a fenced-out commit must not
+            # leave a phantom CDC entry). Written under the same
+            # lease-serialized scope, so seq assignment cannot race.
+            self._cdc_append(
+                [
+                    f"{seg}/{d}"
+                    for d in sorted(os.listdir(os.path.join(self.path, seg)))
+                    if d.startswith("bucket=")
+                ]
+            )
             return tail_stats
         finally:
             novel.unpersist()
@@ -419,6 +438,96 @@ class EventStoreTable:
         a lost retire-grace list) older than ``grace_s``."""
         with self._commit():
             return self.manifest.vacuum(grace_s)
+
+    # ---- change-data feed (the Cosmos change-feed / Delta CDF analog;
+    #      SURVEY §2.1 S1: consumers react to committed appends) ----------
+    def _cdc_dir(self) -> str:
+        return os.path.join(self.path, "_cdc")
+
+    def _cdc_append(self, segments: "list[str]") -> None:
+        """One record per appending sync: ``{seq, segments}``. Tiny
+        (bytes per commit), atomic (tmp + rename), monotone (the sync
+        lease serializes writers). Readers page through records by seq
+        — the store's own commit log doubles as the change feed, the
+        exact trick Delta's CDF and the reference's epoch-indexed
+        AppendsEpoch streams both use."""
+        d = self._cdc_dir()
+        os.makedirs(d, exist_ok=True)
+        seq = self.cdc_latest_seq() + 1
+        rec = {"seq": seq, "segments": segments}
+        tmp = os.path.join(d, f".c-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(json.dumps(rec))
+        os.replace(tmp, os.path.join(d, f"c-{seq:012d}.json"))
+
+    def _cdc_records(self, since_seq: int = 0) -> "list[dict]":
+        d = self._cdc_dir()
+        try:
+            names = sorted(
+                n for n in os.listdir(d)
+                if n.startswith("c-") and n.endswith(".json")
+            )
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            if int(n[2:-5]) <= since_seq:
+                continue
+            with open(os.path.join(d, n)) as f:
+                out.append(json.loads(f.read()))
+        return out
+
+    def cdc_latest_seq(self) -> int:
+        """Newest committed change-feed sequence (0 = empty feed)."""
+        recs = self._cdc_records()
+        return recs[-1]["seq"] if recs else 0
+
+    def cdc_earliest_readable(self) -> int:
+        """Smallest ``since_seq`` from which :meth:`changes` can serve
+        without a retention gap — compaction/prune fold old segments
+        away, exactly like VACUUM bounds Delta's CDF lookback."""
+        recs = self._cdc_records()
+        earliest = self.cdc_latest_seq()  # read-from-here always works
+        for rec in reversed(recs):
+            if all(
+                os.path.exists(os.path.join(self.path, s))
+                for s in rec["segments"]
+            ):
+                earliest = rec["seq"] - 1
+            else:
+                break
+        return earliest
+
+    def changes(self, since_seq: int = 0) -> "tuple[DataFrame, int]":
+        """Envelope rows appended by syncs AFTER ``since_seq``, plus the
+        new watermark to checkpoint: ``(df, latest_seq)``.
+
+        At-least-once per appended row (a sync's rows appear under
+        exactly one seq; re-reading a seq re-serves its rows — pair
+        with write-pos dedup downstream, the engine's standard
+        contract). Deletions (prune) and rewrites (compaction) do NOT
+        appear — this is an append feed, the reference change feed's
+        semantics. A reader lagging past compaction gets
+        :class:`CdcRetentionError` and must re-seed from a ``read()``
+        snapshot + ``cdc_latest_seq()``, the standard CDF recovery."""
+        recs = self._cdc_records(since_seq)
+        if not recs:
+            return self._empty_envelope(), since_seq
+        paths = []
+        for rec in recs:
+            for s in rec["segments"]:
+                p = os.path.join(self.path, s)
+                if not os.path.exists(p):
+                    raise CdcRetentionError(
+                        f"change-feed seq {rec['seq']} references "
+                        f"compacted-away segment {s}; re-seed from a "
+                        f"snapshot (read() + cdc_latest_seq()="
+                        f"{self.cdc_latest_seq()}) or start from "
+                        f"cdc_earliest_readable()="
+                        f"{self.cdc_earliest_readable()}"
+                    )
+                paths.append(p)
+        return self.spark.read.parquet(*paths), recs[-1]["seq"]
 
     # ---- the pruner (W2) ---------------------------------------------------
     def prune(self, requests: DataFrame) -> DataFrame:

@@ -392,9 +392,10 @@ class JsonManifest:
                 entry == base
                 or entry == "_LOCK"
                 or entry == "_FENCE"
+                or entry == "_cdc"
                 or entry.startswith(base + ".")
             ):
-                continue  # pointer, lease, fence file, in-flight tmp
+                continue  # pointer, lease, fence, change-feed log, tmp
             # NOTE: _LOCK.steal.* files (leaked by a crash between a
             # steal's os.replace and os.unlink) deliberately fall through
             # to the age-guarded delete below, so they are reclaimed once

@@ -1,0 +1,239 @@
+"""Change-data feed over EventStoreTable: commit-log CDC records,
+paged changes() reads, retention contract under compaction, the
+consumer-group feed pump, and the native PySpark DataSource
+(spark.readStream.format("propulsion-store-cdc")).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from propulsion_spark.operators.fixtures import stream_events
+from propulsion_spark.streaming.event_store import (
+    CdcRetentionError,
+    EventStoreTable,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _halves(spark):
+    env = stream_events(spark, SF)
+    cols = [
+        "stream_name",
+        "category",
+        "idx",
+        "event_type",
+        "data",
+        "meta",
+        "event_id",
+        "ts",
+        "is_unfold",
+        "size",
+    ]
+    env = env.select(*cols)
+    # prefix split per stream: the second half starts exactly at each
+    # stream's tail after the first sync (no PREFIX_MISSING gaps)
+    return (env.filter(F.col("idx") < 2), env.filter(F.col("idx") >= 2))
+
+
+class TestCdcLog:
+    def test_appends_emit_records_duplicates_do_not(self, spark, tmp_path):
+        a, b = _halves(spark)
+        store = EventStoreTable(spark, str(tmp_path / "store"))
+        assert store.cdc_latest_seq() == 0
+        store.sync(a)
+        assert store.cdc_latest_seq() == 1
+        store.sync(a)  # full-duplicate redelivery: nothing appended
+        assert store.cdc_latest_seq() == 1
+        store.sync(b)
+        assert store.cdc_latest_seq() == 2
+
+    def test_changes_pages_exactly_the_appended_rows(self, spark, tmp_path):
+        a, b = _halves(spark)
+        store = EventStoreTable(spark, str(tmp_path / "store"))
+        store.sync(a)
+        df1, w1 = store.changes(0)
+        assert w1 == 1
+        assert df1.count() == a.count()
+        store.sync(b)
+        df2, w2 = store.changes(w1)
+        assert w2 == 2
+        got = {(r["stream_name"], r["idx"]) for r in df2.collect()}
+        want = {(r["stream_name"], r["idx"]) for r in b.collect()}
+        assert got == want
+        # full feed == full store
+        all_df, w = store.changes(0)
+        assert w == 2 and all_df.count() == store.read().count()
+        # caught-up read is empty, watermark unchanged
+        empty, w3 = store.changes(w2)
+        assert w3 == w2 and empty.count() == 0
+
+    def test_retention_error_after_compaction(self, spark, tmp_path):
+        a, b = _halves(spark)
+        store = EventStoreTable(spark, str(tmp_path / "store"), n_buckets=2)
+        store.sync(a)
+        store.sync(b)
+        for bucket in list(store.bucket_segment_counts()):
+            store.compact_bucket(bucket)
+        store.vacuum(grace_s=0.0)  # drop the retired generation
+        with pytest.raises(CdcRetentionError):
+            store.changes(0)
+        # recovery contract: snapshot + latest watermark still serve
+        assert store.cdc_earliest_readable() >= store.cdc_latest_seq() - 1
+        assert store.read().count() == a.count() + b.count()
+
+    def test_vacuum_keeps_the_cdc_log(self, spark, tmp_path):
+        a, _ = _halves(spark)
+        store = EventStoreTable(spark, str(tmp_path / "store"))
+        store.sync(a)
+        store.vacuum(grace_s=0.0)
+        assert store.cdc_latest_seq() == 1
+
+
+class TestCdcFeedPump:
+    def test_consumer_group_pump_drains_the_feed(self, spark, tmp_path):
+        from propulsion_spark.sources.store_cdc import store_cdc_feed
+        from propulsion_spark.streaming.checkpoints import CheckpointStore
+
+        a, b = _halves(spark)
+        store = EventStoreTable(spark, str(tmp_path / "store"))
+        store.sync(a)
+        store.sync(b)
+
+        seen: list = []
+
+        class CollectingSink:
+            def process_batch(self, df, batch_id=0):
+                seen.extend(
+                    (r["stream_name"], r["idx"]) for r in df.collect()
+                )
+
+        ck = CheckpointStore(path=str(tmp_path / "ck"), group="g1")
+        src = store_cdc_feed(
+            spark, store, CollectingSink(), ck, page_seqs=1
+        )
+        src.stop_at_tail = True
+        assert src.start().await_completion(timeout=120)
+        want = {(r["stream_name"], r["idx"]) for r in store.read().collect()}
+        assert set(seen) == want and len(seen) == len(want)
+        # position committed at the feed tail; a second pump re-reads
+        # nothing
+        ck.flush()
+        assert ck.position("store-cdc", "0") == store.cdc_latest_seq()
+        seen.clear()
+        src2 = store_cdc_feed(
+            spark, store, CollectingSink(), ck, page_seqs=1
+        )
+        src2.stop_at_tail = True
+        assert src2.start().await_completion(timeout=120)
+        assert seen == []
+
+
+class TestCdcCli:
+    def test_sync_from_store_cdc_to_stats(self, spark, tmp_path):
+        """`sync --from store-cdc:<store> --to stats:` — the reference's
+        flagship wiring (store change feed → handler → checkpoint) as
+        one CLI invocation."""
+        import json
+        import subprocess
+        import sys
+
+        a, b = _halves(spark)
+        store = EventStoreTable(spark, str(tmp_path / "store"))
+        store.sync(a)
+        store.sync(b)
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "propulsion_spark.cli",
+                "sync",
+                "--from",
+                f"store-cdc:{store.path}",
+                "--to",
+                "stats:",
+                "--checkpoints",
+                str(tmp_path / "ck"),
+                "--positions",
+                str(tmp_path / "pos"),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        rep = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert rep["caught_up"] is True
+        assert rep["stats"]["events"] == store.read().count()
+
+
+class TestNativeDataSource:
+    def test_readstream_native_source_end_to_end(self, spark, tmp_path):
+        """The PySpark-native source: offsets ride Spark's own commit
+        log; a restarted query resumes past already-served commits."""
+        from propulsion_spark.sources.store_cdc import register_store_cdc
+
+        a, b = _halves(spark)
+        store = EventStoreTable(spark, str(tmp_path / "store"))
+        store.sync(a)
+        register_store_cdc(spark)
+
+        got: list = []
+
+        def run_once():
+            q = (
+                spark.readStream.format("propulsion-store-cdc")
+                .option("path", store.path)
+                .load()
+                .writeStream.foreachBatch(
+                    lambda df, bid: got.extend(
+                        (r["stream_name"], r["idx"]) for r in df.collect()
+                    )
+                )
+                .option("checkpointLocation", str(tmp_path / "qck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        run_once()
+        want_a = {(r["stream_name"], r["idx"]) for r in a.collect()}
+        assert set(got) == want_a and len(got) == len(want_a)
+
+        got.clear()
+        store.sync(b)
+        run_once()  # same checkpoint: only the new commit is served
+        want_b = {(r["stream_name"], r["idx"]) for r in b.collect()}
+        assert set(got) == want_b and len(got) == len(want_b)
+
+    def test_schema_and_values_roundtrip(self, spark, tmp_path):
+        from propulsion_spark.sources.store_cdc import register_store_cdc
+
+        a, _ = _halves(spark)
+        store = EventStoreTable(spark, str(tmp_path / "store"))
+        store.sync(a)
+        register_store_cdc(spark)
+        # batch-compare through the native source's arrow read path
+        rows: list = []
+        q = (
+            spark.readStream.format("propulsion-store-cdc")
+            .option("path", store.path)
+            .load()
+            .writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "qck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        want = {
+            (r["stream_name"], r["idx"]): (r["event_type"], r["ts"], r["size"])
+            for r in store.read().collect()
+        }
+        got = {
+            (r["stream_name"], r["idx"]): (r["event_type"], r["ts"], r["size"])
+            for r in rows
+        }
+        assert got == want
