@@ -35,7 +35,6 @@ from pyspark.sql import functions as F
 from propulsion_spark.operators.similarity import (
     NPROBE,
     TOP_K,
-    _dist_to_codebook,
     _spark_dot,
     _spark_ivf_learned_codebook,
     q_embedding_centroids,
@@ -141,27 +140,27 @@ class AnnIndex:
         codebook.unpersist()
         return idx
 
-    def _assign_vectorized(
-        self, vectors: DataFrame, codebook: DataFrame
-    ) -> DataFrame:
-        """``vectors`` + a ``cell`` column: nearest-centroid assignment
-        as ONE Arrow-vectorized pandas UDF against a broadcast numpy
-        codebook — O(n) rows through the plan instead of the exact
-        path's O(n·dims·cells) dim-explode shuffle
-        (``similarity._dist_to_codebook``). The exact fixed-point path
-        exists for cross-engine oracle determinism; the serving index
-        doesn't need cross-ENGINE bit-exactness, only agreement with
-        the exact path's argmin — asserted by test, and guarded here:
-        rows whose two nearest cells are within float rounding of each
-        other are re-scored with the exact (x−c)² formulation before
-        the argmin (labels sorted ascending, so ties break to the
-        smaller label exactly like the exact path's ORDER BY d2,
-        label).
+    def _cells_topk_udf(self, codebook: DataFrame, k: int):
+        """Arrow-vectorized pandas UDF: the ``k`` nearest codebook cells
+        of an embedding (ties by smaller label), as ``array<bigint>`` —
+        ONE UDF over O(n) rows instead of the exact path's
+        O(n·dims·cells) dim-explode shuffle
+        (``similarity._dist_to_codebook``). Shared by build/append
+        assignment (k=1) and the search-side probe ranking (k=n_probes).
+
+        The exact fixed-point path exists for cross-engine oracle
+        determinism; the serving index only needs agreement with the
+        exact path's ORDER BY (d2, label) — asserted by test, and
+        guarded here: when the decision boundary (between rank k and
+        k+1, or inside the top-k for k=1's argmin) falls within float
+        rounding, the ambiguous rows are re-scored with the exact
+        (x−c)² formulation; labels sorted ascending + stable argsort
+        break exact ties to the smaller label, exactly like the exact
+        path.
 
         At 100 TB with √n cells this is the difference between feasible
         and not: the explode path materializes n·dims·cells rows into a
-        shuffle; this path moves each vector once and does the argmin
-        in BLAS."""
+        shuffle; this path moves each vector once and ranks in BLAS."""
         import numpy as np
         import pandas as pd
 
@@ -172,29 +171,40 @@ class AnnIndex:
         c2 = (C * C).sum(axis=1)
         bc = self.spark.sparkContext.broadcast((labs, C, c2))
 
-        def assign(emb: "pd.Series") -> "pd.Series":
+        def topk(emb: "pd.Series") -> "pd.Series":
             labs, C, c2 = bc.value
             if len(emb) == 0:
-                return pd.Series([], dtype="int64")
+                return pd.Series([], dtype=object)
             X = np.stack(emb.values).astype(np.float64)
             # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖² — one matmul, O(n·cells)
             d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
-            best = np.argmin(d2, axis=1)
-            if C.shape[0] > 1:
-                # near-ties: the matmul form loses ~1e-15 relative
-                # precision; re-score ambiguous rows pairwise-exactly
-                part = np.partition(d2, 1, axis=1)
+            kk = min(k, C.shape[0])
+            order = np.argsort(d2, axis=1, kind="stable")
+            if C.shape[0] > kk:
+                # near-ties at the selection boundary: the matmul form
+                # loses ~1e-15 relative precision; re-score those rows
+                # pairwise-exactly before ranking
+                kth = np.take_along_axis(d2, order[:, kk - 1 : kk], 1)[:, 0]
+                nxt = np.take_along_axis(d2, order[:, kk : kk + 1], 1)[:, 0]
                 amb = np.flatnonzero(
-                    part[:, 1] - part[:, 0] <= 1e-9 * (1.0 + np.abs(part[:, 0]))
+                    nxt - kth <= 1e-9 * (1.0 + np.abs(kth))
                 )
                 if len(amb):
                     exact = ((X[amb, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                    best[amb] = np.argmin(exact, axis=1)
-            return pd.Series(labs[best])
+                    order[amb] = np.argsort(exact, axis=1, kind="stable")
+            return pd.Series(list(labs[order[:, :kk]]))
 
-        assign.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+        topk.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+        return F.pandas_udf(topk, "array<bigint>")
+
+    def _assign_vectorized(
+        self, vectors: DataFrame, codebook: DataFrame
+    ) -> DataFrame:
+        """``vectors`` + a ``cell`` column: nearest-centroid assignment
+        (see :meth:`_cells_topk_udf`; k=1, element 1 of the ranking)."""
         return vectors.withColumn(
-            "cell", F.pandas_udf(assign, "bigint")("embedding")
+            "cell",
+            F.element_at(self._cells_topk_udf(codebook, 1)("embedding"), 1),
         )
 
     def _assign_and_write(
@@ -385,14 +395,13 @@ class AnnIndex:
         quality trade fits a workload.
         """
         codebook = self.codebook()
-        qdist = _dist_to_codebook(
-            _explode_dims(queries, id_col="query_id"), codebook
-        )
-        w_cell = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
-        probes = (
-            qdist.withColumn("rn", F.row_number().over(w_cell))
-            .filter(F.col("rn") <= n_probes)
-            .select(F.col("vec_id").alias("query_id"), F.col("label").alias("cell"))
+        # probe ranking rides the same vectorized UDF as assignment —
+        # the search hot path never pays the dim-explode shuffle either
+        probes = queries.select(
+            "query_id",
+            F.explode(
+                self._cells_topk_udf(codebook, n_probes)("embedding")
+            ).alias("cell"),
         )
         # bounded driver list → static partition pruning on the scan
         cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
