@@ -74,10 +74,129 @@ hll_exact AS (
 """
 
 
+# ---- deterministic log2 histogram (quantile sketch) -------------------
+# Bucket = bit length of floor(value · 2^20): a base-2 HDR-histogram
+# whose bucketing is PURE INTEGER arithmetic (no log(), whose last-ulp
+# rounding is not portable). Bucket counts are trivially mergeable
+# (sum), quantile estimates come off the cumulative histogram with a
+# guaranteed ≤2× relative error (bucket b spans [2^(b-1), 2^b)), and
+# rank k = ceil(p·n) is computed as (n·pct + 99) div 100 — integer
+# again, so Spark and DuckDB agree bit-for-bit end to end.
+QH_SCALE = 1 << 20
+QH_PCTS = [50, 90, 99]
+
+
+def value_log_histogram(
+    df: DataFrame, group_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """(group, bucket, c): the mergeable sketch state — counts per
+    base-2 bucket of a non-negative value column. Map + one groupBy;
+    merging partial histograms = summing counts per (group, bucket)
+    (pinned by test: sketch-of-union == merge-of-partials)."""
+    bucket = F.expr(
+        f"CAST(length(bin(CAST(floor({value_col} * {QH_SCALE}.0) AS BIGINT)))"
+        " AS BIGINT)"
+    )
+    return (
+        df.select(F.col(group_col).alias("grp"), bucket.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def merge_histograms(*hists: DataFrame) -> DataFrame:
+    """Union partial sketch states and re-aggregate — the 100 TB rollup
+    shape (per-partition/day sketches combine without re-reading data)."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("grp", "bucket").agg(F.sum("c").cast("long").alias("c"))
+
+
+def histogram_quantiles(hist: DataFrame, pcts: "list[int]" = QH_PCTS) -> DataFrame:
+    """Quantile estimates off the cumulative histogram: one row per
+    (grp, pct) with the chosen bucket, its dyadic upper-bound estimate,
+    bucket count, and total n."""
+    w_cum = Window.partitionBy("grp").orderBy("bucket")
+    w_all = Window.partitionBy("grp")
+    cum = (
+        hist.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(w_all))
+        .withColumn("n_buckets", F.count("*").over(w_all))
+    )
+    arms = []
+    for pct in pcts:
+        k = F.expr(f"(n * {pct} + 99) div 100")
+        arms.append(
+            cum.filter(F.col("cum") >= k)
+            .groupBy("grp")
+            .agg(
+                F.lit(pct).cast("long").alias("pct"),
+                F.min("bucket").alias("bucket"),
+                F.min("n_buckets").alias("n_buckets"),
+                F.min("n").alias("n"),
+            )
+            .withColumn(
+                "est",
+                F.expr(
+                    "CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"
+                    f" AS DOUBLE) / {QH_SCALE}.0"
+                ),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+_DUCK_QHIST = f"""
+qhist AS (
+  SELECT event_type AS grp,
+         CAST(length(bin(CAST(floor(value * {QH_SCALE}.0) AS BIGINT))) AS BIGINT)
+             AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+qcum AS (
+  SELECT grp, bucket, c,
+         sum(c) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+         sum(c) OVER (PARTITION BY grp) AS n,
+         count(*) OVER (PARTITION BY grp) AS n_buckets
+  FROM qhist
+),
+qranked AS (
+  SELECT event_type AS grp, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)
+             AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+"""
+
+
+def _duck_qhist_arm(pct: int) -> str:
+    return f"""
+SELECT 'qhist_p{pct}' AS method, s.grp AS event_type,
+       CAST(s.n_buckets AS BIGINT) AS n_kept,
+       CAST(s.bucket AS BIGINT) AS detail,
+       CAST((CAST(1 AS BIGINT) << s.bucket) AS DOUBLE) / {QH_SCALE}.0
+           AS est_distinct,
+       CAST(floor(x.value * {QH_SCALE}.0) AS BIGINT) AS exact_distinct
+FROM (
+  SELECT grp, min(bucket) AS bucket, min(n_buckets) AS n_buckets,
+         min(n) AS n
+  FROM qcum WHERE cum >= (n * {pct} + 99) // 100 GROUP BY grp
+) s
+JOIN qranked x ON x.grp = s.grp AND x.rn = (s.n * {pct} + 99) // 100
+"""
+
+
 @register(
     "sketch_distinct_kmv",
     f"""
-WITH {_DUCK_HLL.strip()}
+WITH {_DUCK_HLL.strip()},
+{_DUCK_QHIST.strip()}
 SELECT 'kmv' AS method, event_type,
        CAST(count(*) AS BIGINT) AS n_kept,
        CAST(max(h) AS BIGINT) AS detail,
@@ -100,9 +219,21 @@ GROUP BY event_type
 UNION ALL
 SELECT 'hll', event_type, n_used, s, {_HLL_EST_SQL}, exact_distinct
 FROM hll JOIN hll_exact USING (event_type)
+UNION ALL {_duck_qhist_arm(50)}
+UNION ALL {_duck_qhist_arm(90)}
+UNION ALL {_duck_qhist_arm(99)}
 """,
-    doc=f"Two mergeable distinct-count sketch families per event type in "
-    f"one report, both bit-identical across engines. method='kmv': "
+    doc=f"THREE mergeable sketch families per event type in one "
+    "long-format report, every branch bit-identical across engines. "
+    "method='qhist_p50/p90/p99' (r6): base-2 HDR-style value histogram "
+    "— bucket = bit length of floor(value·2^20), pure integer (no "
+    "log()); detail = the chosen bucket, est = its dyadic upper bound "
+    "(≤2× relative error by construction), exact = the true order "
+    "statistic (rank ceil(p·n) as integer (n·pct+99) div 100) scaled "
+    "to the same fixed point; n_kept = buckets used (the sketch's "
+    "whole state — counts per bucket — merges by addition, the 100 TB "
+    "rollup shape). "
+    f"method='kmv': "
     f"K-minimum-values (K={KMV_K}; Beyer et al. SIGMOD'07) — detail is "
     "the kth-smallest 52-bit md5 hash. method='hll': a deterministic "
     f"HyperLogLog ({HLL_M} registers from the md5 first byte, rho from "
@@ -167,4 +298,34 @@ def q_sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_HLL_EST_SQL).alias("est_distinct"),
         "exact_distinct",
     )
-    return kmv.unionByName(hll)
+
+    # quantile-histogram branches: sketch state + estimates from the
+    # shared library kernel, exact order statistic alongside
+    hist = value_log_histogram(ev)
+    quants = histogram_quantiles(hist)
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_n = Window.partitionBy("event_type")
+    ranked = ev.select(
+        F.col("event_type").alias("grp"),
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    quants = quants.withColumnRenamed("n", "qn").withColumnRenamed(
+        "grp", "qgrp"
+    )
+    qarms = quants.join(
+        ranked,
+        (quants.qgrp == ranked.grp)
+        & (ranked.rn == F.expr("(qn * pct + 99) div 100")),
+    ).select(
+        F.concat(F.lit("qhist_p"), quants.pct.cast("string")).alias("method"),
+        F.col("qgrp").alias("event_type"),
+        F.col("n_buckets").alias("n_kept"),
+        F.col("bucket").alias("detail"),
+        F.col("est").alias("est_distinct"),
+        F.expr(f"CAST(floor(value * {QH_SCALE}.0) AS BIGINT)").alias(
+            "exact_distinct"
+        ),
+    )
+    return kmv.unionByName(hll).unionByName(qarms)

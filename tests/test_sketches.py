@@ -86,3 +86,67 @@ class TestSketchMergeability:
                 HLL_M - len(merged[et])
             ) * _POW53
             assert s_full == s_merged
+
+
+class TestLogHistogramSketch:
+    def test_merge_of_partials_equals_sketch_of_union(self, spark):
+        """The mergeability contract: per-partition histograms summed per
+        (group, bucket) == the histogram of the whole table."""
+        from propulsion_spark.operators.sketches import (
+            merge_histograms,
+            value_log_histogram,
+        )
+
+        ev = load_table(spark, SF, "events")
+        full = {
+            (r["grp"], r["bucket"]): r["c"]
+            for r in value_log_histogram(ev).collect()
+        }
+        parts = [
+            value_log_histogram(ev.filter(F.col("event_id") % 3 == i))
+            for i in range(3)
+        ]
+        merged = {
+            (r["grp"], r["bucket"]): r["c"]
+            for r in merge_histograms(*parts).collect()
+        }
+        assert merged == full
+
+    def test_quantile_estimate_error_bound(self, spark):
+        """Bucket b spans [2^(b-1), 2^b) of the scaled value, so the
+        dyadic upper-bound estimate is ≥ the true quantile and < 2× it
+        — the HDR-histogram guarantee, checked against the exact order
+        statistic for every (event_type, pct)."""
+        from propulsion_spark.operators.sketches import (
+            QH_PCTS,
+            QH_SCALE,
+            histogram_quantiles,
+            value_log_histogram,
+        )
+        from pyspark.sql import Window
+
+        ev = load_table(spark, SF, "events")
+        est = {
+            (r["grp"], r["pct"]): r["est"]
+            for r in histogram_quantiles(value_log_histogram(ev)).collect()
+        }
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        wn = Window.partitionBy("event_type")
+        ranked = ev.select(
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        for pct in QH_PCTS:
+            true = {
+                r["event_type"]: r["value"]
+                for r in ranked.filter(
+                    F.col("rn") == F.expr(f"(n * {pct} + 99) div 100")
+                ).collect()
+            }
+            for et, tv in true.items():
+                e = est[(et, pct)]
+                scaled_true = int(tv * QH_SCALE)
+                assert e * QH_SCALE >= scaled_true
+                assert e * QH_SCALE < 2 * max(scaled_true, 1) + 2
