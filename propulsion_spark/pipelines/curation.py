@@ -135,6 +135,22 @@ class _BandTable(_DeltaRegistry):
         return df.dropDuplicates(["band", "keeper"])
 
 
+class _TokenHistogram(_DeltaRegistry):
+    """Durable token-length histogram of KEPT docs: the mergeable
+    log2-bucket sketch (``operators/sketches.py``) accumulated per
+    batch — counts per (grp, bucket) resolve by addition, so each
+    register() is O(batch) and the running state is O(buckets). The
+    corpus drift gauge: if the length distribution of what curation
+    keeps shifts (p50/p90/p99 off the cumulative histogram), the
+    gates or the incoming mix changed."""
+
+    SCHEMA = "grp string, bucket long, c long"
+    COLS = ["grp", "bucket", "c"]
+
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        return df.groupBy("grp", "bucket").agg(F.sum("c").alias("c"))
+
+
 class CurationPipeline:
     """Feed-source sink: each batch of raw documents flows through
     quality gates and cross-batch dedup into the curated store."""
@@ -157,6 +173,7 @@ class CurationPipeline:
         self.assign_splits = assign_splits
         self.near_dedup = near_dedup
         self.fingerprints = _FingerprintTable(spark, f"{out_path}/_fingerprints")
+        self.token_hist = _TokenHistogram(spark, f"{out_path}/_token_hist")
         self.bands = (
             _BandTable(spark, f"{out_path}/_bands") if near_dedup else None
         )
@@ -280,6 +297,26 @@ class CurationPipeline:
                 )
             out.write.mode("append").parquet(self.curated_path)
             self.fingerprints.register(kept_docs.select("fp", F.col("doc_id").alias("keeper")))
+            if n_kept:
+                # accumulate the per-language token-length histogram of
+                # what was KEPT (drift gauge; O(batch) register, state
+                # O(langs × buckets))
+                from propulsion_spark.operators.sketches import (
+                    value_log_histogram,
+                )
+
+                self.token_hist.register(
+                    value_log_histogram(
+                        kept_docs.select(
+                            "lang",
+                            F.expr(
+                                f"CAST(size({_toks('spark')}) AS DOUBLE)"
+                            ).alias("_ntok"),
+                        ),
+                        group_col="lang",
+                        value_col="_ntok",
+                    )
+                )
             if new_bands is not None:
                 self.bands.register(new_bands)
             with self._lock:
@@ -311,6 +348,14 @@ class CurationPipeline:
                 F.sum("n_chars").alias("total_chars"),
             )
         )
+
+    def token_length_quantiles(self) -> DataFrame:
+        """p50/p90/p99 kept-doc token length per language, off the
+        accumulated mergeable histogram (no scan of the curated store)
+        — the length-distribution drift gauge."""
+        from propulsion_spark.operators.sketches import histogram_quantiles
+
+        return histogram_quantiles(self.token_hist.read())
 
     def lang_stats(self) -> DataFrame:
         return (

@@ -81,9 +81,22 @@ class MetricsExporter:
         (``propulsion_curation_docs_total{stage=...}`` — seen,
         rejected_quality, rejected_repetition, deduped, near_deduped,
         kept) so an operator can watch gate/dedup rates live."""
-        return self.register_gauge(
+        self.register_gauge(
             "propulsion_curation_docs_total",
             lambda: [({"stage": k}, v) for k, v in sorted(pipeline.stats.items())],
+        )
+
+        def length_scrape():
+            return [
+                ({"lang": r["grp"], "pct": r["pct"]}, r["est"])
+                for r in pipeline.token_length_quantiles().collect()
+            ]
+
+        # kept-doc token-length p50/p90/p99 per language, off the
+        # accumulated mergeable histogram — drift in what curation
+        # keeps shows here before it shows in model training
+        return self.register_gauge(
+            "propulsion_curation_token_length", length_scrape
         )
 
     def lines(self) -> Iterable[str]:

@@ -200,3 +200,42 @@ class TestDeltaRegistries:
         t.register(spark.createDataFrame([("a", 3)], "fp string, keeper long"))
         rows = {r["fp"]: r["keeper"] for r in t.read().collect()}
         assert rows == {"a": 3}
+
+
+class TestTokenLengthDriftGauge:
+    def test_histogram_accumulates_and_quantiles_export(self, spark, tmp_path):
+        """The kept-doc token-length histogram accumulates across
+        batches (counts == kept docs per language), quantile estimates
+        respect the 2x HDR bound against the curated store, and the
+        exporter renders the gauge."""
+        from pyspark.sql import functions as F
+
+        from propulsion_spark.streaming.metrics import MetricsExporter
+
+        pipe = CurationPipeline(spark, str(tmp_path / "out"))
+        pipe.process_batch(mk(spark, [doc(1, GOOD), doc(2, GOOD + " tail")]))
+        pipe.process_batch(
+            mk(spark, [doc(3, GOOD + " more words here now"), doc(4, GOOD)])
+        )
+        hist = pipe.token_hist.read()
+        n_hist = sum(r["c"] for r in hist.collect())
+        kept = pipe.curated()
+        assert n_hist == kept.count() == 3  # doc 4 is an exact dup of 1
+        q = {
+            (r["grp"], r["pct"]): r["est"]
+            for r in pipe.token_length_quantiles().collect()
+        }
+        true_toks = sorted(
+            r["n"]
+            for r in kept.select(
+                F.expr("size(split(lower(trim(text)), '\\\\s+'))").alias("n")
+            ).collect()
+        )
+        p50 = true_toks[(len(true_toks) * 50 + 99) // 100 - 1]
+        assert q[("en", 50)] >= p50
+        assert q[("en", 50)] < 2 * p50 + 2
+        text = (
+            MetricsExporter(group="t").register_curation(pipe).render()
+        )
+        assert "propulsion_curation_token_length" in text
+        assert 'lang="en"' in text
