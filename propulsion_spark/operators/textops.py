@@ -516,3 +516,38 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------ stratified sampling
+def stratified_sample(
+    docs: DataFrame,
+    k: int,
+    strata: "tuple[str, ...]" = ("lang",),
+    id_col: str = "doc_id",
+    salt: str = "sample-0",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample — eval-set / inspection
+    carving without an RNG: rank docs inside each stratum by a salted
+    md5 of their id and keep the k smallest (a stratum with fewer than k
+    docs is taken whole). Reproducible across runs, partitionings, and
+    cluster sizes; different ``salt`` values draw independent samples
+    (re-salting is the re-draw, the same trick as the split assigner).
+
+    Scale shape: the rank filter is a window, but Spark's
+    WindowGroupLimit rewrite pushes ``rank <= k`` into per-partition
+    top-k before the shuffle, so each stratum moves O(partitions·k)
+    rows, not its whole population. Strata are the parallelism unit —
+    fine for (lang), (lang, source); for a single giant stratum use the
+    Bernoulli hash-range sampler in corpus_split_assign instead.
+    """
+    from propulsion_spark.operators.dedup import SPARK_H64
+
+    h = F.expr(
+        SPARK_H64.format(x=f"concat('{salt}-', cast({id_col} as string))")
+    )
+    w = Window.partitionBy(*strata).orderBy(h.alias("_h"), F.col(id_col))
+    return (
+        docs.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+    )

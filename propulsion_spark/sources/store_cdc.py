@@ -117,6 +117,7 @@ def store_cdc_feed(
 try:  # PySpark ≥ 4.0 — gate so older runtimes keep the feed-pump path
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceReader,
         DataSourceStreamReader,
         InputPartition,
     )
@@ -196,46 +197,83 @@ try:  # PySpark ≥ 4.0 — gate so older runtimes keep the feed-pump path
             return parts or [_SegmentsPartition([])]
 
         def read(self, partition):  # executes on Python workers
-            import pyarrow as pa
-            import pyarrow.dataset as pds
-
-            files = []
-            for p in partition.paths:
-                for root, _, names in os.walk(p):
-                    files.extend(
-                        os.path.join(root, n)
-                        for n in names
-                        if n.endswith(".parquet")
-                    )
-            if not files:
-                return iter(())
-            table = pds.dataset(files, format="parquet").to_table()
-            target = pa.schema(
-                [
-                    pa.field("stream_name", pa.string()),
-                    pa.field("category", pa.string()),
-                    pa.field("idx", pa.int64()),
-                    pa.field("event_type", pa.string()),
-                    pa.field("data", pa.string()),
-                    pa.field("meta", pa.string()),
-                    pa.field("event_id", pa.int64()),
-                    pa.field("ts", pa.timestamp("us")),
-                    pa.field("is_unfold", pa.bool_()),
-                    pa.field("size", pa.int64()),
-                ]
-            )
-            table = table.select(_ENVELOPE_COLS).cast(target)
-            return iter(table.to_batches())
+            return _read_segment_arrow(partition.paths)
 
         def commit(self, end: dict) -> None:
             pass  # Spark's own commit log is the source of truth
 
-    class StoreCdcDataSource(DataSource):
-        """``spark.readStream.format("propulsion-store-cdc")``.
+    def _read_segment_arrow(paths: "list[str]"):
+        """Shared executor-side read: parquet files under segment dirs →
+        Arrow batches cast to the envelope schema."""
+        import pyarrow as pa
+        import pyarrow.dataset as pds
 
-        Options: ``path`` (the store dir, required), ``startSeq``
-        (default 0 = from the feed's beginning), ``maxSeqsPerTrigger``
-        (commits admitted per micro-batch — the read-ahead gate)."""
+        files = []
+        for p in paths:
+            for root, _, names in os.walk(p):
+                files.extend(
+                    os.path.join(root, n)
+                    for n in names
+                    if n.endswith(".parquet")
+                )
+        if not files:
+            return iter(())
+        table = pds.dataset(files, format="parquet").to_table()
+        target = pa.schema(
+            [
+                pa.field("stream_name", pa.string()),
+                pa.field("category", pa.string()),
+                pa.field("idx", pa.int64()),
+                pa.field("event_type", pa.string()),
+                pa.field("data", pa.string()),
+                pa.field("meta", pa.string()),
+                pa.field("event_id", pa.int64()),
+                pa.field("ts", pa.timestamp("us")),
+                pa.field("is_unfold", pa.bool_()),
+                pa.field("size", pa.int64()),
+            ]
+        )
+        return iter(table.select(_ENVELOPE_COLS).cast(target).to_batches())
+
+    class _StoreSnapshotReader(DataSourceReader):
+        """Batch face of the source: the CURRENT manifest's committed
+        segments (crash orphans and retired generations invisible) —
+        one executor partition per segment bucket dir."""
+
+        def __init__(self, options: dict):
+            self.path = options["path"]
+
+        def partitions(self):
+            import json
+
+            try:
+                with open(os.path.join(self.path, "_VERSION")) as f:
+                    m = json.loads(f.read().strip() or "null")
+            except FileNotFoundError:
+                m = None
+            if m is None:
+                return [_SegmentsPartition([])]
+            data = m["data"] if isinstance(m, dict) else {"0": m}
+            parts = [
+                _SegmentsPartition([os.path.join(self.path, s)])
+                for segs in data.values()
+                for s in segs
+            ]
+            return parts or [_SegmentsPartition([])]
+
+        def read(self, partition):
+            return _read_segment_arrow(partition.paths)
+
+    class StoreCdcDataSource(DataSource):
+        """The engine store as a first-class Spark format — the Delta
+        convention: ``spark.read.format("propulsion-store-cdc")`` is a
+        manifest-consistent SNAPSHOT of the committed store;
+        ``spark.readStream`` on the same format is the change feed.
+
+        Options: ``path`` (the store dir, required); streaming only:
+        ``startSeq`` (default 0 = from the feed's beginning),
+        ``maxSeqsPerTrigger`` (commits admitted per micro-batch — the
+        read-ahead gate)."""
 
         @classmethod
         def name(cls) -> str:
@@ -243,6 +281,11 @@ try:  # PySpark ≥ 4.0 — gate so older runtimes keep the feed-pump path
 
         def schema(self) -> str:
             return _ENVELOPE_DDL
+
+        def reader(self, schema):
+            return _StoreSnapshotReader(
+                {k.lower(): v for k, v in self.options.items()}
+            )
 
         def streamReader(self, schema):
             return _StoreCdcStreamReader(

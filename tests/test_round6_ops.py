@@ -433,3 +433,44 @@ class TestPlanAuditPinned:
             f"unexpected plan flags: "
             f"{ {n: results[n] for n in flagged - EXPECTED_FLAGGED} }"
         )
+
+
+class TestStratifiedSample:
+    def test_exact_k_deterministic_and_salted(self, spark):
+        from propulsion_spark import load_table
+        from propulsion_spark.operators.textops import stratified_sample
+
+        docs = load_table(spark, SF, "documents")
+        s1 = stratified_sample(docs, 5)
+        per_lang = {
+            r["lang"]: r["n"]
+            for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        pop = {
+            r["lang"]: r["n"]
+            for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        for lang, n in per_lang.items():
+            assert n == min(5, pop[lang])
+        # partition-layout invariant
+        ids = lambda df: sorted(r["doc_id"] for r in df.select("doc_id").collect())  # noqa: E731
+        assert ids(s1) == ids(stratified_sample(docs.repartition(13), 5))
+        # a different salt draws a different (but equally sized) sample
+        s2 = stratified_sample(docs, 5, salt="sample-1")
+        assert ids(s2) != ids(s1)
+        assert len(ids(s2)) == len(ids(s1))
+
+    def test_window_group_limit_in_plan(self, spark):
+        """The scale contract: rank<=k is pushed into per-partition
+        top-k (WindowGroupLimit) so a stratum never fully sorts."""
+        from propulsion_spark import load_table
+        from propulsion_spark.operators.textops import stratified_sample
+
+        docs = load_table(spark, SF, "documents")
+        plan = (
+            stratified_sample(docs, 5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan

@@ -209,6 +209,33 @@ class TestNativeDataSource:
         want_b = {(r["stream_name"], r["idx"]) for r in b.collect()}
         assert set(got) == want_b and len(got) == len(want_b)
 
+    def test_batch_read_is_manifest_snapshot(self, spark, tmp_path):
+        """The batch face: spark.read on the same format serves the
+        CURRENT committed manifest (crash orphans invisible) and equals
+        store.read()."""
+        import os
+
+        from propulsion_spark.sources.store_cdc import register_store_cdc
+
+        a, b = _halves(spark)
+        store = EventStoreTable(spark, str(tmp_path / "store"))
+        store.sync(a)
+        store.sync(b)
+        # an orphaned segment dir (crash between write and flip) must
+        # not leak into the snapshot
+        orphan = os.path.join(store.path, "seg-orphan", "bucket=0")
+        os.makedirs(orphan)
+        a.limit(5).write.mode("overwrite").parquet(orphan)
+        register_store_cdc(spark)
+        snap = (
+            spark.read.format("propulsion-store-cdc")
+            .option("path", store.path)
+            .load()
+        )
+        got = {(r["stream_name"], r["idx"]) for r in snap.collect()}
+        want = {(r["stream_name"], r["idx"]) for r in store.read().collect()}
+        assert got == want and snap.count() == store.read().count()
+
     def test_schema_and_values_roundtrip(self, spark, tmp_path):
         from propulsion_spark.sources.store_cdc import register_store_cdc
 
