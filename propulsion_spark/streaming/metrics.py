@@ -155,6 +155,22 @@ class MetricsExporter:
                     {**lbl, "stat": "total"},
                     sum(counts.values()),
                 )
+            cdc_latest = getattr(store, "cdc_latest_seq", None)
+            if cdc_latest is not None:
+                # change-feed health: the window a lagging consumer can
+                # still read ([earliest_readable, latest]); a consumer
+                # group's lag = latest − its committed position
+                yield "# TYPE propulsion_store_cdc_seq gauge"
+                yield _fmt(
+                    "propulsion_store_cdc_seq",
+                    {**lbl, "stat": "latest"},
+                    cdc_latest(),
+                )
+                yield _fmt(
+                    "propulsion_store_cdc_seq",
+                    {**lbl, "stat": "earliest_readable"},
+                    store.cdc_earliest_readable(),
+                )
             yield "# TYPE propulsion_spool_retained gauge"
             for spool_name in ("_report_spool", "_prune_spool", "_spool"):
                 spool = getattr(store, spool_name, None)

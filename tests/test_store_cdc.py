@@ -264,3 +264,59 @@ class TestNativeDataSource:
             for r in rows
         }
         assert got == want
+
+
+class TestCdcGauges:
+    def test_exporter_renders_feed_window(self, spark, tmp_path):
+        from propulsion_spark.streaming.metrics import MetricsExporter
+
+        a, b = _halves(spark)
+        store = EventStoreTable(spark, str(tmp_path / "store"))
+        store.sync(a)
+        store.sync(b)
+        text = (
+            MetricsExporter(group="t").register_store("s1", store).render()
+        )
+        assert 'propulsion_store_cdc_seq{group="t",stat="latest",store="s1"} 2' in text
+        assert 'stat="earliest_readable"' in text
+
+
+class TestManifestOverIncrementalPacking:
+    def test_follow_manifest_equals_batch_manifest(self, spark, tmp_path):
+        """sequence_manifest over the --follow output (batch-id
+        partitioned, straddles across batch boundaries) equals the
+        manifest of one-shot batch packing of the same corpus."""
+        from propulsion_spark.operators.packing import (
+            pack_documents,
+            sequence_manifest,
+        )
+        from propulsion_spark.streaming.packing import pack_foreach_batch
+
+        rows = [("train", i, (i * 7) % 23 + 1) for i in range(50)]
+        mk = lambda rs: spark.createDataFrame(  # noqa: E731
+            rs, "split string, doc_id long, n_tokens long"
+        )
+        process = pack_foreach_batch(
+            spark, str(tmp_path / "st"), str(tmp_path / "out"), seq_len=16
+        )
+        process(mk([r for r in rows if r[1] < 23]), 0)
+        process(mk([r for r in rows if r[1] >= 23]), 1)
+        inc = {
+            (r["split"], r["seq_id"]): (
+                tuple(r["doc_ids"]),
+                r["n_docs"],
+                r["fill_tokens"],
+            )
+            for r in sequence_manifest(
+                spark.read.parquet(str(tmp_path / "out")), 16
+            ).collect()
+        }
+        full = {
+            (r["split"], r["seq_id"]): (
+                tuple(r["doc_ids"]),
+                r["n_docs"],
+                r["fill_tokens"],
+            )
+            for r in sequence_manifest(pack_documents(mk(rows), 16), 16).collect()
+        }
+        assert inc == full
