@@ -266,6 +266,59 @@ class TestNativeDataSource:
         assert got == want
 
 
+class TestSyncKafkaFromStore:
+    def test_store_feed_to_kafka_producer_roundtrip(self, spark, tmp_path):
+        """The reference's flagship tool wiring (`propulsion sync kafka
+        from cosmos`, SURVEY §3.3) closed on OUR store: store change
+        feed → rendered-span producer → (fake) Kafka topic → parse back
+        — every appended event arrives exactly once, per-stream order
+        preserved inside spans."""
+        from propulsion_spark.functions.codec import (
+            parse_rendered_spans,
+            render_spans,
+        )
+        from propulsion_spark.sources.kafka_fake import (
+            FileTopic,
+            produce_rendered,
+        )
+        from propulsion_spark.sources.store_cdc import store_cdc_feed
+        from propulsion_spark.streaming.checkpoints import CheckpointStore
+
+        a, b = _halves(spark)
+        store = EventStoreTable(spark, str(tmp_path / "store"))
+        store.sync(a)
+        store.sync(b)
+        topic = FileTopic(str(tmp_path / "topic"))
+
+        class ProducerSink:
+            def process_batch(self, df, batch_id=0):
+                produce_rendered(render_spans(df), topic)
+
+        ck = CheckpointStore(path=str(tmp_path / "ck"), group="kprod")
+        src = store_cdc_feed(spark, store, ProducerSink(), ck, page_seqs=1)
+        src.stop_at_tail = True
+        assert src.start().await_completion(timeout=120)
+
+        import glob
+
+        import pandas as pd
+
+        lines = []
+        for p in glob.glob(str(tmp_path / "topic" / "p*.jsonl")):
+            lines.append(pd.read_json(p, lines=True))
+        raw = pd.concat(lines, ignore_index=True)
+        msgs = spark.createDataFrame(raw[["key", "value"]])
+        got = {
+            (r["stream_name"], r["idx"], r["event_type"])
+            for r in parse_rendered_spans(msgs).collect()
+        }
+        want = {
+            (r["stream_name"], r["idx"], r["event_type"])
+            for r in store.read().collect()
+        }
+        assert got == want and len(got) == store.read().count()
+
+
 class TestCdcGauges:
     def test_exporter_renders_feed_window(self, spark, tmp_path):
         from propulsion_spark.streaming.metrics import MetricsExporter
