@@ -177,18 +177,24 @@ class AnnIndex:
                 return pd.Series([], dtype=object)
             X = np.stack(emb.values).astype(np.float64)
             # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖² — one matmul, O(n·cells)
-            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            x2 = (X * X).sum(axis=1)
+            d2 = x2[:, None] - 2.0 * (X @ C.T) + c2[None, :]
             kk = min(k, C.shape[0])
             order = np.argsort(d2, axis=1, kind="stable")
             if C.shape[0] > kk:
-                # near-ties at the selection boundary: the matmul form
-                # loses ~1e-15 relative precision; re-score those rows
-                # pairwise-exactly before ranking
+                # near-ties at the selection boundary: the matmul form's
+                # CANCELLATION error scales with the operand magnitudes
+                # (x·x − 2x·c + c·c can be tiny while each term is
+                # huge), not with d2 itself — so the ambiguity window
+                # must scale with ‖x‖²+max‖c‖², else large-magnitude
+                # embeddings with small distances skip the exact
+                # re-score and break argmin parity with the fixed-point
+                # path
                 kth = np.take_along_axis(d2, order[:, kk - 1 : kk], 1)[:, 0]
                 nxt = np.take_along_axis(d2, order[:, kk : kk + 1], 1)[:, 0]
-                amb = np.flatnonzero(
-                    nxt - kth <= 1e-9 * (1.0 + np.abs(kth))
-                )
+                c2max = c2.max() if len(c2) else 0.0
+                tol = 1e-9 * (1.0 + np.abs(kth) + x2 + c2max)
+                amb = np.flatnonzero(nxt - kth <= tol)
                 if len(amb):
                     exact = ((X[amb, None, :] - C[None, :, :]) ** 2).sum(axis=2)
                     order[amb] = np.argsort(exact, axis=1, kind="stable")
@@ -293,12 +299,23 @@ class AnnIndex:
         with skew = max/mean. The quantizer is frozen at build time, so
         as an appended corpus drifts, vectors pile into few cells and
         recall degrades SILENTLY — cell skew is the cheap observable
-        proxy (one count-by-partition-column aggregate over footer
-        metadata-sized work, no vector bytes read). Exported per scrape
+        proxy (ids + partition columns only, column-pruned — no vector
+        bytes read; stale re-ingest generations excluded so the gauge
+        reads serving reality). Exported per scrape
         via :meth:`MetricsExporter.register_ann_index`; a rising trend
         is the rebuild signal (`reindex`)."""
+        try:
+            stored = self.spark.read.parquet(self._vectors_path)
+        except Exception:  # not built yet: a scrape must not crash
+            return {"n_cells": 0, "max_cell": 0, "mean_cell": 0.0, "skew": 0.0}
+        # live rows only: a vec_id re-ingested across batches keeps one
+        # serving copy (newest _batch_id), so stale generations must
+        # not inflate the drift gauge that triggers reindex
+        w_new = Window.partitionBy("vec_id").orderBy(F.col("_batch_id").desc())
         rows = (
-            self.spark.read.parquet(self._vectors_path)
+            stored.select("vec_id", "cell", "_batch_id")
+            .withColumn("_rn", F.row_number().over(w_new))
+            .filter(F.col("_rn") == 1)
             .groupBy("cell")
             .count()
             .collect()

@@ -138,17 +138,33 @@ class _BandTable(_DeltaRegistry):
 class _TokenHistogram(_DeltaRegistry):
     """Durable token-length histogram of KEPT docs: the mergeable
     log2-bucket sketch (``operators/sketches.py``) accumulated per
-    batch — counts per (grp, bucket) resolve by addition, so each
-    register() is O(batch) and the running state is O(buckets). The
-    corpus drift gauge: if the length distribution of what curation
-    keeps shifts (p50/p90/p99 off the cumulative histogram), the
-    gates or the incoming mix changed."""
+    batch. Rows are KEYED BY batch_id and resolve by max-per-key (a
+    replayed batch re-registers identical counts, so replays and
+    crash-retry orderings cannot double- or under-count — the same
+    idempotence-by-key contract as the fingerprint registry, which a
+    plain additive fold would not have); the summed view is taken at
+    read time. register() is O(batch); state is O(batches × langs ×
+    buckets) rows of three scalars. The corpus drift gauge: if the
+    length distribution of what curation keeps shifts (p50/p90/p99
+    off the cumulative histogram), the gates or the incoming mix
+    changed."""
 
-    SCHEMA = "grp string, bucket long, c long"
-    COLS = ["grp", "bucket", "c"]
+    SCHEMA = "batch_id long, grp string, bucket long, c long"
+    COLS = ["batch_id", "grp", "bucket", "c"]
 
     def _resolve(self, df: DataFrame) -> DataFrame:
-        return df.groupBy("grp", "bucket").agg(F.sum("c").alias("c"))
+        return df.groupBy("batch_id", "grp", "bucket").agg(
+            F.max("c").alias("c")
+        )
+
+    def summed(self) -> DataFrame:
+        """(grp, bucket, c) across all batches — the sketch state the
+        quantile estimator consumes."""
+        return (
+            self.read()
+            .groupBy("grp", "bucket")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
 
 
 class CurationPipeline:
@@ -239,6 +255,10 @@ class CurationPipeline:
 
     # -- one batch ---------------------------------------------------------
     def process_batch(self, df: DataFrame, batch_id: int = 0) -> None:
+        # NOTE: batch_id identifies the DELIVERY (foreachBatch passes
+        # the micro-batch id): replays of the same id are idempotent
+        # end-to-end (fingerprint dedup + batch-keyed histogram rows);
+        # distinct batches must carry distinct ids.
         # dup-trigram fraction, same columnar expression as the
         # text_repetition operator (Gopher-style repetition gate)
         from propulsion_spark.operators.textops import repetition_counts_expr
@@ -296,11 +316,16 @@ class CurationPipeline:
                     .otherwise("test"),
                 )
             out.write.mode("append").parquet(self.curated_path)
-            self.fingerprints.register(kept_docs.select("fp", F.col("doc_id").alias("keeper")))
             if n_kept:
                 # accumulate the per-language token-length histogram of
-                # what was KEPT (drift gauge; O(batch) register, state
-                # O(langs × buckets))
+                # what was KEPT (drift gauge; O(batch) register), keyed
+                # by batch_id so crash-retry replays are idempotent.
+                # MUST register BEFORE the fingerprints: once the fps
+                # land, a replay of this batch dedups to n_kept=0 and
+                # could never repair a missing histogram entry; in the
+                # other order a replay re-registers identical keyed
+                # rows, which the max-per-(batch,grp,bucket) resolve
+                # absorbs.
                 from propulsion_spark.operators.sketches import (
                     value_log_histogram,
                 )
@@ -315,8 +340,9 @@ class CurationPipeline:
                         ),
                         group_col="lang",
                         value_col="_ntok",
-                    )
+                    ).withColumn("batch_id", F.lit(batch_id).cast("long"))
                 )
+            self.fingerprints.register(kept_docs.select("fp", F.col("doc_id").alias("keeper")))
             if new_bands is not None:
                 self.bands.register(new_bands)
             with self._lock:
@@ -355,7 +381,7 @@ class CurationPipeline:
         — the length-distribution drift gauge."""
         from propulsion_spark.operators.sketches import histogram_quantiles
 
-        return histogram_quantiles(self.token_hist.read())
+        return histogram_quantiles(self.token_hist.summed())
 
     def lang_stats(self) -> DataFrame:
         return (

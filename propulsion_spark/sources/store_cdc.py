@@ -77,9 +77,13 @@ def store_cdc_feed(
     segments unioned into one distributed read."""
 
     def read_page(tranche: str, pos: int) -> Batch:
-        from propulsion_spark.streaming.event_store import CdcRetentionError
+        from propulsion_spark.streaming.event_store import (
+            CdcRetentionError,
+            cdc_check_contiguous,
+        )
 
         recs = store._cdc_records(pos)
+        cdc_check_contiguous(recs, pos)
         page, rest = recs[:page_seqs], recs[page_seqs:]
         if not page:
             return Batch(items=None, checkpoint=pos, is_tail=True)
@@ -137,55 +141,52 @@ try:  # PySpark ≥ 4.0 — gate so older runtimes keep the feed-pump path
         def initialOffset(self) -> dict:
             return {"seq": self.start_seq}
 
-        def _records(self, since: int) -> "list[dict]":
-            d = os.path.join(self.path, "_cdc")
-            try:
-                names = sorted(
-                    n
-                    for n in os.listdir(d)
-                    if n.startswith("c-") and n.endswith(".json")
-                )
-            except FileNotFoundError:
-                return []
-            import json
-
-            out = []
-            for n in names:
-                if int(n[2:-5]) <= since:
-                    continue
-                with open(os.path.join(d, n)) as f:
-                    out.append(json.loads(f.read()))
-            return out
-
         def latestOffset(self) -> dict:
-            recs = self._records(0)
-            latest = recs[-1]["seq"] if recs else self.start_seq
-            # admission control: at most maxSeqsPerTrigger commits per
-            # micro-batch, advancing from the newest offset this reader
-            # has handed to the engine
-            base = self._last if self._last is not None else self.start_seq
-            latest = min(latest, base + self.max_seqs)
-            latest = max(latest, base)
+            from propulsion_spark.streaming.event_store import (
+                cdc_log_max,
+                cdc_repair,
+            )
+
+            cdc_repair(self.path)  # a crashed writer's head, healed
+            latest = max(cdc_log_max(self.path), self.start_seq)
+            # Admission control: at most maxSeqsPerTrigger commits per
+            # micro-batch, advancing from the newest offset THIS READER
+            # has planned. After a restart Spark resumes from its own
+            # checkpoint and this object is fresh (_last=None, and the
+            # API gives the reader no restart-offset hook) — clamping
+            # against start_seq here would hand Spark an offset BEHIND
+            # its checkpoint and roll the stream back, so the first
+            # post-restart batch is unthrottled; partitions() then
+            # re-learns the true base from the engine's own start
+            # offset and throttling resumes.
+            if self._last is not None:
+                latest = max(min(latest, self._last + self.max_seqs), self._last)
             self._last = latest
             return {"seq": latest}
 
         def partitions(self, start: dict, end: dict):
+            from propulsion_spark.streaming.event_store import (
+                CdcRetentionError,
+                cdc_check_contiguous,
+                cdc_list_records,
+            )
+
+            # the engine's start offset is the authoritative progress
+            # base (it survives restarts in Spark's checkpoint)
+            self._last = max(self._last or 0, end["seq"])
             # one partition per segment bucket dir → executors read the
             # batch's buckets in parallel, directly from the store
             recs = [
                 r
-                for r in self._records(start["seq"])
+                for r in cdc_list_records(self.path, start["seq"])
                 if r["seq"] <= end["seq"]
             ]
+            cdc_check_contiguous(recs, start["seq"])
             parts = []
             for rec in recs:
                 for s in rec["segments"]:
                     p = os.path.join(self.path, s)
                     if not os.path.exists(p):
-                        from propulsion_spark.streaming.event_store import (
-                            CdcRetentionError,
-                        )
-
                         raise CdcRetentionError(
                             f"change-feed seq {rec['seq']} references "
                             f"compacted-away segment {s}; restart the "

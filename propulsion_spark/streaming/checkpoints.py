@@ -67,7 +67,10 @@ class CheckpointStore:
         # row (a start() on that view would roll positions back to
         # origin).  Any FileNotFoundError therefore invalidates the whole
         # listing: re-list and re-read until one listing reads cleanly.
-        while True:
+        # Bounded: a PERSISTENT phantom (e.g. a dangling symlink left by
+        # an external tool) is listed on every pass but never readable —
+        # raise loudly instead of spinning forever.
+        for _attempt in range(50):
             files = self._files()
             frames = []
             clean = True
@@ -75,11 +78,18 @@ class CheckpointStore:
                 try:
                     frames.append(pd.read_parquet(f))
                 except FileNotFoundError:
+                    failing = f
                     clean = False
                     break
             if clean:
                 break
             time.sleep(0.01)
+        else:
+            raise RuntimeError(
+                f"checkpoint store {self.path}: segment {failing} is "
+                "listed but unreadable after 50 attempts — not a "
+                "compaction race; remove the dangling entry"
+            )
         if not frames:
             return pd.DataFrame(
                 columns=["source", "tranche", "grp", "pos", "seq", "updated_at"]

@@ -57,6 +57,93 @@ class CdcRetentionError(RuntimeError):
     re-seeding from a snapshot (``read()`` + ``cdc_latest_seq()``) —
     the same contract as reading Delta CDF past VACUUM retention."""
 
+
+# ---- change-feed log helpers (path-level, no SparkSession) -------------
+# Shared by EventStoreTable and the native DataSource reader
+# (sources/store_cdc.py) so the record format lives in ONE place.
+# The AUTHORITATIVE head is the {"cdc": {seq, segments}} key the store
+# writes into the manifest in the SAME atomic flip as the data; the
+# per-seq log files are a materialization that cdc_repair() can always
+# re-derive (at most the newest record can be missing after a crash),
+# so a committed sync can never silently vanish from the feed.
+
+def _cdc_dir_of(store_path: str) -> str:
+    return os.path.join(store_path, "_cdc")
+
+
+def cdc_log_max(store_path: str) -> int:
+    """Newest materialized record seq, from FILENAMES only (one
+    listdir, no opens/parses — called per tail poll and per scrape)."""
+    try:
+        names = os.listdir(_cdc_dir_of(store_path))
+    except FileNotFoundError:
+        return 0
+    seqs = [
+        int(n[2:-5])
+        for n in names
+        if n.startswith("c-") and n.endswith(".json")
+    ]
+    return max(seqs, default=0)
+
+
+def cdc_list_records(store_path: str, since_seq: int = 0) -> "list[dict]":
+    """Records with seq > since_seq, in order. Filename-filtered first,
+    so a caught-up tail poll opens zero files."""
+    d = _cdc_dir_of(store_path)
+    try:
+        names = sorted(
+            n
+            for n in os.listdir(d)
+            if n.startswith("c-")
+            and n.endswith(".json")
+            and int(n[2:-5]) > since_seq
+        )
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        with open(os.path.join(d, n)) as f:
+            out.append(json.loads(f.read()))
+    return out
+
+
+def cdc_check_contiguous(recs: "list[dict]", since_seq: int) -> None:
+    """Seqs are dense by construction (every appending commit is +1),
+    so a reader starting at ``since_seq`` must see ``since_seq + 1``
+    first — anything else means vacuum GC'd records it still needed.
+    Raise rather than silently skip the gap."""
+    if recs and recs[0]["seq"] != since_seq + 1:
+        raise CdcRetentionError(
+            f"change-feed records ({since_seq}, {recs[0]['seq']}) were "
+            "reclaimed by retention (compaction + vacuum); re-seed from "
+            "a snapshot"
+        )
+
+
+def cdc_repair(store_path: str) -> None:
+    """Materialize the manifest's CDC head into the log if a crash
+    between the manifest flip and the record write left it missing.
+    Idempotent and safe without the lease: every writer produces the
+    identical bytes for a given seq (the manifest is the authority),
+    and the tmp+rename is atomic."""
+    try:
+        with open(os.path.join(store_path, "_VERSION")) as f:
+            m = json.loads(f.read().strip() or "null")
+    except FileNotFoundError:
+        return
+    head = m.get("cdc") if isinstance(m, dict) else None
+    if not head:
+        return
+    d = _cdc_dir_of(store_path)
+    target = os.path.join(d, f"c-{head['seq']:012d}.json")
+    if os.path.exists(target):
+        return
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".c-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        f.write(json.dumps({"seq": head["seq"], "segments": head["segments"]}))
+    os.replace(tmp, target)
+
 # below this many touched streams per sync, the verdict/report are
 # handled driver-side (one probe job — r2's single-job redelivery
 # shape); above it everything stays distributed and the report spools.
@@ -415,72 +502,79 @@ class EventStoreTable:
                     .collect()
                 }
                 new_ub = sorted(set(ub_old) | touched_ub)
-            self.manifest.flip(
-                {"data": data, "tails": tsegs, "unfold_buckets": new_ub}
-            )
-            # change-data-feed record: one tiny JSON per appending
-            # commit, AFTER the flip (a fenced-out commit must not
-            # leave a phantom CDC entry). Written under the same
-            # lease-serialized scope, so seq assignment cannot race.
-            self._cdc_append(
-                [
+            # change-data feed: the CDC head rides the SAME atomic flip
+            # as the data (manifest = authority), then is materialized
+            # into the per-seq log. A crash between flip and
+            # materialize loses nothing: cdc_repair() re-derives the
+            # record from the manifest on the next write or read, so a
+            # committed sync can never silently vanish from the feed.
+            cdc_repair(self.path)  # heal a predecessor's crash first
+            prev_seq = (m.get("cdc") or {}).get("seq")
+            if prev_seq is None:
+                # legacy store (pre-CDC manifest): seed from the log
+                prev_seq = cdc_log_max(self.path)
+            new_cdc = {
+                "seq": prev_seq + 1,
+                "segments": [
                     f"{seg}/{d}"
                     for d in sorted(os.listdir(os.path.join(self.path, seg)))
                     if d.startswith("bucket=")
-                ]
+                ],
+            }
+            self.manifest.flip(
+                {
+                    **m,
+                    "data": data,
+                    "tails": tsegs,
+                    "unfold_buckets": new_ub,
+                    "cdc": new_cdc,
+                }
             )
+            cdc_repair(self.path)
             return tail_stats
         finally:
             novel.unpersist()
 
     def vacuum(self, grace_s: float = 3600.0) -> list[str]:
         """Remove orphaned segment dirs (crash between write and flip, or
-        a lost retire-grace list) older than ``grace_s``."""
+        a lost retire-grace list) older than ``grace_s``; also GC
+        change-feed records made unreadable by compaction (a referenced
+        segment is gone ⇒ the record can never serve again — the
+        CDF-past-retention rule), so the CDC log stays bounded by
+        retention instead of growing with total commits forever."""
         with self._commit():
-            return self.manifest.vacuum(grace_s)
+            removed = self.manifest.vacuum(grace_s)
+            head = (self._load().get("cdc") or {}).get("seq", 0)
+            for rec in cdc_list_records(self.path):
+                if rec["seq"] >= head:
+                    continue  # never GC the manifest's own head
+                if any(
+                    not os.path.exists(os.path.join(self.path, s))
+                    for s in rec["segments"]
+                ):
+                    try:
+                        os.unlink(
+                            os.path.join(
+                                _cdc_dir_of(self.path),
+                                f"c-{rec['seq']:012d}.json",
+                            )
+                        )
+                        removed.append(f"_cdc/c-{rec['seq']:012d}.json")
+                    except FileNotFoundError:
+                        pass
+            return removed
 
     # ---- change-data feed (the Cosmos change-feed / Delta CDF analog;
     #      SURVEY §2.1 S1: consumers react to committed appends) ----------
-    def _cdc_dir(self) -> str:
-        return os.path.join(self.path, "_cdc")
-
-    def _cdc_append(self, segments: "list[str]") -> None:
-        """One record per appending sync: ``{seq, segments}``. Tiny
-        (bytes per commit), atomic (tmp + rename), monotone (the sync
-        lease serializes writers). Readers page through records by seq
-        — the store's own commit log doubles as the change feed, the
-        exact trick Delta's CDF and the reference's epoch-indexed
-        AppendsEpoch streams both use."""
-        d = self._cdc_dir()
-        os.makedirs(d, exist_ok=True)
-        seq = self.cdc_latest_seq() + 1
-        rec = {"seq": seq, "segments": segments}
-        tmp = os.path.join(d, f".c-{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            f.write(json.dumps(rec))
-        os.replace(tmp, os.path.join(d, f"c-{seq:012d}.json"))
-
     def _cdc_records(self, since_seq: int = 0) -> "list[dict]":
-        d = self._cdc_dir()
-        try:
-            names = sorted(
-                n for n in os.listdir(d)
-                if n.startswith("c-") and n.endswith(".json")
-            )
-        except FileNotFoundError:
-            return []
-        out = []
-        for n in names:
-            if int(n[2:-5]) <= since_seq:
-                continue
-            with open(os.path.join(d, n)) as f:
-                out.append(json.loads(f.read()))
-        return out
+        cdc_repair(self.path)  # heal a crashed writer's missing head
+        return cdc_list_records(self.path, since_seq)
 
     def cdc_latest_seq(self) -> int:
-        """Newest committed change-feed sequence (0 = empty feed)."""
-        recs = self._cdc_records()
-        return recs[-1]["seq"] if recs else 0
+        """Newest committed change-feed sequence (0 = empty feed).
+        Filename/manifest math only — no record parses."""
+        head = (self._load().get("cdc") or {}).get("seq", 0)
+        return max(head, cdc_log_max(self.path))
 
     def cdc_earliest_readable(self) -> int:
         """Smallest ``since_seq`` from which :meth:`changes` can serve
@@ -511,6 +605,7 @@ class EventStoreTable:
         :class:`CdcRetentionError` and must re-seed from a ``read()``
         snapshot + ``cdc_latest_seq()``, the standard CDF recovery."""
         recs = self._cdc_records(since_seq)
+        cdc_check_contiguous(recs, since_seq)
         if not recs:
             return self._empty_envelope(), since_seq
         paths = []
@@ -619,7 +714,9 @@ class EventStoreTable:
             if d.startswith("bucket="):
                 data.setdefault(d.split("=", 1)[1], []).append(f"{seg}/{d}")
         ub = m.get("unfold_buckets") if unfold_buckets == "keep" else unfold_buckets
-        self.manifest.flip({"data": data, "tails": m["tails"], "unfold_buckets": ub})
+        # {**m, ...}: carry every other manifest key (notably the CDC
+        # head) through rewrites untouched
+        self.manifest.flip({**m, "data": data, "unfold_buckets": ub})
 
     def compact_bucket(self, bucket: str) -> None:
         """Fold one bucket's segment list into a single segment — the

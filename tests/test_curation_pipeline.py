@@ -213,11 +213,15 @@ class TestTokenLengthDriftGauge:
         from propulsion_spark.streaming.metrics import MetricsExporter
 
         pipe = CurationPipeline(spark, str(tmp_path / "out"))
-        pipe.process_batch(mk(spark, [doc(1, GOOD), doc(2, GOOD + " tail")]))
+        # distinct batch ids: the id keys the histogram's replay
+        # idempotence (same id = same delivery)
         pipe.process_batch(
-            mk(spark, [doc(3, GOOD + " more words here now"), doc(4, GOOD)])
+            mk(spark, [doc(1, GOOD), doc(2, GOOD + " tail")]), 0
         )
-        hist = pipe.token_hist.read()
+        pipe.process_batch(
+            mk(spark, [doc(3, GOOD + " more words here now"), doc(4, GOOD)]), 1
+        )
+        hist = pipe.token_hist.summed()
         n_hist = sum(r["c"] for r in hist.collect())
         kept = pipe.curated()
         assert n_hist == kept.count() == 3  # doc 4 is an exact dup of 1
@@ -239,3 +243,35 @@ class TestTokenLengthDriftGauge:
         )
         assert "propulsion_curation_token_length" in text
         assert 'lang="en"' in text
+
+    def test_histogram_replay_idempotent(self, spark, tmp_path):
+        """Redelivered batches and re-registered keyed rows cannot
+        double-count the drift histogram."""
+        pipe = CurationPipeline(spark, str(tmp_path / "out"))
+        batch = mk(spark, [doc(1, GOOD), doc(2, GOOD + " tail")])
+        pipe.process_batch(batch, 0)
+        before = sorted(
+            tuple(r) for r in pipe.token_hist.summed().collect()
+        )
+        pipe.process_batch(batch, 0)  # full redelivery of batch 0
+        # crash-retry shape: histogram rows landed but fingerprints
+        # didn't — the re-register of identical keyed rows is absorbed
+        from propulsion_spark.operators.sketches import value_log_histogram
+        from pyspark.sql import functions as F
+
+        pipe.token_hist.register(
+            value_log_histogram(
+                batch.select(
+                    "lang",
+                    F.expr(
+                        "CAST(size(split(lower(trim(text)), '\\\\s+')) AS DOUBLE)"
+                    ).alias("_ntok"),
+                ),
+                group_col="lang",
+                value_col="_ntok",
+            ).withColumn("batch_id", F.lit(0).cast("long"))
+        )
+        after = sorted(
+            tuple(r) for r in pipe.token_hist.summed().collect()
+        )
+        assert after == before

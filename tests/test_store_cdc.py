@@ -373,3 +373,61 @@ class TestManifestOverIncrementalPacking:
             for r in sequence_manifest(pack_documents(mk(rows), 16), 16).collect()
         }
         assert inc == full
+
+
+class TestCdcDurability:
+    def test_missing_head_record_is_repaired_from_manifest(
+        self, spark, tmp_path
+    ):
+        """Crash between the manifest flip and the record write: the
+        committed sync must still reach the feed (the manifest carries
+        the CDC head; readers re-materialize it)."""
+        import os
+
+        a, b = _halves(spark)
+        store = EventStoreTable(spark, str(tmp_path / "store"))
+        store.sync(a)
+        store.sync(b)
+        # simulate the crash: the newest record file never landed
+        os.unlink(os.path.join(store.path, "_cdc", "c-000000000002.json"))
+        assert store.cdc_latest_seq() == 2  # manifest knows
+        df, w = store.changes(1)
+        assert w == 2
+        assert df.count() == b.count()  # nothing silently vanished
+        # and a subsequent sync continues the sequence, no reuse
+        more = b.limit(0)
+        store.sync(a)  # all-duplicate: no new seq
+        assert store.cdc_latest_seq() == 2
+        del more
+
+    def test_gc_gap_raises_instead_of_silent_skip(self, spark, tmp_path):
+        """A reader positioned before a vacuumed-away record must get
+        the retention error, never a silently gapped feed."""
+        import os
+
+        a, b = _halves(spark)
+        store = EventStoreTable(spark, str(tmp_path / "store"))
+        store.sync(a)
+        store.sync(b)
+        os.unlink(os.path.join(store.path, "_cdc", "c-000000000001.json"))
+        with pytest.raises(CdcRetentionError):
+            store.changes(0)
+        # from the gap edge onward still serves
+        df, w = store.changes(1)
+        assert w == 2 and df.count() == b.count()
+
+    def test_vacuum_gcs_dead_records_but_keeps_head(self, spark, tmp_path):
+        a, b = _halves(spark)
+        store = EventStoreTable(spark, str(tmp_path / "store"), n_buckets=2)
+        store.sync(a)
+        store.sync(b)
+        for bucket in list(store.bucket_segment_counts()):
+            store.compact_bucket(bucket)
+        removed = store.vacuum(grace_s=0.0)
+        assert any("_cdc/c-000000000001" in r for r in removed)
+        # the manifest's own head record is never GC'd
+        import os
+
+        assert os.path.exists(
+            os.path.join(store.path, "_cdc", "c-000000000002.json")
+        )
