@@ -446,6 +446,10 @@ def q_dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- near-dup cluster resolution
 CC_MAX_ITERS = 50
+#: per-round label tables at or below this node count broadcast to the
+#: edge-list join (2 longs/row → ≈32 MB at the cap); larger graphs use
+#: the shuffle join
+CC_BROADCAST_NODES = 2_000_000
 
 
 def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
@@ -486,40 +490,65 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     # queries (the whole query simply re-runs on failure — nothing
     # durable depends on these intermediates).
     both = both.localCheckpoint(eager=True)
+    spark = edges.sparkSession
     labels = (
         both.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum, n_nodes = labels.agg(F.sum("label"), F.count("*")).collect()[0]
+    # Right-size the loop's shuffle width to the graph: each round runs
+    # ~6 stages, and at the session default (≈2×cores) a small edge
+    # list fans into thousands of near-empty tasks whose scheduling
+    # overhead dwarfs the work (measured at sf0.1: 450k edges × 64
+    # partitions ⇒ task dispatch was the bottleneck). One partition per
+    # ~250k edge-directions, floored at 8 — a 100 TB graph keeps the
+    # session's cluster-sized width. Restored in finally: the conf is
+    # session-global and must not leak into other queries.
+    n_edges = both.count()  # cached blocks: O(partitions) metadata job
+    cur_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    loop_parts = max(8, min(cur_parts, int(n_edges // 250_000) + 1))
+    # The label table is one row per NODE, while the edge list is one
+    # row per edge-direction — orders of magnitude larger for near-dup
+    # graphs. localCheckpoint strips the stats Catalyst would use to
+    # pick a broadcast join, so without a hint every round shuffles the
+    # FULL edge list twice. Below the threshold (node row = two longs;
+    # 2M nodes ≈ 32 MB) broadcast the per-round label table explicitly:
+    # the only remaining shuffle per round is the groupBy(node) of the
+    # propagated edges. Above it, the shuffle join is the right plan.
+    bcast = (lambda df: F.broadcast(df)) if n_nodes <= CC_BROADCAST_NODES else (lambda df: df)
     converged = False
-    for _ in range(max_iters):
-        propagated = both.join(
-            labels, both.src == labels.node
-        ).select(F.col("dst").alias("node"), "label")
-        merged = (
-            propagated.unionByName(labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        # pointer compression: follow one extra hop through the label
-        # table (every label IS a node, but the left join + coalesce
-        # keeps this robust rather than relying on it)
-        parents = merged.select(
-            F.col("node").alias("label"), F.col("label").alias("_grand")
-        )
-        new_labels = (
-            merged.join(parents, "label", "left")
-            .select("node", F.coalesce("_grand", "label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = new_sum
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        for _ in range(max_iters):
+            propagated = both.join(
+                bcast(labels), both.src == labels.node
+            ).select(F.col("dst").alias("node"), "label")
+            merged = (
+                propagated.unionByName(labels)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+            # pointer compression: follow one extra hop through the label
+            # table (every label IS a node, but the left join + coalesce
+            # keeps this robust rather than relying on it)
+            parents = merged.select(
+                F.col("node").alias("label"), F.col("label").alias("_grand")
+            )
+            new_labels = (
+                merged.join(bcast(parents), "label", "left")
+                .select("node", F.coalesce("_grand", "label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            labels = new_labels
+            if new_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = new_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cur_parts))
     if not converged:
         # Unconverged labels are WRONG clusters (nodes still pointing at
         # a non-minimal label); handing them back silently would corrupt
