@@ -71,10 +71,20 @@ def store_cdc_feed(
     source_id: str = "store-cdc",
     page_seqs: int = 64,
     tail_sleep_s: float = 1.0,
+    by_bucket: bool = False,
 ) -> TailingFeedSource:
     """Consumer-group tailing pump over the store's change feed:
     checkpoint = CDC seq, one page = up to ``page_seqs`` commits'
-    segments unioned into one distributed read."""
+    segments unioned into one distributed read.
+
+    ``by_bucket=True`` runs one tranche PER STORE BUCKET — the
+    reference's change-feed model exactly (tranche = physical
+    partition, ref: CosmosStoreSource.fs:8-63 lease-per-partition),
+    with independent positions per (source, bucket) in the checkpoint
+    store. Streams hash to one bucket, so per-stream ordering is
+    preserved within a tranche — the same guarantee the Cosmos lease
+    gives — while tranches progress independently (a slow handler on
+    one bucket never stalls the others)."""
 
     def read_page(tranche: str, pos: int) -> Batch:
         from propulsion_spark.streaming.event_store import (
@@ -82,32 +92,44 @@ def store_cdc_feed(
             cdc_check_contiguous,
         )
 
+        bucket_suffix = f"/bucket={tranche}" if by_bucket else None
         recs = store._cdc_records(pos)
         cdc_check_contiguous(recs, pos)
         page, rest = recs[:page_seqs], recs[page_seqs:]
         if not page:
             return Batch(items=None, checkpoint=pos, is_tail=True)
-        if not rest:
-            df, new_pos = store.changes(pos)
-        else:  # serve this page's seqs only; the pump re-polls for the rest
-            paths = []
-            for rec in page:
-                for s in rec["segments"]:
-                    p = os.path.join(store.path, s)
-                    if not os.path.exists(p):
-                        raise CdcRetentionError(
-                            f"change-feed seq {rec['seq']} references "
-                            f"compacted-away segment {s}; re-seed from a "
-                            "snapshot"
-                        )
-                    paths.append(p)
-            df = spark.read.parquet(*paths)
-            new_pos = page[-1]["seq"]
-        return Batch(items=df, checkpoint=new_pos, is_tail=not rest)
+        paths = []
+        for rec in page:
+            for s in rec["segments"]:
+                if bucket_suffix is not None and not s.endswith(bucket_suffix):
+                    continue  # another tranche's bucket
+                p = os.path.join(store.path, s)
+                if not os.path.exists(p):
+                    raise CdcRetentionError(
+                        f"change-feed seq {rec['seq']} references "
+                        f"compacted-away segment {s}; re-seed from a "
+                        "snapshot"
+                    )
+                paths.append(p)
+        new_pos = page[-1]["seq"]
+        if not paths:
+            # commits in range, none touching this bucket: advance the
+            # position without a data batch
+            return Batch(items=None, checkpoint=new_pos, is_tail=not rest)
+        return Batch(
+            items=spark.read.parquet(*paths),
+            checkpoint=new_pos,
+            is_tail=not rest,
+        )
+
+    def tranches():
+        if by_bucket:
+            return [str(b) for b in range(store.n_buckets)]
+        return ["0"]
 
     src = TailingFeedSource(
         spark,
-        read_tranches=lambda: ["0"],
+        read_tranches=tranches,
         read_page=read_page,
         sink=sink,
         checkpoints=checkpoints,

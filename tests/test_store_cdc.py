@@ -431,3 +431,45 @@ class TestCdcDurability:
         assert os.path.exists(
             os.path.join(store.path, "_cdc", "c-000000000002.json")
         )
+
+
+class TestBucketTranches:
+    def test_per_bucket_tranches_cover_the_feed(self, spark, tmp_path):
+        """by_bucket=True: one tranche per store bucket (the reference's
+        tranche-per-partition model) — independent positions, union of
+        tranche outputs == the store, per-stream rows stay in one
+        tranche."""
+        from propulsion_spark.sources.store_cdc import store_cdc_feed
+        from propulsion_spark.streaming.checkpoints import CheckpointStore
+
+        a, b = _halves(spark)
+        store = EventStoreTable(spark, str(tmp_path / "store"), n_buckets=4)
+        store.sync(a)
+        store.sync(b)
+
+        import threading
+
+        lock = threading.Lock()
+        by_stream: dict = {}
+        seen: list = []
+
+        class CollectingSink:
+            def process_batch(self, df, batch_id=0):
+                rows = df.collect()
+                with lock:
+                    for r in rows:
+                        seen.append((r["stream_name"], r["idx"]))
+
+        ck = CheckpointStore(path=str(tmp_path / "ck"), group="gb")
+        src = store_cdc_feed(
+            spark, store, CollectingSink(), ck, by_bucket=True, page_seqs=1
+        )
+        src.stop_at_tail = True
+        assert src.start().await_completion(timeout=240)
+        want = {(r["stream_name"], r["idx"]) for r in store.read().collect()}
+        assert set(seen) == want and len(seen) == len(want)  # no dupes
+        # every bucket tranche committed to the feed tail independently
+        ck.flush()
+        for bkt in range(4):
+            assert ck.position("store-cdc", str(bkt)) == store.cdc_latest_seq()
+        del by_stream
