@@ -352,6 +352,72 @@ class TestCurationPackingComposition:
                 pos += r["n_tokens"]
 
 
+class TestStreamingPackingProperty:
+    def test_any_ordered_batching_reproduces_batch_packing(
+        self, spark, tmp_path
+    ):
+        """Property (seeded sweep, no Spark-per-example cost blowup):
+        for random corpora and random ordered batch boundaries, the
+        twin's offsets/seqs equal the batch operator's exactly."""
+        import random
+
+        from propulsion_spark.operators.packing import pack_documents
+        from propulsion_spark.streaming.packing import pack_foreach_batch
+
+        for trial in range(4):
+            rng = random.Random(1000 + trial)
+            n = rng.randint(5, 60)
+            rows = [
+                (
+                    rng.choice(["train", "valid", "test"]),
+                    i,
+                    rng.randint(0, 40),  # zero-token docs included
+                )
+                for i in range(n)
+            ]
+            seq_len = rng.choice([1, 7, 16])
+            # random ordered batch boundaries
+            cuts = sorted(rng.sample(range(n + 1), rng.randint(0, 3)))
+            bounds = [0, *cuts, n]
+            out = str(tmp_path / f"out{trial}")
+            process = pack_foreach_batch(
+                spark, str(tmp_path / f"st{trial}"), out, seq_len=seq_len
+            )
+            bid = 0
+            for lo, hi in zip(bounds, bounds[1:]):
+                chunk = [r for r in rows if lo <= r[1] < hi]
+                process(
+                    spark.createDataFrame(
+                        chunk or [("train", -1, 0)],
+                        "split string, doc_id long, n_tokens long",
+                    ).filter(F.col("doc_id") >= 0),
+                    bid,
+                )
+                bid += 1
+            got = {
+                (r["split"], r["doc_id"]): (
+                    r["offset"],
+                    r["first_seq"],
+                    r["last_seq"],
+                )
+                for r in spark.read.parquet(out).collect()
+            }
+            want = {
+                (r["split"], r["doc_id"]): (
+                    r["offset"],
+                    r["first_seq"],
+                    r["last_seq"],
+                )
+                for r in pack_documents(
+                    spark.createDataFrame(
+                        rows, "split string, doc_id long, n_tokens long"
+                    ),
+                    seq_len,
+                ).collect()
+            }
+            assert got == want, f"trial {trial} diverged"
+
+
 class TestSeqColsExactness:
     def test_offsets_beyond_double_precision(self, spark):
         """last_seq must be integer-exact for token offsets past 2^53
