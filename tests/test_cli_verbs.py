@@ -175,3 +175,26 @@ class TestAnnVerb:
         rows = [_json.loads(line) for line in out.splitlines() if line.startswith("{")]
         assert {r["query_id"] for r in rows} == {0, 1}
         assert all(1 <= r["rank"] <= 5 for r in rows)
+
+    def test_stats_and_reindex(self, tmp_path):
+        run_cli(
+            "ann", "build", "--path", str(tmp_path / "idx2"),
+            "--sf-dir", "/root/testdata/sf0.001",
+        )
+        stats = run_cli("ann", "stats", "--path", str(tmp_path / "idx2"))
+        assert stats["n_cells"] > 1 and stats["skew"] >= 1.0
+        rep = run_cli("ann", "reindex", "--path", str(tmp_path / "idx2"))
+        assert rep["reindexed"].endswith("idx2")
+        assert rep["skew_after"] > 0
+        # the reindexed index still serves
+        import json as _json
+        import subprocess
+        import sys
+
+        out = subprocess.run(
+            [sys.executable, "-m", "propulsion_spark.cli", "ann", "search",
+             "--path", str(tmp_path / "idx2"), "--queries", "1"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        rows = [_json.loads(l) for l in out.splitlines() if l.startswith("{")]
+        assert rows and all(r["query_id"] == 0 for r in rows)
