@@ -319,6 +319,77 @@ class TestSyncKafkaFromStore:
         assert got == want and len(got) == store.read().count()
 
 
+class TestStoreReplicationLoop:
+    def test_store_to_kafka_to_store(self, spark, tmp_path):
+        """The full reference replication topology: store A's change
+        feed → rendered spans → (fake) Kafka → consumer pages the topic
+        → parse → idempotent sync into store B. B converges to A's
+        event set; a consumer redelivery (uncommitted page re-poll)
+        cannot duplicate B's log."""
+        from propulsion_spark.functions.codec import (
+            parse_rendered_spans,
+            render_spans,
+        )
+        from propulsion_spark.sources.kafka_fake import (
+            FileTopic,
+            produce_rendered,
+        )
+        from propulsion_spark.sources.store_cdc import store_cdc_feed
+        from propulsion_spark.streaming.checkpoints import CheckpointStore
+
+        a, b = _halves(spark)
+        store_a = EventStoreTable(spark, str(tmp_path / "A"))
+        store_a.sync(a)
+        store_a.sync(b)
+        topic = FileTopic(str(tmp_path / "topic"))
+
+        class ProducerSink:
+            def process_batch(self, df, batch_id=0):
+                produce_rendered(render_spans(df), topic)
+
+        src = store_cdc_feed(
+            spark,
+            store_a,
+            ProducerSink(),
+            CheckpointStore(path=str(tmp_path / "ckp"), group="prod"),
+            page_seqs=1,
+        )
+        src.stop_at_tail = True
+        assert src.start().await_completion(timeout=120)
+
+        store_b = EventStoreTable(spark, str(tmp_path / "B"))
+        group = "replica"
+        first_page = True
+        while True:
+            msgs = topic.poll(spark, group, 200)
+            bounds = (
+                msgs.groupBy("partition")
+                .agg((F.max("offset") + 1).alias("nxt"))
+                .collect()
+            )
+            if not bounds:
+                break
+            as_str = lambda df: df.withColumn(  # noqa: E731
+                "value", F.col("value").cast("string")
+            )
+            env = parse_rendered_spans(as_str(msgs))
+            store_b.sync(env)
+            if first_page:
+                # redelivery: crash before commit — re-poll serves the
+                # same page; the idempotent writer absorbs it
+                store_b.sync(
+                    parse_rendered_spans(as_str(topic.poll(spark, group, 200)))
+                )
+                first_page = False
+            topic.commit(group, {r["partition"]: r["nxt"] for r in bounds})
+
+        key = lambda df: sorted(  # noqa: E731
+            (r["stream_name"], r["idx"], r["event_type"], r["data"])
+            for r in df.collect()
+        )
+        assert key(store_b.read()) == key(store_a.read())
+
+
 class TestCdcGauges:
     def test_exporter_renders_feed_window(self, spark, tmp_path):
         from propulsion_spark.streaming.metrics import MetricsExporter
