@@ -65,6 +65,11 @@ class FeedSource:
     source_id = "feed"
     stop_at_tail = False
     tail_sleep_s = 1.0  # ref default tailSleepInterval = 1 s
+    #: exception types swallow-and-retry must NOT swallow: permanent
+    #: conditions (e.g. a change-feed reader lagging past retention)
+    #: where retrying forever is a silent stall — these abend the
+    #: pipeline so the operator sees the mandatory recovery instead
+    fatal_errors: "tuple[type, ...]" = ()
 
     def __init__(
         self,
@@ -100,6 +105,8 @@ class FeedSource:
             try:
                 batch = self.read_page(tranche, st.pos)
             except Exception as ex:  # noqa: BLE001 — swallow-and-retry (ref :56-60)
+                if isinstance(ex, self.fatal_errors):
+                    raise  # permanent: abend via _run_safe, don't spin
                 st.last_error = repr(ex)
                 if self._stop.wait(self.tail_sleep_s):
                     return

@@ -42,24 +42,17 @@ from propulsion_spark.sources.feed import Batch, TailingFeedSource
 from propulsion_spark.streaming.checkpoints import CheckpointStore
 from propulsion_spark.streaming.event_store import EventStoreTable
 
-#: envelope DDL, kept in sync with envelope.STREAM_EVENT_SCHEMA
-_ENVELOPE_DDL = (
-    "stream_name string, category string, idx long, event_type string, "
-    "data string, meta string, event_id long, ts timestamp, "
-    "is_unfold boolean, size long"
+# envelope DDL + column list DERIVED from the one schema definition
+# (envelope.STREAM_EVENT_SCHEMA) so an envelope change cannot drift
+# this source; only the Arrow read target below is spelled out (its
+# types must match what Spark's Arrow bridge expects, asserted
+# name-for-name against the schema by test).
+from propulsion_spark.envelope import STREAM_EVENT_SCHEMA as _ENV_SCHEMA
+
+_ENVELOPE_DDL = ", ".join(
+    f"{f.name} {f.dataType.simpleString()}" for f in _ENV_SCHEMA.fields
 )
-_ENVELOPE_COLS = [
-    "stream_name",
-    "category",
-    "idx",
-    "event_type",
-    "data",
-    "meta",
-    "event_id",
-    "ts",
-    "is_unfold",
-    "size",
-]
+_ENVELOPE_COLS = [f.name for f in _ENV_SCHEMA.fields]
 
 
 # --------------------------------------------------------------- feed pump
@@ -93,7 +86,10 @@ def store_cdc_feed(
         )
 
         bucket_suffix = f"/bucket={tranche}" if by_bucket else None
-        recs = store._cdc_records(pos)
+        # paged listing: only page_seqs+1 record files are ever opened
+        # per poll (the +1 answers is_tail), so draining an N-deep
+        # backlog costs O(N) opens total, not O(N²)
+        recs = store._cdc_records(pos, limit=page_seqs + 1)
         cdc_check_contiguous(recs, pos)
         page, rest = recs[:page_seqs], recs[page_seqs:]
         if not page:
@@ -124,6 +120,9 @@ def store_cdc_feed(
 
     def tranches():
         if by_bucket:
+            store._load()  # adopt the manifest-stamped bucket count — a
+            # consumer constructed with a different n_buckets default
+            # would otherwise silently never cover the extra buckets
             return [str(b) for b in range(store.n_buckets)]
         return ["0"]
 
@@ -136,6 +135,12 @@ def store_cdc_feed(
         source_id=source_id,
     )
     src.tail_sleep_s = tail_sleep_s
+    # a retention gap is permanent: retrying it forever would be a
+    # silent stall — abend so the operator performs the documented
+    # re-seed-from-snapshot recovery
+    from propulsion_spark.streaming.event_store import CdcRetentionError
+
+    src.fatal_errors = (CdcRetentionError,)
     return src
 
 
@@ -161,6 +166,11 @@ try:  # PySpark ≥ 4.0 — gate so older runtimes keep the feed-pump path
 
         # -- offset log (Spark persists these dicts in its checkpoint) --
         def initialOffset(self) -> dict:
+            # fresh start (Spark only calls this with no checkpoint):
+            # seed the throttle base so the FIRST batch honors
+            # maxSeqsPerTrigger too — exactly the deep-backfill case
+            # admission control exists for
+            self._last = self.start_seq
             return {"seq": self.start_seq}
 
         def latestOffset(self) -> dict:
@@ -204,6 +214,17 @@ try:  # PySpark ≥ 4.0 — gate so older runtimes keep the feed-pump path
                 if r["seq"] <= end["seq"]
             ]
             cdc_check_contiguous(recs, start["seq"])
+            # completeness both ways: a planned range whose records
+            # were vacuumed (all of them, or a trailing run) must raise
+            # — Spark will commit `end`, so silently reading fewer
+            # records than the range loses rows forever
+            served_to = recs[-1]["seq"] if recs else start["seq"]
+            if served_to != end["seq"]:
+                raise CdcRetentionError(
+                    f"change-feed records ({served_to}, {end['seq']}] of "
+                    "a planned batch were reclaimed by retention; "
+                    "restart the query from a snapshot"
+                )
             parts = []
             for rec in recs:
                 for s in rec["segments"]:
@@ -225,24 +246,13 @@ try:  # PySpark ≥ 4.0 — gate so older runtimes keep the feed-pump path
         def commit(self, end: dict) -> None:
             pass  # Spark's own commit log is the source of truth
 
-    def _read_segment_arrow(paths: "list[str]"):
-        """Shared executor-side read: parquet files under segment dirs →
-        Arrow batches cast to the envelope schema."""
+    def _arrow_target():
+        """Arrow read target for the envelope — field NAMES must track
+        STREAM_EVENT_SCHEMA (asserted by test); types are spelled out
+        because they must match what Spark's Arrow bridge expects."""
         import pyarrow as pa
-        import pyarrow.dataset as pds
 
-        files = []
-        for p in paths:
-            for root, _, names in os.walk(p):
-                files.extend(
-                    os.path.join(root, n)
-                    for n in names
-                    if n.endswith(".parquet")
-                )
-        if not files:
-            return iter(())
-        table = pds.dataset(files, format="parquet").to_table()
-        target = pa.schema(
+        return pa.schema(
             [
                 pa.field("stream_name", pa.string()),
                 pa.field("category", pa.string()),
@@ -256,7 +266,26 @@ try:  # PySpark ≥ 4.0 — gate so older runtimes keep the feed-pump path
                 pa.field("size", pa.int64()),
             ]
         )
-        return iter(table.select(_ENVELOPE_COLS).cast(target).to_batches())
+
+    def _read_segment_arrow(paths: "list[str]"):
+        """Shared executor-side read: parquet files under segment dirs →
+        Arrow batches cast to the envelope schema."""
+        import pyarrow.dataset as pds
+
+        files = []
+        for p in paths:
+            for root, _, names in os.walk(p):
+                files.extend(
+                    os.path.join(root, n)
+                    for n in names
+                    if n.endswith(".parquet")
+                )
+        if not files:
+            return iter(())
+        table = pds.dataset(files, format="parquet").to_table()
+        return iter(
+            table.select(_ENVELOPE_COLS).cast(_arrow_target()).to_batches()
+        )
 
     class _StoreSnapshotReader(DataSourceReader):
         """Batch face of the source: the CURRENT manifest's committed

@@ -86,9 +86,13 @@ def cdc_log_max(store_path: str) -> int:
     return max(seqs, default=0)
 
 
-def cdc_list_records(store_path: str, since_seq: int = 0) -> "list[dict]":
+def cdc_list_records(
+    store_path: str, since_seq: int = 0, limit: "int | None" = None
+) -> "list[dict]":
     """Records with seq > since_seq, in order. Filename-filtered first,
-    so a caught-up tail poll opens zero files."""
+    so a caught-up tail poll opens zero files; ``limit`` opens only the
+    first N names — a paged reader drains a deep backlog in O(backlog)
+    total opens instead of O(backlog²)."""
     d = _cdc_dir_of(store_path)
     try:
         names = sorted(
@@ -100,6 +104,8 @@ def cdc_list_records(store_path: str, since_seq: int = 0) -> "list[dict]":
         )
     except FileNotFoundError:
         return []
+    if limit is not None:
+        names = names[:limit]
     out = []
     for n in names:
         with open(os.path.join(d, n)) as f:
@@ -109,15 +115,19 @@ def cdc_list_records(store_path: str, since_seq: int = 0) -> "list[dict]":
 
 def cdc_check_contiguous(recs: "list[dict]", since_seq: int) -> None:
     """Seqs are dense by construction (every appending commit is +1),
-    so a reader starting at ``since_seq`` must see ``since_seq + 1``
-    first — anything else means vacuum GC'd records it still needed.
-    Raise rather than silently skip the gap."""
-    if recs and recs[0]["seq"] != since_seq + 1:
-        raise CdcRetentionError(
-            f"change-feed records ({since_seq}, {recs[0]['seq']}) were "
-            "reclaimed by retention (compaction + vacuum); re-seed from "
-            "a snapshot"
-        )
+    so a reader starting at ``since_seq`` must see the EXACT run
+    ``since_seq+1, since_seq+2, …`` — a gap anywhere (not just at the
+    head: vacuum GCs records per-record, so a mid-log record whose
+    buckets were compacted can vanish while its neighbors survive)
+    means retention reclaimed rows this reader still needed. Raise
+    rather than silently skip."""
+    for i, rec in enumerate(recs):
+        if rec["seq"] != since_seq + 1 + i:
+            raise CdcRetentionError(
+                f"change-feed records ({since_seq + i}, {rec['seq']}) "
+                "were reclaimed by retention (compaction + vacuum); "
+                "re-seed from a snapshot"
+            )
 
 
 def cdc_repair(store_path: str) -> None:
@@ -213,6 +223,15 @@ class EventStoreTable:
             # makes unfold_compact fall back to one full derivation scan,
             # after which the set is recorded
             m = {**m, "unfold_buckets": None}
+        # The bucketing fan-out is a property of the DATA, not of this
+        # process: a reader/writer constructed with a different
+        # n_buckets would hash streams to the wrong buckets (prune and
+        # compaction would rewrite the wrong sets; a by-bucket CDC
+        # consumer would silently never cover buckets past its count).
+        # The first appending commit stamps it; every open afterwards
+        # adopts the stamped value over the constructor default.
+        if "n_buckets" in m:
+            self.n_buckets = m["n_buckets"]
         return m
 
     def _bucket_col(self) -> F.Column:
@@ -528,6 +547,7 @@ class EventStoreTable:
                     "tails": tsegs,
                     "unfold_buckets": new_ub,
                     "cdc": new_cdc,
+                    "n_buckets": self.n_buckets,
                 }
             )
             cdc_repair(self.path)
@@ -566,9 +586,11 @@ class EventStoreTable:
 
     # ---- change-data feed (the Cosmos change-feed / Delta CDF analog;
     #      SURVEY §2.1 S1: consumers react to committed appends) ----------
-    def _cdc_records(self, since_seq: int = 0) -> "list[dict]":
+    def _cdc_records(
+        self, since_seq: int = 0, limit: "int | None" = None
+    ) -> "list[dict]":
         cdc_repair(self.path)  # heal a crashed writer's missing head
-        return cdc_list_records(self.path, since_seq)
+        return cdc_list_records(self.path, since_seq, limit=limit)
 
     def cdc_latest_seq(self) -> int:
         """Newest committed change-feed sequence (0 = empty feed).
@@ -582,12 +604,17 @@ class EventStoreTable:
         away, exactly like VACUUM bounds Delta's CDF lookback."""
         recs = self._cdc_records()
         earliest = self.cdc_latest_seq()  # read-from-here always works
+        expected = None
         for rec in reversed(recs):
+            if expected is not None and rec["seq"] != expected:
+                break  # a GC'd record: the run ends here, gap-blindness
+                # would otherwise report a readable range spanning it
             if all(
                 os.path.exists(os.path.join(self.path, s))
                 for s in rec["segments"]
             ):
                 earliest = rec["seq"] - 1
+                expected = rec["seq"] - 1
             else:
                 break
         return earliest
@@ -638,6 +665,15 @@ class EventStoreTable:
 
     def _prune_locked(self, requests: DataFrame) -> DataFrame:
         m = self._load()
+        # one row per stream, highest watermark wins: duplicate request
+        # rows (a redelivered or unioned retention batch) would fan the
+        # event join out and write each surviving event once PER
+        # REQUEST ROW into the rewritten segment — permanent duplicate
+        # rows in the store. Deletion-by-watermark is idempotent, so
+        # max() is the correct merge.
+        requests = requests.groupBy("stream_name").agg(
+            F.max("until_idx").alias("until_idx")
+        )
         touched = {
             str(r.b)
             for r in requests.select(

@@ -393,9 +393,15 @@ class JsonManifest:
                 or entry == "_LOCK"
                 or entry == "_FENCE"
                 or entry == "_cdc"
-                or entry.startswith(base + ".")
+                or (
+                    entry.startswith(base + ".")
+                    and not entry.endswith(".tmp")
+                )
             ):
-                continue  # pointer, lease, fence, change-feed log, tmp
+                continue  # pointer, lease, fence, change-feed log
+            # pointer tmp files leaked by a crash mid-flip (the unlink
+            # only runs on the fenced-abort path) fall through to the
+            # age-guarded delete, like _LOCK.steal.* leaks
             # NOTE: _LOCK.steal.* files (leaked by a crash between a
             # steal's os.replace and os.unlink) deliberately fall through
             # to the age-guarded delete below, so they are reclaimed once

@@ -544,3 +544,97 @@ class TestBucketTranches:
         for bkt in range(4):
             assert ck.position("store-cdc", str(bkt)) == store.cdc_latest_seq()
         del by_stream
+
+
+class TestReviewHardening:
+    def test_mid_log_gap_raises(self, spark, tmp_path):
+        """A record GC'd from the MIDDLE of the requested range (its
+        buckets compacted while neighbors survive) must raise, not be
+        silently skipped with the watermark advanced past it."""
+        import os
+
+        env = _halves(spark)[0].unionByName(_halves(spark)[1])
+        store = EventStoreTable(spark, str(tmp_path / "store"))
+        store.sync(env.filter(F.col("idx") < 1))
+        store.sync(env.filter(F.col("idx") == 1))
+        store.sync(env.filter(F.col("idx") >= 2))
+        os.unlink(os.path.join(store.path, "_cdc", "c-000000000002.json"))
+        with pytest.raises(CdcRetentionError):
+            store.changes(0)
+        with pytest.raises(CdcRetentionError):
+            store.changes(1)
+        df, w = store.changes(2)  # past the gap: serves
+        assert w == 3 and df.count() > 0
+
+    def test_prune_duplicate_requests_do_not_duplicate_rows(
+        self, spark, tmp_path
+    ):
+        """Duplicate/conflicting prune request rows must not fan the
+        rewrite join out into duplicated surviving events."""
+        a, b = _halves(spark)
+        store = EventStoreTable(spark, str(tmp_path / "store"), n_buckets=4)
+        store.sync(a)
+        store.sync(b)
+        some_stream = store.read().select("stream_name").first()["stream_name"]
+        requests = spark.createDataFrame(
+            [(some_stream, 0), (some_stream, 1)],
+            "stream_name string, until_idx long",
+        )
+        store.prune(requests)
+        after = store.read()
+        n = after.count()
+        n_distinct = after.select("stream_name", "idx").distinct().count()
+        assert n == n_distinct  # no duplicated surviving rows
+        # highest watermark won
+        remaining = after.filter(F.col("stream_name") == some_stream)
+        assert remaining.filter(F.col("idx") <= 1).count() == 0
+
+    def test_n_buckets_adopted_from_manifest(self, spark, tmp_path):
+        """A store written with n_buckets=8 must be read/pruned/tailed
+        with 8, whatever the reopening constructor's default says."""
+        a, _ = _halves(spark)
+        store8 = EventStoreTable(spark, str(tmp_path / "store"), n_buckets=8)
+        store8.sync(a)
+        reopened = EventStoreTable(spark, str(tmp_path / "store"))  # default 64
+        reopened._load()
+        assert reopened.n_buckets == 8
+
+    def test_retention_error_abends_the_pump(self, spark, tmp_path):
+        """A permanent retention gap must abend the feed pump (surface
+        the re-seed recovery), not spin in swallow-and-retry forever."""
+        import os
+
+        from propulsion_spark.sources.store_cdc import store_cdc_feed
+        from propulsion_spark.streaming.checkpoints import CheckpointStore
+
+        a, b = _halves(spark)
+        store = EventStoreTable(spark, str(tmp_path / "store"))
+        store.sync(a)
+        store.sync(b)
+        os.unlink(os.path.join(store.path, "_cdc", "c-000000000001.json"))
+
+        class NullSink:
+            def process_batch(self, df, batch_id=0):
+                pass
+
+        src = store_cdc_feed(
+            spark,
+            store,
+            NullSink(),
+            CheckpointStore(path=str(tmp_path / "ck"), group="g"),
+        )
+        src.stop_at_tail = True
+        src.start()
+        with pytest.raises(CdcRetentionError):
+            src.await_completion(timeout=60)
+
+    def test_envelope_ddl_and_arrow_names_track_schema(self, spark):
+        from propulsion_spark.envelope import STREAM_EVENT_SCHEMA
+        from propulsion_spark.sources import store_cdc as sc
+
+        assert sc._ENVELOPE_COLS == [f.name for f in STREAM_EVENT_SCHEMA.fields]
+        # the declared source schema parses back to the same field set
+        from pyspark.sql.types import _parse_datatype_string
+
+        parsed = _parse_datatype_string(sc._ENVELOPE_DDL)
+        assert [f.name for f in parsed.fields] == sc._ENVELOPE_COLS
