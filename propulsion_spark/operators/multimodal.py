@@ -138,6 +138,133 @@ def decode_image_batch(media: pd.Series) -> pd.DataFrame:
     raise NotImplementedError("wire Pillow decode here when the library lands")
 
 
+# ------------------------------------------- REAL stdlib decoders (r6)
+# Two container formats need no external library at all, so their
+# decode paths are REAL, not stubbed: PCM WAV (stdlib ``wave``) and
+# uncompressed 24-bit BMP (``struct`` header + numpy pixel view). The
+# per-blob Python loop is the standard decode-UDF shape — each
+# iteration does vectorized numpy work over that blob's samples/pixels,
+# and blobs stream through Arrow batches, never materializing a
+# partition's media at once.
+
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        # audio features (null for images)
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        # image features (null for audio)
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def decode_wav(blob: bytes) -> dict:
+    """REAL PCM WAV decode — stdlib ``wave``, no external libs.
+    Returns sample_rate/channels/duration plus RMS and peak amplitude
+    (normalized to [-1, 1])."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(blob))) as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        nframes = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(nframes)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+    peak = float(np.abs(x).max()) if len(x) else 0.0
+    return {
+        "sample_rate": sr,
+        "n_channels": nch,
+        "duration_s": nframes / sr if sr else 0.0,
+        "rms": rms,
+        "peak": peak,
+    }
+
+
+def decode_bmp(blob: bytes) -> dict:
+    """REAL uncompressed 24-bit BMP decode — ``struct`` header parse +
+    numpy pixel view. Returns width/height and per-channel means."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(blob)
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP blob")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    flipped = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    row_bytes = ((w * 3 + 3) // 4) * 4  # rows pad to 4 bytes
+    px = (
+        np.frombuffer(b, np.uint8, count=row_bytes * h, offset=data_off)
+        .reshape(h, row_bytes)[:, : w * 3]
+        .reshape(h, w, 3)
+        .astype(np.float64)
+    )
+    if flipped:
+        px = px[::-1]
+    # BMP stores BGR
+    return {
+        "width": w,
+        "height": h,
+        "mean_r": float(px[:, :, 2].mean()),
+        "mean_g": float(px[:, :, 1].mean()),
+        "mean_b": float(px[:, :, 0].mean()),
+    }
+
+
+def media_features(df: DataFrame) -> DataFrame:
+    """Typed media features via Arrow-batched ``mapInPandas``,
+    dispatched on ``meta.media_type``: ``audio/wav`` and ``image/bmp``
+    decode FOR REAL (stdlib-only); other image types remain behind the
+    Pillow gate (:func:`decode_image_batch`)."""
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        cols = [f.name for f in MEDIA_FEATURES_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for doc_id, media, meta in zip(
+                pdf["doc_id"], pdf["media"], pdf["meta"]
+            ):
+                mtype = meta["media_type"]
+                row = {k: None for k in cols}
+                row["doc_id"] = doc_id
+                row["media_type"] = mtype
+                if mtype == "audio/wav":
+                    row.update(decode_wav(media))
+                elif mtype == "image/bmp":
+                    row.update(decode_bmp(media))
+                else:
+                    decode_image_batch(pd.Series([media]))  # Pillow gate
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(run, MEDIA_FEATURES_SCHEMA)
+
+
 FEATURE_DIM = 8
 FEATURES_SCHEMA = T.StructType(
     [

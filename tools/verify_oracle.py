@@ -120,7 +120,8 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} passed")
+    ran = [n for n in qs if not only or n in only]
+    print(f"\n{len(ran) - len(failed)}/{len(ran)} passed")
     return 1 if failed else 0
 
 
