@@ -254,6 +254,32 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
             "overwrite"
         ).save()
         timings["pipeline_pack"] = round(time.time() - t0, 3)
+
+        # shuffle-and-shard: hash-order deterministic global shuffle
+        # over the same doc stats, bounded-token shard assignment
+        from propulsion_spark.operators.packing import shard_corpus
+
+        t0 = time.time()
+        shard_corpus(docs, 1 << 18).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["pipeline_shard"] = round(time.time() - t0, 3)
+
+        # benchmark decontamination: bitset from a 1% "benchmark" slice,
+        # then the map-only Bloom scan of the whole documents table
+        from propulsion_spark.operators.decontam import (
+            build_ngram_bloom,
+            contamination_scores,
+        )
+
+        full = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        bench_docs = full.filter("doc_id % 100 = 0")
+        t0 = time.time()
+        bloom = build_ngram_bloom(bench_docs, n=8)
+        contamination_scores(full, bloom).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["pipeline_decontam"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings

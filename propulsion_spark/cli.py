@@ -409,6 +409,106 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_shard(args) -> int:
+    """Shuffle-and-shard a packed/curated corpus: deterministic
+    hash-order global shuffle, bounded-token shard assignment, output
+    parquet partitioned by (split, shard_id) plus the shard manifest."""
+    from pyspark.sql import functions as F
+
+    from propulsion_spark import get_spark
+    from propulsion_spark.operators.packing import shard_corpus, shard_manifest
+
+    spark = get_spark("propulsion-shard")
+    docs = spark.read.parquet(args.src)
+    if "n_tokens" not in docs.columns:
+        docs = docs.withColumn(
+            "n_tokens", F.expr("size(split(lower(trim(text)), '\\\\s+'))")
+        )
+    sharded = shard_corpus(
+        docs,
+        args.shard_tokens,
+        split_col="split" if "split" in docs.columns else None,
+        salt=args.salt,
+    )
+    # one shuffle keyed by the bounded-size shards → one file set per shard
+    (
+        sharded.repartition("split", "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("split", "shard_id")
+        .parquet(args.out)
+    )
+    man = shard_manifest(spark.read.parquet(args.out))
+    if args.manifest:
+        man.write.mode("overwrite").parquet(args.manifest)
+    stats = {
+        r["split"]: {"n_shards": r["n_shards"], "n_tokens": r["n_tokens"]}
+        for r in man.groupBy("split")
+        .agg(
+            F.count("*").alias("n_shards"), F.sum("n_tokens").alias("n_tokens")
+        )
+        .collect()
+    }
+    print(
+        json.dumps(
+            {
+                "shard_tokens": args.shard_tokens,
+                "salt": args.salt,
+                "out": args.out,
+                "splits": stats,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+def cmd_decontam(args) -> int:
+    """Remove benchmark n-grams from a corpus: build the Bloom bitset
+    from --bench, score every --src doc map-only, write kept/flagged."""
+    from pyspark.sql import functions as F
+
+    from propulsion_spark import get_spark
+    from propulsion_spark.operators.decontam import (
+        build_ngram_bloom,
+        contamination_scores,
+    )
+
+    spark = get_spark("propulsion-decontam")
+    docs = spark.read.parquet(args.src)
+    bench = spark.read.parquet(args.bench)
+    bloom = build_ngram_bloom(bench, n=args.ngram, m_bits=1 << args.log2_bits)
+    scored = docs.join(
+        contamination_scores(docs, bloom).drop("n_ngrams"), "doc_id"
+    )
+    kept = scored.filter(F.col("contaminated_frac") <= args.threshold).drop(
+        "n_hits", "contaminated_frac"
+    )
+    flagged = scored.filter(F.col("contaminated_frac") > args.threshold)
+    kept.write.mode("overwrite").parquet(args.out)
+    n_flagged = flagged.count()
+    if args.flagged:
+        flagged.write.mode("overwrite").parquet(args.flagged)
+    agg = contamination_scores(docs, bloom).selectExpr(
+        "count(*) AS n_docs",
+        "sum(n_hits) AS total_hits",
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "ngram": args.ngram,
+                "threshold": args.threshold,
+                "n_docs": agg["n_docs"],
+                "n_flagged": n_flagged,
+                "total_ngram_hits": agg["total_hits"],
+                "bloom_fill_ratio": round(bloom.fill_ratio, 8),
+                "out": args.out,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def cmd_ann(args) -> int:
     """Build or query the materialized partition-pruned ANN index
     (pipelines/ann_index.py) from the corpus embeddings table."""
@@ -571,6 +671,39 @@ def main(argv=None) -> int:
         help="--follow: per-split carry-state dir (default <out>_state)",
     )
     pk.set_defaults(fn=cmd_pack)
+
+    sh = sub.add_parser(
+        "shard",
+        help="deterministic shuffle + bounded-token shards for training",
+    )
+    sh.add_argument("--src", required=True, help="corpus parquet dir")
+    sh.add_argument("--out", required=True, help="sharded output dir")
+    sh.add_argument("--shard-tokens", type=int, default=1 << 20)
+    sh.add_argument(
+        "--salt", default="shard-0",
+        help="re-salting draws an independent permutation",
+    )
+    sh.add_argument(
+        "--manifest", help="also write the per-shard manifest to this dir"
+    )
+    sh.set_defaults(fn=cmd_shard)
+
+    dc = sub.add_parser(
+        "decontam", help="remove benchmark n-grams from a training corpus"
+    )
+    dc.add_argument("--src", required=True, help="corpus parquet dir")
+    dc.add_argument(
+        "--bench", required=True, help="benchmark/eval-set parquet dir"
+    )
+    dc.add_argument("--out", required=True, help="kept-docs output dir")
+    dc.add_argument("--flagged", help="also write flagged docs to this dir")
+    dc.add_argument("--ngram", type=int, default=8)
+    dc.add_argument("--threshold", type=float, default=0.0)
+    dc.add_argument(
+        "--log2-bits", type=int, default=23,
+        help="Bloom bitset size: 2^N bits (default 1 MiB)",
+    )
+    dc.set_defaults(fn=cmd_decontam)
 
     an = sub.add_parser(
         "ann", help="build/search the materialized partition-pruned ANN index"

@@ -82,18 +82,40 @@ def pack_documents(
     Zero-token docs take no space (first_seq = last_seq = the sequence
     at their offset).
     """
-    spark = docs.sparkSession
-    n_parts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
     base = docs.select(
         F.col(split_col).alias("split"),
         F.col(order_col).alias("doc_id"),
         F.col(token_col).cast("long").alias("n_tokens"),
     )
+    packed = _global_token_offsets(
+        base, order_cols=["doc_id"], num_partitions=num_partitions
+    ).select("split", "doc_id", "n_tokens", "offset")
+    return with_seq_cols(packed, seq_len)
+
+
+def _global_token_offsets(
+    base: DataFrame,
+    order_cols: "list[str]",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The two-phase distributed prefix sum (module docstring steps
+    1-3), shared by :func:`pack_documents` (order = doc_id) and
+    :func:`shard_corpus` (order = salted hash, i.e. a deterministic
+    global shuffle). ``base`` needs (split, n_tokens, *order_cols);
+    returns it plus ``offset`` — each row's global running-token start
+    within its split under the (split, *order_cols) total order.
+
+    Range partition ids ascend with the sort key, so the driver-side
+    prefix over per-(partition, split) totals — O(partitions) rows, the
+    only driver traffic — reconstructs the global order exactly.
+    """
+    spark = base.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     ranged = base.repartitionByRange(
-        n_parts, "split", "doc_id"
-    ).sortWithinPartitions("split", "doc_id")
+        n_parts, "split", *order_cols
+    ).sortWithinPartitions("split", *order_cols)
     local = _with_local_cumsum(ranged, "split", "n_tokens")
     # bounded control plane: one row per (physical partition, split)
     totals = (
@@ -112,15 +134,12 @@ def pack_documents(
         [(pid, split, off) for (pid, split), off in prefix.items()],
         "_pid int, split string, _prefix long",
     )
-    packed = local.join(F.broadcast(prefix_df), ["_pid", "split"]).select(
-        "split",
-        "doc_id",
-        "n_tokens",
+    return local.join(F.broadcast(prefix_df), ["_pid", "split"]).select(
+        *base.columns,
         (F.col("_prefix") + F.col("_local_cum") - F.col("n_tokens")).alias(
             "offset"
         ),
     )
-    return with_seq_cols(packed, seq_len)
 
 
 def with_seq_cols(packed: DataFrame, seq_len: int) -> DataFrame:
@@ -173,4 +192,78 @@ def sequence_manifest(packed: DataFrame, seq_len: int) -> DataFrame:
         F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
         F.count("*").alias("n_docs"),
         F.sum(covered).alias("fill_tokens"),
+    )
+
+
+# ------------------------------------------------ shuffle-and-shard
+def shard_corpus(
+    docs: DataFrame,
+    shard_tokens: int,
+    split_col: str | None = "split",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    salt: str = "shard-0",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle + bounded-token shard assignment —
+    the "shuffle and shard" step that turns a curated corpus into
+    training-ready output files.
+
+    Source-ordered corpora train badly (a shard of all-arxiv then
+    all-web is a curriculum nobody asked for), but a real random
+    shuffle of 100 TB is neither reproducible nor resumable. Instead
+    docs are totally ordered by a salted 64-bit hash of their id (the
+    repo's re-salt-is-the-re-draw convention: a different ``salt`` is
+    an independent permutation, the same salt replays bit-identically
+    on any cluster size), and the packing prefix sum turns that order
+    into global token offsets; ``shard_id = offset div shard_tokens``.
+
+    Docs are never split across shards: a doc straddling a boundary
+    belongs to the shard its offset starts in, so realized shard sizes
+    vary by at most one document around ``shard_tokens`` — the price of
+    keeping assignment embarrassingly parallel (a greedy exact-fill
+    packer is inherently sequential). Each split is sharded
+    independently; pass ``split_col=None`` to shard the corpus whole.
+
+    Returns one row per doc: (split, id, n_tokens, offset, shard_id,
+    shard_offset). Write the physical files with
+    ``result.repartition("split", "shard_id").write.partitionBy(...)``
+    — one shuffle keyed by the bounded-size shards.
+    """
+    from propulsion_spark.operators.dedup import SPARK_H64
+
+    split_expr = (
+        F.col(split_col) if split_col else F.lit("all")
+    )
+    h = F.expr(
+        SPARK_H64.format(x=f"concat('{salt}-', cast({id_col} as string))")
+    )
+    base = docs.select(
+        split_expr.alias("split"),
+        h.alias("_shuf"),
+        F.col(id_col).alias("doc_id"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )
+    # doc_id tiebreak keeps the order total under hash collisions
+    offs = _global_token_offsets(
+        base, order_cols=["_shuf", "doc_id"], num_partitions=num_partitions
+    )
+    shard_id = F.expr(f"offset div {shard_tokens}")
+    return offs.select(
+        "split",
+        "doc_id",
+        "n_tokens",
+        "offset",
+        shard_id.alias("shard_id"),
+        (F.col("offset") - shard_id * shard_tokens).alias("shard_offset"),
+    )
+
+
+def shard_manifest(sharded: DataFrame) -> DataFrame:
+    """One row per (split, shard): doc/token counts — the sidecar a
+    training loader reads to plan epochs without listing data files."""
+    return sharded.groupBy("split", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("offset").alias("first_offset"),
     )

@@ -198,3 +198,76 @@ class TestAnnVerb:
         ).stdout
         rows = [_json.loads(l) for l in out.splitlines() if l.startswith("{")]
         assert rows and all(r["query_id"] == 0 for r in rows)
+
+
+class TestShardVerb:
+    def test_shard_writes_partitioned_output(self, tmp_path):
+        import duckdb
+
+        src = str(tmp_path / "docs")
+        duckdb.connect().execute(
+            f"""COPY (
+                 SELECT i AS doc_id,
+                        'train' AS split,
+                        CAST(5 + i % 9 AS BIGINT) AS n_tokens
+                 FROM range(200) t(i)
+               ) TO '{src}' (FORMAT PARQUET)"""
+        )
+        rep = run_cli(
+            "shard", "--src", src, "--out", str(tmp_path / "sharded"),
+            "--shard-tokens", "300",
+            "--manifest", str(tmp_path / "man"),
+        )
+        assert rep["shard_tokens"] == 300
+        total = sum(5 + i % 9 for i in range(200))
+        assert rep["splits"]["train"]["n_tokens"] == total
+        # ~total/300 shards, last partial
+        import math
+        assert abs(rep["splits"]["train"]["n_shards"] - math.ceil(total / 300)) <= 1
+        # physical layout: one directory per (split, shard)
+        shards = list((tmp_path / "sharded" / "split=train").glob("shard_id=*"))
+        assert len(shards) == rep["splits"]["train"]["n_shards"]
+        import duckdb as d2
+        man = d2.connect().execute(
+            f"SELECT sum(n_tokens) FROM read_parquet('{tmp_path}/man/*.parquet')"
+        ).fetchone()
+        assert man[0] == total
+
+
+class TestDecontamVerb:
+    def test_decontam_flags_overlap(self, tmp_path):
+        import duckdb
+
+        src, bench = str(tmp_path / "docs"), str(tmp_path / "bench")
+        con = duckdb.connect()
+        con.execute(
+            f"""COPY (
+                 SELECT i AS doc_id,
+                        CASE WHEN i = 7
+                             THEN 'the quick brown fox jumps high'
+                             ELSE 'clean body text number ' || i END AS text
+                 FROM range(20) t(i)
+               ) TO '{src}' (FORMAT PARQUET)"""
+        )
+        con.execute(
+            f"""COPY (
+                 SELECT 0 AS bid, 'quick brown fox jumps' AS text
+               ) TO '{bench}' (FORMAT PARQUET)"""
+        )
+        rep = run_cli(
+            "decontam", "--src", src, "--bench", bench,
+            "--out", str(tmp_path / "kept"),
+            "--flagged", str(tmp_path / "flagged"),
+            "--ngram", "3",
+        )
+        assert rep["n_docs"] == 20 and rep["n_flagged"] == 1
+        assert rep["total_ngram_hits"] == 2  # two 3-gram windows hit
+        assert 0 < rep["bloom_fill_ratio"] < 0.01
+        kept = duckdb.connect().execute(
+            f"SELECT count(*), max(doc_id = 7) FROM read_parquet('{tmp_path}/kept/**/*.parquet')"
+        ).fetchone()
+        assert kept == (19, False)
+        flagged = duckdb.connect().execute(
+            f"SELECT doc_id, contaminated_frac > 0 FROM read_parquet('{tmp_path}/flagged/**/*.parquet')"
+        ).fetchall()
+        assert flagged == [(7, True)]
