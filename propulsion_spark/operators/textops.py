@@ -435,17 +435,29 @@ def _mixture_case() -> str:
     return f"CASE lang {whens} ELSE {MIXTURE_DEFAULT_BP} END"
 
 
+# benchmark-decontamination facet of corpus_split_assign: the
+# pseudo-benchmark is the doc_id % BENCH_MOD == 0 slice (both engines
+# derive it identically); a doc is bench-hit when it shares ≥1 word
+# DECONTAM_N-gram with any benchmark doc. The Spark side answers with
+# the BLOOM scan (operators/decontam.py) while the oracle recomputes
+# the overlap exactly — so the driver's hash gate attests that the
+# filter has no false positive on this corpus (it can never have a
+# false negative).
+BENCH_MOD = 97
+DECONTAM_N = 8
+
+
 @register(
     "corpus_split_assign",
     f"""
 WITH base AS (
-  SELECT source, n_chars,
+  SELECT doc_id, source, n_chars,
          CASE WHEN b < {TRAIN_PCT} THEN 'train'
               WHEN b < {TRAIN_PCT + VAL_PCT} THEN 'val'
               ELSE 'test' END AS split,
          fp, sampled
   FROM (
-    SELECT source, n_chars,
+    SELECT doc_id, source, n_chars,
            {DUCK_H64.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS b,
            md5({normalized('duck')}) AS fp,
            ({DUCK_H64.format(x="concat(CAST(doc_id AS VARCHAR), '-mix')")} % 10000
@@ -455,6 +467,20 @@ WITH base AS (
 ),
 fps AS (
   SELECT fp, count(DISTINCT split) AS n_splits FROM base GROUP BY fp
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{DECONTAM_N - 1}], ' ') AS g
+  FROM (
+    SELECT doc_id, t,
+           unnest(range(1, greatest(len(t) - {DECONTAM_N - 2}, 1))) AS i
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents)
+  )
+),
+bench_hits AS (
+  SELECT DISTINCT doc_id FROM grams WHERE g IN
+    (SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_MOD} = 0)
 )
 SELECT source, split,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -463,8 +489,11 @@ SELECT source, split,
            AS n_contaminated,
        CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
        CAST(sum(CASE WHEN sampled THEN n_chars ELSE 0 END) AS BIGINT)
-           AS sampled_chars
+           AS sampled_chars,
+       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bench_hit
 FROM base JOIN fps USING (fp)
+LEFT JOIN bench_hits h USING (doc_id)
 GROUP BY source, split
 """,
     doc=f"Reproducible train/val/test assignment ({TRAIN_PCT}/{VAL_PCT}/"
@@ -481,9 +510,20 @@ GROUP BY source, split
     "independent deterministic hash so the sample composes with the "
     "split instead of correlating with it. One map-side scan + one "
     "fp-keyed aggregate join — no cross product, scales with corpus "
-    "size.",
+    "size — PLUS benchmark decontamination (r6): n_bench_hit counts "
+    f"docs sharing a word {DECONTAM_N}-gram with the pseudo-benchmark "
+    f"slice (doc_id % {BENCH_MOD} = 0). The Spark side answers with "
+    "the broadcast-Bloom scan (operators/decontam.py — map-only, no "
+    "shuffle, the 100 TB shape) while the oracle recomputes the "
+    "overlap exactly, so the hash gate doubles as a proof the filter "
+    "is FP-free on this corpus.",
 )
 def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from propulsion_spark.operators.decontam import (
+        build_ngram_bloom,
+        contamination_scores,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     b = F.expr(SPARK_H64.format(x="cast(doc_id as string)")) % 100
     split = (
@@ -496,6 +536,7 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         < F.expr(_mixture_case())
     )
     base = docs.select(
+        "doc_id",
         "source",
         "n_chars",
         split.alias("split"),
@@ -503,8 +544,15 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampled.alias("sampled"),
     )
     fps = base.groupBy("fp").agg(F.countDistinct("split").alias("n_splits"))
+    bloom = build_ngram_bloom(
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0), n=DECONTAM_N
+    )
+    bench_hit = contamination_scores(docs, bloom).select(
+        "doc_id", (F.col("n_hits") > 0).alias("bench_hit")
+    )
     return (
         base.join(fps, "fp")
+        .join(bench_hit, "doc_id")
         .groupBy("source", "split")
         .agg(
             F.count("*").alias("n_docs"),
@@ -514,6 +562,7 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("sampled"), F.col("n_chars")).otherwise(0)).alias(
                 "sampled_chars"
             ),
+            F.sum(F.col("bench_hit").cast("long")).alias("n_bench_hit"),
         )
     )
 
