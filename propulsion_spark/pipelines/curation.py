@@ -5,6 +5,10 @@ query).
     raw document batches (change feed / any feed source)
       → quality gates      (declarative: alpha ratio, token bounds,
                             Gopher-style dup-trigram repetition)
+      → decontamination    (optional: benchmark n-gram Bloom bitset
+                            built once, broadcast, map-only scan —
+                            before dedup so a flagged doc never
+                            becomes a fingerprint/band keeper)
       → cross-batch dedup  (fingerprint table: first-writer-wins)
       → near-dup dedup     (optional: MinHash-LSH — intra-batch
                             connected-components canonical keep, then a
@@ -180,6 +184,10 @@ class CurationPipeline:
         max_dup_trigram_frac: float = REP_THRESHOLD,
         assign_splits: bool = True,
         near_dedup: bool = False,
+        benchmark: DataFrame | None = None,
+        decontam_ngram: int = 8,
+        decontam_threshold: float = 0.0,
+        decontam_bits: int = 1 << 23,
     ):
         self.spark = spark
         self.out_path = out_path
@@ -188,6 +196,19 @@ class CurationPipeline:
         self.max_dup_trigram_frac = max_dup_trigram_frac
         self.assign_splits = assign_splits
         self.near_dedup = near_dedup
+        # benchmark decontamination: the eval-side Bloom bitset is built
+        # ONCE here (the benchmark is fixed for the pipeline's life) and
+        # broadcast into every batch's map-only scan — no per-batch
+        # rebuild, no join, no shuffle (operators/decontam.py)
+        self.decontam_threshold = decontam_threshold
+        if benchmark is not None:
+            from propulsion_spark.operators.decontam import build_ngram_bloom
+
+            self._bloom = build_ngram_bloom(
+                benchmark, n=decontam_ngram, m_bits=decontam_bits
+            )
+        else:
+            self._bloom = None
         self.fingerprints = _FingerprintTable(spark, f"{out_path}/_fingerprints")
         self.token_hist = _TokenHistogram(spark, f"{out_path}/_token_hist")
         self.bands = (
@@ -198,6 +219,7 @@ class CurationPipeline:
             "seen": 0,
             "rejected_quality": 0,
             "rejected_repetition": 0,
+            "rejected_benchmark": 0,
             "deduped": 0,
             "near_deduped": 0,
             "kept": 0,
@@ -280,7 +302,23 @@ class CurationPipeline:
             (F.col("_alpha") >= self.min_alpha_ratio)
             & F.col("_ntok").between(lo, hi)
         )
-        passed = passed_q.filter(F.col("_dup3") <= self.max_dup_trigram_frac)
+        passed_r = passed_q.filter(F.col("_dup3") <= self.max_dup_trigram_frac)
+        if self._bloom is not None:
+            # decontaminate BEFORE dedup: a flagged doc must never
+            # become a fingerprint/band keeper (it would then suppress
+            # clean near-dups of itself in later batches)
+            from propulsion_spark.operators.decontam import (
+                contamination_scores,
+            )
+
+            flagged = contamination_scores(
+                passed_r.select("doc_id", "text"), self._bloom
+            ).filter(
+                F.col("contaminated_frac") > self.decontam_threshold
+            ).select("doc_id")
+            passed = passed_r.join(flagged, "doc_id", "left_anti")
+        else:
+            passed = passed_r
         # intra-batch keeper, then cross-batch anti-join vs seen fps
         keeper = passed.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
         fresh = keeper.join(self.fingerprints.read(), "fp", "left_anti").select(
@@ -300,7 +338,10 @@ class CurationPipeline:
         try:
             n_seen = df.count()
             n_passed_q = passed_q.count()
-            n_passed = passed.count()
+            n_passed_r = passed_r.count()
+            n_passed = (
+                passed.count() if self._bloom is not None else n_passed_r
+            )
             n_exact = exact_kept.count()
             n_kept = kept_docs.count()
             out = kept_docs.drop("fp")
@@ -348,7 +389,8 @@ class CurationPipeline:
             with self._lock:
                 self.stats["seen"] += n_seen
                 self.stats["rejected_quality"] += n_seen - n_passed_q
-                self.stats["rejected_repetition"] += n_passed_q - n_passed
+                self.stats["rejected_repetition"] += n_passed_q - n_passed_r
+                self.stats["rejected_benchmark"] += n_passed_r - n_passed
                 self.stats["deduped"] += n_passed - n_exact
                 self.stats["near_deduped"] += n_exact - n_kept
                 self.stats["kept"] += n_kept

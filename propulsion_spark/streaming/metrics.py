@@ -79,8 +79,9 @@ class MetricsExporter:
         """A :class:`~propulsion_spark.pipelines.CurationPipeline`:
         exports its per-stage document counters
         (``propulsion_curation_docs_total{stage=...}`` — seen,
-        rejected_quality, rejected_repetition, deduped, near_deduped,
-        kept) so an operator can watch gate/dedup rates live."""
+        rejected_quality, rejected_repetition, rejected_benchmark,
+        deduped, near_deduped, kept) so an operator can watch
+        gate/dedup rates live."""
         self.register_gauge(
             "propulsion_curation_docs_total",
             lambda: [({"stage": k}, v) for k, v in sorted(pipeline.stats.items())],

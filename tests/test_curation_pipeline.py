@@ -275,3 +275,41 @@ class TestTokenLengthDriftGauge:
             tuple(r) for r in pipe.token_hist.summed().collect()
         )
         assert after == before
+
+
+class TestDecontamStage:
+    def test_benchmark_overlap_rejected_before_dedup(self, spark, tmp_path):
+        # doc 11 embeds a benchmark 8-gram; doc 12 is its exact dup.
+        # With decontam ON, 11 is flagged pre-dedup, so 12 must ALSO be
+        # flagged (same text) rather than surviving as "novel".
+        leaky = (
+            "alpha beta gamma delta epsilon zeta eta theta "
+            "plus enough extra clean words to pass every quality gate "
+            "and some more padding tokens here"
+        )
+        bench = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+            "bid long, text string",
+        )
+        pipe = CurationPipeline(
+            spark, str(tmp_path / "out"), benchmark=bench
+        )
+        pipe.process_batch(
+            mk(spark, [doc(10, GOOD), doc(11, leaky), doc(12, leaky)])
+        )
+        kept = sorted(r.doc_id for r in pipe.curated().collect())
+        assert kept == [10]
+        assert pipe.stats["rejected_benchmark"] == 2
+        assert pipe.stats["deduped"] == 0
+        assert pipe.stats["kept"] == 1
+        # the flagged text never became a fingerprint keeper: a later
+        # CLEAN batch reusing doc 11's id-space is unaffected, and the
+        # leaky fp is still absent from the registry
+        fps = pipe.fingerprints.read().count()
+        assert fps == 1  # only GOOD's fingerprint
+
+    def test_no_benchmark_means_no_stage(self, spark, tmp_path):
+        pipe = CurationPipeline(spark, str(tmp_path / "out2"))
+        pipe.process_batch(mk(spark, [doc(1, GOOD)]))
+        assert pipe.stats["rejected_benchmark"] == 0
+        assert pipe.stats["kept"] == 1
