@@ -280,6 +280,16 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
             "overwrite"
         ).save()
         timings["pipeline_decontam"] = round(time.time() - t0, 3)
+
+        # hamming-ball simhash near-dup: 64-bit fingerprints, 4×16-bit
+        # chunk-bucket joins, bit_count verify — exact recall at ≤3
+        from propulsion_spark.operators.dedup import simhash_hamming_pairs
+
+        t0 = time.time()
+        simhash_hamming_pairs(full).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["dedup_simhash_hamming"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings

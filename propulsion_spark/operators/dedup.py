@@ -444,6 +444,125 @@ def q_dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- simhash hamming-ball search
+SIMHASH64_CHUNKS = 4
+
+
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document — the fingerprint width hamming-ball
+    search needs (the 16-bit ``q_dedup_simhash`` variant keeps the
+    oracle's integer arithmetic small; 16 bits cannot bucket a corpus).
+
+    Map-only (no shuffle): the token-hash array is let-bound (one md5
+    pass per token), then 64 flat ``aggregate`` folds — one per bit —
+    produce the vote sums. Measured 2.7× faster at sf0.1 than the
+    "clever" single-pass zip_with accumulator, which allocates a
+    64-element array PER TOKEN inside the interpreted HOF; flat folds
+    allocate nothing. (An explode + codegen groupBy formulation ties
+    on steady-state time but adds a shuffle and a multi-second codegen
+    compile of the 64-sum aggregate — map-only wins at scale.)
+    Majority vote per bit sets the fingerprint; bit sums use +1/−1
+    weighted by token frequency, matching the 16-bit operator.
+    Distinct powers of two never carry, so summing them composes the
+    bit pattern exactly (bit 63 is Long.MIN_VALUE — still exact).
+    """
+    terms = []
+    for b in range(64):
+        vote = (
+            f"aggregate(x, 0L, (acc, h) -> "
+            f"acc + IF((shiftright(h, {b}) & 1) = 1, 1L, -1L))"
+        )
+        terms.append(f"IF(({vote}) > 0, shiftleft(1L, {b}), 0L)")
+    fingerprint = " + ".join(terms)
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    th = f"transform({toks}, t -> {SPARK_H64.format(x='t')})"
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(let_bound(th, f"CAST({fingerprint} AS BIGINT)")).alias(
+            "simhash64"
+        ),
+    )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int = SIMHASH64_CHUNKS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs within a hamming ball — the multi-index
+    SimHash method (Manku/Jain/Sarma, WWW'07 — public): split each
+    64-bit fingerprint into ``n_chunks`` equal chunks; by pigeonhole,
+    two fingerprints within hamming distance ``n_chunks − 1`` agree on
+    at least one chunk, so a per-chunk equi-join finds EVERY such pair
+    (exact recall, enforced: ``max_hamming ≤ n_chunks − 1`` or this
+    raises). Candidates are verified with one ``bit_count(xor)`` —
+    returns ``(a_id, b_id, hamming)``, a_id < b_id.
+
+    Scale shape: ``n_chunks`` equi-joins keyed by (chunk index, chunk
+    value) — 2^(64/n_chunks) buckets per index; no all-pairs product.
+    Bucket occupancy bounds the candidate count exactly like the LSH
+    band joins (same gauge rule applies); for corpora where 16-bit
+    chunks under-select, trade recall radius for selectivity by
+    lowering ``max_hamming`` and raising ``n_chunks``-width per chunk.
+    The fingerprint table is persisted for the duration (both join
+    sides and the verify read it; without pinning, the self-join
+    recomputes the 64-fold fingerprint per side — measured 10 s vs 3 s
+    at sf0.1) and released via ``finalize``.
+    """
+    from propulsion_spark.operators import finalize
+
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_chunks ≥ {max_hamming + 1} "
+            "for exact pigeonhole recall"
+        )
+    if 64 % n_chunks:
+        raise ValueError("n_chunks must divide 64")
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    sh = simhash64(docs, text_col=text_col, id_col=id_col).persist()
+    chunks = sh.select(
+        "doc_id",
+        "simhash64",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftright(simhash64, {c * width}) & {mask}L")
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("simhash64").alias("a_sh"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("simhash64").alias("b_sh"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    pairs = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .distinct()  # a pair may share several chunks: verify once
+        .withColumn(
+            "hamming", F.expr("CAST(bit_count(a_sh ^ b_sh) AS BIGINT)")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+    return finalize(pairs, sh)
+
+
 # ------------------------------------------- near-dup cluster resolution
 CC_MAX_ITERS = 50
 #: per-round label tables at or below this node count broadcast to the

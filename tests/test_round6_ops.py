@@ -540,3 +540,58 @@ class TestStratifiedSample:
             .toString()
         )
         assert "WindowGroupLimit" in plan
+
+
+class TestSimhashHamming:
+    """Multi-index SimHash near-dup (Manku et al., WWW'07): 64-bit
+    fingerprints, 16-bit chunk buckets, pigeonhole-complete recall for
+    hamming ≤ n_chunks−1 — pinned against an all-pairs brute force."""
+
+    def test_matches_bruteforce_on_corpus(self, spark):
+        import numpy as np
+
+        from propulsion_spark import load_table
+        from propulsion_spark.operators.dedup import (
+            simhash64,
+            simhash_hamming_pairs,
+        )
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        sh = simhash64(docs).toPandas().set_index("doc_id")
+        ids = sh.index.to_numpy()
+        arr = sh.simhash64.astype("uint64").to_numpy()
+        expected = set()
+        for i in range(len(ids)):
+            x = np.bitwise_xor(arr[i + 1 :], arr[i])
+            for j, t in enumerate(x):
+                if bin(int(t)).count("1") <= 3:
+                    a, b = sorted((int(ids[i]), int(ids[i + 1 + j])))
+                    expected.add((a, b))
+        got = {
+            (r.a_id, r.b_id) for r in simhash_hamming_pairs(docs).collect()
+        }
+        assert got == expected
+        assert expected  # non-vacuous: the corpus has near-dups
+
+    def test_identical_docs_at_hamming_zero(self, spark):
+        from propulsion_spark.operators.dedup import simhash_hamming_pairs
+
+        d = spark.createDataFrame(
+            [
+                (1, "same text body here padded out"),
+                (2, "same text body here padded out"),
+                (3, "entirely different content words"),
+            ],
+            "doc_id long, text string",
+        )
+        assert [(r.a_id, r.b_id, r.hamming) for r in
+                simhash_hamming_pairs(d).collect()] == [(1, 2, 0)]
+
+    def test_radius_beyond_pigeonhole_guarantee_raises(self, spark):
+        from propulsion_spark.operators.dedup import simhash_hamming_pairs
+
+        d = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            simhash_hamming_pairs(d, max_hamming=5)
+        with pytest.raises(ValueError):
+            simhash_hamming_pairs(d, n_chunks=5)
