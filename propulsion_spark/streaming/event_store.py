@@ -256,6 +256,29 @@ class EventStoreTable:
             return self._empty_envelope()
         return self.spark.read.parquet(*paths)
 
+    def read_streams(self, stream_names: "list[str]") -> DataFrame:
+        """Events of the named streams only — the point-read path the
+        reference serves per stream (an Equinox load reads one stream's
+        events by its partition key; ref
+        src/Propulsion.CosmosStore/EventStoreSink-adjacent read APIs).
+
+        Two pruning layers, so cost scales with the TOUCHED buckets,
+        never the store: (1) each name's bucket — the same
+        ``crc32(utf8) % n_buckets`` the writer uses; zlib.crc32 and
+        Spark's crc32 share the polynomial, so this is computed
+        driver-side with no Spark job — restricts the scan to those
+        bucket segment dirs; (2) the ``stream_name IN (...)`` predicate
+        pushes down to the parquet row-group filter inside them."""
+        import zlib
+
+        buckets = {
+            str(zlib.crc32(n.encode("utf-8")) % self.n_buckets)
+            for n in stream_names
+        }
+        return self.read(buckets).filter(
+            F.col("stream_name").isin(list(stream_names))
+        )
+
     def read_tails(self, m: dict | None = None) -> DataFrame:
         """Current (stream_name, tail) view — O(streams), never O(events)."""
         m = m if m is not None else self._load()

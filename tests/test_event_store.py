@@ -200,3 +200,57 @@ class TestDataCompaction:
         assert out["user-1"].outcome == OutcomeKind.OK
         assert out["user-1"].new_tail == 8
         assert store.read().count() == 8
+
+
+class TestReadStreams:
+    def test_point_read_prunes_buckets_and_matches_full_scan(
+        self, spark, store
+    ):
+        from pyspark.sql import functions as F
+
+        names = [f"user-{i}" for i in range(40)]
+        df = mk_df(
+            spark,
+            [r for i, n in enumerate(names) for r in envelope_rows(n, 0, 3)],
+        )
+        store.sync(df)
+        want = ["user-3", "user-17"]
+        got = store.read_streams(want)
+        # same rows as filtering the full scan
+        full = store.read().filter(F.col("stream_name").isin(want))
+        assert sorted(
+            (r.stream_name, r.idx) for r in got.collect()
+        ) == sorted((r.stream_name, r.idx) for r in full.collect())
+        assert got.count() == 6
+        # the scan is PRUNED: strictly fewer files than the full store
+        # (manifest-level bucket pruning — the only files listed are
+        # the named streams' bucket segments)
+        assert 0 < len(got.inputFiles()) < len(store.read().inputFiles())
+
+    def test_driver_side_bucket_rule_matches_writer(self, spark, store):
+        """zlib.crc32 and Spark's crc32(cast binary) share the
+        polynomial — the no-Spark-job bucket computation must agree
+        with the bucket column the writer partitioned by."""
+        import zlib
+
+        from pyspark.sql import functions as F
+
+        names = [f"s-{i}" for i in range(64)] + ["Cat-αβ", "weird name/x"]
+        df = spark.createDataFrame([(n,) for n in names], "stream_name string")
+        spark_buckets = {
+            r.stream_name: r.b
+            for r in df.select(
+                "stream_name",
+                (F.crc32(F.col("stream_name").cast("binary")) % store.n_buckets)
+                .cast("int")
+                .alias("b"),
+            ).collect()
+        }
+        for n in names:
+            assert zlib.crc32(n.encode("utf-8")) % store.n_buckets == (
+                spark_buckets[n] % store.n_buckets
+            )
+
+    def test_missing_stream_returns_empty(self, spark, store):
+        store.sync(mk_df(spark, envelope_rows("user-1", 0, 2)))
+        assert store.read_streams(["absent-stream"]).count() == 0
