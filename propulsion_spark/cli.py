@@ -424,19 +424,51 @@ def cmd_shard(args) -> int:
         docs = docs.withColumn(
             "n_tokens", F.expr("size(split(lower(trim(text)), '\\\\s+'))")
         )
-    sharded = shard_corpus(
-        docs,
-        args.shard_tokens,
-        split_col="split" if "split" in docs.columns else None,
-        salt=args.salt,
-    )
-    # one shuffle keyed by the bounded-size shards → one file set per shard
-    (
-        sharded.repartition("split", "shard_id")
-        .write.mode("overwrite")
-        .partitionBy("split", "shard_id")
-        .parquet(args.out)
-    )
+    if getattr(args, "follow", False):
+        # incremental: shard new documents as they land in --src,
+        # carrying each split's stream position across micro-batches
+        from propulsion_spark.streaming.packing import shard_foreach_batch
+
+        base = args.out.rstrip("/")
+        inner = shard_foreach_batch(
+            spark, base + "_state", args.out, args.shard_tokens,
+            salt=args.salt,
+        )
+
+        def derive(df):
+            if "n_tokens" not in df.columns:
+                df = df.withColumn(
+                    "n_tokens",
+                    F.expr("size(split(lower(trim(text)), '\\\\s+'))"),
+                )
+            if "split" not in df.columns:
+                df = df.withColumn("split", F.lit("train"))
+            return df
+
+        stream = spark.readStream.schema(
+            spark.read.parquet(args.src).schema
+        ).parquet(args.src)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: inner(derive(df), bid)
+            )
+            .option("checkpointLocation", base + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    else:
+        if "split" not in docs.columns:
+            docs = docs.withColumn("split", F.lit("train"))
+        sharded = shard_corpus(docs, args.shard_tokens, salt=args.salt)
+        # one shuffle keyed by the bounded-size shards → one file set
+        # per shard
+        (
+            sharded.repartition("split", "shard_id")
+            .write.mode("overwrite")
+            .partitionBy("split", "shard_id")
+            .parquet(args.out)
+        )
     man = shard_manifest(spark.read.parquet(args.out))
     if args.manifest:
         man.write.mode("overwrite").parquet(args.manifest)
@@ -685,6 +717,12 @@ def main(argv=None) -> int:
     )
     sh.add_argument(
         "--manifest", help="also write the per-shard manifest to this dir"
+    )
+    sh.add_argument(
+        "--follow",
+        action="store_true",
+        help="incremental: shard documents as they land in --src, "
+        "carrying each split's stream position across micro-batches",
     )
     sh.set_defaults(fn=cmd_shard)
 

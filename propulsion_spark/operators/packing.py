@@ -248,6 +248,14 @@ def shard_corpus(
     offs = _global_token_offsets(
         base, order_cols=["_shuf", "doc_id"], num_partitions=num_partitions
     )
+    return with_shard_cols(offs, shard_tokens)
+
+
+def with_shard_cols(offs: DataFrame, shard_tokens: int) -> DataFrame:
+    """Derive ``shard_id``/``shard_offset`` from global token offsets
+    (shared by the batch operator and the streaming twin, which shifts
+    offsets by the carried split position first — same pattern as
+    :func:`with_seq_cols`). Integer ``div`` for 2^53-exactness."""
     shard_id = F.expr(f"offset div {shard_tokens}")
     return offs.select(
         "split",

@@ -234,6 +234,47 @@ class TestShardVerb:
         assert man[0] == total
 
 
+    def test_shard_follow_incremental(self, tmp_path):
+        import os
+
+        import duckdb
+
+        src = str(tmp_path / "docs")
+        os.makedirs(src, exist_ok=True)
+        duckdb.connect().execute(
+            f"""COPY (
+                 SELECT i AS doc_id, 'train' AS split,
+                        CAST(10 AS BIGINT) AS n_tokens
+                 FROM range(50) t(i)
+               ) TO '{src}/part0.parquet' (FORMAT PARQUET)"""
+        )
+        rep = run_cli(
+            "shard", "--src", src, "--out", str(tmp_path / "inc"),
+            "--shard-tokens", "120", "--follow",
+        )
+        assert rep["splits"]["train"]["n_tokens"] == 500
+        # second wave of docs extends the stream, never reshuffles
+        duckdb.connect().execute(
+            f"""COPY (
+                 SELECT 100 + i AS doc_id, 'train' AS split,
+                        CAST(10 AS BIGINT) AS n_tokens
+                 FROM range(20) t(i)
+               ) TO '{src}/part1.parquet' (FORMAT PARQUET)"""
+        )
+        rep2 = run_cli(
+            "shard", "--src", src, "--out", str(tmp_path / "inc"),
+            "--shard-tokens", "120", "--follow",
+        )
+        assert rep2["splits"]["train"]["n_tokens"] == 700
+        offs = duckdb.connect().execute(
+            f'SELECT "offset", n_tokens FROM read_parquet(\'{tmp_path}/inc/**/*.parquet\') ORDER BY "offset"'
+        ).fetchall()
+        run = 0
+        for off, n in offs:
+            assert off == run
+            run += n
+
+
 class TestDecontamVerb:
     def test_decontam_flags_overlap(self, tmp_path):
         import duckdb

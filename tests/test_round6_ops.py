@@ -595,3 +595,100 @@ class TestSimhashHamming:
             simhash_hamming_pairs(d, max_hamming=5)
         with pytest.raises(ValueError):
             simhash_hamming_pairs(d, n_chunks=5)
+
+
+class TestStreamingSharding:
+    """Streaming twin of shard_corpus: hash-shuffled within each batch,
+    appended at the carried split position — hash-ordered batches
+    reproduce the batch operator exactly; replays are idempotent."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "split string, doc_id long, n_tokens long"
+        )
+
+    def test_hash_ordered_batches_reproduce_batch_operator(
+        self, spark, tmp_path
+    ):
+        from propulsion_spark.operators.packing import shard_corpus
+        from propulsion_spark.streaming.packing import shard_foreach_batch
+
+        rows = [("train", i, (i * 7) % 23 + 1) for i in range(80)] + [
+            ("valid", i, (i * 5) % 17 + 1) for i in range(50)
+        ]
+        whole = shard_corpus(self._docs(spark, rows), 64)
+        want = {
+            (r["split"], r["doc_id"]): (
+                r["offset"],
+                r["shard_id"],
+                r["shard_offset"],
+            )
+            for r in whole.collect()
+        }
+        # cut the stream at each split's 1/3 and 2/3 offset points —
+        # arrival order matches the global hash order
+        order = sorted(
+            ((r["split"], r["offset"]), r["doc_id"], r["n_tokens"])
+            for r in whole.collect()
+        )
+        per_split: dict[str, list] = {}
+        for (split, _off), did, ntok in order:
+            per_split.setdefault(split, []).append((split, did, ntok))
+        cuts = [[], [], []]
+        for split, docs in per_split.items():
+            third = (len(docs) + 2) // 3
+            cuts[0] += docs[:third]
+            cuts[1] += docs[third : 2 * third]
+            cuts[2] += docs[2 * third :]
+        process = shard_foreach_batch(
+            spark, str(tmp_path / "state"), str(tmp_path / "out"),
+            shard_tokens=64,
+        )
+        for bid, cut in enumerate(cuts):
+            process(self._docs(spark, cut), bid)
+        got = {
+            (r["split"], r["doc_id"]): (
+                r["offset"],
+                r["shard_id"],
+                r["shard_offset"],
+            )
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        assert got == want
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from propulsion_spark.streaming.packing import shard_foreach_batch
+
+        process = shard_foreach_batch(
+            spark, str(tmp_path / "state"), str(tmp_path / "out"),
+            shard_tokens=16,
+        )
+        b0 = self._docs(spark, [("train", 0, 5), ("train", 1, 6)])
+        b1 = self._docs(spark, [("train", 2, 7), ("valid", 0, 3)])
+        process(b0, 0)
+        process(b1, 1)
+        first = sorted(
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / "out"))
+            .drop("_batch_id")
+            .collect()
+        )
+        process(b1, 1)  # replay
+        second = sorted(
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / "out"))
+            .drop("_batch_id")
+            .collect()
+        )
+        assert first == second
+        # offsets tile: no gap or overlap across the carried batches
+        train = sorted(
+            (r["offset"], r["n_tokens"])
+            for r in spark.read.parquet(str(tmp_path / "out"))
+            .filter("split = 'train'")
+            .collect()
+        )
+        run = 0
+        for off, n in train:
+            assert off == run
+            run += n
