@@ -86,6 +86,13 @@ class MetricsExporter:
             "propulsion_curation_docs_total",
             lambda: [({"stage": k}, v) for k, v in sorted(pipeline.stats.items())],
         )
+        if getattr(pipeline, "_bloom", None) is not None:
+            # decontamination-filter capacity: past ~0.5 the FP rate
+            # (over-removal) degrades — rebuild with a larger bitset
+            self.register_gauge(
+                "propulsion_curation_bloom_fill_ratio",
+                lambda: [({}, pipeline._bloom.fill_ratio)],
+            )
 
         def length_scrape():
             return [

@@ -313,3 +313,23 @@ class TestDecontamStage:
         pipe.process_batch(mk(spark, [doc(1, GOOD)]))
         assert pipe.stats["rejected_benchmark"] == 0
         assert pipe.stats["kept"] == 1
+
+    def test_bloom_fill_gauge_exported_only_with_benchmark(
+        self, spark, tmp_path
+    ):
+        from propulsion_spark.streaming.metrics import MetricsExporter
+
+        bench = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon")], "bid long, text string"
+        )
+        with_b = CurationPipeline(
+            spark, str(tmp_path / "g1"), benchmark=bench
+        )
+        text = MetricsExporter(group="gb").register_curation(with_b).render()
+        assert "propulsion_curation_bloom_fill_ratio" in text
+        assert 'stage="rejected_benchmark"' in text
+        without = CurationPipeline(spark, str(tmp_path / "g2"))
+        text2 = (
+            MetricsExporter(group="gb2").register_curation(without).render()
+        )
+        assert "propulsion_curation_bloom_fill_ratio" not in text2
