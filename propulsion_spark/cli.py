@@ -411,19 +411,28 @@ def cmd_pack(args) -> int:
 
 def cmd_shard(args) -> int:
     """Shuffle-and-shard a packed/curated corpus: deterministic
-    hash-order global shuffle, bounded-token shard assignment, output
-    parquet partitioned by (split, shard_id) plus the shard manifest."""
+    hash-order global shuffle, bounded-token shard assignment, the
+    per-shard manifest. Batch mode writes output parquet partitioned
+    by (split, shard_id) — one bounded file set per shard; --follow
+    writes the standard streaming-twin layout instead (partitioned by
+    _batch_id for replay-idempotent rewrites; shard_id is a column)."""
     from pyspark.sql import functions as F
 
     from propulsion_spark import get_spark
     from propulsion_spark.operators.packing import shard_corpus, shard_manifest
 
     spark = get_spark("propulsion-shard")
-    docs = spark.read.parquet(args.src)
-    if "n_tokens" not in docs.columns:
-        docs = docs.withColumn(
-            "n_tokens", F.expr("size(split(lower(trim(text)), '\\\\s+'))")
-        )
+
+    def derive(df):
+        if "n_tokens" not in df.columns:
+            df = df.withColumn(
+                "n_tokens",
+                F.expr("size(split(lower(trim(text)), '\\\\s+'))"),
+            )
+        if "split" not in df.columns:
+            df = df.withColumn("split", F.lit("train"))
+        return df
+
     if getattr(args, "follow", False):
         # incremental: shard new documents as they land in --src,
         # carrying each split's stream position across micro-batches
@@ -434,17 +443,6 @@ def cmd_shard(args) -> int:
             spark, base + "_state", args.out, args.shard_tokens,
             salt=args.salt,
         )
-
-        def derive(df):
-            if "n_tokens" not in df.columns:
-                df = df.withColumn(
-                    "n_tokens",
-                    F.expr("size(split(lower(trim(text)), '\\\\s+'))"),
-                )
-            if "split" not in df.columns:
-                df = df.withColumn("split", F.lit("train"))
-            return df
-
         stream = spark.readStream.schema(
             spark.read.parquet(args.src).schema
         ).parquet(args.src)
@@ -458,8 +456,7 @@ def cmd_shard(args) -> int:
         )
         q.awaitTermination()
     else:
-        if "split" not in docs.columns:
-            docs = docs.withColumn("split", F.lit("train"))
+        docs = derive(spark.read.parquet(args.src))
         sharded = shard_corpus(docs, args.shard_tokens, salt=args.salt)
         # one shuffle keyed by the bounded-size shards → one file set
         # per shard
@@ -509,21 +506,26 @@ def cmd_decontam(args) -> int:
     docs = spark.read.parquet(args.src)
     bench = spark.read.parquet(args.bench)
     bloom = build_ngram_bloom(bench, n=args.ngram, m_bits=1 << args.log2_bits)
-    scored = docs.join(
-        contamination_scores(docs, bloom).drop("n_ngrams"), "doc_id"
-    )
-    kept = scored.filter(F.col("contaminated_frac") <= args.threshold).drop(
-        "n_hits", "contaminated_frac"
-    )
-    flagged = scored.filter(F.col("contaminated_frac") > args.threshold)
-    kept.write.mode("overwrite").parquet(args.out)
-    n_flagged = flagged.count()
-    if args.flagged:
-        flagged.write.mode("overwrite").parquet(args.flagged)
-    agg = contamination_scores(docs, bloom).selectExpr(
-        "count(*) AS n_docs",
-        "sum(n_hits) AS total_hits",
-    ).collect()[0]
+    # score ONCE and pin: the kept write, the flagged count/write, and
+    # the summary each trigger an action, and the mapInPandas hashing
+    # scan is the expensive part — it must not re-run per action
+    scores = contamination_scores(docs, bloom).persist()
+    try:
+        scored = docs.join(scores.drop("n_ngrams"), "doc_id")
+        kept = scored.filter(
+            F.col("contaminated_frac") <= args.threshold
+        ).drop("n_hits", "contaminated_frac")
+        flagged = scored.filter(F.col("contaminated_frac") > args.threshold)
+        kept.write.mode("overwrite").parquet(args.out)
+        n_flagged = flagged.count()
+        if args.flagged:
+            flagged.write.mode("overwrite").parquet(args.flagged)
+        agg = scores.selectExpr(
+            "count(*) AS n_docs",
+            "sum(n_hits) AS total_hits",
+        ).collect()[0]
+    finally:
+        scores.unpersist()
     print(
         json.dumps(
             {

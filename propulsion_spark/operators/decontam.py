@@ -260,8 +260,14 @@ def contamination_scores(
 
 def _ngram_array_sql(text_col: str, n: int) -> str:
     """Spark SQL expression: array of word n-gram strings of ``text_col``
-    (whitespace tokens, lowercased/trimmed — the repo convention)."""
-    t = f"split(lower(trim({text_col})), '\\\\s+')"
+    (whitespace tokens, lowercased/trimmed — the repo convention).
+
+    Empty tokens are filtered so empty/whitespace-only documents yield
+    ZERO n-grams at any ``n`` — Spark's ``split('', '\\\\s+')`` returns
+    ``['']`` (one empty token) where pandas ``''.split()`` returns
+    none, and the Bloom scan is pinned to identical occurrence
+    counting (review-found divergence at n=1)."""
+    t = f"filter(split(lower(trim({text_col})), '\\\\s+'), _tk -> _tk != '')"
     return (
         f"CASE WHEN size({t}) >= {n} THEN "
         f"transform(sequence(0, size({t}) - {n}), "

@@ -467,6 +467,14 @@ def simhash64(
     weighted by token frequency, matching the 16-bit operator.
     Distinct powers of two never carry, so summing them composes the
     bit pattern exactly (bit 63 is Long.MIN_VALUE — still exact).
+
+    Token hashes must fill all 64 bits: ``SPARK_H64`` alone is 15 hex
+    chars of md5 = 60 bits, which would leave fingerprint bits 60-63
+    permanently zero (every vote −n) and collapse the top hamming
+    chunk's index from 2^16 to 2^12 values (review-found). The 16th
+    md5 hex char supplies the top nibble; low 60 and high 4 bits are
+    disjoint, so the sum is exact. The md5 is let-bound inside the
+    lambda so each token digests once, not twice.
     """
     terms = []
     for b in range(64):
@@ -477,7 +485,14 @@ def simhash64(
         terms.append(f"IF(({vote}) > 0, shiftleft(1L, {b}), 0L)")
     fingerprint = " + ".join(terms)
     toks = f"split(lower(trim({text_col})), '\\\\s+')"
-    th = f"transform({toks}, t -> {SPARK_H64.format(x='t')})"
+    h64 = (
+        "cast(conv(substring(m, 1, 15), 16, 10) as bigint) + "
+        "shiftleft(cast(conv(substring(m, 16, 1), 16, 10) as bigint), 60)"
+    )
+    th = (
+        f"transform({toks}, t -> "
+        f"element_at(transform(array(md5(t)), m -> {h64}), 1))"
+    )
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.expr(let_bound(th, f"CAST({fingerprint} AS BIGINT)")).alias(
@@ -523,7 +538,10 @@ def simhash_hamming_pairs(
     if 64 % n_chunks:
         raise ValueError("n_chunks must divide 64")
     width = 64 // n_chunks
-    mask = (1 << width) - 1
+    # width 64 (n_chunks=1, exact-duplicate-only search): the full
+    # fingerprint IS the chunk — a 2^64−1 mask literal would overflow
+    # the signed-long parser
+    mask = (1 << width) - 1 if width < 64 else None
     sh = simhash64(docs, text_col=text_col, id_col=id_col).persist()
     chunks = sh.select(
         "doc_id",
@@ -531,7 +549,11 @@ def simhash_hamming_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.expr(f"shiftright(simhash64, {c * width}) & {mask}L")
+                    F.expr(
+                        f"shiftright(simhash64, {c * width}) & {mask}L"
+                        if mask is not None
+                        else "simhash64"
+                    )
                     for c in range(n_chunks)
                 ]
             )

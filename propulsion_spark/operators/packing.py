@@ -230,14 +230,21 @@ def shard_corpus(
     ``result.repartition("split", "shard_id").write.partitionBy(...)``
     — one shuffle keyed by the bounded-size shards.
     """
-    from propulsion_spark.operators.dedup import SPARK_H64
-
     split_expr = (
         F.col(split_col) if split_col else F.lit("all")
     )
-    h = F.expr(
-        SPARK_H64.format(x=f"concat('{salt}-', cast({id_col} as string))")
-    )
+    # column API, not SQL interpolation: a salt containing a quote must
+    # salt the hash, not rewrite the expression (same H64 rule:
+    # 60 bits of md5)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}-"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
     base = docs.select(
         split_expr.alias("split"),
         h.alias("_shuf"),

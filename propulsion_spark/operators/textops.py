@@ -469,12 +469,15 @@ fps AS (
   SELECT fp, count(DISTINCT split) AS n_splits FROM base GROUP BY fp
 ),
 grams AS (
+  -- empty tokens filtered: matches the Bloom scan's pandas split()
+  -- semantics for empty/whitespace-only docs
   SELECT doc_id, array_to_string(t[i:i+{DECONTAM_N - 1}], ' ') AS g
   FROM (
     SELECT doc_id, t,
            unnest(range(1, greatest(len(t) - {DECONTAM_N - 2}, 1))) AS i
     FROM (SELECT doc_id,
-                 string_split_regex(lower(trim(text)), '\\s+') AS t
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x != '') AS t
           FROM documents)
   )
 ),
@@ -589,11 +592,17 @@ def stratified_sample(
     fine for (lang), (lang, source); for a single giant stratum use the
     Bernoulli hash-range sampler in corpus_split_assign instead.
     """
-    from propulsion_spark.operators.dedup import SPARK_H64
-
-    h = F.expr(
-        SPARK_H64.format(x=f"concat('{salt}-', cast({id_col} as string))")
-    )
+    # column API, not SQL interpolation: a salt containing a quote must
+    # salt the hash, not rewrite the expression (same H64 rule)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}-"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
     w = Window.partitionBy(*strata).orderBy(h.alias("_h"), F.col(id_col))
     return (
         docs.withColumn("_rank", F.row_number().over(w))

@@ -268,14 +268,24 @@ class EventStoreTable:
         Spark's crc32 share the polynomial, so this is computed
         driver-side with no Spark job — restricts the scan to those
         bucket segment dirs; (2) the ``stream_name IN (...)`` predicate
-        pushes down to the parquet row-group filter inside them."""
+        pushes down to the parquet row-group filter inside them.
+
+        The manifest is loaded FIRST: the data's stamped n_buckets
+        (``_load`` adopts it over the constructor default) must drive
+        the bucket rule, or a reader constructed with a different
+        fan-out would prune to the wrong buckets and silently miss
+        events."""
         import zlib
 
+        m = self._load()  # adopts the stamped n_buckets before hashing
         buckets = {
             str(zlib.crc32(n.encode("utf-8")) % self.n_buckets)
             for n in stream_names
         }
-        return self.read(buckets).filter(
+        paths = self._data_paths(m, buckets)
+        if not paths:
+            return self._empty_envelope()
+        return self.spark.read.parquet(*paths).filter(
             F.col("stream_name").isin(list(stream_names))
         )
 

@@ -88,10 +88,13 @@ class MetricsExporter:
         )
         if getattr(pipeline, "_bloom", None) is not None:
             # decontamination-filter capacity: past ~0.5 the FP rate
-            # (over-removal) degrades — rebuild with a larger bitset
+            # (over-removal) degrades — rebuild with a larger bitset.
+            # The filter is frozen for the pipeline's life: compute the
+            # ratio once, not an unpackbits over 1 MiB per scrape
+            fill = pipeline._bloom.fill_ratio
             self.register_gauge(
                 "propulsion_curation_bloom_fill_ratio",
-                lambda: [({}, pipeline._bloom.fill_ratio)],
+                lambda: [({}, fill)],
             )
 
         def length_scrape():

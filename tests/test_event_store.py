@@ -254,3 +254,26 @@ class TestReadStreams:
     def test_missing_stream_returns_empty(self, spark, store):
         store.sync(mk_df(spark, envelope_rows("user-1", 0, 2)))
         assert store.read_streams(["absent-stream"]).count() == 0
+
+    def test_reader_with_mismatched_bucket_default_adopts_stamp(
+        self, spark, tmp_path
+    ):
+        """A store written with n_buckets=16 must serve point reads from
+        a reader constructed with the 64 default: the manifest-stamped
+        fan-out drives the bucket rule, not the constructor arg (a
+        review-found bug pruned to the wrong buckets when read_streams
+        hashed before the first _load)."""
+        writer = EventStoreTable(spark, str(tmp_path / "es16"), n_buckets=16)
+        names = [f"user-{i}" for i in range(20)]
+        writer.sync(
+            mk_df(
+                spark, [r for n in names for r in envelope_rows(n, 0, 2)]
+            )
+        )
+        reader = EventStoreTable(spark, str(tmp_path / "es16"))  # default 64
+        for want in ("user-0", "user-7", "user-19"):
+            got = sorted(
+                (r.stream_name, r.idx)
+                for r in reader.read_streams([want]).collect()
+            )
+            assert got == [(want, 0), (want, 1)], want

@@ -596,6 +596,36 @@ class TestSimhashHamming:
         with pytest.raises(ValueError):
             simhash_hamming_pairs(d, n_chunks=5)
 
+    def test_single_chunk_exact_duplicate_config(self, spark):
+        """n_chunks=1 / max_hamming=0 (exact-fingerprint search) is a
+        legitimate configuration — a 2^64−1 mask literal used to
+        overflow the signed-long parser (review-found)."""
+        from propulsion_spark.operators.dedup import simhash_hamming_pairs
+
+        d = spark.createDataFrame(
+            [
+                (1, "same text body here padded out"),
+                (2, "same text body here padded out"),
+                (3, "entirely different content words"),
+            ],
+            "doc_id long, text string",
+        )
+        got = simhash_hamming_pairs(d, max_hamming=0, n_chunks=1).collect()
+        assert [(r.a_id, r.b_id, r.hamming) for r in got] == [(1, 2, 0)]
+
+    def test_fingerprints_use_all_64_bits(self, spark):
+        """SPARK_H64 is only 60 bits; the 16th md5 hex char must supply
+        the top nibble or fingerprint bits 60-63 are permanently zero
+        and the top hamming chunk's index degrades 16× (review-found)."""
+        from propulsion_spark import load_table
+        from propulsion_spark.operators.dedup import simhash64
+
+        sh = simhash64(
+            load_table(spark, SF, "documents").select("doc_id", "text")
+        )
+        n_high = sh.filter("shiftright(simhash64, 60) != 0").count()
+        assert n_high > 0
+
 
 class TestStreamingSharding:
     """Streaming twin of shard_corpus: hash-shuffled within each batch,
