@@ -333,3 +333,64 @@ class TestDecontamStage:
             MetricsExporter(group="gb2").register_curation(without).render()
         )
         assert "propulsion_curation_bloom_fill_ratio" not in text2
+
+
+class TestCurationToShardCapstone:
+    def test_curate_decontam_shard_streaming_end_to_end(
+        self, spark, tmp_path
+    ):
+        """The full training-output flow, streaming: raw batches →
+        quality gates → benchmark decontamination → dedup → curated
+        store, each batch's survivors then sharded incrementally.
+        Flagged docs never reach a shard; shard offsets tile the kept
+        token stream with no gaps across batches."""
+        from pyspark.sql import functions as F
+
+        from propulsion_spark.streaming.packing import shard_foreach_batch
+
+        leaky = (
+            "omega psi chi phi upsilon tau sigma rho "
+            "plus enough extra clean words to pass every quality gate "
+            "and some more padding tokens here"
+        )
+        bench = spark.createDataFrame(
+            [(0, "omega psi chi phi upsilon tau sigma rho")],
+            "bid long, text string",
+        )
+        pipe = CurationPipeline(
+            spark, str(tmp_path / "cur"), benchmark=bench
+        )
+        shard = shard_foreach_batch(
+            spark, str(tmp_path / "state"), str(tmp_path / "shards"),
+            shard_tokens=40,
+        )
+        batches = [
+            [doc(1, GOOD), doc(2, leaky), doc(3, GOOD + " uno")],
+            [doc(4, GOOD + " dos"), doc(5, GOOD + " tres")],
+        ]
+        seen: set[int] = set()
+        for bid, rows in enumerate(batches):
+            pipe.process_batch(mk(spark, rows), bid)
+            kept_now = pipe.curated().filter(
+                ~F.col("doc_id").isin(list(seen)) if seen else F.lit(True)
+            )
+            shard(
+                kept_now.withColumn(
+                    "n_tokens",
+                    F.expr("size(split(lower(trim(text)), '\\\\s+'))"),
+                ),
+                bid,
+            )
+            seen.update(r.doc_id for r in kept_now.select("doc_id").collect())
+        out = spark.read.parquet(str(tmp_path / "shards"))
+        sharded = sorted(
+            (r["offset"], r["doc_id"], r["n_tokens"], r["shard_id"])
+            for r in out.filter("split = 'train'").collect()
+        )
+        ids = {d for _, d, _, _ in sharded}
+        assert 2 not in ids  # the leaky doc never reached a shard
+        assert ids == {i for i in seen if i != 2}
+        run = 0
+        for off, _did, n, sid in sharded:
+            assert off == run and sid == off // 40
+            run += n
