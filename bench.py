@@ -282,14 +282,20 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         timings["pipeline_decontam"] = round(time.time() - t0, 3)
 
         # hamming-ball simhash near-dup: 64-bit fingerprints, 4×16-bit
-        # chunk-bucket joins, bit_count verify — exact recall at ≤3
+        # chunk-bucket joins, bit_count verify — exact recall at ≤3.
+        # min-of-2 like the headline queries: the 64-fold fingerprint
+        # expression pays a one-time codegen compile (~7 s) that is not
+        # a plan property
         from propulsion_spark.operators.dedup import simhash_hamming_pairs
 
-        t0 = time.time()
-        simhash_hamming_pairs(full).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings["dedup_simhash_hamming"] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            simhash_hamming_pairs(full).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.time() - t0)
+        timings["dedup_simhash_hamming"] = round(min(runs), 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings

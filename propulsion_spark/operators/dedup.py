@@ -501,6 +501,66 @@ def simhash64(
     )
 
 
+def _simhash_chunks(sh: DataFrame, n_chunks: int) -> DataFrame:
+    """Explode ``(doc_id, simhash64)`` to one row per fingerprint chunk
+    — the bucket key of the hamming equi-join."""
+    width = 64 // n_chunks
+    # width 64 (n_chunks=1, exact-duplicate-only search): the full
+    # fingerprint IS the chunk — a 2^64−1 mask literal would overflow
+    # the signed-long parser
+    mask = (1 << width) - 1 if width < 64 else None
+    return sh.select(
+        "doc_id",
+        "simhash64",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"shiftright(simhash64, {c * width}) & {mask}L"
+                        if mask is not None
+                        else "simhash64"
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+
+
+def hamming_bucket_stats(
+    docs: DataFrame,
+    n_chunks: int = SIMHASH64_CHUNKS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bucket-occupancy gauge for the hamming search — the same
+    boundedness rule the LSH band joins report (``lsh_bucket_stats``):
+    per chunk index, how many distinct buckets exist, the largest
+    bucket, and the exact candidate-pair count the equi-join will
+    generate (Σ b·(b−1)/2 over buckets). Run this before pointing
+    :func:`simhash_hamming_pairs` at a new corpus: if
+    ``candidate_pairs`` is quadratic-looking, the chunk width
+    under-selects — raise it by lowering ``max_hamming``/raising chunk
+    width, or pre-partition by a coarser key."""
+    from propulsion_spark.operators import finalize
+
+    if 64 % n_chunks:
+        raise ValueError("n_chunks must divide 64")
+    sh = simhash64(docs, text_col=text_col, id_col=id_col).persist()
+    occ = (
+        _simhash_chunks(sh, n_chunks)
+        .groupBy("chunk_idx", "chunk_val")
+        .agg(F.count("*").alias("b"))
+    )
+    stats = occ.groupBy("chunk_idx").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("b").alias("n_docs"),
+        F.max("b").alias("max_bucket"),
+        F.sum(F.expr("b * (b - 1) div 2")).alias("candidate_pairs"),
+    )
+    return finalize(stats, sh)
+
+
 def simhash_hamming_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -537,28 +597,8 @@ def simhash_hamming_pairs(
         )
     if 64 % n_chunks:
         raise ValueError("n_chunks must divide 64")
-    width = 64 // n_chunks
-    # width 64 (n_chunks=1, exact-duplicate-only search): the full
-    # fingerprint IS the chunk — a 2^64−1 mask literal would overflow
-    # the signed-long parser
-    mask = (1 << width) - 1 if width < 64 else None
     sh = simhash64(docs, text_col=text_col, id_col=id_col).persist()
-    chunks = sh.select(
-        "doc_id",
-        "simhash64",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(
-                        f"shiftright(simhash64, {c * width}) & {mask}L"
-                        if mask is not None
-                        else "simhash64"
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
-    )
+    chunks = _simhash_chunks(sh, n_chunks)
     a = chunks.select(
         F.col("doc_id").alias("a_id"),
         F.col("simhash64").alias("a_sh"),

