@@ -329,3 +329,132 @@ def q_sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return kmv.unionByName(hll).unionByName(qarms)
+
+
+# ---- Count-Min sketch (token frequency / heavy hitters) ----------------
+# Cormode & Muthukrishnan, "An Improved Data Stream Summary: The
+# Count-Min Sketch and its Applications" (J. Algorithms 2005) — public.
+# The frequency-side sibling of the decontamination Bloom filter: a
+# depth×width counter matrix summarizes token frequencies of an
+# arbitrarily large corpus in ONE map-only pass (per-partition numpy
+# matrices, O(partitions · depth · width · 8 bytes) driver traffic,
+# elementwise-ADD merge), with the classic one-sided guarantee:
+# estimate ≥ true count always, overestimate ≤ εN with prob 1−δ for
+# width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉. Token hashing reuses the
+# decontamination module's fixed-key pandas cython hashing, so sketches
+# built anywhere (any partitioning, any cluster) are bit-identical.
+
+
+class CountMinSketch:
+    """Immutable depth×width int64 counter matrix over whitespace
+    tokens. ``merge`` (elementwise add) of per-subset sketches equals
+    the sketch of the union — the mergeability contract of every
+    distributed sketch in this module."""
+
+    def __init__(self, depth: int, width: int, data: bytes):
+        import numpy as np
+
+        if width & (width - 1):
+            raise ValueError("width must be a power of two")
+        if len(data) != depth * width * 8:
+            raise ValueError(
+                f"matrix is {len(data)} bytes, want {depth * width * 8}"
+            )
+        self.depth = depth
+        self.width = width
+        self.data = data
+        self._m = np.frombuffer(data, dtype=np.int64).reshape(depth, width)
+
+    @staticmethod
+    def _rows(h, depth: int, width: int):
+        """Per-row bucket indices via Kirsch-Mitzenmacher double
+        hashing (same rule as the Bloom filter's bit slots)."""
+        import numpy as np
+
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        with np.errstate(over="ignore"):
+            return [
+                ((h + np.uint64(i) * h2) & np.uint64(width - 1)).astype(
+                    np.int64
+                )
+                for i in range(depth)
+            ]
+
+    def estimate(self, tokens: "list[str]"):
+        """Vectorized point estimates: min over rows."""
+        import numpy as np
+        import pandas as pd
+
+        from propulsion_spark.operators.decontam import _HASH_KEY
+
+        h = pd.util.hash_array(
+            np.asarray(tokens, dtype=object), hash_key=_HASH_KEY
+        )
+        est = None
+        for i, idx in enumerate(self._rows(h, self.depth, self.width)):
+            row = self._m[i][idx]
+            est = row if est is None else np.minimum(est, row)
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (self.depth, self.width) != (other.depth, other.width):
+            raise ValueError("cannot merge sketches with different shapes")
+        return CountMinSketch(
+            self.depth, self.width, (self._m + other._m).tobytes()
+        )
+
+    @property
+    def total(self) -> int:
+        """N — total tokens counted (any row sums to it)."""
+        return int(self._m[0].sum())
+
+
+def build_count_min(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1 << 16,
+) -> CountMinSketch:
+    """One distributed pass over the corpus → a :class:`CountMinSketch`
+    of whitespace-token frequencies. Map-only: no shuffle, Arrow
+    batches, vectorized hashing + ``np.add.at`` scatter; the driver
+    sums O(partitions) partial matrices (2 MiB each at the default
+    4×65536)."""
+    import numpy as np
+
+    from propulsion_spark.operators.decontam import _HASH_KEY
+
+    import pandas as pd
+
+    def per_partition(batches):
+        m = np.zeros((depth, width), dtype=np.int64)
+        for pdf in batches:
+            toks = (
+                pdf[text_col]
+                .fillna("")
+                .str.strip()
+                .str.lower()
+                .str.split()
+                .explode()
+            )
+            toks = toks[toks.notna()]
+            if not len(toks):
+                continue
+            h = pd.util.hash_array(
+                toks.to_numpy(dtype=object), hash_key=_HASH_KEY
+            )
+            for i, idx in enumerate(
+                CountMinSketch._rows(h, depth, width)
+            ):
+                np.add.at(m[i], idx, 1)
+        yield pd.DataFrame({"m": [m.tobytes()]})
+
+    parts = (
+        docs.select(F.col(text_col).cast("string").alias(text_col))
+        .mapInPandas(per_partition, "m binary")
+        .collect()
+    )
+    agg = np.zeros((depth, width), dtype=np.int64)
+    for row in parts:
+        agg += np.frombuffer(row["m"], dtype=np.int64).reshape(depth, width)
+    return CountMinSketch(depth, width, agg.tobytes())

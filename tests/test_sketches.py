@@ -6,6 +6,7 @@ distinct shuffle. The operator doc claims it; this test pins it.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from propulsion_spark import load_table
@@ -150,3 +151,74 @@ class TestLogHistogramSketch:
                 scaled_true = int(tv * QH_SCALE)
                 assert e * QH_SCALE >= scaled_true
                 assert e * QH_SCALE < 2 * max(scaled_true, 1) + 2
+
+
+class TestCountMin:
+    """Count-Min sketch: one-sided guarantee (estimate ≥ true, always),
+    partition invariance, merge == union — pinned against exact
+    groupBy counts on the corpus."""
+
+    def _exact(self, spark, docs):
+        from pyspark.sql import functions as F
+
+        return {
+            r["t"]: r["c"]
+            for r in docs.select(
+                F.explode(
+                    F.expr("split(lower(trim(text)), '\\\\s+')")
+                ).alias("t")
+            )
+            .filter("t != ''")
+            .groupBy("t")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+
+    def test_one_sided_bound_and_accuracy(self, spark):
+        from propulsion_spark import load_table
+        from propulsion_spark.operators.sketches import build_count_min
+
+        docs = load_table(
+            spark, "/root/testdata/sf0.001", "documents"
+        ).select("text")
+        cm = build_count_min(docs)
+        exact = self._exact(spark, docs)
+        toks = list(exact)
+        est = cm.estimate(toks)
+        true = [exact[t] for t in toks]
+        assert all(e >= t for e, t in zip(est, true))  # never undercounts
+        assert cm.total == sum(true)
+        # 65536 buckets vs ~few-thousand distinct tokens: collisions
+        # rare — deterministic hashing makes this a fixed fact
+        frac_exact = sum(int(e == t) for e, t in zip(est, true)) / len(toks)
+        assert frac_exact > 0.95
+
+    def test_partition_invariant_and_merge(self, spark):
+        from propulsion_spark import load_table
+        from propulsion_spark.operators.sketches import build_count_min
+
+        docs = load_table(
+            spark, "/root/testdata/sf0.001", "documents"
+        ).select("doc_id", "text")
+        a = build_count_min(docs.repartition(1).select("text"))
+        b = build_count_min(docs.repartition(13).select("text"))
+        assert a.data == b.data
+        lo = build_count_min(docs.filter("doc_id % 2 = 0").select("text"))
+        hi = build_count_min(docs.filter("doc_id % 2 = 1").select("text"))
+        assert lo.merge(hi).data == a.data
+
+    def test_shape_validation(self):
+        import numpy as np
+
+        from propulsion_spark.operators.sketches import CountMinSketch
+
+        with pytest.raises(ValueError):
+            CountMinSketch(2, 1000, b"\0" * 16000)  # width not 2^k
+        with pytest.raises(ValueError):
+            CountMinSketch(2, 1024, b"\0" * 7)  # wrong byte length
+        a = CountMinSketch(2, 1024, np.zeros((2, 1024), np.int64).tobytes())
+        other = CountMinSketch(
+            4, 1024, np.zeros((4, 1024), np.int64).tobytes()
+        )
+        with pytest.raises(ValueError):
+            a.merge(other)
