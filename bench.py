@@ -296,6 +296,14 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
             ).save()
             runs.append(time.time() - t0)
         timings["dedup_simhash_hamming"] = round(min(runs), 3)
+
+        # Count-Min token-frequency sketch: one map-only pass, driver
+        # merges O(partitions) 2 MiB matrices
+        from propulsion_spark.operators.sketches import build_count_min
+
+        t0 = time.time()
+        build_count_min(full.select("text"))
+        timings["sketch_count_min"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings
