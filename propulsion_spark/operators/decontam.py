@@ -59,6 +59,23 @@ from pyspark.sql import functions as F
 _HASH_KEY = "propulsion-dcnt0"
 _FNV64 = np.uint64(1099511628211)
 
+# Java \s (what Spark's split('\\s+') matches) is the ASCII class
+# [ \t\n\x0B\f\r] — NOT Unicode whitespace. pandas' default
+# .str.split() splits on Unicode whitespace (e.g. U+00A0), which would
+# tokenize differently from every Spark-side operator and break the
+# exact-vs-bloom occurrence-counting contract (review-found); the
+# explicit class keeps both engines on the same rule.
+_WS_RE = "[ \\t\\n\\x0b\\f\\r]+"
+
+
+def _ws_tokens(texts: "pd.Series") -> "pd.Series":
+    """Lowercased ASCII-whitespace tokens of a text batch, exploded to
+    one row per token (empty tokens from leading/trailing separators
+    dropped — mirroring the SQL paths' ``!= ''`` filter)."""
+    toks = texts.fillna("").str.lower().str.split(_WS_RE, regex=True)
+    exploded = toks.explode()
+    return exploded[exploded.notna() & (exploded != "")]
+
 
 def _flat_ngram_hashes(
     texts: "pd.Series", n: int
@@ -73,9 +90,7 @@ def _flat_ngram_hashes(
     vectorized multiply-adds (wrapping uint64 polynomial) — no per-row
     Python loop anywhere.
     """
-    toks = texts.fillna("").str.strip().str.lower().str.split()
-    exploded = toks.explode()
-    exploded = exploded[exploded.notna()]
+    exploded = _ws_tokens(texts)
     flat = exploded.to_numpy(dtype=object)
     if len(flat) < n:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
@@ -95,14 +110,21 @@ def _flat_ngram_hashes(
     return h[valid], doc_idx[:m][valid]
 
 
+def _km_slots(h: "np.ndarray", i: int, m: int) -> "np.ndarray":
+    """Slot array for hash index ``i`` — Kirsch-Mitzenmacher double
+    hashing: slot_i = h1 + i·h2 (mod m, m a power of two). The ONE
+    slot rule every numpy-side sketch shares (Bloom bit positions,
+    Count-Min row buckets), so cross-sketch hashing stays consistent."""
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    with np.errstate(over="ignore"):
+        return (h + np.uint64(i) * h2) & np.uint64(m - 1)
+
+
 def _bloom_word_bit(
     h: "np.ndarray", i: int, m_bits: int
 ) -> "tuple[np.ndarray, np.ndarray]":
-    """(word index, bit mask) arrays for hash slot ``i`` —
-    Kirsch-Mitzenmacher double hashing: slot_i = h1 + i·h2 (mod m)."""
-    h2 = (h >> np.uint64(32)) | np.uint64(1)
-    with np.errstate(over="ignore"):
-        idx = (h + np.uint64(i) * h2) & np.uint64(m_bits - 1)
+    """(word index, bit mask) arrays for hash slot ``i``."""
+    idx = _km_slots(h, i, m_bits)
     return idx >> np.uint64(6), np.uint64(1) << (idx & np.uint64(63))
 
 

@@ -541,24 +541,26 @@ def hamming_bucket_stats(
     :func:`simhash_hamming_pairs` at a new corpus: if
     ``candidate_pairs`` is quadratic-looking, the chunk width
     under-selects — raise it by lowering ``max_hamming``/raising chunk
-    width, or pre-partition by a coarser key."""
-    from propulsion_spark.operators import finalize
+    width, or pre-partition by a coarser key.
 
+    No persist: unlike the pairs operator (both join sides read the
+    fingerprints), this is one linear aggregation chain — caching the
+    whole fingerprint table for a single consumer would be pure
+    block-store churn."""
     if 64 % n_chunks:
         raise ValueError("n_chunks must divide 64")
-    sh = simhash64(docs, text_col=text_col, id_col=id_col).persist()
+    sh = simhash64(docs, text_col=text_col, id_col=id_col)
     occ = (
         _simhash_chunks(sh, n_chunks)
         .groupBy("chunk_idx", "chunk_val")
         .agg(F.count("*").alias("b"))
     )
-    stats = occ.groupBy("chunk_idx").agg(
+    return occ.groupBy("chunk_idx").agg(
         F.count("*").alias("n_buckets"),
         F.sum("b").alias("n_docs"),
         F.max("b").alias("max_bucket"),
         F.sum(F.expr("b * (b - 1) div 2")).alias("candidate_pairs"),
     )
-    return finalize(stats, sh)
 
 
 def simhash_hamming_pairs(

@@ -367,28 +367,28 @@ class CountMinSketch:
 
     @staticmethod
     def _rows(h, depth: int, width: int):
-        """Per-row bucket indices via Kirsch-Mitzenmacher double
-        hashing (same rule as the Bloom filter's bit slots)."""
+        """Per-row bucket indices — the shared Kirsch-Mitzenmacher
+        slot rule (``decontam._km_slots``, same as the Bloom filter's
+        bit slots)."""
         import numpy as np
 
-        h2 = (h >> np.uint64(32)) | np.uint64(1)
-        with np.errstate(over="ignore"):
-            return [
-                ((h + np.uint64(i) * h2) & np.uint64(width - 1)).astype(
-                    np.int64
-                )
-                for i in range(depth)
-            ]
+        from propulsion_spark.operators.decontam import _km_slots
+
+        return [
+            _km_slots(h, i, width).astype(np.int64) for i in range(depth)
+        ]
 
     def estimate(self, tokens: "list[str]"):
-        """Vectorized point estimates: min over rows."""
+        """Vectorized point estimates: min over rows. Tokens are
+        lowercased to match the build-side tokenizer."""
         import numpy as np
         import pandas as pd
 
         from propulsion_spark.operators.decontam import _HASH_KEY
 
+        toks = pd.Series(tokens, dtype=object).str.lower()
         h = pd.util.hash_array(
-            np.asarray(tokens, dtype=object), hash_key=_HASH_KEY
+            toks.to_numpy(dtype=object), hash_key=_HASH_KEY
         )
         est = None
         for i, idx in enumerate(self._rows(h, self.depth, self.width)):
@@ -421,23 +421,26 @@ def build_count_min(
     sums O(partitions) partial matrices (2 MiB each at the default
     4×65536)."""
     import numpy as np
-
-    from propulsion_spark.operators.decontam import _HASH_KEY
-
     import pandas as pd
+
+    from propulsion_spark.operators.decontam import _HASH_KEY, _ws_tokens
+
+    # fail fast: a wrong shape must raise BEFORE the whole-corpus scan,
+    # not after it (the constructor re-validates the merged result)
+    if width & (width - 1):
+        raise ValueError("width must be a power of two")
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
 
     def per_partition(batches):
         m = np.zeros((depth, width), dtype=np.int64)
         for pdf in batches:
-            toks = (
-                pdf[text_col]
-                .fillna("")
-                .str.strip()
-                .str.lower()
-                .str.split()
-                .explode()
-            )
-            toks = toks[toks.notna()]
+            # the repo-convention ASCII-whitespace tokenizer (shared
+            # with the Bloom path) — pandas' default Unicode split
+            # would tokenize differently from Spark's split('\\s+')
+            # and break the one-sided estimate ≥ true guarantee for
+            # tokens containing non-ASCII whitespace
+            toks = _ws_tokens(pdf[text_col])
             if not len(toks):
                 continue
             h = pd.util.hash_array(

@@ -274,14 +274,23 @@ class EventStoreTable:
         (``_load`` adopts it over the constructor default) must drive
         the bucket rule, or a reader constructed with a different
         fan-out would prune to the wrong buckets and silently miss
-        events."""
+        events. Manifests WITHOUT a stamp (legacy flat lists,
+        pre-stamp dicts) predate the recorded fan-out — pruning by the
+        constructor default could miss events there too, so those fall
+        back to scanning every bucket (correct, just unpruned)."""
         import zlib
 
+        raw = self.manifest.load(None)
+        stamped = isinstance(raw, dict) and "n_buckets" in raw
         m = self._load()  # adopts the stamped n_buckets before hashing
-        buckets = {
-            str(zlib.crc32(n.encode("utf-8")) % self.n_buckets)
-            for n in stream_names
-        }
+        buckets = (
+            {
+                str(zlib.crc32(n.encode("utf-8")) % self.n_buckets)
+                for n in stream_names
+            }
+            if stamped
+            else None
+        )
         paths = self._data_paths(m, buckets)
         if not paths:
             return self._empty_envelope()

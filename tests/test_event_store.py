@@ -255,6 +255,33 @@ class TestReadStreams:
         store.sync(mk_df(spark, envelope_rows("user-1", 0, 2)))
         assert store.read_streams(["absent-stream"]).count() == 0
 
+    def test_unstamped_manifest_falls_back_to_full_scan(self, spark, store):
+        """A manifest without the n_buckets stamp (legacy layouts)
+        predates the recorded fan-out: pruning by the constructor
+        default could silently miss events, so point reads must scan
+        every bucket instead (review-found)."""
+        import json
+        import os
+
+        names = [f"user-{i}" for i in range(10)]
+        store.sync(
+            mk_df(spark, [r for n in names for r in envelope_rows(n, 0, 2)])
+        )
+        # strip the stamp in place (simulating a pre-stamp manifest)
+        with open(store.manifest.pointer) as f:
+            m = json.load(f)
+        del m["n_buckets"]
+        tmp = store.manifest.pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, store.manifest.pointer)
+        fresh = EventStoreTable(spark, store.path, n_buckets=7)  # wrong guess
+        got = sorted(
+            (r.stream_name, r.idx)
+            for r in fresh.read_streams(["user-3"]).collect()
+        )
+        assert got == [("user-3", 0), ("user-3", 1)]
+
     def test_reader_with_mismatched_bucket_default_adopts_stamp(
         self, spark, tmp_path
     ):

@@ -47,6 +47,42 @@ class TestFlatNgramHashes:
         h2, _ = _flat_ngram_hashes(pd.Series(["  foo bar "]), 2)
         assert h1.tolist() == h2.tolist()
 
+    def test_java_ws_semantics_not_unicode(self, spark):
+        """Tokenization must match Spark's split('\\\\s+') — the Java
+        ASCII \\s class. A non-breaking space (U+00A0) is NOT a
+        separator there; pandas' default Unicode split would break the
+        exact-vs-bloom occurrence parity (review-found)."""
+        from pyspark.sql import functions as F
+
+        text = "alpha beta gamma"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        n_spark = df.select(
+            F.expr(
+                "size(filter(split(lower(trim(text)), '\\\\s+'),"
+                " _t -> _t != ''))"
+            ).alias("n")
+        ).first()["n"]
+        h, d = _flat_ngram_hashes(pd.Series([text]), 1)
+        assert len(h) == n_spark == 2  # 'alpha\xa0beta' stays one token
+        # and the full exact-vs-bloom contract holds on such a doc
+        from propulsion_spark.operators.decontam import (
+            build_ngram_bloom,
+            contamination_scores,
+            exact_overlap_scores,
+        )
+
+        bench = spark.createDataFrame(
+            [(0, "alpha beta gamma")], "bid long, text string"
+        )
+        bl = contamination_scores(
+            df, build_ngram_bloom(bench, n=2)
+        ).first()
+        ex = exact_overlap_scores(df, bench, n=2).first()
+        assert (bl["n_ngrams"], bl["n_hits"]) == (
+            ex["n_ngrams"],
+            ex["n_hits"],
+        ) == (1, 1)
+
 
 # ------------------------------------------------------------- decontam
 @pytest.fixture(scope="module")
