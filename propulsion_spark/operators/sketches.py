@@ -461,3 +461,62 @@ def build_count_min(
     for row in parts:
         agg += np.frombuffer(row["m"], dtype=np.int64).reshape(depth, width)
     return CountMinSketch(depth, width, agg.tobytes())
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    min_count: int,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1 << 16,
+    cm: "CountMinSketch | None" = None,
+) -> DataFrame:
+    """EXACT counts of every token occurring ≥ ``min_count`` times —
+    the two-pass Count-Min pattern that makes a frequency census
+    feasible at 100 TB: a full-token groupBy shuffles every token
+    occurrence; instead pass 1 builds the sketch (map-only), pass 2
+    re-scans with the sketch broadcast and forwards ONLY tokens whose
+    estimate reaches the threshold into the groupBy.
+
+    The result is exact, not approximate: the sketch never
+    undercounts, so no qualifying token can be filtered out (zero
+    false negatives), and overestimated stragglers are exact-counted
+    and dropped by the final ``HAVING``. The shuffle shrinks from all
+    occurrences to occurrences-of-candidates — for Zipfian token
+    distributions and a sane threshold, orders of magnitude. Pass a
+    prebuilt ``cm`` to reuse a sketch across thresholds."""
+    import numpy as np
+    import pandas as pd
+
+    from propulsion_spark.operators.decontam import _HASH_KEY, _ws_tokens
+
+    if cm is None:
+        cm = build_count_min(docs, text_col=text_col, depth=depth, width=width)
+    spark = docs.sparkSession
+    b = spark.sparkContext.broadcast((cm.depth, cm.width, cm.data))
+
+    def per_batch(batches):
+        d, w, raw = b.value
+        m = np.frombuffer(raw, dtype=np.int64).reshape(d, w)
+        for pdf in batches:
+            toks = _ws_tokens(pdf[text_col])
+            if not len(toks):
+                continue
+            arr = toks.to_numpy(dtype=object)
+            h = pd.util.hash_array(arr, hash_key=_HASH_KEY)
+            est = None
+            for i, idx in enumerate(CountMinSketch._rows(h, d, w)):
+                row = m[i][idx]
+                est = row if est is None else np.minimum(est, row)
+            keep = est >= min_count
+            if keep.any():
+                yield pd.DataFrame({"token": arr[keep]})
+
+    survivors = docs.select(
+        F.col(text_col).cast("string").alias(text_col)
+    ).mapInPandas(per_batch, "token string")
+    return (
+        survivors.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

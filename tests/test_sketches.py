@@ -222,3 +222,41 @@ class TestCountMin:
         )
         with pytest.raises(ValueError):
             a.merge(other)
+
+
+class TestHeavyHitters:
+    def test_exact_for_any_threshold(self, spark):
+        """heavy_hitters == the full groupBy census filtered at the
+        threshold — EXACT, because the sketch never undercounts (no
+        qualifying token is prefiltered away) and stragglers die in
+        the final HAVING."""
+        from propulsion_spark import load_table
+        from propulsion_spark.operators.sketches import (
+            build_count_min,
+            heavy_hitters,
+        )
+
+        docs = load_table(
+            spark, "/root/testdata/sf0.001", "documents"
+        ).select("text")
+        exact = {
+            r["t"]: r["c"]
+            for r in docs.select(
+                F.explode(
+                    F.expr("split(lower(trim(text)), '\\\\s+')")
+                ).alias("t")
+            )
+            .filter("t != ''")
+            .groupBy("t")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+        cm = build_count_min(docs)
+        for threshold in (2, 10, 100):
+            got = {
+                r["token"]: r["n"]
+                for r in heavy_hitters(docs, threshold, cm=cm).collect()
+            }
+            want = {t: c for t, c in exact.items() if c >= threshold}
+            assert got == want, threshold
+        assert want  # non-vacuous at the largest threshold
