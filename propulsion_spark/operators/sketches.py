@@ -354,8 +354,8 @@ class CountMinSketch:
     def __init__(self, depth: int, width: int, data: bytes):
         import numpy as np
 
-        if width & (width - 1):
-            raise ValueError("width must be a power of two")
+        if width <= 0 or width & (width - 1):
+            raise ValueError("width must be a positive power of two")
         if len(data) != depth * width * 8:
             raise ValueError(
                 f"matrix is {len(data)} bytes, want {depth * width * 8}"
@@ -378,10 +378,22 @@ class CountMinSketch:
             _km_slots(h, i, width).astype(np.int64) for i in range(depth)
         ]
 
+    @staticmethod
+    def _estimate_hashed(m, h, depth: int, width: int):
+        """min-over-rows estimates for prehashed tokens — the ONE
+        kernel shared by :meth:`estimate` and the heavy-hitters
+        broadcast prefilter, so the two can never diverge."""
+        import numpy as np
+
+        est = None
+        for i, idx in enumerate(CountMinSketch._rows(h, depth, width)):
+            row = m[i][idx]
+            est = row if est is None else np.minimum(est, row)
+        return est
+
     def estimate(self, tokens: "list[str]"):
         """Vectorized point estimates: min over rows. Tokens are
         lowercased to match the build-side tokenizer."""
-        import numpy as np
         import pandas as pd
 
         from propulsion_spark.operators.decontam import _HASH_KEY
@@ -390,11 +402,7 @@ class CountMinSketch:
         h = pd.util.hash_array(
             toks.to_numpy(dtype=object), hash_key=_HASH_KEY
         )
-        est = None
-        for i, idx in enumerate(self._rows(h, self.depth, self.width)):
-            row = self._m[i][idx]
-            est = row if est is None else np.minimum(est, row)
-        return est
+        return self._estimate_hashed(self._m, h, self.depth, self.width)
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
         if (self.depth, self.width) != (other.depth, other.width):
@@ -427,8 +435,8 @@ def build_count_min(
 
     # fail fast: a wrong shape must raise BEFORE the whole-corpus scan,
     # not after it (the constructor re-validates the merged result)
-    if width & (width - 1):
-        raise ValueError("width must be a power of two")
+    if width <= 0 or width & (width - 1):
+        raise ValueError("width must be a positive power of two")
     if depth < 1:
         raise ValueError("depth must be >= 1")
 
@@ -504,10 +512,7 @@ def heavy_hitters(
                 continue
             arr = toks.to_numpy(dtype=object)
             h = pd.util.hash_array(arr, hash_key=_HASH_KEY)
-            est = None
-            for i, idx in enumerate(CountMinSketch._rows(h, d, w)):
-                row = m[i][idx]
-                est = row if est is None else np.minimum(est, row)
+            est = CountMinSketch._estimate_hashed(m, h, d, w)
             keep = est >= min_count
             if keep.any():
                 yield pd.DataFrame({"token": arr[keep]})

@@ -215,8 +215,12 @@ class EventStoreTable:
     def _load(self) -> dict:
         m = self.manifest.load(None)
         if m is None:
+            # fresh store: the first append may stamp the constructor
+            # fan-out (there is no pre-existing layout to conflict with)
+            self._stamped = True
             return {"data": {}, "tails": [], "unfold_buckets": []}
         if isinstance(m, list):  # pre-bucketing manifests: flat segment list
+            self._stamped = False
             return {"data": {"0": m}, "tails": [], "unfold_buckets": None}
         if "unfold_buckets" not in m:
             # legacy manifest: unknown which buckets hold unfolds — None
@@ -230,9 +234,42 @@ class EventStoreTable:
         # consumer would silently never cover buckets past its count).
         # The first appending commit stamps it; every open afterwards
         # adopts the stamped value over the constructor default.
-        if "n_buckets" in m:
+        self._stamped = "n_buckets" in m
+        if self._stamped:
             self.n_buckets = m["n_buckets"]
         return m
+
+    def _check_fanout(self, m: dict) -> None:
+        """Write verbs that hash streams to buckets must not run against
+        an UNSTAMPED manifest that already holds data: the historical
+        fan-out is unknown, so bucketing by the constructor default
+        could interleave a second layout (and the first append would
+        stamp that guess as truth, silently breaking every later pruned
+        read). Reads stay available (read_streams falls back to a full
+        scan); writers must be constructed with the original fan-out,
+        which stamps the manifest going forward."""
+        if not self._stamped and m["data"]:
+            raise ValueError(
+                f"store {self.path}: manifest holds data but no n_buckets "
+                "stamp (legacy layout) — construct with the fan-out the "
+                "data was bucketed under and call stamp_fanout() once to "
+                "record it; refusing to assume "
+                f"n_buckets={self.n_buckets}"
+            )
+
+    def stamp_fanout(self) -> None:
+        """Record the CONSTRUCTOR ``n_buckets`` on an unstamped legacy
+        manifest — the explicit one-time migration step that unblocks
+        write verbs (``_check_fanout``). This is an operator assertion
+        that the constructor value matches how the existing data was
+        bucketed; the engine cannot verify it (the historical fan-out
+        was never recorded — that is the defect being migrated away)."""
+        with self._commit():
+            m = self._load()
+            if self._stamped:
+                return
+            self.manifest.flip({**m, "n_buckets": self.n_buckets})
+            self._stamped = True
 
     def _bucket_col(self) -> F.Column:
         return F.crc32(F.col("stream_name").cast("binary")) % self.n_buckets
@@ -280,15 +317,13 @@ class EventStoreTable:
         back to scanning every bucket (correct, just unpruned)."""
         import zlib
 
-        raw = self.manifest.load(None)
-        stamped = isinstance(raw, dict) and "n_buckets" in raw
         m = self._load()  # adopts the stamped n_buckets before hashing
         buckets = (
             {
                 str(zlib.crc32(n.encode("utf-8")) % self.n_buckets)
                 for n in stream_names
             }
-            if stamped
+            if self._stamped
             else None
         )
         paths = self._data_paths(m, buckets)
@@ -333,6 +368,7 @@ class EventStoreTable:
 
     def _sync_locked(self, batch: DataFrame) -> DataFrame:
         m = self._load()
+        self._check_fanout(m)
         tails = self.read_tails(m)
         # the batch lineage is walked twice (classification, then the
         # novel-suffix append): pin it for the duration of the sync so
@@ -707,6 +743,7 @@ class EventStoreTable:
 
     def _prune_locked(self, requests: DataFrame) -> DataFrame:
         m = self._load()
+        self._check_fanout(m)
         # one row per stream, highest watermark wins: duplicate request
         # rows (a redelivered or unioned retention batch) would fan the
         # event join out and write each surviving event once PER
@@ -849,6 +886,7 @@ class EventStoreTable:
         derivation scan and records it for every later run."""
         with self._commit():
             m = self._load()
+            self._check_fanout(m)
             ub = m.get("unfold_buckets")
             if ub is None:  # legacy store: derive once, record below
                 ub = [

@@ -281,6 +281,29 @@ class TestReadStreams:
             for r in fresh.read_streams(["user-3"]).collect()
         )
         assert got == [("user-3", 0), ("user-3", 1)]
+        # …but WRITE verbs must refuse: syncing (or pruning) with a
+        # guessed fan-out would interleave a second bucket layout and
+        # stamp the guess as truth, silently breaking every later
+        # pruned read (review-found — the read fallback alone only
+        # protects until the first write)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="n_buckets"):
+            fresh.sync(mk_df(spark, envelope_rows("user-3", 2, 1)))
+        with _pytest.raises(ValueError, match="n_buckets"):
+            fresh.prune(
+                spark.createDataFrame(
+                    [("user-3", 1)], "stream_name string, until_idx long"
+                )
+            )
+        # the explicit migration: construct with the ORIGINAL fan-out
+        # and stamp it once — writes unblock
+        orig = EventStoreTable(spark, store.path, n_buckets=64)
+        orig.stamp_fanout()
+        orig.sync(mk_df(spark, envelope_rows("user-3", 2, 1)))
+        assert sorted(
+            r.idx for r in orig.read_streams(["user-3"]).collect()
+        ) == [0, 1, 2]
 
     def test_reader_with_mismatched_bucket_default_adopts_stamp(
         self, spark, tmp_path
