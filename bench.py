@@ -360,8 +360,21 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
-    spark.stop()
+    # Stop Spark BEFORE printing the JSON line, then hard-exit: the JVM's
+    # shutdown (StateStore maintenance thread, executor teardown) logs
+    # asynchronously, and round 6's driver run had a WARN land *after*
+    # the JSON line, making the output unparseable as "last line = JSON".
+    # Order: stop → drain a beat → print → flush → _exit (no interpreter
+    # teardown hooks, no late log-forwarder writes).
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    time.sleep(1.0)  # let py4j's stderr/stdout forwarder drain JVM output
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(json.dumps(out), flush=True)
+    os._exit(0)
 
 
 if __name__ == "__main__":

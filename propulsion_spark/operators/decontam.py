@@ -231,9 +231,20 @@ _SCORE_FIELDS = (
 )
 
 
+def broadcast_bloom(spark, bloom: NgramBloom):
+    """Ship the bitset to executors ONCE and hand the Broadcast back to
+    the caller. Long-running pipelines (curation's per-micro-batch
+    decontamination stage) pass this to :func:`contamination_scores`
+    instead of the raw ``NgramBloom`` so the multi-MiB payload is not
+    re-broadcast every batch with cleanup left to driver GC."""
+    return spark.sparkContext.broadcast(
+        (bloom.n, bloom.m_bits, bloom.k, bloom.data)
+    )
+
+
 def contamination_scores(
     docs: DataFrame,
-    bloom: NgramBloom,
+    bloom,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -245,10 +256,15 @@ def contamination_scores(
     counts n-grams present in the filter (⊇ the true overlap; never
     misses a real one). Docs shorter than ``n`` tokens have
     ``n_ngrams = 0`` and frac 0.
+
+    ``bloom``: an :class:`NgramBloom` (broadcast here, per call) or a
+    pre-made :func:`broadcast_bloom` Broadcast (reused across calls).
     """
     spark = docs.sparkSession
-    b = spark.sparkContext.broadcast(
-        (bloom.n, bloom.m_bits, bloom.k, bloom.data)
+    b = (
+        broadcast_bloom(spark, bloom)
+        if isinstance(bloom, NgramBloom)
+        else bloom
     )
     id_field = docs.schema[id_col]
 

@@ -202,13 +202,22 @@ class CurationPipeline:
         # rebuild, no join, no shuffle (operators/decontam.py)
         self.decontam_threshold = decontam_threshold
         if benchmark is not None:
-            from propulsion_spark.operators.decontam import build_ngram_bloom
+            from propulsion_spark.operators.decontam import (
+                broadcast_bloom,
+                build_ngram_bloom,
+            )
 
+            # one Broadcast for the pipeline's life: per-batch re-broadcast
+            # of the same frozen bitset would leave cleanup to driver GC.
+            # _bloom (driver-side object) feeds the fill-ratio gauge;
+            # _bloom_bc (executor-side Broadcast) feeds every batch scan.
             self._bloom = build_ngram_bloom(
                 benchmark, n=decontam_ngram, m_bits=decontam_bits
             )
+            self._bloom_bc = broadcast_bloom(spark, self._bloom)
         else:
             self._bloom = None
+            self._bloom_bc = None
         self.fingerprints = _FingerprintTable(spark, f"{out_path}/_fingerprints")
         self.token_hist = _TokenHistogram(spark, f"{out_path}/_token_hist")
         self.bands = (
@@ -312,7 +321,7 @@ class CurationPipeline:
             )
 
             flagged = contamination_scores(
-                passed_r.select("doc_id", "text"), self._bloom
+                passed_r.select("doc_id", "text"), self._bloom_bc
             ).filter(
                 F.col("contaminated_frac") > self.decontam_threshold
             ).select("doc_id")

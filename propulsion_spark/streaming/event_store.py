@@ -268,6 +268,24 @@ class EventStoreTable:
             m = self._load()
             if self._stamped:
                 return
+            # Cheap half of wrong-fan-out detection: every bucket key the
+            # data already holds must be addressable under the stamped
+            # count, else read_streams would prune to buckets that can
+            # never match and silently return empty for streams a full
+            # scan finds. (The other half — right count, different hash
+            # placement — is unverifiable without rehashing the data.)
+            bad = [
+                b
+                for b in m["data"]
+                if not b.isdigit() or int(b) >= self.n_buckets
+            ]
+            if bad:
+                raise ValueError(
+                    f"store {self.path}: existing bucket keys {sorted(bad)} "
+                    f"are not addressable under n_buckets={self.n_buckets} "
+                    "— the constructor fan-out does not match the data; "
+                    "construct with the original fan-out before stamping"
+                )
             self.manifest.flip({**m, "n_buckets": self.n_buckets})
             self._stamped = True
 
@@ -838,6 +856,11 @@ class EventStoreTable:
         OPTIMIZE analog; run opportunistically per bucket, never table-wide."""
         with self._commit():
             m = self._load()
+            # _rewrite_buckets re-hashes the survivors with _bucket_col()
+            # — on an unstamped legacy manifest that would interleave a
+            # second layout, exactly what the stamping contract refuses
+            # everywhere else streams are hashed to buckets.
+            self._check_fanout(m)
             if len(m["data"].get(bucket, [])) <= 1:
                 return
             self._rewrite_buckets(m, {bucket}, self.read(buckets={bucket}))

@@ -296,6 +296,17 @@ class TestReadStreams:
                     [("user-3", 1)], "stream_name string, until_idx long"
                 )
             )
+        # compact_bucket re-hashes survivors with _bucket_col(), so it is
+        # guarded by the same stamping contract (review-found: it was the
+        # one write verb that slipped past the fan-out guard)
+        some_bucket = next(iter(fresh.bucket_segment_counts()))
+        with _pytest.raises(ValueError, match="n_buckets"):
+            fresh.compact_bucket(some_bucket)
+        # stamping a fan-out smaller than existing bucket keys must be
+        # refused: data in bucket '37' is unreachable under n_buckets=7
+        # (read_streams would prune to buckets that can never match)
+        with _pytest.raises(ValueError, match="not addressable"):
+            fresh.stamp_fanout()
         # the explicit migration: construct with the ORIGINAL fan-out
         # and stamp it once — writes unblock
         orig = EventStoreTable(spark, store.path, n_buckets=64)
