@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from propulsion_spark import load_table
@@ -370,6 +370,107 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id", F.explode(F.expr(_winnow_fps("spark"))).alias("fingerprint")
+    )
+
+
+# ----------------------------------------------- substring-span dedup
+SPAN_K = 8  # span length in word tokens (matches the decontam n-gram n)
+
+
+def substring_span_stats(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-SPAN coverage (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, how many of its tokens sit inside a ``k``-token
+    span that also appears in at least ``min_docs - 1`` OTHER
+    documents. Exact-substring dedup trims or drops those regions;
+    this operator computes the per-doc evidence (MinHash answers
+    "are these docs similar?" — this answers "which exact passages
+    are shared?", the boilerplate/license-header/template signal).
+
+    One row per input document:
+    ``(id_col, n_tokens, n_span_positions, n_dup_spans,
+    dup_covered_tokens, dup_span_frac)`` — ``dup_covered_tokens`` is
+    the exact size of the union of the duplicated ``[pos, pos+k)``
+    intervals (equal-length intervals: after sorting positions the
+    union adds ``min(k, pos - prev_pos)`` per element, no sweep-line
+    state needed), ``dup_span_frac`` that union over ``n_tokens``.
+
+    Scale shape (the suffix-array alternative is not partitionable;
+    the n-gram formulation is the standard 100 TB approximation):
+    position explode is O(corpus tokens); duplicated-gram detection
+    is distinct (gram, doc) → groupBy(gram) with map-side partial
+    aggregation; the join back is a gram-key equi-join; the interval
+    union is one per-doc window over ONLY the duplicated positions
+    (a small fraction of the corpus after the semi-join). No driver
+    collect, no Python UDF; integer arithmetic end-to-end so the
+    oracle hash-matches bit-exact.
+    """
+    from propulsion_spark.operators.decontam import _ngram_array_sql
+
+    # Spans shuffle as 60-bit md5 fingerprints, not gram strings: the
+    # distinct/groupBy/join pipeline moves 8 bytes per position instead
+    # of ~6k·8 chars. Both engines compute the identical hash, so the
+    # oracle stays bit-exact; a fingerprint collision falsely marking a
+    # span duplicated is the standard accepted error of hash-based
+    # substring dedup (exact alternative: suffix arrays, which don't
+    # partition).
+    grams = _ngram_array_sql(text_col, k)
+    hashed = f"transform({grams}, _g -> {SPARK_H64.format(x='_g')})"
+    pos = docs.select(
+        id_col,
+        F.posexplode(F.expr(hashed)).alias("pos", "h"),
+    )
+    dup = (
+        pos.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cov = (
+        pos.join(dup, "h")
+        .withColumn(
+            "add_cov",
+            F.least(
+                F.lit(k),
+                F.col("pos")
+                - F.coalesce(F.lag("pos").over(w), F.col("pos") - k),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sum("add_cov").alias("dup_covered_tokens"),
+        )
+    )
+    tk = f"filter(split(lower(trim({text_col})), '\\\\s+'), _tk -> _tk != '')"
+    base = docs.selectExpr(
+        id_col, f"CAST(size({tk}) AS BIGINT) AS n_tokens"
+    )
+    return base.join(cov, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.greatest(F.col("n_tokens") - (k - 1), F.lit(0))
+        .cast("long")
+        .alias("n_span_positions"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0))
+        .cast("long")
+        .alias("n_dup_spans"),
+        F.coalesce(F.col("dup_covered_tokens"), F.lit(0))
+        .cast("long")
+        .alias("dup_covered_tokens"),
+        (
+            F.coalesce(F.col("dup_covered_tokens"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("dup_span_frac"),
     )
 
 

@@ -16,6 +16,7 @@ from propulsion_spark import load_table
 from propulsion_spark.operators import register
 from propulsion_spark.operators.dedup import (
     DUCK_H64,
+    SPAN_K,
     SPARK_H64,
     _grams,
     normalized,
@@ -223,33 +224,86 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_lang_stats",
     f"""
-SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       CAST(sum(CAST(length({_toks('duck')}) AS BIGINT)) AS BIGINT) AS total_tokens,
-       quantile_cont(n_chars, 0.5) AS median_chars
-FROM documents
-GROUP BY lang
+WITH d AS (
+  SELECT lang, n_chars,
+         CAST(length({_toks('duck')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+base AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         quantile_cont(n_chars, 0.5) AS median_chars
+  FROM d GROUP BY lang
+),
+hist AS (SELECT lang, n_tokens, count(*) AS cnt FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT lang, n_tokens,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY n_tokens) AS cum
+  FROM hist
+),
+qs AS (
+  SELECT cum.lang,
+         min(CASE WHEN cum >= (n_docs * 50 + 99) // 100 THEN n_tokens END)
+             AS p50_tokens,
+         min(CASE WHEN cum >= (n_docs * 90 + 99) // 100 THEN n_tokens END)
+             AS p90_tokens,
+         min(CASE WHEN cum >= (n_docs * 99 + 99) // 100 THEN n_tokens END)
+             AS p99_tokens
+  FROM cum JOIN base USING (lang) GROUP BY 1
+)
+SELECT base.*, CAST(p50_tokens AS BIGINT) AS p50_tokens,
+       CAST(p90_tokens AS BIGINT) AS p90_tokens,
+       CAST(p99_tokens AS BIGINT) AS p99_tokens
+FROM base JOIN qs USING (lang)
 """,
-    doc="Corpus rollup per language: doc/char/token totals plus the exact "
-    "median doc length — the shape of every corpus-composition report "
-    "over a crawl. Median only (not p95/p99): the 0.5 interpolation "
-    "factor is dyadic, so the continuous-quantile arithmetic is "
-    "bit-identical across engines; non-dyadic quantiles interpolate "
-    "with engine-ordered float ops and belong behind approx_percentile "
-    "at scale anyway.",
+    doc="Corpus rollup per language: doc/char/token totals, the exact "
+    "median doc length, and EXACT discrete token-count quantiles "
+    "(p50/p90/p99). The quantiles use the histogram-cumsum shape — "
+    "groupBy(lang, n_tokens) histogram (map-side partial agg absorbs "
+    "the corpus), then a window over the DISTINCT-VALUE rows only, "
+    "then pick the first value whose cumulative count reaches "
+    "rank ⌈q·n⌉ — so the per-group sort is over the value domain "
+    "(thousands of rows), never the corpus: the scale-correct exact "
+    "alternative to sorting 100 TB per group. Rank arithmetic is "
+    "integer division; discrete quantiles return actual BIGINT data "
+    "values, so no interpolation floats cross engines (the one "
+    "interpolated stat kept is the dyadic 0.5 char median).",
 )
 def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.withColumn("n_tokens", F.expr(f"size({_toks('spark')})").cast("long"))
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.expr("percentile(n_chars, 0.5d)").alias("median_chars"),
-        )
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.expr(f"size({_toks('spark')})").cast("long")
     )
+    base = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.expr("percentile(n_chars, 0.5d)").alias("median_chars"),
+    )
+    hist = docs.groupBy("lang", "n_tokens").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    qcols = [
+        F.min(
+            F.when(
+                F.expr(f"cum >= (n_docs * {p} + 99) div 100"),
+                F.col("n_tokens"),
+            )
+        )
+        .cast("long")
+        .alias(f"p{p}_tokens")
+        for p in (50, 90, 99)
+    ]
+    qs = (
+        cum.join(base.select("lang", "n_docs"), "lang")
+        .groupBy("lang")
+        .agg(*qcols)
+    )
+    return base.join(qs, "lang")
 
 
 # --------------------------------------------------- repetition filter
@@ -276,30 +330,76 @@ def repetition_counts_expr() -> str:
 @register(
     "text_repetition",
     f"""
-SELECT doc_id,
-       CAST(len(tg) AS BIGINT) AS n_trigrams,
-       CAST(len(list_distinct(tg)) AS BIGINT) AS n_distinct_trigrams,
-       1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg) AS dup_trigram_frac,
-       (1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)) > {REP_THRESHOLD}
-           AS repetitive
-FROM (
+WITH rep AS (
   SELECT doc_id,
-         list_transform(
-           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
-           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) AS tg
+         CAST(len(tg) AS BIGINT) AS n_trigrams,
+         CAST(len(list_distinct(tg)) AS BIGINT) AS n_distinct_trigrams,
+         1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg) AS dup_trigram_frac,
+         (1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)) > {REP_THRESHOLD}
+             AS repetitive
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) AS tg
+    FROM documents
+  )
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t != '') AS tk
   FROM documents
-)
+),
+pos AS (
+  SELECT doc_id, i - 1 AS pos,
+         {DUCK_H64.format(x=f"array_to_string(tk[i:i+{SPAN_K - 1}], ' ')")} AS h
+  FROM toks,
+       unnest(generate_series(1, greatest(len(tk) - {SPAN_K} + 1, 0))) AS u(i)
+),
+dup AS (
+  SELECT h FROM (
+    SELECT h, count(DISTINCT doc_id) AS nd FROM pos GROUP BY 1
+  ) WHERE nd >= 2
+),
+gaps AS (
+  SELECT doc_id, pos,
+         least({SPAN_K}, pos - coalesce(
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+           pos - {SPAN_K})) AS add_cov
+  FROM pos JOIN dup USING (h)
+),
+cov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+         CAST(sum(add_cov) AS BIGINT) AS dup_covered_tokens
+  FROM gaps GROUP BY 1
+),
+base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks)
+SELECT rep.*, base.n_tokens,
+       CAST(greatest(base.n_tokens - {SPAN_K - 1}, 0) AS BIGINT) AS n_span_positions,
+       coalesce(cov.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(cov.dup_covered_tokens, 0) AS dup_covered_tokens,
+       CAST(coalesce(cov.dup_covered_tokens, 0) AS DOUBLE)
+           / greatest(base.n_tokens, 1) AS dup_span_frac
+FROM rep JOIN base USING (doc_id) LEFT JOIN cov USING (doc_id)
 """,
-    doc=f"Repetition quality signal (the Gopher-style duplicate-n-gram "
-    "filter): per document, the fraction of word trigrams that are "
-    f"repeats; docs above {REP_THRESHOLD} are flagged. Map-only array "
-    "HOFs inside whole-stage codegen — no explode, no shuffle; the "
-    "integer-ratio arithmetic is bit-identical across engines.",
+    doc=f"Repetition report, within- and across-document. Within: the "
+    "Gopher-style duplicate-trigram fraction per doc (docs above "
+    f"{REP_THRESHOLD} flagged) — map-only array HOFs inside whole-stage "
+    "codegen. Across: exact-substring duplicated-span coverage "
+    f"(Lee et al. 2021) — per doc, the union size of its {SPAN_K}-token "
+    "spans that appear verbatim in ≥2 documents (operators/dedup.py::"
+    "substring_span_stats: position explode → distinct (gram, doc) → "
+    "gram-count semi-join → per-doc interval-union window over only "
+    "the duplicated positions). Integer arithmetic end-to-end; the two "
+    "fractions are single IEEE divisions, bit-identical across engines.",
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from propulsion_spark.operators.dedup import substring_span_stats
+
     docs = load_table(spark, sf_dir, "documents")
     st = repetition_counts_expr()
-    return docs.select(
+    rep = docs.select(
         "doc_id",
         F.expr(f"({st}).n").cast("long").alias("n_trigrams"),
         F.expr(f"({st}).d").cast("long").alias("n_distinct_trigrams"),
@@ -310,6 +410,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(1.0D - cast(({st}).d as double) / ({st}).n) > {REP_THRESHOLD}"
         ).alias("repetitive"),
     )
+    return rep.join(substring_span_stats(docs), "doc_id")
 
 
 # ------------------------------------------- corpus n-gram statistics
