@@ -536,6 +536,39 @@ def _mixture_case() -> str:
     return f"CASE lang {whens} ELSE {MIXTURE_DEFAULT_BP} END"
 
 
+# Training-mixture EPOCH weights in basis points of 10000 per source:
+# >10000 up-samples (the doc appears in multiple epochs of one training
+# pass — high-quality/curated sources), <10000 down-samples. The
+# fractional epoch is resolved per doc by an independent deterministic
+# hash, so repeats are reproducible and composition-stable: a corpus
+# re-run or append never changes an old doc's copy count.
+EPOCH_BP = {"src0": 25000, "src1": 15000}
+EPOCH_DEFAULT_BP = 10000
+
+
+def _epoch_copies_sql(dialect: str, weights: "dict[str, int] | None" = None) -> str:
+    """Integer copy count per doc: ``bp div 10000`` whole epochs plus one
+    more iff the doc's hash falls inside the fractional remainder —
+    E[copies] = bp/10000 exactly, all integer arithmetic."""
+    weights = EPOCH_BP if weights is None else weights
+    whens = " ".join(
+        f"WHEN '{s}' THEN {bp}" for s, bp in sorted(weights.items())
+    )
+    default = weights.get("__default__", EPOCH_DEFAULT_BP)
+    bp = f"CASE source {whens} ELSE {default} END"
+    if dialect == "spark":
+        h = SPARK_H64.format(x="concat(cast(doc_id as string), '-epoch')")
+        return (
+            f"(({bp}) div 10000) + "
+            f"(CASE WHEN {h} % 10000 < ({bp}) % 10000 THEN 1 ELSE 0 END)"
+        )
+    h = DUCK_H64.format(x="concat(CAST(doc_id AS VARCHAR), '-epoch')")
+    return (
+        f"(({bp}) // 10000) + "
+        f"(CASE WHEN {h} % 10000 < ({bp}) % 10000 THEN 1 ELSE 0 END)"
+    )
+
+
 # benchmark-decontamination facet of corpus_split_assign: the
 # pseudo-benchmark is the doc_id % BENCH_MOD == 0 slice (both engines
 # derive it identically); a doc is bench-hit when it shares ≥1 word
@@ -595,11 +628,16 @@ SELECT source, split,
        CAST(sum(CASE WHEN sampled THEN n_chars ELSE 0 END) AS BIGINT)
            AS sampled_chars,
        CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_bench_hit
-FROM base JOIN fps USING (fp)
+           AS n_bench_hit,
+       CAST(sum(epoch_copies) AS BIGINT) AS epoch_copies,
+       CAST(sum(epoch_copies * n_chars) AS BIGINT) AS epoch_chars
+FROM (SELECT *, {{EPOCH_COPIES_DUCK}} AS epoch_copies FROM base) base
+JOIN fps USING (fp)
 LEFT JOIN bench_hits h USING (doc_id)
 GROUP BY source, split
-""",
+""".replace(
+        "{EPOCH_COPIES_DUCK}", _epoch_copies_sql("duck")
+    ),
     doc=f"Reproducible train/val/test assignment ({TRAIN_PCT}/{VAL_PCT}/"
     f"{100 - TRAIN_PCT - VAL_PCT}) by md5(doc_id) hash range — the split "
     "is a pure function of the document id, so it is stable across "
@@ -620,7 +658,11 @@ GROUP BY source, split
     "the broadcast-Bloom scan (operators/decontam.py — map-only, no "
     "shuffle, the 100 TB shape) while the oracle recomputes the "
     "overlap exactly, so the hash gate doubles as a proof the filter "
-    "is FP-free on this corpus.",
+    "is FP-free on this corpus — PLUS epoch resampling (r7): "
+    "epoch_copies/epoch_chars total the deterministic per-source "
+    "training-mixture copy counts (EPOCH_BP; >1 epoch up-samples "
+    "curated sources) that resample_epochs materializes — the "
+    "token-budget accounting a mixture recipe is planned against.",
 )
 def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from propulsion_spark.operators.decontam import (
@@ -646,6 +688,7 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.alias("split"),
         F.expr(f"md5({normalized('spark')})").alias("fp"),
         sampled.alias("sampled"),
+        F.expr(_epoch_copies_sql("spark")).cast("long").alias("epoch_copies"),
     )
     fps = base.groupBy("fp").agg(F.countDistinct("split").alias("n_splits"))
     bloom = build_ngram_bloom(
@@ -667,6 +710,10 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sampled_chars"
             ),
             F.sum(F.col("bench_hit").cast("long")).alias("n_bench_hit"),
+            F.sum("epoch_copies").alias("epoch_copies"),
+            F.sum(F.col("epoch_copies") * F.col("n_chars")).alias(
+                "epoch_chars"
+            ),
         )
     )
 
@@ -709,4 +756,32 @@ def stratified_sample(
         docs.withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= k)
         .drop("_rank")
+    )
+
+
+# ------------------------------------------------ epoch resampling
+def resample_epochs(
+    docs: DataFrame, weights_bp: "dict[str, int] | None" = None
+) -> DataFrame:
+    """Materialized epoch resampling: one output row per (doc, copy) —
+    the repeated-epochs view a tokenizer/packer consumes when a mixture
+    recipe up-samples a source (copies = ``weights_bp[source]`` /
+    10000 in expectation, resolved deterministically per doc).
+
+    Map-only: the copy count is a pure function of (source, doc_id) and
+    the explode multiplies rows in place — no shuffle, no state; a
+    downstream global shuffle (``shard_corpus``) spreads the copies so
+    repeats never land adjacent in the training order. ``copy_idx`` is
+    1-based so (doc_id, copy_idx) is a stable global key for resume /
+    lineage.
+    """
+    copies = F.expr(_epoch_copies_sql("spark", weights_bp))
+    return (
+        docs.withColumn("n_copies", copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "*",
+            F.explode(F.expr("sequence(1, n_copies)")).alias("copy_idx"),
+        )
+        .drop("n_copies")
     )

@@ -144,3 +144,72 @@ class TestExactTokenQuantiles:
         # p50 = 2 (rank 2 of 4), p90 = rank ceil(3.6)=4 → 100
         assert out["aa"].p50_tokens == 2
         assert out["aa"].p90_tokens == 100
+
+
+class TestResampleEpochs:
+    def _docs(self, spark, n=400):
+        return spark.createDataFrame(
+            [
+                (i, f"text {i}", ["src0", "src1", "srcX"][i % 3])
+                for i in range(n)
+            ],
+            "doc_id long, text string, source string",
+        )
+
+    def test_copy_counts_bounded_by_weight(self, spark):
+        from propulsion_spark.operators.textops import resample_epochs
+
+        docs = self._docs(spark)
+        out = resample_epochs(
+            docs, {"src0": 25000, "src1": 15000, "__default__": 10000}
+        )
+        per_doc = (
+            out.groupBy("doc_id", "source").count().collect()
+        )
+        for r in per_doc:
+            lo, hi = {"src0": (2, 3), "src1": (1, 2), "srcX": (1, 1)}[
+                r.source
+            ]
+            assert lo <= r["count"] <= hi, r
+        # expectation holds in aggregate: src0 total within (2, 3)·n/3
+        tot = {
+            r.source: r.n
+            for r in out.groupBy("source")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n_per = 400 // 3 + 1
+        assert 2 * (n_per - 1) <= tot["src0"] <= 3 * n_per
+        assert tot["srcX"] == 133  # exactly one copy each
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        from propulsion_spark.operators.textops import resample_epochs
+
+        docs = self._docs(spark)
+        a = sorted(
+            (r.doc_id, r.copy_idx)
+            for r in resample_epochs(docs).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.copy_idx)
+            for r in resample_epochs(docs.repartition(13)).collect()
+        )
+        assert a == b
+        # copy_idx is a dense 1..n key per doc
+        from collections import defaultdict
+
+        by_doc = defaultdict(list)
+        for d, c in a:
+            by_doc[d].append(c)
+        for cs in by_doc.values():
+            assert cs == list(range(1, len(cs) + 1))
+
+    def test_zero_weight_drops_source(self, spark):
+        from propulsion_spark.operators.textops import resample_epochs
+
+        docs = self._docs(spark)
+        out = resample_epochs(docs, {"src0": 0, "__default__": 10000})
+        assert (
+            out.filter(F.col("source") == "src0").count() == 0
+        )
+        assert out.filter(F.col("source") == "srcX").count() == 133
