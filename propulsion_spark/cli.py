@@ -433,7 +433,27 @@ def cmd_shard(args) -> int:
             df = df.withColumn("split", F.lit("train"))
         return df
 
+    fmt = getattr(args, "format", "parquet")
+    epoch_weights = None
+    if getattr(args, "epoch_weights", None):
+        epoch_weights = {}
+        for part in args.epoch_weights.split(","):
+            key, _, bp = part.partition("=")
+            key = key.strip()
+            epoch_weights["__default__" if key == "default" else key] = int(bp)
+
     if getattr(args, "follow", False):
+        if fmt != "parquet" or epoch_weights:
+            print(
+                json.dumps(
+                    {
+                        "error": "--format jsonl / --epoch-weights are "
+                        "batch-mode options (the streaming twin writes "
+                        "the replay-idempotent parquet layout)"
+                    }
+                )
+            )
+            return 2
         # incremental: shard new documents as they land in --src,
         # carrying each split's stream position across micro-batches
         from propulsion_spark.streaming.packing import shard_foreach_batch
@@ -457,16 +477,42 @@ def cmd_shard(args) -> int:
         q.awaitTermination()
     else:
         docs = derive(spark.read.parquet(args.src))
-        sharded = shard_corpus(docs, args.shard_tokens, salt=args.salt)
+        id_col = "doc_id"
+        if epoch_weights:
+            # epoch resampling ahead of the global shuffle: copies get a
+            # unique (doc_id, copy_idx) identity so the shard prefix sum
+            # orders them independently — repeats spread across shards
+            # instead of landing adjacent
+            from propulsion_spark.operators.textops import resample_epochs
+
+            docs = resample_epochs(docs, epoch_weights).withColumn(
+                "pack_id",
+                F.concat_ws(
+                    "#",
+                    F.col("doc_id").cast("string"),
+                    F.col("copy_idx").cast("string"),
+                ),
+            )
+            id_col = "pack_id"
+        sharded = shard_corpus(
+            docs, args.shard_tokens, salt=args.salt, id_col=id_col
+        )
         # one shuffle keyed by the bounded-size shards → one file set
         # per shard
-        (
+        writer = (
             sharded.repartition("split", "shard_id")
             .write.mode("overwrite")
             .partitionBy("split", "shard_id")
-            .parquet(args.out)
         )
-    man = shard_manifest(spark.read.parquet(args.out))
+        if fmt == "jsonl":
+            writer.json(args.out)
+        else:
+            writer.parquet(args.out)
+    man = shard_manifest(
+        spark.read.json(args.out)
+        if fmt == "jsonl"
+        else spark.read.parquet(args.out)
+    )
     if args.manifest:
         man.write.mode("overwrite").parquet(args.manifest)
     stats = {
@@ -725,6 +771,20 @@ def main(argv=None) -> int:
         action="store_true",
         help="incremental: shard documents as they land in --src, "
         "carrying each split's stream position across micro-batches",
+    )
+    sh.add_argument(
+        "--format",
+        choices=["parquet", "jsonl"],
+        default="parquet",
+        help="physical shard format: parquet (default) or JSON-lines "
+        "(one .json file set per shard dir — the layout tokenizer "
+        "pipelines ingest); batch mode only",
+    )
+    sh.add_argument(
+        "--epoch-weights",
+        help="apply epoch resampling before sharding: "
+        "'src0=25000,src1=15000[,default=10000]' basis points of 10000 "
+        "per source (>10000 up-samples); batch mode only",
     )
     sh.set_defaults(fn=cmd_shard)
 

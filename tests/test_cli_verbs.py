@@ -234,6 +234,63 @@ class TestShardVerb:
         assert man[0] == total
 
 
+    def test_shard_jsonl_with_epoch_weights(self, tmp_path):
+        """--format jsonl + --epoch-weights: the training-output path —
+        epoch resampling ahead of the global shuffle, JSON-lines shard
+        files a tokenizer pipeline ingests directly."""
+        import duckdb
+
+        src = str(tmp_path / "docs")
+        duckdb.connect().execute(
+            f"""COPY (
+                 SELECT i AS doc_id,
+                        'train' AS split,
+                        CAST(CASE WHEN i % 2 = 0 THEN 'src0' ELSE 'srcX' END
+                             AS VARCHAR) AS source,
+                        CAST(10 AS BIGINT) AS n_tokens
+                 FROM range(100) t(i)
+               ) TO '{src}' (FORMAT PARQUET)"""
+        )
+        rep = run_cli(
+            "shard", "--src", src, "--out", str(tmp_path / "sharded"),
+            "--shard-tokens", "200", "--format", "jsonl",
+            "--epoch-weights", "src0=20000,default=10000",
+        )
+        # src0 docs (50) appear exactly twice, srcX (50) once → 150 rows
+        assert rep["splits"]["train"]["n_tokens"] == 150 * 10
+        files = list(
+            (tmp_path / "sharded" / "split=train").glob("shard_id=*/*.json")
+        )
+        assert files, "jsonl shard files written"
+        import json as _json
+
+        rows = [
+            _json.loads(line)
+            for f in files
+            for line in f.read_text().splitlines()
+        ]
+        assert len(rows) == 150
+        # copies carry distinct identities: doc#copy
+        ids = sorted(r["doc_id"] for r in rows)
+        assert ids.count("0#1") == 1 and ids.count("0#2") == 1
+        assert ids.count("1#1") == 1 and "1#2" not in ids
+
+    def test_shard_follow_rejects_jsonl(self, tmp_path):
+        import subprocess
+        import sys
+
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "propulsion_spark.cli",
+                "shard", "--src", str(tmp_path), "--out",
+                str(tmp_path / "o"), "--follow", "--format", "jsonl",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert proc.returncode == 2
+
     def test_shard_follow_incremental(self, tmp_path):
         import os
 
