@@ -43,6 +43,46 @@ from propulsion_spark.operators.similarity import (
 #: guard: probed-cell lists stay bounded driver control-plane
 MAX_PROBE_CELLS = 10_000
 
+# Product quantization (the IVF-PQ composition every billion-scale ANN
+# deployment runs): each vector's dims split into PQ_M subspaces, each
+# subspace vector-quantized to one of PQ_K centroids → PQ_M 4-bit-class
+# codes ≈ PQ_M bytes per vector instead of 4·dims float bytes (64-dim
+# float32: 256 → 8 bytes, 32×). Codebooks train on a bounded
+# deterministic sample (the FAISS convention — PQ training is
+# sample-based by design, never a corpus pass) and freeze at build,
+# like the IVF coarse quantizer.
+PQ_M = 8
+PQ_K = 16
+PQ_TRAIN_SAMPLE = 65_536
+PQ_LLOYD_ITERS = 5
+
+
+def _pq_train(X, m: int, k: int, iters: int):
+    """Per-subspace Lloyd on the (driver-side) training sample.
+    Deterministic: init = evenly spaced rows of the hash-ordered
+    sample, fixed iteration count, stable argmin."""
+    import numpy as np
+
+    n, d = X.shape
+    dsub = d // m
+    Xs = X.reshape(n, m, dsub)
+    books = np.zeros((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        Xj = Xs[:, j, :]
+        idx = np.linspace(0, n - 1, num=min(k, n)).astype(int)
+        C = Xj[idx].copy()
+        if len(C) < k:
+            C = np.vstack([C, np.zeros((k - len(C), dsub))])
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Xj[mask].mean(axis=0)
+        books[j] = C
+    return books
+
 
 def _explode_dims(vectors: DataFrame, id_col: str = "vec_id") -> DataFrame:
     return vectors.select(
@@ -67,6 +107,126 @@ class AnnIndex:
     @property
     def _codebook_path(self) -> str:
         return os.path.join(self.path, "codebook")
+
+    @property
+    def _pq_path(self) -> str:
+        return os.path.join(self.path, "pq_codebook")
+
+    # ---- product quantization -------------------------------------------
+    def _train_pq(self, vectors: DataFrame) -> None:
+        """Train the PQ codebooks on a bounded deterministic sample
+        (lowest salted-md5 ``vec_id`` hashes — the repo's
+        re-salt-is-the-re-draw convention) and store them as
+        ``(sub, code, c array<double>)`` rows."""
+        import numpy as np
+
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pq-"), F.col("vec_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        sample = (
+            vectors.select("vec_id", "embedding")
+            .orderBy(h, "vec_id")
+            .limit(PQ_TRAIN_SAMPLE)
+            .collect()
+        )
+        X = np.array([r["embedding"] for r in sample], dtype=np.float64)
+        d = X.shape[1]
+        if d % PQ_M != 0:
+            raise ValueError(
+                f"embedding dim {d} not divisible by PQ_M={PQ_M}"
+            )
+        books = _pq_train(X, PQ_M, PQ_K, PQ_LLOYD_ITERS)
+        rows = [
+            (j, c, [float(v) for v in books[j, c]])
+            for j in range(PQ_M)
+            for c in range(PQ_K)
+        ]
+        self.spark.createDataFrame(
+            rows, "sub int, code int, c array<double>"
+        ).write.mode("overwrite").parquet(self._pq_path)
+
+    def _load_pq(self):
+        """Broadcast of the stored (m, k, dsub) PQ codebooks, or None
+        for a legacy index built before PQ."""
+        import numpy as np
+
+        try:
+            rows = self.spark.read.parquet(self._pq_path).collect()
+        except Exception:
+            return None
+        m = max(r["sub"] for r in rows) + 1
+        k = max(r["code"] for r in rows) + 1
+        dsub = len(rows[0]["c"])
+        books = np.zeros((m, k, dsub), dtype=np.float64)
+        for r in rows:
+            books[r["sub"], r["code"]] = r["c"]
+        return self.spark.sparkContext.broadcast(books)
+
+    def _pq_encode_udf(self, bc):
+        """Arrow-vectorized encoder: per vector, the argmin centroid
+        code per subspace plus the reconstruction norm (so ADC search
+        pays one lookup-sum per candidate, no decode of the norm)."""
+        import numpy as np
+        import pandas as pd
+
+        def enc(emb: "pd.Series") -> "pd.DataFrame":
+            B = bc.value
+            m, k, dsub = B.shape
+            if len(emb) == 0:
+                return pd.DataFrame({"codes": [], "nrm": []})
+            X = np.stack(emb.values).astype(np.float64)
+            Xs = X.reshape(len(X), m, dsub)
+            # (n, m, k) distances per subspace — one einsum per term
+            d2 = (
+                (Xs * Xs).sum(axis=2)[:, :, None]
+                - 2.0 * np.einsum("nmd,mkd->nmk", Xs, B)
+                + (B * B).sum(axis=2)[None, :, :]
+            )
+            codes = d2.argmin(axis=2)  # (n, m), stable for exact ties
+            rec = B[np.arange(m)[None, :], codes]  # (n, m, dsub)
+            nrm = np.sqrt(np.einsum("nmd,nmd->n", rec, rec))
+            return pd.DataFrame(
+                {
+                    "codes": list(codes.astype(np.int8)),
+                    "nrm": nrm,
+                }
+            )
+
+        enc.__annotations__ = {"emb": pd.Series, "return": pd.DataFrame}
+        return F.pandas_udf(
+            enc, "struct<codes: array<tinyint>, nrm: double>"
+        )
+
+    def _pq_dot_udf(self, bc):
+        """ADC (asymmetric distance computation) dot product: the
+        full-precision query against each candidate's PQ
+        reconstruction — the candidate side moves PQ_M bytes, not
+        4·dims."""
+        import numpy as np
+        import pandas as pd
+
+        def dot(q: "pd.Series", codes: "pd.Series") -> "pd.Series":
+            B = bc.value
+            m, k, dsub = B.shape
+            if len(q) == 0:
+                return pd.Series([], dtype="float64")
+            Q = np.stack(q.values).astype(np.float64).reshape(len(q), m, dsub)
+            Cd = np.stack(codes.values).astype(np.int64)
+            rec = B[np.arange(m)[None, :], Cd]
+            return pd.Series(np.einsum("nmd,nmd->n", Q, rec))
+
+        dot.__annotations__ = {
+            "q": pd.Series,
+            "codes": pd.Series,
+            "return": pd.Series,
+        }
+        return F.pandas_udf(dot, "double")
 
     # ---- build -----------------------------------------------------------
     @classmethod
@@ -136,6 +296,7 @@ class AnnIndex:
         codebook = codebook.persist()
         idx = cls(spark, path)
         codebook.write.mode("overwrite").parquet(idx._codebook_path)
+        idx._train_pq(vectors)  # PQ codebooks freeze at build, like IVF's
         idx._assign_and_write(vectors, codebook, mode="overwrite")
         codebook.unpersist()
         return idx
@@ -255,6 +416,19 @@ class AnnIndex:
                 "cell",
             )
         )
+        pq = self._load_pq()
+        if pq is not None:
+            # PQ codes + reconstruction norm ride every row: ADC search
+            # reads PQ_M bytes per candidate where int8 reads dims bytes
+            # and full precision 4·dims. Appends encode under the STORED
+            # codebooks (frozen quantizer, same contract as the cells).
+            st = self._pq_encode_udf(pq)(F.col("embedding"))
+            rows = (
+                rows.withColumn("_pq", st)
+                .withColumn("pq_codes", F.col("_pq.codes"))
+                .withColumn("pq_nrm", F.col("_pq.nrm"))
+                .drop("_pq")
+            )
         # (_batch_id, cell) partitioning + dynamic overwrite makes every
         # APPEND idempotent under replays: re-running batch N rewrites
         # exactly its own partitions instead of appending duplicates —
