@@ -551,10 +551,16 @@ def _epoch_copies_sql(dialect: str, weights: "dict[str, int] | None" = None) -> 
     more iff the doc's hash falls inside the fractional remainder —
     E[copies] = bp/10000 exactly, all integer arithmetic."""
     weights = EPOCH_BP if weights is None else weights
+    # source names are USER INPUT (cli --epoch-weights): single quotes
+    # are SQL-escaped by doubling so a name like "x'y" compares as a
+    # literal instead of rewriting the expression (H64 rule, see
+    # shard_corpus's salt note); weights are forced to int so a
+    # non-numeric value can never splice into the SQL either
     whens = " ".join(
-        f"WHEN '{s}' THEN {bp}" for s, bp in sorted(weights.items())
+        "WHEN '{}' THEN {}".format(str(s).replace("'", "''"), int(bp))
+        for s, bp in sorted(weights.items())
     )
-    default = weights.get("__default__", EPOCH_DEFAULT_BP)
+    default = int(weights.get("__default__", EPOCH_DEFAULT_BP))
     bp = f"CASE source {whens} ELSE {default} END"
     if dialect == "spark":
         h = SPARK_H64.format(x="concat(cast(doc_id as string), '-epoch')")

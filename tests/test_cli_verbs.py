@@ -275,6 +275,30 @@ class TestShardVerb:
         assert ids.count("0#1") == 1 and ids.count("0#2") == 1
         assert ids.count("1#1") == 1 and "1#2" not in ids
 
+    def test_shard_epoch_weights_quoted_source(self, tmp_path):
+        """--epoch-weights with a source name containing a single quote:
+        arbitrary user strings must reach the CASE as literals — the
+        quoted source doubles, the other source keeps the default."""
+        import duckdb
+
+        src = str(tmp_path / "docs")
+        duckdb.connect().execute(
+            f"""COPY (
+                 SELECT i AS doc_id, 'train' AS split,
+                        CAST(CASE WHEN i % 2 = 0 THEN 'o''reilly'
+                             ELSE 'plain' END AS VARCHAR) AS source,
+                        CAST(10 AS BIGINT) AS n_tokens
+                 FROM range(100) t(i)
+               ) TO '{src}' (FORMAT PARQUET)"""
+        )
+        rep = run_cli(
+            "shard", "--src", src, "--out", str(tmp_path / "sharded"),
+            "--shard-tokens", "500", "--format", "jsonl",
+            "--epoch-weights", "o'reilly=20000,default=10000",
+        )
+        # 50 quoted-source docs doubled + 50 plain docs once → 150 rows
+        assert rep["splits"]["train"]["n_tokens"] == 150 * 10
+
     def test_shard_follow_rejects_jsonl(self, tmp_path):
         import subprocess
         import sys

@@ -204,6 +204,27 @@ class TestResampleEpochs:
         for cs in by_doc.values():
             assert cs == list(range(1, len(cs) + 1))
 
+    def test_quoted_source_name_is_literal_not_sql(self, spark):
+        """A source named with a single quote (user input via cli
+        --epoch-weights) must compare as a LITERAL: the weight applies
+        to exactly that source, the expression never breaks, and no
+        other source's weight is rewritten by the stray quote."""
+        from propulsion_spark.operators.textops import resample_epochs
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}", "o'reilly" if i % 2 else "plain") for i in range(40)],
+            "doc_id long, text string, source string",
+        )
+        out = resample_epochs(
+            docs, {"o'reilly": 20000, "__default__": 10000}
+        )
+        per = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert per["o'reilly"] == 2 * 20  # exactly two copies each
+        assert per["plain"] == 20  # default untouched by the quote
+
     def test_zero_weight_drops_source(self, spark):
         from propulsion_spark.operators.textops import resample_epochs
 
