@@ -62,6 +62,7 @@ def cmd_sync(args) -> int:
             spark,
             dst if kind == "curated" else args.to,
             near_dedup=getattr(args, "near_dedup", False),
+            span_dedup=getattr(args, "span_dedup", False),
         )
 
         class CurateSink:
@@ -693,6 +694,13 @@ def main(argv=None) -> int:
         help="with --curate: also drop MinHash-LSH near-duplicates "
         "(intra-batch connected-components canonical keep + cross-batch "
         "band table)",
+    )
+    s.add_argument(
+        "--span-dedup",
+        action="store_true",
+        help="with --curate: cut cross-document duplicated k-token "
+        "spans before the gates (Lee et al. 2021 ExactSubstr; intra-"
+        "batch span table — run single-batch for corpus-wide spans)",
     )
     s.set_defaults(fn=cmd_sync)
 

@@ -474,6 +474,130 @@ def substring_span_stats(
     )
 
 
+def trim_duplicated_spans(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    drop_empty: bool = False,
+) -> DataFrame:
+    """APPLY cross-document substring-span dedup (the transformation
+    behind :func:`substring_span_stats`'s evidence — Lee et al. 2021's
+    ExactSubstr step): every ``k``-token span shared by ≥ ``min_docs``
+    documents survives in exactly ONE document (the smallest ``id_col``
+    among its holders — deterministic, partition-invariant); all other
+    documents have the covered region CUT from their text.
+
+    Returns ``docs`` with ``text_col`` rewritten and an appended
+    ``n_tokens_removed`` (long). Untrimmed documents pass through with
+    their ORIGINAL text byte-for-byte; trimmed documents are rebuilt
+    from the surviving whitespace tokens joined by single spaces (the
+    standard normalization of token-level dedup — intra-token bytes are
+    preserved, inter-token whitespace is not). ``drop_empty=True``
+    drops documents whose every token was cut.
+
+    Scale shape (same skeleton as the stats operator): spans shuffle as
+    60-bit fingerprints; the per-gram keeper is one groupBy(h) with
+    map-side partials; removal intervals are merged per doc by a
+    gaps-and-islands window over ONLY the duplicated positions; and the
+    token-rebuild posexplode runs over AFFECTED documents only (semi-
+    join first), so an already-clean corpus pays the detection scan and
+    nothing else. No driver collect, no Python UDF.
+
+    Keeper semantics: the keeper document keeps its text UNCHANGED for
+    that span (including intra-document repeats of it) — "remove all
+    but one occurrence" resolved at document granularity, which is the
+    partitionable form: per-occurrence global ordering would serialize
+    on a total order over (doc, pos) pairs for no measurable corpus
+    difference.
+    """
+    from propulsion_spark.operators.decontam import _ngram_array_sql
+
+    grams = _ngram_array_sql(text_col, k)
+    hashed = f"transform({grams}, _g -> {SPARK_H64.format(x='_g')})"
+    pos = docs.select(
+        id_col, F.posexplode(F.expr(hashed)).alias("pos", "h")
+    )
+    keepers = (
+        pos.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("_nd"), F.min(id_col).alias("_keep"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h", "_keep")
+    )
+    rem = (
+        pos.join(keepers, "h")
+        .filter(F.col(id_col) != F.col("_keep"))
+        .select(id_col, "pos")
+        .distinct()
+    )
+    # merge overlapping/adjacent [pos, pos+k) intervals per doc:
+    # island starts where pos exceeds the running max end of prior rows
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    iv = (
+        rem.withColumn(
+            "_new",
+            F.when(run_end.isNull() | (F.col("pos") > run_end), 1).otherwise(0),
+        )
+        .withColumn("_gid", F.sum("_new").over(w))
+        .groupBy(id_col, "_gid")
+        .agg(F.min("pos").alias("_s"), (F.max("pos") + k).alias("_e"))
+    )
+    covered = iv.select(
+        id_col, F.explode(F.expr("sequence(_s, _e - 1)")).alias("_ti")
+    )
+    nrem = covered.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens_removed")
+    )
+    # rebuild ONLY affected docs from their surviving original-case
+    # tokens (lowercasing in the gram hash never moves whitespace, so
+    # gram position == original token index)
+    tk = f"filter(split(trim({text_col}), '\\\\s+'), _tk -> _tk != '')"
+    affected = docs.join(nrem.select(id_col), id_col)
+    toks = affected.select(
+        id_col, F.posexplode(F.expr(tk)).alias("_ti", "_tok")
+    )
+    rebuilt = (
+        toks.join(covered, [id_col, "_ti"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(_ti, _tok)))"
+                    ", s -> s._tok)"
+                ),
+            ).alias("_new_text")
+        )
+    )
+    out = (
+        docs.join(nrem, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .withColumn(
+            "n_tokens_removed",
+            F.coalesce(F.col("n_tokens_removed"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            text_col,
+            F.when(
+                F.col("n_tokens_removed") > 0,
+                F.coalesce(F.col("_new_text"), F.lit("")),
+            ).otherwise(F.col(text_col)),
+        )
+        .drop("_new_text")
+    )
+    if drop_empty:
+        out = out.filter(
+            (F.col("n_tokens_removed") == 0) | (F.col(text_col) != "")
+        )
+    return out
+
+
 # --------------------------------------------------------------- simhash
 SIMHASH_BITS = 16
 

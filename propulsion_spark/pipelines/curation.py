@@ -184,6 +184,9 @@ class CurationPipeline:
         max_dup_trigram_frac: float = REP_THRESHOLD,
         assign_splits: bool = True,
         near_dedup: bool = False,
+        span_dedup: bool = False,
+        span_k: int = None,
+        span_min_docs: int = 2,
         benchmark: DataFrame | None = None,
         decontam_ngram: int = 8,
         decontam_threshold: float = 0.0,
@@ -196,6 +199,19 @@ class CurationPipeline:
         self.max_dup_trigram_frac = max_dup_trigram_frac
         self.assign_splits = assign_splits
         self.near_dedup = near_dedup
+        # substring-span dedup (Lee et al. 2021 ExactSubstr): INTRA-
+        # batch by design — the duplicated-gram table is recomputed per
+        # batch, never persisted, because cross-batch gram state is
+        # O(corpus tokens) (unbounded, unlike the bounded fingerprint /
+        # band tables). Run the pipeline single-batch (or over a
+        # consolidated store) for corpus-wide span semantics.
+        self.span_dedup = span_dedup
+        if span_k is None:
+            from propulsion_spark.operators.dedup import SPAN_K
+
+            span_k = SPAN_K
+        self.span_k = span_k
+        self.span_min_docs = span_min_docs
         # benchmark decontamination: the eval-side Bloom bitset is built
         # ONCE here (the benchmark is fixed for the pipeline's life) and
         # broadcast into every batch's map-only scan — no per-batch
@@ -229,6 +245,7 @@ class CurationPipeline:
             "rejected_quality": 0,
             "rejected_repetition": 0,
             "rejected_benchmark": 0,
+            "span_trimmed": 0,
             "deduped": 0,
             "near_deduped": 0,
             "kept": 0,
@@ -294,11 +311,38 @@ class CurationPipeline:
         # text_repetition operator (Gopher-style repetition gate)
         from propulsion_spark.operators.textops import repetition_counts_expr
 
+        n_span_trimmed = 0
+        trimmed = None
+        if self.span_dedup:
+            # trim FIRST: the quality/repetition gates then judge the
+            # post-trim text (a doc that is boilerplate + thin content
+            # should fail the token floor AFTER the boilerplate is cut,
+            # not squeak through on it); fully-cut docs fall out at the
+            # token-bounds gate, so they are counted as quality rejects
+            from propulsion_spark.operators.dedup import (
+                trim_duplicated_spans,
+            )
+
+            trimmed = trim_duplicated_spans(
+                df, k=self.span_k, min_docs=self.span_min_docs
+            ).persist()
+            n_span_trimmed = trimmed.filter(
+                F.col("n_tokens_removed") > 0
+            ).count()
+            df = trimmed.drop("n_tokens_removed")
+            if "n_chars" in df.columns:
+                # the stored char count must describe the stored text
+                df = df.withColumn(
+                    "n_chars", F.length("text").cast("long")
+                )
         st = repetition_counts_expr()
         scored = df.select(
             "*",
+            # try_divide: a zero-length text (possible after the span
+            # trim cuts a doc to nothing) must gate out, not ANSI-crash
             F.expr(
-                "length(regexp_replace(text, '[^A-Za-z]', '')) / length(text)"
+                "coalesce(try_divide(length(regexp_replace(text, "
+                "'[^A-Za-z]', '')), length(text)), 0.0D)"
             ).alias("_alpha"),
             F.expr(f"size({_toks('spark')})").alias("_ntok"),
             F.expr(
@@ -400,6 +444,7 @@ class CurationPipeline:
                 self.stats["rejected_quality"] += n_seen - n_passed_q
                 self.stats["rejected_repetition"] += n_passed_q - n_passed_r
                 self.stats["rejected_benchmark"] += n_passed_r - n_passed
+                self.stats["span_trimmed"] += n_span_trimmed
                 self.stats["deduped"] += n_passed - n_exact
                 self.stats["near_deduped"] += n_exact - n_kept
                 self.stats["kept"] += n_kept
@@ -409,6 +454,8 @@ class CurationPipeline:
                 kept_docs.unpersist()
             if sigs is not None:
                 sigs.unpersist()
+            if trimmed is not None:
+                trimmed.unpersist()
 
     # -- results -----------------------------------------------------------
     def curated(self) -> DataFrame:

@@ -100,3 +100,17 @@ class TestCliCurate:
         )
         assert rep["splits"], "per-split rollup missing"
         assert {r["split"] for r in rep["splits"]} <= {"train", "val", "test"}
+
+    def test_sync_curate_span_dedup(self, tmp_path):
+        """--span-dedup through the CLI: the span_trimmed stat is
+        reported and the run completes against the corpus fixture."""
+        rep = run_cli(
+            "sync",
+            "--from", "documents:/root/testdata/sf0.001",
+            "--to", f"curated:{tmp_path / 'corpus'}",
+            "--curate", "--span-dedup",
+            "--checkpoints", str(tmp_path / "ck"),
+        )
+        assert rep["caught_up"] is True
+        assert "span_trimmed" in rep["stats"]
+        assert rep["stats"]["kept"] > 0
