@@ -222,6 +222,19 @@ FROM hll JOIN hll_exact USING (event_type)
 UNION ALL {_duck_qhist_arm(50)}
 UNION ALL {_duck_qhist_arm(90)}
 UNION ALL {_duck_qhist_arm(99)}
+UNION ALL
+SELECT 'cmin' AS method, token AS event_type, CAST(n AS BIGINT) AS n_kept,
+       CAST(1 AS BIGINT) AS detail, CAST(n AS DOUBLE) AS est_distinct,
+       CAST(n AS BIGINT) AS exact_distinct
+FROM (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                     '\\s+'),
+                                  x -> x != '')) AS token
+        FROM documents)
+  GROUP BY token
+  HAVING count(*) >= (SELECT count(*) FROM documents)
+)
 """,
     doc=f"THREE mergeable sketch families per event type in one "
     "long-format report, every branch bit-identical across engines. "
@@ -242,9 +255,17 @@ UNION ALL {_duck_qhist_arm(99)}
     "portable, so the consumer applies it from n_kept = used registers) "
     "— detail is the integer register power sum Σ2^(53-M_j), which IS "
     "the mergeable state (min per register under union ⇒ take max M_j). "
-    "Exact distinct alongside for error inspection. Production note: "
-    "Spark's native approx_count_distinct (HLL++) is the raw-speed "
-    "tool; these are the oracle-checkable design points.",
+    "Exact distinct alongside for error inspection. method='cmin' (r8): "
+    "the Count-Min two-pass heavy-hitter census over the documents "
+    "table (threshold = corpus doc count) — the Spark side answers via "
+    "the SKETCH prefilter (build_count_min + broadcast scan) while the "
+    "oracle recomputes the census exactly, so the driver's hash gate "
+    "attests zero false negatives (guaranteed) AND that the HAVING "
+    "cleanup dropped every overestimated straggler — the same "
+    "attestation shape as the decontamination Bloom row; detail=1 is "
+    "the per-token witness that the estimate never undercounted. "
+    "Production note: Spark's native approx_count_distinct (HLL++) is "
+    "the raw-speed tool; these are the oracle-checkable design points.",
 )
 def q_sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -328,7 +349,46 @@ def q_sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct"
         ),
     )
-    return kmv.unionByName(hll).unionByName(qarms)
+    # Count-Min heavy-hitter arm: sketch-prefiltered exact census over
+    # the documents table (threshold = doc count — scale-adaptive and
+    # expressible on both engines); the witness column re-scores every
+    # heavy hitter against the broadcast sketch so a sketch that ever
+    # undercounted would emit detail=0 and hash-mismatch the oracle
+    import numpy as np
+    import pandas as pd
+
+    from propulsion_spark.operators.decontam import _HASH_KEY
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # bounded control-plane scalar
+    cm = build_count_min(docs)
+    hh = heavy_hitters(docs, min_count=n_docs, cm=cm)
+    bc = spark.sparkContext.broadcast((cm.depth, cm.width, cm.data))
+
+    def witness(batches):
+        d, w, raw = bc.value
+        m = np.frombuffer(raw, dtype=np.int64).reshape(d, w)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pd.util.hash_array(
+                pdf["token"].to_numpy(dtype=object), hash_key=_HASH_KEY
+            )
+            est = CountMinSketch._estimate_hashed(m, h, d, w)
+            yield pdf.assign(ok=(est >= pdf["n"].to_numpy()).astype("int64"))
+
+    cmin = (
+        hh.mapInPandas(witness, "token string, n long, ok long")
+        .select(
+            F.lit("cmin").alias("method"),
+            F.col("token").alias("event_type"),
+            F.col("n").alias("n_kept"),
+            F.col("ok").alias("detail"),
+            F.col("n").cast("double").alias("est_distinct"),
+            F.col("n").alias("exact_distinct"),
+        )
+    )
+    return kmv.unionByName(hll).unionByName(qarms).unionByName(cmin)
 
 
 # ---- Count-Min sketch (token frequency / heavy hitters) ----------------
