@@ -388,11 +388,17 @@ class EventStoreTable:
         m = self._load()
         self._check_fanout(m)
         tails = self.read_tails(m)
-        # the batch lineage is walked twice (classification, then the
-        # novel-suffix append): pin it for the duration of the sync so
-        # an expensive upstream (a windowed envelope derivation, a join)
-        # is computed once — unpersisted before returning
-        batch = batch.cache()
+        # The batch lineage is walked at most twice (classification, then
+        # the novel-suffix append) and each walk is single-pass, so sync
+        # does NOT cache the batch: a cache would pay one extra
+        # materialize+store for at most one saved recompute, and on the
+        # steady-state redelivery path (no writable streams — exactly one
+        # walk) the store cost is pure overhead, measured at ~20% of the
+        # whole sync at sf0.1 (docs/ROUND_NOTES.md r8). A caller whose
+        # envelope derivation is genuinely expensive should persist it
+        # before calling sync — sync honors an already-persisted input
+        # (both walks then read the caller's cache).
+        #
         # span bounds are duplicate-insensitive (min/max): classification
         # needs no dedup shuffle, so a full-duplicate redelivery costs
         # exactly one pass over the batch
@@ -415,17 +421,22 @@ class EventStoreTable:
         # - ≤ DRIVER_REPORT_CAP streams (the steady-state micro-batch):
         #   the probe already collected every verdict row, so control
         #   flow and the report are built driver-side — a full-duplicate
-        #   redelivery costs exactly one Spark job, same as r2;
+        #   redelivery costs exactly one Spark job, same as r2. The
+        #   probe runs UNPERSISTED: the small path never touches the
+        #   verdict again, so a persist would be a pure storage-write
+        #   tax on every steady-state sync;
         # - above the cap (a 100× catch-up batch): the verdict stays
-        #   DISTRIBUTED — per-outcome counts materialize the persisted
-        #   rows, the append receives the writable rows as a DataFrame,
-        #   and the report is spooled to parquet so it never references
-        #   a tails view a later sync retires. Driver memory stays O(cap).
+        #   DISTRIBUTED — it is persisted only now (one recompute of the
+        #   cheap span aggregate, amortized by the big batch it fronts),
+        #   per-outcome counts materialize the persisted rows, the
+        #   append receives the writable rows as a DataFrame, and the
+        #   report is spooled to parquet so it never references a tails
+        #   view a later sync retires. Driver memory stays O(cap).
+        probe = verdict.limit(DRIVER_REPORT_CAP + 1).collect()
+        if len(probe) <= DRIVER_REPORT_CAP:
+            return self._report_small(m, batch, probe)
         verdict = verdict.persist()
         try:
-            probe = verdict.limit(DRIVER_REPORT_CAP + 1).collect()
-            if len(probe) <= DRIVER_REPORT_CAP:
-                return self._report_small(m, batch, probe)
             # cap exceeded → distributed path; one bounded aggregate
             # fully materializes the persisted verdict (the probe's
             # limit job may have computed only a prefix of it)
@@ -471,7 +482,6 @@ class EventStoreTable:
             self._report_spool.done(spool)
         finally:
             verdict.unpersist()
-            batch.unpersist()
         return self.spark.read.schema(
             "stream_name string, outcome string, prev_tail long, "
             "new_tail long, appended long"
