@@ -62,6 +62,7 @@ def cmd_sync(args) -> int:
             spark,
             dst if kind == "curated" else args.to,
             near_dedup=getattr(args, "near_dedup", False),
+            redact_pii=getattr(args, "redact_pii", False),
             span_dedup=getattr(args, "span_dedup", False),
         )
 
@@ -694,6 +695,13 @@ def main(argv=None) -> int:
         help="with --curate: also drop MinHash-LSH near-duplicates "
         "(intra-batch connected-components canonical keep + cross-batch "
         "band table)",
+    )
+    s.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="with --curate: scrub emails/SSNs/phones/IPv4s to typed "
+        "placeholders before every other stage, so fingerprints, spans "
+        "and shards only ever see redacted text",
     )
     s.add_argument(
         "--span-dedup",

@@ -117,8 +117,69 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- PII redaction
+# Curation-stage PII scrub (the C4/Dolma-style pre-training hygiene
+# pass): emails, US-SSN-shaped ids, phone numbers, IPv4 addresses.
+# ORDER MATTERS and is part of the contract — each pattern is counted
+# on, then scrubbed from, the text as redacted by the patterns before
+# it (SSN before the more general phone shape; both before IPv4 so a
+# dotted phone is not half-eaten as an address). Patterns are plain
+# ASCII character-class regexes on purpose: they mean the same thing
+# to Java regex (Spark) and RE2 (DuckDB), which is what lets the
+# text_metrics oracle attest the redacted output hash bit-for-bit.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("EMAIL", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("PHONE", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def _pii_sql_duck(text_expr: str = "text") -> tuple[str, str]:
+    """(pii_hits expr, redacted-text expr) in DuckDB SQL — the oracle
+    twin of `_pii_cols`, same progressive-redaction order."""
+    t = text_expr
+    counts = []
+    for tag, pat in PII_PATTERNS:
+        counts.append(f"length(regexp_extract_all({t}, '{pat}'))")
+        t = f"regexp_replace({t}, '{pat}', '<{tag}>', 'g')"
+    return " + ".join(counts), t
+
+
+# ----------------------------------------------------- document chunking
+# RAG/training-window chunking: fixed token windows with overlap.
+CHUNK_TOKENS = 32  # oracle-facet window (library callers pick their own)
+CHUNK_OVERLAP = 8
+
+
+def _chunk_sql_duck(w: int, overlap: int, toks_expr: str) -> tuple[str, str]:
+    """(n_chunks expr, chr(31)-joined chunks expr) in DuckDB SQL over a
+    token-list expression — the oracle twin of `_chunk_arrays`."""
+    stride = w - overlap
+    n0 = (
+        f"(CASE WHEN length({toks_expr}) = 1 AND ({toks_expr})[1] = '' "
+        f"THEN 0 ELSE length({toks_expr}) END)"
+    )
+    n_chunks = (
+        f"(CASE WHEN {n0} = 0 THEN 0 ELSE "
+        f"(greatest({n0} - {w}, 0) + {stride - 1}) // {stride} + 1 END)"
+    )
+    joined = (
+        f"array_to_string(list_transform(range(0, CAST({n_chunks} AS BIGINT)), "
+        f"i -> array_to_string(list_slice({toks_expr}, i*{stride} + 1, "
+        f"i*{stride} + {w}), ' ')), chr(31))"
+    )
+    return n_chunks, joined
+
+
 # ---------------------------------------------- merged per-doc metrics
 _PRED_DUCK = "CASE WHEN stopword_ratio >= 0.04 THEN 'en' ELSE 'unk' END"
+
+
+_PII_HITS_DUCK, _PII_RED_DUCK = _pii_sql_duck("text")
+_NCHUNKS_DUCK, _CHUNKS_JOIN_DUCK = _chunk_sql_duck(
+    CHUNK_TOKENS, CHUNK_OVERLAP, "toks0"
+)
 
 
 @register(
@@ -136,16 +197,24 @@ SELECT doc_id,
        {_PRED_DUCK} AS predicted,
        (lang = ({_PRED_DUCK})) AS hit,
        {DUCK_H64.format(x=normalized('duck'))} AS fp64,
-       {DUCK_H64.format(x=f"substr({normalized('duck')}, 1, 100)")} AS fp_prefix
-FROM (SELECT doc_id, lang, text, {_QUALITY_DUCK} FROM documents)
+       {DUCK_H64.format(x=f"substr({normalized('duck')}, 1, 100)")} AS fp_prefix,
+       CAST({_PII_HITS_DUCK} AS BIGINT) AS pii_hits,
+       {DUCK_H64.format(x=_PII_RED_DUCK)} AS redacted_fp64,
+       CAST({_NCHUNKS_DUCK} AS BIGINT) AS n_chunks,
+       {DUCK_H64.format(x=_CHUNKS_JOIN_DUCK)} AS chunks_fp64
+FROM (SELECT doc_id, lang, text, {_toks('duck')} AS toks0, {_QUALITY_DUCK}
+      FROM documents)
 """,
     doc="Per-document text metrics in ONE scan: token counting "
     "(whitespace + BPE-ish regex), quality scoring (C4/Gopher-style "
     "alpha/stopword/token-length heuristics), stopword-density language "
-    "ID, and 64-bit content + prefix fingerprints. Map-only, no shuffle, "
-    "whole-stage codegen — a 100 TB corpus runs this at scan speed; "
-    "merging the four metric families into one pass reads the text "
-    "column once instead of four times.",
+    "ID, 64-bit content + prefix fingerprints, PII scrubbing (hit count "
+    "+ hash of the redacted text attests the scrub itself), and "
+    "fixed-token-window chunking with overlap (chunk count + hash of "
+    "the joined chunks attests the window/stride slicing). Map-only, no "
+    "shuffle, whole-stage codegen — a 100 TB corpus runs this at scan "
+    "speed; merging the six metric families into one pass reads the "
+    "text column once instead of six times.",
 )
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -172,7 +241,25 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             SPARK_H64.format(x="substring(" + normalized("spark") + ", 1, 100)")
         ).alias("fp_prefix"),
+        *_metric_facet_cols(),
     )
+
+
+def _h64(col):
+    """Column-API twin of SPARK_H64 (same 60-bit md5-prefix hash)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _metric_facet_cols():
+    """PII + chunking facet columns for the merged text_metrics row."""
+    hits, red = _pii_cols("text")
+    _, n_chunks, chunks = _chunk_arrays(CHUNK_TOKENS, CHUNK_OVERLAP, "text")
+    return [
+        hits.alias("pii_hits"),
+        _h64(red).alias("redacted_fp64"),
+        n_chunks.alias("n_chunks"),
+        _h64(F.array_join(chunks, "\x1f")).alias("chunks_fp64"),
+    ]
 
 
 # ------------------------------------------------- corpus curation
@@ -791,3 +878,103 @@ def resample_epochs(
         )
         .drop("n_copies")
     )
+
+
+
+
+def _pii_cols(text_col: str = "text"):
+    """(pii_hits, redacted_text) column pair over ``text_col``.
+
+    Built with the column API, not SQL interpolation — the patterns
+    hold backslashes and braces that SQL-literal escaping would mangle
+    (the repo's standing H64 rule). Pure scan-speed map work: four
+    regex passes inside whole-stage codegen, no shuffle, no UDF.
+    """
+    col = F.col(text_col)
+    hits = F.lit(0).cast("long")
+    for tag, pat in PII_PATTERNS:
+        hits = hits + F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        col = F.regexp_replace(col, pat, f"<{tag}>")
+    return hits, col
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub PII in-place: ``text_col`` is replaced by the redacted
+    text (each match becomes ``<EMAIL>``/``<SSN>``/``<PHONE>``/``<IP>``)
+    and a ``pii_hits`` long counts the matches scrubbed from each row.
+
+    Map-only — at 100 TB this runs at scan speed alongside whatever
+    projection feeds it; it belongs fused into the first pass over the
+    text (CurationPipeline runs it before the quality gates so every
+    downstream stage — fingerprints, spans, shards — sees only the
+    redacted text and raw PII never reaches a training shard).
+    """
+    hits, red = _pii_cols(text_col)
+    return df.withColumn("pii_hits", hits).withColumn(text_col, red)
+
+
+
+
+
+
+def _chunk_arrays(w: int, overlap: int, text_col: str = "text"):
+    """(n_tokens, n_chunks, chunks array<string>) columns.
+
+    Chunk i covers tokens [i*stride, i*stride + w) with
+    stride = w - overlap; the last chunk is the (possibly short)
+    remainder, and a doc with n <= w tokens is exactly one chunk.
+    n_chunks = (max(n - w, 0) + stride - 1) // stride + 1 — pure
+    integer math so Spark and the DuckDB oracle agree bit-for-bit.
+    """
+    if not 0 <= overlap < w:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap=} {w=}")
+    stride = w - overlap
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # split('') yields [''] in both engines: treat it as zero tokens
+    n = F.when(
+        (F.size(toks) == 1) & (F.element_at(toks, 1) == F.lit("")), F.lit(0)
+    ).otherwise(F.size(toks))
+    n_chunks = (
+        F.when(n == 0, F.lit(0))
+        .otherwise(
+            F.floor((F.greatest(n - F.lit(w), F.lit(0)) + F.lit(stride - 1)) / F.lit(stride))
+            + 1
+        )
+        .cast("long")
+    )
+    chunks = F.when(
+        n_chunks == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+            lambda i: F.array_join(F.slice(toks, i * stride + 1, w), " "),
+        )
+    )
+    return n, n_chunks, chunks
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode documents into overlapping fixed-token-window chunks:
+    (id, chunk_id, chunk_text, n_chunk_tokens), chunk_id dense from 0
+    in document order. The RAG / context-window preparation step; pair
+    with pack_sequences for training-batch layout.
+
+    Scale shape: map-only — tokenize, window, posexplode, all inside
+    one narrow stage; no shuffle, so 100 TB chunks at scan speed and
+    inherits the input's partitioning. Empty docs yield zero rows.
+    """
+    _, _, chunks = _chunk_arrays(chunk_tokens, overlap, text_col)
+    return (
+        df.select(id_col, F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .withColumn(
+            "n_chunk_tokens", F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long")
+        )
+    )
+
+

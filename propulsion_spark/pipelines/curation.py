@@ -184,6 +184,7 @@ class CurationPipeline:
         max_dup_trigram_frac: float = REP_THRESHOLD,
         assign_splits: bool = True,
         near_dedup: bool = False,
+        redact_pii: bool = False,
         span_dedup: bool = False,
         span_k: int = None,
         span_min_docs: int = 2,
@@ -199,6 +200,10 @@ class CurationPipeline:
         self.max_dup_trigram_frac = max_dup_trigram_frac
         self.assign_splits = assign_splits
         self.near_dedup = near_dedup
+        # PII scrub runs FIRST (before span trim and every gate) so no
+        # downstream stage — fingerprints, spans, shards — ever sees
+        # raw PII; map-only, so it fuses into the batch's first scan
+        self.redact_pii = redact_pii
         # substring-span dedup (Lee et al. 2021 ExactSubstr): INTRA-
         # batch by design — the duplicated-gram table is recomputed per
         # batch, never persisted, because cross-batch gram state is
@@ -245,6 +250,7 @@ class CurationPipeline:
             "rejected_quality": 0,
             "rejected_repetition": 0,
             "rejected_benchmark": 0,
+            "pii_redacted": 0,
             "span_trimmed": 0,
             "deduped": 0,
             "near_deduped": 0,
@@ -311,6 +317,21 @@ class CurationPipeline:
         # text_repetition operator (Gopher-style repetition gate)
         from propulsion_spark.operators.textops import repetition_counts_expr
 
+        n_pii_docs = 0
+        if self.redact_pii:
+            # scrub, count touched docs in one extra map-only pass
+            # (deliberately unpersisted — the r8 sync lesson: a cache
+            # here costs more than recomputing four codegen'd regexes
+            # in the downstream lineage), then keep only the redacted
+            # text: pii_hits must not leak into the curated schema
+            from propulsion_spark.operators.textops import redact_pii
+
+            scrubbed = redact_pii(df)
+            n_pii_docs = scrubbed.filter(F.col("pii_hits") > 0).count()
+            df = scrubbed.drop("pii_hits")
+            if "n_chars" in df.columns:
+                # the stored char count must describe the stored text
+                df = df.withColumn("n_chars", F.length("text").cast("long"))
         n_span_trimmed = 0
         trimmed = None
         if self.span_dedup:
@@ -444,6 +465,7 @@ class CurationPipeline:
                 self.stats["rejected_quality"] += n_seen - n_passed_q
                 self.stats["rejected_repetition"] += n_passed_q - n_passed_r
                 self.stats["rejected_benchmark"] += n_passed_r - n_passed
+                self.stats["pii_redacted"] += n_pii_docs
                 self.stats["span_trimmed"] += n_span_trimmed
                 self.stats["deduped"] += n_passed - n_exact
                 self.stats["near_deduped"] += n_exact - n_kept

@@ -166,3 +166,103 @@ class TestCurationSpanStage:
         assert pipe.stats["span_trimmed"] == 2  # docs 2 and 3
         assert pipe.stats["rejected_quality"] == 1  # doc 3, post-trim
         assert pipe.stats["kept"] == 3
+
+
+# ---------------------------------------------------------------- PII
+from propulsion_spark.operators.textops import chunk_documents, redact_pii
+
+
+class TestRedactPii:
+    def test_each_class_scrubbed_and_counted(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, "mail bob.smith+1@ex-ample.co and jane@x.io today"),
+                (2, "ssn 123-45-6789 phone 555-123-4567 ip 10.0.255.1"),
+                (3, "clean text with no identifiers at all"),
+            ],
+        )
+        out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+        assert out[1]["text"] == "mail <EMAIL> and <EMAIL> today"
+        assert out[1]["pii_hits"] == 2
+        assert out[2]["text"] == "ssn <SSN> phone <PHONE> ip <IP>"
+        assert out[2]["pii_hits"] == 3
+        # clean rows: untouched text, zero count — the scrub is a no-op
+        assert out[3]["text"] == "clean text with no identifiers at all"
+        assert out[3]["pii_hits"] == 0
+
+    def test_pattern_order_ssn_before_phone(self, spark):
+        # 123-45-6789 is SSN-shaped, NOT phone-shaped; a dotted phone
+        # must win over the IPv4 pattern that would eat its digits
+        docs = _docs(spark, [(1, "a 123-45-6789 b 555.123.4567 c")])
+        row = redact_pii(docs).collect()[0]
+        assert row["text"] == "a <SSN> b <PHONE> c"
+
+    def test_curation_stage_scrubs_before_store(self, spark, tmp_path):
+        from propulsion_spark.pipelines import CurationPipeline
+
+        body = " ".join(f"word{chr(97 + j % 26)}" for j in range(30))
+        docs = spark.createDataFrame(
+            [(1, f"reach me at alice@corp.example {body}", "en", 1),
+             (2, f"{body} no pii here", "en", 1)],
+            "doc_id long, text string, lang string, n_chars int",
+        ).withColumn("n_chars", F.length("text").cast("long"))
+        pipe = CurationPipeline(
+            spark, str(tmp_path / "cur"), redact_pii=True, assign_splits=False
+        )
+        pipe.process_batch(docs)
+        out = {r["doc_id"]: r for r in pipe.curated().collect()}
+        assert "alice@corp.example" not in out[1]["text"]
+        assert "<EMAIL>" in out[1]["text"]
+        # stored n_chars describes the stored (redacted) text
+        assert out[1]["n_chars"] == len(out[1]["text"])
+        assert pipe.stats["pii_redacted"] == 1
+
+
+# ----------------------------------------------------------- chunking
+class TestChunkDocuments:
+    def test_round_trip_reassembly(self, spark):
+        toks = [f"t{i}" for i in range(23)]
+        docs = _docs(spark, [(1, " ".join(toks))])
+        rows = sorted(
+            chunk_documents(docs, chunk_tokens=8, overlap=3).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        # chunk 0 whole + each later chunk minus its 3-token overlap
+        # reassembles the doc exactly
+        rebuilt = rows[0]["chunk_text"].split(" ")
+        for r in rows[1:]:
+            rebuilt += r["chunk_text"].split(" ")[3:]
+        assert rebuilt == toks
+        # dense chunk ids, correct window arithmetic: stride 5 →
+        # n_chunks = (23-8+4)//5 + 1 = 4
+        assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+        # every full window is 8 tokens; the tail carries the remainder
+        assert [r["n_chunk_tokens"] for r in rows] == [8, 8, 8, 8]
+        # consecutive chunks share exactly the 3-token overlap
+        for a, b in zip(rows, rows[1:]):
+            assert a["chunk_text"].split(" ")[-3:] == b["chunk_text"].split(" ")[:3]
+
+    def test_short_doc_single_chunk_and_empty_doc_no_rows(self, spark):
+        docs = _docs(spark, [(1, "just four little tokens"), (2, "")])
+        rows = chunk_documents(docs, chunk_tokens=8, overlap=3).collect()
+        assert len(rows) == 1
+        assert rows[0]["doc_id"] == 1 and rows[0]["chunk_id"] == 0
+        assert rows[0]["chunk_text"] == "just four little tokens"
+        assert rows[0]["n_chunk_tokens"] == 4
+
+    def test_ragged_tail_kept(self, spark):
+        docs = _docs(spark, [(1, " ".join(f"t{i}" for i in range(10)))])
+        rows = sorted(
+            chunk_documents(docs, chunk_tokens=8, overlap=3).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        # stride 5: windows [0..8) and [5..10) — tail is 5 tokens
+        assert [r["n_chunk_tokens"] for r in rows] == [8, 5]
+
+    def test_rejects_bad_overlap(self, spark):
+        import pytest
+
+        docs = _docs(spark, [(1, "a b c")])
+        with pytest.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=8, overlap=8)
