@@ -1,0 +1,215 @@
+"""N-gram language-model quality scoring (the CCNet/KenLM-style LM
+filter every pre-training curation pipeline runs): train bigram counts
+over a reference corpus, then score documents by their mean bigram
+likelihood — low-likelihood docs are gibberish/OCR noise, very-high
+ones are boilerplate/templates.
+
+Spark-first shapes, in scale order:
+
+- **train**: one explode → groupBy(gram) count (map-side combine
+  absorbs the corpus; the count table is O(distinct grams), pruned by
+  ``min_count``) plus the same for prefixes. Two shuffles total.
+- **corpus self-score** (the ``text_lang_stats`` facet): needs NO
+  re-join against the corpus at all — every occurrence of gram g has
+  the same probability, so per-group likelihood is
+  ``sum(c · P(g)) / sum(c)`` over the *counts table only*.
+- **per-doc score, exact** (``lm_likelihood(mode="join")``): explode
+  doc bigrams → join the counts table → per-doc mean. The counts join
+  is broadcastable once ``min_count`` prunes the tail; per-doc agg is
+  map-side-combined (a doc's grams live in one partition).
+- **per-doc score, 100 TB** (``mode="broadcast"``): the pruned LM is
+  collected once into a broadcast dict and a vectorized Pandas UDF
+  scores each partition map-only — zero shuffle, the shape to fuse
+  into a curation scan. Log-probability with add-alpha OOV smoothing
+  (floats are fine here: nothing cross-engine to match).
+
+Cross-engine float rule: the oracle-attested path never sums raw
+doubles. Per-gram probability is integer-scaled ``(c · 2^30) div p``
+(pure BIGINT ops, bit-identical on Spark and DuckDB — the repo's
+``floor(x·2^k)`` rule from embedding_centroids), summed as BIGINT,
+divided once at the end (double division of identical integers is
+correctly rounded, hence identical). Overflow bound: ``scaled ≤ 2^30``
+(c ≤ p always), so the per-group sum ``Σ c·scaled ≤ 2^30 · Σc`` —
+safe in BIGINT up to ~2^33 grams per group; for a 100 TB corpus
+(≈1e13 grams/group) drop ``LM_SCALE_BITS`` to ~16 or sum per-language
+partials in DECIMAL(38,0).
+
+jet/propulsion has no LM-filter analogue — this is part of the
+LLM-data-pipeline extension surface, alongside dedup/decontam/packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+LM_SCALE_BITS = 30
+LM_SCALE = 1 << LM_SCALE_BITS
+
+_TOKS = "split(lower(trim(text)), '\\\\s+')"
+
+
+def _bigrams_col(text_col: str = "text"):
+    """array<string> of space-joined bigrams of the whitespace tokens.
+
+    A doc with <2 tokens (including the ``['']`` empty-split artifact)
+    contributes no bigrams.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.expr(
+            f"transform(sequence(1, size({_TOKS}) - 1), "
+            f"i -> concat(element_at({_TOKS}, i), ' ', element_at({_TOKS}, i + 1)))"
+        )
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    by: str | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Bigram count table: (``by``?, prefix, gram, c, p) where ``c`` is
+    the gram count and ``p`` the prefix (first-token) count —
+    P(w2|w1) = c/p, kept as INTEGERS so callers pick their own float
+    discipline. ``by`` trains one LM per group (e.g. per language);
+    ``min_count`` prunes the long tail so the table broadcasts.
+
+    Scale: explode → two hash-aggregates (map-side combine does the
+    heavy lifting; post-shuffle rows are O(distinct grams)) → one
+    gram↔prefix join, also O(distinct). Nothing is O(corpus) past the
+    first combine.
+    """
+    keys = [by] if by else []
+    grams = docs.select(
+        *keys, F.explode(_bigrams_col(text_col)).alias("gram")
+    ).withColumn("prefix", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
+    counts = grams.groupBy(*keys, "prefix", "gram").agg(
+        F.count("*").alias("c")
+    )
+    prefixes = counts.groupBy(*keys, "prefix").agg(F.sum("c").alias("p"))
+    out = counts.join(prefixes, [*keys, "prefix"])
+    if min_count > 1:
+        out = out.filter(F.col("c") >= min_count)
+    return out
+
+
+def lm_likelihood(
+    docs: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str | None = None,
+    mode: str = "broadcast",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-document LM score: (id, n_grams, score).
+
+    ``mode="join"``: exact linear mean likelihood — each doc bigram
+    joins the LM table, OOV grams contribute 0, score =
+    mean(c/p). Integer-scaled internally, so the result is
+    deterministic to the bit on any engine/partitioning.
+
+    ``mode="broadcast"``: the 100 TB path — mean LOG-likelihood with
+    add-alpha OOV smoothing via a vectorized Pandas UDF over a
+    broadcast {gram: (c, p)} dict. Map-only: no explode row blowup
+    crosses a shuffle, no join. Train with ``min_count`` so the dict
+    stays executor-memory-bounded.
+    """
+    keys = [by] if by else []
+    if mode == "join":
+        grams = docs.select(
+            id_col, *keys, F.explode(_bigrams_col(text_col)).alias("gram")
+        )
+        scored = grams.join(
+            F.broadcast(lm.select(*keys, "gram", "c", "p")), [*keys, "gram"], "left"
+        ).withColumn(
+            # BIGINT throughout: (c·2^30) div p, never a double until
+            # the final one-shot division (the repo's floor(x·2^k) rule)
+            "scaled",
+            F.coalesce(
+                F.expr(f"(c * {LM_SCALE}L) div p"), F.lit(0)
+            ).cast("long"),
+        )
+        return scored.groupBy(id_col).agg(
+            F.count("*").alias("n_grams"),
+            (
+                F.sum("scaled").cast("double")
+                / (F.count("*") * F.lit(float(LM_SCALE)))
+            ).alias("score"),
+        )
+    if mode != "broadcast":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    import pandas as pd
+
+    rows = lm.select(*keys, "gram", "c", "p").collect()
+    if by:
+        table: dict = {}
+        for r in rows:
+            table.setdefault(r[by], {})[r["gram"]] = (r["c"], r["p"])
+    else:
+        table = {None: {r["gram"]: (r["c"], r["p"]) for r in rows}}
+    # vocab size per group for the add-alpha denominator
+    vocab = {g: len(t) for g, t in table.items()}
+    bc = docs.sparkSession.sparkContext.broadcast((table, vocab, alpha))
+
+    import math
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    grp_col = F.col(by) if by else F.lit(None).cast("string")
+    narrow = docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text"),
+        grp_col.alias("_grp"),
+    )
+
+    def per_batch(batches):
+        tbl, voc, a = bc.value
+        for pdf in batches:
+            out_n, out_s = [], []
+            for t, g in zip(pdf["_text"], pdf["_grp"]):
+                lmt = tbl.get(g) or {}
+                v = voc.get(g, 0) or 1
+                toks = str(t).lower().strip().split()
+                n = max(len(toks) - 1, 0)
+                if n == 0 or not lmt:
+                    out_n.append(n)
+                    # no grams → NULL score (NaN crosses Arrow as null)
+                    out_s.append(None if n == 0 else math.log(a / v))
+                    continue
+                s = 0.0
+                for i in range(n):
+                    c, p = lmt.get(toks[i] + " " + toks[i + 1], (0, 0))
+                    s += math.log((c + a) / (p + a * v))
+                out_n.append(n)
+                out_s.append(s / n)
+            yield pd.DataFrame(
+                {id_col: pdf["_id"], "n_grams": out_n, "score": out_s}
+            )
+
+    return narrow.mapInPandas(
+        per_batch, f"{id_col} {id_type}, n_grams long, score double"
+    )
+
+
+def lm_self_score_by_lang(docs: DataFrame) -> DataFrame:
+    """Per-language corpus self-likelihood from the counts table alone
+    (the ``text_lang_stats`` facet): every occurrence of gram g scores
+    the same, so the corpus mean is Σ c·scaled(g) / (Σc · 2^30) — no
+    re-join against the corpus, all-integer until one final division.
+    """
+    lm = train_bigram_lm(docs, by="lang")
+    scaled = F.expr(f"(c * {LM_SCALE}L) div p")
+    return lm.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("lm_grams"),
+        F.sum(F.col("c") * scaled).cast("long").alias("lm_scaled"),
+    ).select(
+        "lang",
+        "lm_grams",
+        "lm_scaled",
+        (
+            F.col("lm_scaled").cast("double")
+            / (F.col("lm_grams").cast("double") * F.lit(float(LM_SCALE)))
+        ).alias("lm_self_score"),
+    )

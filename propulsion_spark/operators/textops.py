@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from propulsion_spark import load_table
 from propulsion_spark.operators import register
+from propulsion_spark.operators.lm import LM_SCALE
 from propulsion_spark.operators.dedup import (
     DUCK_H64,
     SPAN_K,
@@ -338,11 +339,30 @@ qs AS (
          min(CASE WHEN cum >= (n_docs * 99 + 99) // 100 THEN n_tokens END)
              AS p99_tokens
   FROM cum JOIN base USING (lang) GROUP BY 1
+),
+bgrams AS (
+  SELECT lang,
+         unnest(list_transform(range(1, length(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM (SELECT lang, {_toks('duck')} AS toks FROM documents)
+),
+gcounts AS (
+  SELECT lang, split_part(gram, ' ', 1) AS prefix, gram, count(*) AS c
+  FROM bgrams GROUP BY 1, 2, 3
+),
+pcounts AS (SELECT lang, prefix, sum(c) AS p FROM gcounts GROUP BY 1, 2),
+lmstat AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS lm_grams,
+         CAST(sum(c * ((c * {LM_SCALE}) // p)) AS BIGINT) AS lm_scaled
+  FROM gcounts JOIN pcounts USING (lang, prefix) GROUP BY 1
 )
 SELECT base.*, CAST(p50_tokens AS BIGINT) AS p50_tokens,
        CAST(p90_tokens AS BIGINT) AS p90_tokens,
-       CAST(p99_tokens AS BIGINT) AS p99_tokens
-FROM base JOIN qs USING (lang)
+       CAST(p99_tokens AS BIGINT) AS p99_tokens,
+       lm_grams, lm_scaled,
+       CAST(lm_scaled AS DOUBLE) / (CAST(lm_grams AS DOUBLE) * {float(LM_SCALE)})
+           AS lm_self_score
+FROM base JOIN qs USING (lang) JOIN lmstat USING (lang)
 """,
     doc="Corpus rollup per language: doc/char/token totals, the exact "
     "median doc length, and EXACT discrete token-count quantiles "
@@ -355,7 +375,13 @@ FROM base JOIN qs USING (lang)
     "alternative to sorting 100 TB per group. Rank arithmetic is "
     "integer division; discrete quantiles return actual BIGINT data "
     "values, so no interpolation floats cross engines (the one "
-    "interpolated stat kept is the dyadic 0.5 char median).",
+    "interpolated stat kept is the dyadic 0.5 char median). r8 adds "
+    "the per-language bigram-LM self-likelihood facet (operators/lm.py "
+    "— the CCNet-style LM quality signal): likelihood needs NO re-join "
+    "against the corpus because every occurrence of gram g scores the "
+    "same — sum(c·scaled(g))/sum(c) over the counts table alone, "
+    "probabilities integer-scaled ((c·2^30) div p, BIGINT throughout) "
+    "so both engines agree to the bit with one final division.",
 )
 def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
@@ -390,7 +416,11 @@ def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(*qcols)
     )
-    return base.join(qs, "lang")
+    from propulsion_spark.operators.lm import lm_self_score_by_lang
+
+    # inner join on BOTH engines: a language whose docs are all <2
+    # tokens has no LM and drops from the report symmetrically
+    return base.join(qs, "lang").join(lm_self_score_by_lang(docs), "lang")
 
 
 # --------------------------------------------------- repetition filter

@@ -266,3 +266,87 @@ class TestChunkDocuments:
         docs = _docs(spark, [(1, "a b c")])
         with pytest.raises(ValueError):
             chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+# ------------------------------------------------------- bigram LM
+from propulsion_spark.operators.lm import (
+    LM_SCALE,
+    lm_likelihood,
+    lm_self_score_by_lang,
+    train_bigram_lm,
+)
+
+
+def _lm_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en"),
+            (2, "the cat sat on the hat", "en"),
+            (3, "zork blib quux", "xx"),
+            (4, "", "en"),
+            (5, "solo", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+
+class TestBigramLm:
+    def test_counts_and_conditionals(self, spark):
+        lm = {
+            (r["lang"], r["gram"]): (r["c"], r["p"])
+            for r in train_bigram_lm(_lm_docs(spark), by="lang").collect()
+        }
+        # 'the' opens 4 bigrams in en: the-cat x2, the-mat, the-hat
+        assert lm[("en", "the cat")] == (2, 4)
+        assert lm[("en", "the mat")] == (1, 4)
+        assert lm[("xx", "zork blib")] == (1, 1)
+        # <2-token docs (empty, single) contribute nothing
+        assert sum(c for (lg, _), (c, _) in lm.items() if lg == "en") == 10
+
+    def test_join_mode_exact_mean_likelihood(self, spark):
+        docs = _lm_docs(spark).filter("lang = 'en'")
+        lm = train_bigram_lm(docs)
+        out = {
+            r["doc_id"]: r
+            for r in lm_likelihood(docs, lm, mode="join").collect()
+        }
+        # doc 1: (.5 + 1 + 1 + 1 + .25) / 5 — integer-scaled, so exact
+        assert out[1]["n_grams"] == 5
+        assert abs(out[1]["score"] - 0.75) < 1e-9
+        assert out[1]["score"] == out[2]["score"]
+
+    def test_broadcast_mode_orders_quality(self, spark):
+        docs = _lm_docs(spark)
+        lm = train_bigram_lm(docs, by="lang")
+        out = {
+            r["doc_id"]: r
+            for r in lm_likelihood(docs, lm, by="lang", mode="broadcast").collect()
+        }
+        # in-distribution docs score higher (closer to 0) than a doc
+        # scored against a foreign LM would; gram counts match join mode
+        assert out[1]["n_grams"] == 5 and out[3]["n_grams"] == 2
+        assert out[1]["score"] < 0 and out[3]["score"] < 0
+        # degenerate docs: no grams -> NULL score
+        assert out[4]["n_grams"] == 0 and out[4]["score"] is None
+        # OOV text against the en LM scores far below in-distribution
+        oov = spark.createDataFrame(
+            [(9, "wibble wobble flurb glorp", "en")],
+            "doc_id long, text string, lang string",
+        )
+        oov_s = lm_likelihood(oov, lm, by="lang", mode="broadcast").collect()[0]
+        assert oov_s["score"] < out[1]["score"]
+
+    def test_self_score_matches_per_doc_mean(self, spark):
+        out = {
+            r["lang"]: r for r in lm_self_score_by_lang(_lm_docs(spark)).collect()
+        }
+        # en: 10 gram occurrences, mean conditional = 0.75 (hand computed)
+        assert out["en"]["lm_grams"] == 10
+        assert abs(out["en"]["lm_self_score"] - 0.75) < 1e-9
+        # xx: every bigram deterministic -> perfect self-likelihood
+        assert out["xx"]["lm_self_score"] == 1.0
+
+    def test_min_count_prunes(self, spark):
+        lm = train_bigram_lm(_lm_docs(spark), by="lang", min_count=2)
+        grams = {r["gram"] for r in lm.collect()}
+        assert "the cat" in grams and "the mat" not in grams
