@@ -76,10 +76,16 @@ def train_bigram_lm(
     discipline. ``by`` trains one LM per group (e.g. per language);
     ``min_count`` prunes the long tail so the table broadcasts.
 
-    Scale: explode → two hash-aggregates (map-side combine does the
-    heavy lifting; post-shuffle rows are O(distinct grams)) → one
-    gram↔prefix join, also O(distinct). Nothing is O(corpus) past the
-    first combine.
+    Scale: explode → ONE hash-aggregate (map-side combine absorbs the
+    corpus; post-shuffle rows are O(distinct grams)), then the prefix
+    total is a window sum OVER THE COUNTS TABLE — same result as a
+    counts↔prefix-counts self-join but with one corpus scan instead of
+    two and no join (lazy evaluation would otherwise recompute the
+    whole explode+aggregate for the prefix side). Window partitions
+    are (keys, prefix) — bounded by the vocabulary, never the corpus.
+    ``min_count`` filters AFTER the window, so ``p`` still counts the
+    pruned tail (probabilities stay true, the table just omits rare
+    grams — OOV handling is the scorer's job).
     """
     keys = [by] if by else []
     grams = docs.select(
@@ -88,8 +94,8 @@ def train_bigram_lm(
     counts = grams.groupBy(*keys, "prefix", "gram").agg(
         F.count("*").alias("c")
     )
-    prefixes = counts.groupBy(*keys, "prefix").agg(F.sum("c").alias("p"))
-    out = counts.join(prefixes, [*keys, "prefix"])
+    w = Window.partitionBy(*keys, "prefix")
+    out = counts.withColumn("p", F.sum("c").over(w))
     if min_count > 1:
         out = out.filter(F.col("c") >= min_count)
     return out
