@@ -58,12 +58,19 @@ def cmd_sync(args) -> int:
         # have no stream envelope).
         from propulsion_spark.pipelines import CurationPipeline
 
+        lm_table = getattr(args, "lm_table", None)
+        lm_kwargs = {}
+        if lm_table:
+            lm_kwargs["lm"] = spark.read.parquet(lm_table)
+            if getattr(args, "lm_min_score", None) is not None:
+                lm_kwargs["lm_min_score"] = args.lm_min_score
         pipe = CurationPipeline(
             spark,
             dst if kind == "curated" else args.to,
             near_dedup=getattr(args, "near_dedup", False),
             redact_pii=getattr(args, "redact_pii", False),
             span_dedup=getattr(args, "span_dedup", False),
+            **lm_kwargs,
         )
 
         class CurateSink:
@@ -539,6 +546,35 @@ def cmd_shard(args) -> int:
     return 0
 
 
+def cmd_lmtrain(args) -> int:
+    """Train the bigram-LM counts table once, offline, for reuse by
+    `sync --curate --lm-table` (the LM is then broadcast once per
+    pipeline life — never retrained per batch)."""
+    from propulsion_spark import get_spark
+    from propulsion_spark.operators.lm import train_bigram_lm
+
+    spark = get_spark("propulsion-lmtrain")
+    docs = spark.read.parquet(args.src)
+    lm = train_bigram_lm(docs, min_count=args.min_count)
+    lm.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    agg = out.selectExpr(
+        "count(*) AS n_grams_kept", "sum(c) AS total_gram_occurrences"
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "min_count": args.min_count,
+                "n_grams_kept": agg["n_grams_kept"],
+                "total_gram_occurrences": agg["total_gram_occurrences"],
+                "out": args.out,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def cmd_decontam(args) -> int:
     """Remove benchmark n-grams from a corpus: build the Bloom bitset
     from --bench, score every --src doc map-only, write kept/flagged."""
@@ -697,6 +733,18 @@ def main(argv=None) -> int:
         "band table)",
     )
     s.add_argument(
+        "--lm-table",
+        help="with --curate: parquet dir of bigram-LM counts (written "
+        "by the `lmtrain` verb); enables the LM likelihood gate",
+    )
+    s.add_argument(
+        "--lm-min-score",
+        type=float,
+        default=None,
+        help="with --lm-table: reject docs whose mean bigram "
+        "log-likelihood is below this (default -8.0)",
+    )
+    s.add_argument(
         "--redact-pii",
         action="store_true",
         help="with --curate: scrub emails/SSNs/phones/IPv4s to typed "
@@ -820,6 +868,18 @@ def main(argv=None) -> int:
         help="Bloom bitset size: 2^N bits (default 1 MiB)",
     )
     dc.set_defaults(fn=cmd_decontam)
+
+    lt = sub.add_parser(
+        "lmtrain",
+        help="train a bigram-LM counts table for the curation LM gate",
+    )
+    lt.add_argument("--src", required=True, help="reference corpus parquet dir")
+    lt.add_argument("--out", required=True, help="LM counts output dir")
+    lt.add_argument(
+        "--min-count", type=int, default=2,
+        help="prune grams seen fewer times (keeps the table broadcastable)",
+    )
+    lt.set_defaults(fn=cmd_lmtrain)
 
     an = sub.add_parser(
         "ann", help="build/search the materialized partition-pruned ANN index"

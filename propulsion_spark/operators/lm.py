@@ -147,9 +147,16 @@ def lm_likelihood(
         )
     if mode != "broadcast":
         raise ValueError(f"unknown mode {mode!r}")
+    bc = broadcast_lm(docs.sparkSession, lm, by=by, alpha=alpha)
+    return lm_likelihood_bc(docs, bc, text_col=text_col, id_col=id_col, by=by)
 
-    import pandas as pd
 
+def broadcast_lm(spark, lm: DataFrame, by: str | None = None, alpha: float = 0.1):
+    """Collect a (pruned) LM counts table once and broadcast it for the
+    life of a pipeline — the same one-broadcast discipline as the
+    decontamination Bloom bitset (pipelines re-broadcasting per batch
+    leak driver memory and re-ship the table every trigger)."""
+    keys = [by] if by else []
     rows = lm.select(*keys, "gram", "c", "p").collect()
     if by:
         table: dict = {}
@@ -159,9 +166,21 @@ def lm_likelihood(
         table = {None: {r["gram"]: (r["c"], r["p"]) for r in rows}}
     # vocab size per group for the add-alpha denominator
     vocab = {g: len(t) for g, t in table.items()}
-    bc = docs.sparkSession.sparkContext.broadcast((table, vocab, alpha))
+    return spark.sparkContext.broadcast((table, vocab, alpha))
 
+
+def lm_likelihood_bc(
+    docs: DataFrame,
+    bc,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str | None = None,
+) -> DataFrame:
+    """`lm_likelihood(mode="broadcast")` against an already-broadcast
+    LM (see :func:`broadcast_lm`): map-only, zero shuffle."""
     import math
+
+    import pandas as pd
 
     id_type = docs.schema[id_col].dataType.simpleString()
     grp_col = F.col(by) if by else F.lit(None).cast("string")

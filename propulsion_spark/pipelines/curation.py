@@ -3,8 +3,18 @@ continuous flow (the batch twin is the ``corpus_curation`` oracle
 query).
 
     raw document batches (change feed / any feed source)
+      → PII redaction      (optional: email/SSN/phone/IPv4 → typed
+                            placeholders, map-only, FIRST — nothing
+                            downstream ever sees raw PII)
+      → span dedup         (optional: cut cross-document duplicated
+                            k-token spans before the gates judge the
+                            post-trim text)
       → quality gates      (declarative: alpha ratio, token bounds,
                             Gopher-style dup-trigram repetition)
+      → LM likelihood gate (optional: mean bigram log-likelihood under
+                            a reference LM broadcast once per pipeline
+                            life — the CCNet-style gibberish filter;
+                            train offline with the `lmtrain` verb)
       → decontamination    (optional: benchmark n-gram Bloom bitset
                             built once, broadcast, map-only scan —
                             before dedup so a flagged doc never
@@ -192,6 +202,9 @@ class CurationPipeline:
         decontam_ngram: int = 8,
         decontam_threshold: float = 0.0,
         decontam_bits: int = 1 << 23,
+        lm: DataFrame | None = None,
+        lm_min_score: float = -8.0,
+        lm_alpha: float = 0.1,
     ):
         self.spark = spark
         self.out_path = out_path
@@ -239,6 +252,18 @@ class CurationPipeline:
         else:
             self._bloom = None
             self._bloom_bc = None
+        # LM quality gate: like the Bloom, the (min_count-pruned) LM
+        # counts table is collected + broadcast ONCE for the pipeline's
+        # life; per-batch scoring is then a map-only mapInPandas pass.
+        # Train with operators.lm.train_bigram_lm on a reference corpus
+        # (CLI: `sync --curate --lm-table <parquet> --lm-min-score x`).
+        self.lm_min_score = lm_min_score
+        if lm is not None:
+            from propulsion_spark.operators.lm import broadcast_lm
+
+            self._lm_bc = broadcast_lm(spark, lm, alpha=lm_alpha)
+        else:
+            self._lm_bc = None
         self.fingerprints = _FingerprintTable(spark, f"{out_path}/_fingerprints")
         self.token_hist = _TokenHistogram(spark, f"{out_path}/_token_hist")
         self.bands = (
@@ -250,6 +275,7 @@ class CurationPipeline:
             "rejected_quality": 0,
             "rejected_repetition": 0,
             "rejected_benchmark": 0,
+            "rejected_lm": 0,
             "pii_redacted": 0,
             "span_trimmed": 0,
             "deduped": 0,
@@ -377,6 +403,28 @@ class CurationPipeline:
             & F.col("_ntok").between(lo, hi)
         )
         passed_r = passed_q.filter(F.col("_dup3") <= self.max_dup_trigram_frac)
+        if self._lm_bc is not None:
+            # LM likelihood gate (gibberish/OCR-noise filter): map-only
+            # scoring against the pipeline-life broadcast LM, then a
+            # doc_id equi-join back onto the gated rows (same batch-
+            # scale join shape as the keeper selection below). NULL
+            # scores (docs with <2 tokens) pass — the token-bounds gate
+            # already owns degenerate-length rejection.
+            from propulsion_spark.operators.lm import lm_likelihood_bc
+
+            scores = lm_likelihood_bc(
+                passed_r.select("doc_id", "text"), self._lm_bc
+            ).select("doc_id", "score")
+            passed_l = (
+                passed_r.join(scores, "doc_id", "left")
+                .filter(
+                    F.col("score").isNull()
+                    | (F.col("score") >= self.lm_min_score)
+                )
+                .drop("score")
+            )
+        else:
+            passed_l = passed_r
         if self._bloom is not None:
             # decontaminate BEFORE dedup: a flagged doc must never
             # become a fingerprint/band keeper (it would then suppress
@@ -386,13 +434,13 @@ class CurationPipeline:
             )
 
             flagged = contamination_scores(
-                passed_r.select("doc_id", "text"), self._bloom_bc
+                passed_l.select("doc_id", "text"), self._bloom_bc
             ).filter(
                 F.col("contaminated_frac") > self.decontam_threshold
             ).select("doc_id")
-            passed = passed_r.join(flagged, "doc_id", "left_anti")
+            passed = passed_l.join(flagged, "doc_id", "left_anti")
         else:
-            passed = passed_r
+            passed = passed_l
         # intra-batch keeper, then cross-batch anti-join vs seen fps
         keeper = passed.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
         fresh = keeper.join(self.fingerprints.read(), "fp", "left_anti").select(
@@ -413,8 +461,11 @@ class CurationPipeline:
             n_seen = df.count()
             n_passed_q = passed_q.count()
             n_passed_r = passed_r.count()
+            n_passed_l = (
+                passed_l.count() if self._lm_bc is not None else n_passed_r
+            )
             n_passed = (
-                passed.count() if self._bloom is not None else n_passed_r
+                passed.count() if self._bloom is not None else n_passed_l
             )
             n_exact = exact_kept.count()
             n_kept = kept_docs.count()
@@ -464,7 +515,8 @@ class CurationPipeline:
                 self.stats["seen"] += n_seen
                 self.stats["rejected_quality"] += n_seen - n_passed_q
                 self.stats["rejected_repetition"] += n_passed_q - n_passed_r
-                self.stats["rejected_benchmark"] += n_passed_r - n_passed
+                self.stats["rejected_lm"] += n_passed_r - n_passed_l
+                self.stats["rejected_benchmark"] += n_passed_l - n_passed
                 self.stats["pii_redacted"] += n_pii_docs
                 self.stats["span_trimmed"] += n_span_trimmed
                 self.stats["deduped"] += n_passed - n_exact

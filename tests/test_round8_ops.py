@@ -350,3 +350,64 @@ class TestBigramLm:
         lm = train_bigram_lm(_lm_docs(spark), by="lang", min_count=2)
         grams = {r["gram"] for r in lm.collect()}
         assert "the cat" in grams and "the mat" not in grams
+
+
+class TestLmGate:
+    def test_pipeline_rejects_low_likelihood_docs(self, spark, tmp_path):
+        from propulsion_spark.pipelines import CurationPipeline
+        from propulsion_spark.operators.lm import train_bigram_lm
+
+        # reference corpus: fluent but varied english-ish text
+        base = ("the quick brown fox jumps over the lazy dog while the "
+                "calm river flows through the green valley under the sky")
+        ref = spark.createDataFrame(
+            [(i, base, "en") for i in range(10)],
+            "doc_id long, text string, lang string",
+        )
+        lm = train_bigram_lm(ref)
+        gibberish = " ".join(
+            # alphabetic (passes the alpha-ratio gate) but zero bigrams
+            # shared with the reference corpus → deep OOV log-penalty
+            f"xqzjv{chr(97 + j % 26)}kw wplfgh{chr(97 + (j + 7) % 26)}"
+            for j in range(12)
+        )
+        batch = spark.createDataFrame(
+            [(1, base, "en", len(base)),
+             (2, gibberish, "en", len(gibberish))],
+            "doc_id long, text string, lang string, n_chars long",
+        )
+        pipe = CurationPipeline(
+            spark, str(tmp_path / "out"), lm=lm, lm_min_score=-2.0,
+            assign_splits=False,
+        )
+        pipe.process_batch(batch)
+        kept = {r["doc_id"] for r in pipe.curated().collect()}
+        assert kept == {1}
+        assert pipe.stats["rejected_lm"] == 1
+        assert pipe.stats["kept"] == 1
+
+    def test_lmtrain_verb_then_gated_sync(self, tmp_path):
+        import pandas as pd
+        from test_cli import run_cli
+
+        rep = run_cli(
+            "lmtrain",
+            "--src", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(tmp_path / "lm"),
+            "--min-count", "2",
+        )
+        assert rep["n_grams_kept"] > 0
+        assert rep["total_gram_occurrences"] >= rep["n_grams_kept"] * 2
+        # the pruned table loads and gates a curation sync end-to-end
+        rep2 = run_cli(
+            "sync",
+            "--from", "documents:/root/testdata/sf0.001",
+            "--to", f"curated:{tmp_path}/cur",
+            "--checkpoints", f"{tmp_path}/ckpt",
+            "--positions", f"{tmp_path}/pos",
+            "--curate",
+            "--lm-table", str(tmp_path / "lm"),
+            "--lm-min-score", "-12.0",
+        )
+        stats = rep2["curation"] if "curation" in rep2 else rep2
+        assert "rejected_lm" in str(stats)
