@@ -290,6 +290,37 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         ).save()
         timings["pipeline_decontam"] = round(time.time() - t0, 3)
 
+        # bigram-LM quality scoring: train (explode → one combine-heavy
+        # aggregate + window prefix totals, min_count-pruned), broadcast
+        # once, then the zero-shuffle mapInPandas scoring scan
+        from propulsion_spark.operators.lm import (
+            broadcast_lm,
+            lm_likelihood_bc,
+            train_bigram_lm,
+        )
+
+        t0 = time.time()
+        lm_bc = broadcast_lm(
+            spark, train_bigram_lm(full, min_count=2), alpha=0.1
+        )
+        lm_likelihood_bc(full, lm_bc).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["pipeline_lm_train_score"] = round(time.time() - t0, 3)
+
+        # PII scrub + overlapping-window chunking: two map-only passes
+        # over the corpus text (regex codegen; posexplode, no shuffle)
+        from propulsion_spark.operators.textops import (
+            chunk_documents,
+            redact_pii,
+        )
+
+        t0 = time.time()
+        chunk_documents(
+            redact_pii(full), chunk_tokens=512, overlap=64
+        ).write.format("noop").mode("overwrite").save()
+        timings["pipeline_pii_chunk"] = round(time.time() - t0, 3)
+
         # hamming-ball simhash near-dup: 64-bit fingerprints, 4×16-bit
         # chunk-bucket joins, bit_count verify — exact recall at ≤3.
         # min-of-2 like the headline queries: the 64-fold fingerprint

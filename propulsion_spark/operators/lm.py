@@ -49,19 +49,35 @@ LM_SCALE = 1 << LM_SCALE_BITS
 _TOKS = "split(lower(trim(text)), '\\\\s+')"
 
 
-def _bigrams_col(text_col: str = "text"):
-    """array<string> of space-joined bigrams of the whitespace tokens.
+def _bigram_pairs_expr(text_col: str = "text") -> str:
+    """SQL expr: ``array<struct<w1,w2>>`` of adjacent token pairs.
+
+    Two deliberate shapes (both measured classes in this repo):
+    - the token split is LET-BOUND (``dedup.let_bound``) so it runs
+      once per row — inlined, Catalyst re-executes the regex split for
+      every ``element_at``, O(tokens²) per document (the r7 decontam
+      bug class);
+    - pairs stay a (w1, w2) STRUCT, not a concatenated string — the
+      per-occurrence concat only to be re-split later cost ~2× on the
+      sf0.1 train; the human-readable gram string is built once per
+      DISTINCT gram on the tiny counts table instead.
 
     A doc with <2 tokens (including the ``['']`` empty-split artifact)
-    contributes no bigrams.
+    contributes no pairs: the one out-of-range pair built by the
+    ``greatest`` floor has a NULL w2 and is filtered (post-split tokens
+    are never legitimately NULL).
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
-        F.expr(
-            f"transform(sequence(1, size({_TOKS}) - 1), "
-            f"i -> concat(element_at({_TOKS}, i), ' ', element_at({_TOKS}, i + 1)))"
-        )
+    from propulsion_spark.operators.dedup import let_bound
+
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    body = (
+        # try_element_at: the one out-of-range probe on a <2-token doc
+        # must yield NULL (to be filtered), not an ANSI-mode throw
+        "filter(transform(sequence(1, greatest(size(x) - 1, 1)), "
+        "i -> struct(element_at(x, i) AS w1, try_element_at(x, i + 1) AS w2)), "
+        "p -> p.w2 IS NOT NULL)"
     )
+    return let_bound(toks, body)
 
 
 def train_bigram_lm(
@@ -88,14 +104,19 @@ def train_bigram_lm(
     grams — OOV handling is the scorer's job).
     """
     keys = [by] if by else []
-    grams = docs.select(
-        *keys, F.explode(_bigrams_col(text_col)).alias("gram")
-    ).withColumn("prefix", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
-    counts = grams.groupBy(*keys, "prefix", "gram").agg(
+    pairs = docs.select(
+        *keys, F.explode(F.expr(_bigram_pairs_expr(text_col))).alias("pr")
+    ).select(*keys, F.col("pr.w1").alias("prefix"), F.col("pr.w2").alias("_w2"))
+    counts = pairs.groupBy(*keys, "prefix", "_w2").agg(
         F.count("*").alias("c")
     )
     w = Window.partitionBy(*keys, "prefix")
-    out = counts.withColumn("p", F.sum("c").over(w))
+    out = (
+        counts.withColumn("p", F.sum("c").over(w))
+        # gram string built once per DISTINCT gram, on the tiny table
+        .withColumn("gram", F.concat_ws(" ", "prefix", "_w2"))
+        .select(*keys, "prefix", "gram", "c", "p")
+    )
     if min_count > 1:
         out = out.filter(F.col("c") >= min_count)
     return out
@@ -126,7 +147,13 @@ def lm_likelihood(
     keys = [by] if by else []
     if mode == "join":
         grams = docs.select(
-            id_col, *keys, F.explode(_bigrams_col(text_col)).alias("gram")
+            id_col,
+            *keys,
+            F.explode(F.expr(_bigram_pairs_expr(text_col))).alias("pr"),
+        ).select(
+            id_col,
+            *keys,
+            F.concat_ws(" ", "pr.w1", "pr.w2").alias("gram"),
         )
         scored = grams.join(
             F.broadcast(lm.select(*keys, "gram", "c", "p")), [*keys, "gram"], "left"
