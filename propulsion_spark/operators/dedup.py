@@ -196,13 +196,22 @@ def let_bound(value_expr: str, body_with_x: str) -> str:
 
 def _grams(dialect: str) -> str:
     """Distinct word 3-gram array over ``text`` (both dialects skip
-    NULL tail elements identically via concat_ws)."""
+    NULL tail elements identically via concat_ws).
+
+    The tail probes are ``try_element_at``: Spark 4's ANSI mode makes
+    plain ``element_at`` THROW on the out-of-range i+1/i+2 of a
+    <3-token document (DuckDB's ``toks[i+1]`` yields NULL there, which
+    is the designed concat_ws-skip semantics — pre-ANSI Spark matched
+    it silently; ``try_element_at`` restores the match explicitly).
+    The test corpus never has 1–2-token docs, so this only bites real
+    corpora — found via the lm.py bigram builder hitting the same wall.
+    """
     if dialect == "spark":
         toks = "split(lower(trim(text)), '\\\\s+')"
         body = (
             f"array_distinct(transform(sequence(1, greatest(size(x) - {NGRAM - 1}, 1)), "
             "i -> concat_ws(' ', element_at(x, cast(i as int)), "
-            "element_at(x, cast(i+1 as int)), element_at(x, cast(i+2 as int)))))"
+            "try_element_at(x, cast(i+1 as int)), try_element_at(x, cast(i+2 as int)))))"
         )
         return let_bound(toks, body)
     toks = "string_split_regex(lower(trim(text)), '\\s+')"

@@ -411,3 +411,48 @@ class TestLmGate:
         )
         stats = rep2["curation"] if "curation" in rep2 else rep2
         assert "rejected_lm" in str(stats)
+
+
+class TestShortDocGrams:
+    def test_grams_match_duckdb_on_sub_ngram_docs(self, spark):
+        """Spark 4 ANSI mode made element_at THROW on the out-of-range
+        tail probes of <3-token docs, where DuckDB yields NULL (the
+        designed concat_ws-skip semantics). try_element_at restores the
+        cross-engine match — a 1-token doc must not crash the corpus."""
+        import duckdb
+
+        from propulsion_spark.operators.dedup import _grams
+
+        rows = [(1, "solo"), (2, "two tokens"), (3, "a b c d"), (4, "")]
+        sdf = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: sorted(r["g"])
+            for r in sdf.selectExpr("doc_id", f"{_grams('spark')} AS g").collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            "(1,'solo'),(2,'two tokens'),(3,'a b c d'),(4,'')) t(doc_id, text)"
+        )
+        want = {
+            r[0]: sorted(r[1])
+            for r in con.execute(
+                f"SELECT doc_id, {_grams('duck')} FROM documents"
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_repetition_pipeline_survives_short_docs(self, spark, tmp_path):
+        """End-to-end: a curation batch containing 1- and 2-token docs
+        must flow through the repetition gate (a _grams consumer), not
+        abort the batch."""
+        from propulsion_spark.pipelines import CurationPipeline
+
+        body = " ".join(f"alpha{chr(97 + j % 26)} beta{chr(97 + j % 26)}" for j in range(10))
+        docs = spark.createDataFrame(
+            [(1, "hi", "en", 2), (2, "solo", "en", 4), (3, body, "en", len(body))],
+            "doc_id long, text string, lang string, n_chars long",
+        )
+        pipe = CurationPipeline(spark, str(tmp_path / "cur"), assign_splits=False)
+        pipe.process_batch(docs)  # must not raise
+        assert pipe.stats["kept"] == 1  # short docs fail the token floor
