@@ -92,7 +92,14 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-verified through the merged ``multimodal_frame_features``."""
     m = media_table(spark, sf_dir)
     return (
-        m.select(
+        # n_frames >= 1 guard: Spark's sequence(0, -1) silently yields
+        # the DESCENDING [0, -1] — a sub-FRAME_BYTES blob would emit
+        # two bogus frame rows where the DuckDB oracle's
+        # generate_series(0, -1) correctly yields none. Latent on the
+        # synthetic corpus (every doc exceeds one frame); real on any
+        # corpus with short blobs.
+        m.filter(F.col("meta.n_frames") >= 1)
+        .select(
             "doc_id",
             "media",
             F.posexplode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1)).alias(

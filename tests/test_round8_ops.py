@@ -456,3 +456,29 @@ class TestShortDocGrams:
         pipe = CurationPipeline(spark, str(tmp_path / "cur"), assign_splits=False)
         pipe.process_batch(docs)  # must not raise
         assert pipe.stats["kept"] == 1  # short docs fail the token floor
+
+
+class TestSubFrameBlobs:
+    def test_short_blob_yields_zero_frames(self, spark, tmp_path):
+        """A blob smaller than FRAME_BYTES has zero frames — without
+        the n_frames >= 1 guard, Spark's sequence(0, -1) yields the
+        DESCENDING [0, -1] and fabricates two frame rows the DuckDB
+        oracle's generate_series(0, -1) doesn't have."""
+        from propulsion_spark.operators.multimodal import (
+            FRAME_BYTES,
+            q_multimodal_frame_sample,
+        )
+
+        spark.createDataFrame(
+            [
+                (1, "tiny", "en", "s", 4),
+                (2, "y" * (FRAME_BYTES * 2), "en", "s", FRAME_BYTES * 2),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        rows = q_multimodal_frame_sample(spark, str(tmp_path)).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r["frame_no"])
+        assert 1 not in by_doc          # sub-frame doc: zero frames
+        assert by_doc[2] == [0]         # 2 frames, every-4th sample keeps #0
