@@ -54,7 +54,10 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------ quality scoring
 _QUALITY_SPARK = [
     f"size({_toks('spark')}) AS n_tokens",
-    "length(regexp_replace(text, '[^A-Za-z]', '')) / length(text) AS alpha_ratio",
+    # try_divide: ANSI Spark throws on the 0-length empty-text doc where
+    # DuckDB yields NULL — try_divide IS DuckDB's x/0 semantics. The
+    # size() denominators need no guard: split('') returns [''] (size 1)
+    "try_divide(length(regexp_replace(text, '[^A-Za-z]', '')), length(text)) AS alpha_ratio",
     f"size(filter({_toks('spark')}, t -> t IN ({_SW_LIST}))) / size({_toks('spark')}) AS stopword_ratio",
     f"length(regexp_replace(text, '\\\\s', '')) / size({_toks('spark')}) AS avg_token_len",
 ]
@@ -165,10 +168,13 @@ def _chunk_sql_duck(w: int, overlap: int, toks_expr: str) -> tuple[str, str]:
         f"(CASE WHEN {n0} = 0 THEN 0 ELSE "
         f"(greatest({n0} - {w}, 0) + {stride - 1}) // {stride} + 1 END)"
     )
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join(empty) is '' — a zero-chunk doc must hash md5('') on
+    # both engines (caught by the degenerate-corpus parity test)
     joined = (
-        f"array_to_string(list_transform(range(0, CAST({n_chunks} AS BIGINT)), "
+        f"coalesce(array_to_string(list_transform(range(0, CAST({n_chunks} AS BIGINT)), "
         f"i -> array_to_string(list_slice({toks_expr}, i*{stride} + 1, "
-        f"i*{stride} + {w}), ' ')), chr(31))"
+        f"i*{stride} + {w}), ' ')), chr(31)), '')"
     )
     return n_chunks, joined
 
@@ -292,7 +298,9 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_chars",
-        "length(regexp_replace(text, '[^A-Za-z]', '')) / length(text) AS alpha_ratio",
+        # try_divide = DuckDB's x/0→NULL; the NULL then fails the >= gate
+        # on both engines, so an empty-text doc is rejected, not a crash
+        "try_divide(length(regexp_replace(text, '[^A-Za-z]', '')), length(text)) AS alpha_ratio",
         f"CAST(size({_toks('spark')}) AS INT) AS n_tokens",
         f"md5({normalized('spark')}) AS fp",
     )

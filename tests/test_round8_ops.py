@@ -482,3 +482,60 @@ class TestSubFrameBlobs:
             by_doc.setdefault(r["doc_id"], []).append(r["frame_no"])
         assert 1 not in by_doc          # sub-frame doc: zero frames
         assert by_doc[2] == [0]         # 2 frames, every-4th sample keeps #0
+
+
+class TestDegenerateCorpusParity:
+    def test_text_queries_match_oracle_on_degenerate_docs(self, spark, tmp_path):
+        """Empty / 1-token / whitespace-only docs through the text
+        queries, Spark vs DuckDB: no ANSI crash, and the oracle still
+        hash-matches (try_divide == DuckDB's x/0→NULL; try_element_at
+        == DuckDB's out-of-range NULL)."""
+        import duckdb
+        import pandas as pd
+
+        from propulsion_spark.operators import load_all
+
+        rows = [
+            (1, "", "en", "s", 0),
+            (2, "solo", "en", "s", 4),
+            (3, "   ", "en", "s", 3),
+            (4, "two tokens", "en", "s", 10),
+            (5, "a perfectly ordinary document of text", "en", "s", 37),
+        ]
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        spark.createDataFrame(
+            pdf, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        reg = load_all()
+        for name in ("text_metrics", "corpus_curation", "text_repetition"):
+            got = (
+                reg[name]
+                .build(spark, str(tmp_path))
+                .toPandas()
+                .sort_values("doc_id" if name != "corpus_curation" else "lang")
+                .reset_index(drop=True)
+            )
+            want = (
+                con.execute(reg[name].oracle)
+                .df()
+                .sort_values("doc_id" if name != "corpus_curation" else "lang")
+                .reset_index(drop=True)
+            )
+            assert len(got) == len(want), name
+            for col in want.columns:
+                a, b = got[col], want[col]
+                if a.dtype.kind == "f" or b.dtype.kind == "f":
+                    import numpy as np
+
+                    assert np.allclose(
+                        a.astype(float), b.astype(float), equal_nan=True
+                    ), (name, col)
+                else:
+                    assert a.astype(str).tolist() == b.astype(str).tolist(), (
+                        name,
+                        col,
+                    )
