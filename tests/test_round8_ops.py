@@ -511,19 +511,23 @@ class TestDegenerateCorpusParity:
         con = duckdb.connect()
         con.register("documents", pdf)
         reg = load_all()
-        for name in ("text_metrics", "corpus_curation", "text_repetition"):
+        for name in (
+            "text_metrics", "corpus_curation", "text_repetition",
+            "text_lang_stats", "corpus_topk_ngrams", "text_tfidf_keywords",
+            "text_winnowing", "corpus_split_assign", "dedup_exact",
+            "dedup_minhash_lsh_pairs", "dedup_simhash_buckets",
+            "dedup_clusters",
+        ):
+            got = reg[name].build(spark, str(tmp_path)).toPandas()
+            want = con.execute(reg[name].oracle).df()
+            cols = sorted(want.columns)
             got = (
-                reg[name]
-                .build(spark, str(tmp_path))
-                .toPandas()
-                .sort_values("doc_id" if name != "corpus_curation" else "lang")
+                got.reindex(cols, axis=1)
+                .sort_values(cols)
                 .reset_index(drop=True)
             )
-            want = (
-                con.execute(reg[name].oracle)
-                .df()
-                .sort_values("doc_id" if name != "corpus_curation" else "lang")
-                .reset_index(drop=True)
+            want = want.reindex(cols, axis=1).sort_values(cols).reset_index(
+                drop=True
             )
             assert len(got) == len(want), name
             for col in want.columns:
