@@ -100,14 +100,18 @@ class TestLlmDataPipeline:
     def test_curate_featurize_index_search(self, spark, tmp_path):
         """The flagship training-data loop through public APIs only:
 
-        raw docs → CurationPipeline (quality gates + exact & near dedup)
+        raw docs → CurationPipeline (PII scrub → quality gates → LM
+        likelihood gate → exact & near dedup)
+        → chunk_documents (overlapping training windows)
         → extract_features (Arrow-batched mapInPandas featurizer)
         → AnnIndex.build_from (hash-seeded one-Lloyd codebook)
         → partition-pruned search finds the semantically-identical doc.
         """
         from pyspark.sql import functions as F
 
+        from propulsion_spark.operators.lm import train_bigram_lm
         from propulsion_spark.operators.multimodal import extract_features
+        from propulsion_spark.operators.textops import chunk_documents
         from propulsion_spark.pipelines import AnnIndex, CurationPipeline
 
         base = (
@@ -122,15 +126,22 @@ class TestLlmDataPipeline:
             "a third narrative describing watermark semantics and stateful "
             "stream processing with bounded lateness and session windows " * 2
         )
+        gibberish = " ".join(
+            f"zzqxv{chr(97 + j % 26)}w jkwpfh{chr(97 + (j + 5) % 26)}q"
+            for j in range(20)
+        )
         rows = [
-            {"doc_id": 1, "text": base, "lang": "en", "source": "s",
-             "n_chars": len(base)},
-            {"doc_id": 2, "text": base, "lang": "en", "source": "s",
-             "n_chars": len(base)},  # exact dup → dropped
+            # doc 1 carries planted PII: the scrub must reach the store
+            {"doc_id": 1, "text": f"contact alice@corp.example {base}",
+             "lang": "en", "source": "s", "n_chars": 0},
+            {"doc_id": 2, "text": f"contact alice@corp.example {base}",
+             "lang": "en", "source": "s", "n_chars": 0},  # exact dup → dropped
             {"doc_id": 3, "text": other, "lang": "en", "source": "s",
              "n_chars": len(other)},
             {"doc_id": 4, "text": third, "lang": "en", "source": "s",
              "n_chars": len(third)},
+            {"doc_id": 5, "text": gibberish, "lang": "en", "source": "s",
+             "n_chars": len(gibberish)},  # LM gate → dropped
         ]
         import pandas as pd
 
@@ -138,10 +149,35 @@ class TestLlmDataPipeline:
             pd.DataFrame(rows),
             "doc_id long, text string, lang string, source string, n_chars long",
         )
-        pipe = CurationPipeline(spark, str(tmp_path / "cur"), near_dedup=True)
+        # reference LM from the fluent corpus rows (trained offline in
+        # production via the lmtrain verb)
+        lm = train_bigram_lm(
+            spark.createDataFrame(
+                pd.DataFrame([{"text": base}, {"text": other}, {"text": third}])
+            )
+        )
+        pipe = CurationPipeline(
+            spark, str(tmp_path / "cur"), near_dedup=True,
+            redact_pii=True, lm=lm, lm_min_score=-2.5,
+        )
         pipe.process_batch(docs)
         curated = pipe.curated()
         assert sorted(r.doc_id for r in curated.collect()) == [1, 3, 4]
+        assert pipe.stats["rejected_lm"] == 1
+        assert pipe.stats["pii_redacted"] == 2
+        kept1 = curated.filter("doc_id = 1").first()["text"]
+        assert "alice@corp.example" not in kept1 and "<EMAIL>" in kept1
+
+        # chunk the curated corpus into overlapping training windows:
+        # every chunk re-assembles from its doc, no chunk crosses docs
+        chunks = chunk_documents(curated, chunk_tokens=16, overlap=4)
+        per_doc = {
+            r["doc_id"]: r["n"]
+            for r in chunks.groupBy("doc_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert set(per_doc) == {1, 3, 4} and all(n >= 2 for n in per_doc.values())
 
         # featurize the curated docs (deterministic fake decode — the
         # real embedder slots into the same mapInPandas signature)
@@ -156,11 +192,12 @@ class TestLlmDataPipeline:
         )
         idx = AnnIndex.build_from(spark, feats, str(tmp_path / "idx"), n_cells=2)
 
-        # a fresh doc with doc 1's text must retrieve doc 1 as its top
-        # neighbor (cosine 1.0): featurize-then-search round trip
+        # a fresh doc with doc 1's STORED (redacted) text must retrieve
+        # doc 1 as its top neighbor (cosine 1.0): what the index serves
+        # is the curated store's content, post-scrub
         probe = extract_features(
             spark.createDataFrame(
-                pd.DataFrame([{"doc_id": 100, "text": base}]),
+                pd.DataFrame([{"doc_id": 100, "text": kept1}]),
                 "doc_id long, text string",
             ).select("doc_id", F.encode(F.col("text"), "utf-8").alias("media"))
         ).select(
