@@ -30,6 +30,13 @@ stays a subset of ``EXPECTED_FLAGGED``):
   construction — long-format UNIONs where each arm keeps its own
   optimal aggregate (5 sub-reports / KMV+HLL branches); the union
   itself is concatenation, not a shuffle.
+- text_lang_stats (r8): >4 exchanges by construction — the merged
+  per-language report joins three independently-keyed aggregations
+  (doc rollup on lang; token-count histogram + cumsum window on
+  (lang, n_tokens); bigram-LM counts + prefix-window + rollup on
+  (lang, prefix, gram)). Each arm is individually shuffle-minimal
+  (the LM arm is one corpus scan — see operators/lm.py); the join of
+  three per-language one-row-per-group tables is broadcast-sized.
 """
 
 from __future__ import annotations
@@ -53,6 +60,7 @@ EXPECTED_FLAGGED = {
     "dedup_minhash_lsh_pairs",
     "priority_reports",
     "sketch_distinct_kmv",
+    "text_lang_stats",
 }
 
 
