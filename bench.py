@@ -321,6 +321,26 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         ).write.format("noop").mode("overwrite").save()
         timings["pipeline_pii_chunk"] = round(time.time() - t0, 3)
 
+        # BPE tokenizer: one corpus shuffle to the word-frequency
+        # table, exact driver-side merge loop on the pruned table,
+        # broadcast ranks, zero-shuffle memoized encode scan
+        from propulsion_spark.operators.bpe import (
+            bpe_encode,
+            broadcast_merges,
+            train_bpe,
+            word_counts,
+        )
+
+        t0 = time.time()
+        merges, _cov = train_bpe(
+            word_counts(full, min_count=2), n_merges=256, max_words=50_000
+        )
+        bpe_bc = broadcast_merges(spark, merges)
+        bpe_encode(full, bpe_bc).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["pipeline_bpe_train_encode"] = round(time.time() - t0, 3)
+
         # hamming-ball simhash near-dup: 64-bit fingerprints, 4×16-bit
         # chunk-bucket joins, bit_count verify — exact recall at ≤3.
         # min-of-2 like the headline queries: the 64-fold fingerprint
