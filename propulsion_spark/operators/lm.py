@@ -204,9 +204,19 @@ def lm_likelihood_bc(
     by: str | None = None,
 ) -> DataFrame:
     """`lm_likelihood(mode="broadcast")` against an already-broadcast
-    LM (see :func:`broadcast_lm`): map-only, zero shuffle."""
+    LM (see :func:`broadcast_lm`): map-only, zero shuffle.
+
+    Per-token work is vectorized (repo hot-path rule): the gram→logp
+    table is precomputed ONCE per task per group from the broadcast
+    counts (O(LM) floats, same bound as the dict itself), each row's
+    grams go through one ``Series.map`` with the constant OOV
+    log-probability as the fill — log((0+α)/(0+α·V)) = -log V, since
+    an absent gram carries no prefix count — and per-doc sums are a
+    ``bincount``. Only the gram-string build remains Python-level.
+    """
     import math
 
+    import numpy as np
     import pandas as pd
 
     id_type = docs.schema[id_col].dataType.simpleString()
@@ -218,26 +228,60 @@ def lm_likelihood_bc(
 
     def per_batch(batches):
         tbl, voc, a = bc.value
-        for pdf in batches:
-            out_n, out_s = [], []
-            for t, g in zip(pdf["_text"], pdf["_grp"]):
+        tables: dict = {}  # grp -> (logp dict | None, oov, no_lm_score)
+
+        def _tables(g):
+            hit = tables.get(g)
+            if hit is None:
                 lmt = tbl.get(g) or {}
                 v = voc.get(g, 0) or 1
-                toks = str(t).lower().strip().split()
-                n = max(len(toks) - 1, 0)
-                if n == 0 or not lmt:
-                    out_n.append(n)
-                    # no grams → NULL score (NaN crosses Arrow as null)
-                    out_s.append(None if n == 0 else math.log(a / v))
+                logp = {
+                    k: math.log((c + a) / (p + a * v))
+                    for k, (c, p) in lmt.items()
+                } or None
+                hit = tables[g] = (logp, math.log(a / (a * v)), math.log(a / v))
+            return hit
+
+        for pdf in batches:
+            toks_per_row = [
+                str(t).lower().strip().split() for t in pdf["_text"]
+            ]
+            ng = np.fromiter(
+                (max(len(ts) - 1, 0) for ts in toks_per_row),
+                dtype="int64",
+                count=len(toks_per_row),
+            )
+            scores: list = [None] * len(toks_per_row)
+            by_grp: dict = {}
+            for i, g in enumerate(pdf["_grp"]):
+                by_grp.setdefault(g, []).append(i)
+            for g, idxs in by_grp.items():
+                logp, oov, no_lm = _tables(g)
+                if logp is None:
+                    for i in idxs:
+                        if ng[i] > 0:
+                            scores[i] = no_lm
                     continue
-                s = 0.0
-                for i in range(n):
-                    c, p = lmt.get(toks[i] + " " + toks[i + 1], (0, 0))
-                    s += math.log((c + a) / (p + a * v))
-                out_n.append(n)
-                out_s.append(s / n)
+                flat = [
+                    ts[j] + " " + ts[j + 1]
+                    for i in idxs
+                    for ts in (toks_per_row[i],)
+                    for j in range(len(ts) - 1)
+                ]
+                if not flat:
+                    continue
+                vals = (
+                    pd.Series(flat, dtype="object")
+                    .map(logp)
+                    .to_numpy(dtype="float64", na_value=oov)
+                )
+                rix = np.repeat(np.asarray(idxs, dtype="int64"), ng[idxs])
+                sums = np.bincount(rix, weights=vals, minlength=len(scores))
+                for i in idxs:
+                    if ng[i] > 0:
+                        scores[i] = sums[i] / ng[i]
             yield pd.DataFrame(
-                {id_col: pdf["_id"], "n_grams": out_n, "score": out_s}
+                {id_col: pdf["_id"], "n_grams": ng, "score": scores}
             )
 
     return narrow.mapInPandas(
