@@ -142,6 +142,30 @@ class TestTrainEncodeE2E:
         assert coverage == pytest.approx((6 + 5) / 16)
         assert merges.count() == 5
 
+    def test_feeds_sequence_packing(self, spark):
+        """The pipeline integration the encoder exists for: BPE token
+        counts (not regex approximations) drive pack_documents' global
+        offsets — `token_col="n_bpe_tokens"` slots straight in."""
+        from propulsion_spark.operators.packing import pack_documents
+
+        docs = self._docs(spark)
+        merges, _ = train_bpe(word_counts(docs), 12)
+        bc = broadcast_merges(spark, merges)
+        counted = docs.join(
+            bpe_encode(docs, bc), "doc_id"
+        ).withColumn("split", F.lit("train"))
+        packed = {
+            r["doc_id"]: r
+            for r in pack_documents(
+                counted, seq_len=32, token_col="n_bpe_tokens"
+            ).collect()
+        }
+        # all three docs are identical → identical n_tokens; offsets
+        # tile the stream exactly (0, n, 2n) in doc_id order
+        n = packed[0]["n_tokens"]
+        assert n > 0
+        assert [packed[i]["offset"] for i in range(3)] == [0, n, 2 * n]
+
     def test_min_count_prunes_tail(self, spark):
         docs = self._docs(spark)
         kept = {r["word"] for r in word_counts(docs, min_count=3 * 3).collect()}
