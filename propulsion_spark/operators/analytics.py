@@ -484,17 +484,44 @@ FROM r LEFT JOIN p USING (returnflag)
     "with the flag-level PIVOT columns (line status → wide qty_O/qty_F) "
     "joined on: one report attests both the multi-granularity rollup and "
     "the wide-pivot shape. The pivot side is 3 grouped rows — broadcast "
-    "join, no extra shuffle beyond the two partial aggs.",
+    "join, no extra shuffle beyond the two partial aggs. The rollup is "
+    "CASCADED re-aggregation, not Spark's rollup(): rollup()/cube() "
+    "physically Expand every input row ×3 before the shuffle (3× the "
+    "corpus through the exchange at 100 TB), and on EMPTY input Spark "
+    "emits no rows while ANSI/DuckDB ROLLUP still emits the () grouping "
+    "set's one grand-total row. Cascading — one (flag,status) shuffle, "
+    "then tiny exact-DECIMAL re-aggs, groupBy().agg() for the grand row "
+    "(always 1 row on both engines) — fixes both.",
 )
 def q_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    fs = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_qty"),
+        F.count("*").alias("n"),
+    )
+    flag = (
+        fs.groupBy("l_returnflag")
+        .agg(F.sum("_qty").alias("_qty"), F.sum("n").alias("n"))
+        .withColumn("l_linestatus", F.lit(None).cast("string"))
+    )
+    grand = (
+        fs.groupBy()
+        .agg(
+            F.sum("_qty").alias("_qty"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
+        )
+        .withColumn("l_returnflag", F.lit(None).cast("string"))
+        .withColumn("l_linestatus", F.lit(None).cast("string"))
+    )
+    lvl_cols = ["l_returnflag", "l_linestatus", "_qty", "n"]
     rolled = (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(dec_sum(F.col("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
+        fs.select(*lvl_cols)
+        .unionByName(flag.select(*lvl_cols))
+        .unionByName(grand.select(*lvl_cols))
         .select(
             F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
             F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
-            "sum_qty",
+            F.col("_qty").cast("double").alias("sum_qty"),
             "n",
         )
     )

@@ -37,6 +37,13 @@ stays a subset of ``EXPECTED_FLAGGED``):
   (lang, prefix, gram)). Each arm is individually shuffle-minimal
   (the LM arm is one corpus scan — see operators/lm.py); the join of
   three per-language one-row-per-group tables is broadcast-sized.
+- status_rollup (r8): >4 exchanges by construction — CASCADED
+  re-aggregation replaces Spark's rollup(), which would Expand every
+  corpus row ×3 before the shuffle and emits NO grand-total row on
+  empty input (vs ANSI ROLLUP's one () row — the empty-tables gate
+  divergence). Exactly one exchange carries the corpus (the
+  (flag,status) partial agg); the flag-level and grand re-aggs and
+  the pivot join shuffle ≤6 grouped rows each.
 """
 
 from __future__ import annotations
@@ -61,6 +68,7 @@ EXPECTED_FLAGGED = {
     "priority_reports",
     "sketch_distinct_kmv",
     "text_lang_stats",
+    "status_rollup",
 }
 
 
