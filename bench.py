@@ -364,6 +364,53 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         build_count_min(full.select("text"))
         timings["sketch_count_min"] = round(time.time() - t0, 3)
+
+        # perceptual media dedup: synthesize 4k 64×64 BMPs executor-side
+        # (consecutive ids share a base image, odd ids brightness-shifted
+        # → 2k planted perceptual dupes), then map-only decode+pHash and
+        # the multi-index hamming pair join — media bytes never shuffle
+        import pandas as _pd
+
+        from propulsion_spark.operators.perceptual import (
+            media_fingerprints,
+            perceptual_dedup_pairs,
+        )
+
+        def _gen_bmps(batches):
+            import numpy as _np
+
+            from propulsion_spark.operators.multimodal import encode_bmp
+            from propulsion_spark.operators.perceptual import resize_bilinear
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    rng = _np.random.RandomState(int(i) // 2)
+                    base = resize_bilinear(rng.rand(8, 8) * 235.0, 64, 64)
+                    if i % 2:
+                        base = base + 15.0
+                    g = base.astype(_np.uint8).astype(_np.float64)
+                    rows.append(
+                        {
+                            "doc_id": int(i),
+                            "media": encode_bmp(_np.stack([g, g, g], axis=2)),
+                            "media_type": "image/bmp",
+                        }
+                    )
+                yield _pd.DataFrame(rows)
+
+        media = (
+            spark.range(4000)
+            .repartition(32)
+            .mapInPandas(
+                _gen_bmps, "doc_id long, media binary, media_type string"
+            )
+        )
+        t0 = time.time()
+        perceptual_dedup_pairs(
+            media_fingerprints(media, type_col="media_type")
+        ).write.format("noop").mode("overwrite").save()
+        timings["pipeline_media_phash_dedup"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings

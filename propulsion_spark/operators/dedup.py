@@ -797,32 +797,33 @@ def hamming_bucket_stats(
     )
 
 
-def simhash_hamming_pairs(
-    docs: DataFrame,
+def hamming_pairs64(
+    fps: DataFrame,
     max_hamming: int = 3,
     n_chunks: int = SIMHASH64_CHUNKS,
-    text_col: str = "text",
+    fp_col: str = "simhash64",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup candidate pairs within a hamming ball — the multi-index
-    SimHash method (Manku/Jain/Sarma, WWW'07 — public): split each
-    64-bit fingerprint into ``n_chunks`` equal chunks; by pigeonhole,
-    two fingerprints within hamming distance ``n_chunks − 1`` agree on
-    at least one chunk, so a per-chunk equi-join finds EVERY such pair
-    (exact recall, enforced: ``max_hamming ≤ n_chunks − 1`` or this
-    raises). Candidates are verified with one ``bit_count(xor)`` —
-    returns ``(a_id, b_id, hamming)``, a_id < b_id.
+    """Near-dup pairs within a hamming ball over ANY 64-bit fingerprint
+    table ``(id, fp64)`` — the multi-index method (Manku/Jain/Sarma,
+    WWW'07 — public), factored out of the SimHash path so perceptual
+    media fingerprints (``operators/perceptual.py``) and any future
+    64-bit sketch reuse the same exact-recall join: split each
+    fingerprint into ``n_chunks`` equal chunks; by pigeonhole, two
+    fingerprints within hamming distance ``n_chunks − 1`` agree on at
+    least one chunk, so a per-chunk equi-join finds EVERY such pair
+    (enforced: ``max_hamming ≤ n_chunks − 1`` or this raises).
+    Candidates are verified with one ``bit_count(xor)`` — returns
+    ``(a_id, b_id, hamming)``, a_id < b_id.
 
     Scale shape: ``n_chunks`` equi-joins keyed by (chunk index, chunk
     value) — 2^(64/n_chunks) buckets per index; no all-pairs product.
     Bucket occupancy bounds the candidate count exactly like the LSH
-    band joins (same gauge rule applies); for corpora where 16-bit
-    chunks under-select, trade recall radius for selectivity by
-    lowering ``max_hamming`` and raising ``n_chunks``-width per chunk.
-    The fingerprint table is persisted for the duration (both join
-    sides and the verify read it; without pinning, the self-join
-    recomputes the 64-fold fingerprint per side — measured 10 s vs 3 s
-    at sf0.1) and released via ``finalize``.
+    band joins (gauge: ``hamming_bucket_stats``). The fingerprint
+    table is persisted for the duration (both join sides and the
+    verify read it; without pinning the self-join recomputes the
+    upstream fingerprint expression per side — measured 10 s vs 3 s at
+    sf0.1 for SimHash) and released via ``finalize``.
     """
     from propulsion_spark.operators import finalize
 
@@ -833,7 +834,9 @@ def simhash_hamming_pairs(
         )
     if 64 % n_chunks:
         raise ValueError("n_chunks must divide 64")
-    sh = simhash64(docs, text_col=text_col, id_col=id_col).persist()
+    sh = fps.select(
+        F.col(id_col).alias("doc_id"), F.col(fp_col).alias("simhash64")
+    ).persist()
     chunks = _simhash_chunks(sh, n_chunks)
     a = chunks.select(
         F.col("doc_id").alias("a_id"),
@@ -859,6 +862,23 @@ def simhash_hamming_pairs(
         .select("a_id", "b_id", "hamming")
     )
     return finalize(pairs, sh)
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int = SIMHASH64_CHUNKS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Text near-dup pairs: 64-bit SimHash fingerprints →
+    :func:`hamming_pairs64` multi-index join (see there for the recall
+    proof and scale shape)."""
+    return hamming_pairs64(
+        simhash64(docs, text_col=text_col, id_col=id_col),
+        max_hamming=max_hamming,
+        n_chunks=n_chunks,
+    )
 
 
 # ------------------------------------------- near-dup cluster resolution

@@ -174,10 +174,10 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_wav(blob: bytes) -> dict:
+def decode_wav_samples(blob: bytes) -> "tuple[np.ndarray, int, int]":
     """REAL PCM WAV decode — stdlib ``wave``, no external libs.
-    Returns sample_rate/channels/duration plus RMS and peak amplitude
-    (normalized to [-1, 1])."""
+    Returns (interleaved samples normalized to [-1, 1], sample_rate,
+    n_channels)."""
     import io
     import wave
 
@@ -195,20 +195,30 @@ def decode_wav(blob: bytes) -> dict:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     else:
         raise ValueError(f"unsupported WAV sample width {width}")
+    return x, sr, nch
+
+
+def decode_wav(blob: bytes) -> dict:
+    """Sample_rate/channels/duration plus RMS and peak amplitude (see
+    :func:`decode_wav_samples` for the underlying decode)."""
+    import numpy as np
+
+    x, sr, nch = decode_wav_samples(blob)
     rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
     peak = float(np.abs(x).max()) if len(x) else 0.0
     return {
         "sample_rate": sr,
         "n_channels": nch,
-        "duration_s": nframes / sr if sr else 0.0,
+        "duration_s": (len(x) // nch) / sr if sr else 0.0,
         "rms": rms,
         "peak": peak,
     }
 
 
-def decode_bmp(blob: bytes) -> dict:
+def decode_bmp_pixels(blob: bytes) -> "np.ndarray":
     """REAL uncompressed 24-bit BMP decode — ``struct`` header parse +
-    numpy pixel view. Returns width/height and per-channel means."""
+    numpy pixel view. Returns an (h, w, 3) float64 RGB array (BMP
+    stores BGR bottom-up; both are undone here)."""
     import struct
 
     import numpy as np
@@ -233,13 +243,46 @@ def decode_bmp(blob: bytes) -> dict:
     )
     if flipped:
         px = px[::-1]
-    # BMP stores BGR
+    return px[:, :, ::-1]  # BGR → RGB
+
+
+def encode_bmp(px: "np.ndarray") -> bytes:
+    """REAL uncompressed 24-bit BMP encode — the inverse of
+    :func:`decode_bmp_pixels` (roundtrip-exact for uint8-valued
+    arrays). Vectorized: one numpy ``tobytes`` per image, no per-pixel
+    Python. ``px`` is (h, w, 3) RGB; rows pad to 4 bytes per the
+    format."""
+    import struct
+
+    import numpy as np
+
+    a = np.clip(np.asarray(px), 0, 255).astype(np.uint8)
+    h, w = a.shape[:2]
+    row = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, RGB→BGR
+    pad = (-(w * 3)) % 4
+    if pad:
+        row = np.concatenate(
+            [row, np.zeros((h, pad), dtype=np.uint8)], axis=1
+        )
+    body = row.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+def decode_bmp(blob: bytes) -> dict:
+    """Width/height and per-channel means of a 24-bit BMP (see
+    :func:`decode_bmp_pixels` for the underlying decode)."""
+    px = decode_bmp_pixels(blob)
     return {
-        "width": w,
-        "height": h,
-        "mean_r": float(px[:, :, 2].mean()),
+        "width": px.shape[1],
+        "height": px.shape[0],
+        "mean_r": float(px[:, :, 0].mean()),
         "mean_g": float(px[:, :, 1].mean()),
-        "mean_b": float(px[:, :, 0].mean()),
+        "mean_b": float(px[:, :, 2].mean()),
     }
 
 
