@@ -118,6 +118,10 @@ class AnnIndex:
     def _pq_path(self) -> str:
         return os.path.join(self.path, "pq_codebook")
 
+    @property
+    def _tombstones_path(self) -> str:
+        return os.path.join(self.path, "tombstones")
+
     # ---- product quantization -------------------------------------------
     def _train_pq(self, vectors: DataFrame) -> None:
         """Train the PQ codebooks on a bounded deterministic sample
@@ -488,6 +492,78 @@ class AnnIndex:
             .start()
         )
 
+    # ---- deletes ----------------------------------------------------------
+    def delete(self, vec_ids, batch_id: "int | None" = None) -> None:
+        """Tombstone vectors out of serving — the missing third of the
+        upsert lifecycle (append = newest-``_batch_id``-wins upsert;
+        this is the delete). A tombstone ``(vec_id, _del_batch_id=B)``
+        kills every stored copy with ``_batch_id ≤ B``, so a LATER
+        re-append of the same id serves again — the standard
+        LSM/Delta-style tombstone ordering. Deletes never rewrite
+        vector partitions (O(deletes) writes, not O(index)); `search`
+        and `cell_skew` mask tombstoned rows at read time and
+        :meth:`reindex` is the compaction that folds them away
+        durably.
+
+        ``vec_ids`` is a DataFrame with a ``vec_id`` column or a plain
+        list of ids. ``batch_id`` defaults to the index's current max
+        ``_batch_id`` (partition-column-only read — no vector bytes),
+        i.e. "delete every copy that exists right now". Idempotent per
+        ``batch_id``: a replayed delete batch rewrites exactly its own
+        tombstone partition (dynamic overwrite), the same at-least-once
+        discipline as :meth:`append`."""
+        if not isinstance(vec_ids, DataFrame):
+            vec_ids = self.spark.createDataFrame(
+                [(int(v),) for v in vec_ids], "vec_id long"
+            )
+        if batch_id is None:
+            batch_id = (
+                self.spark.read.parquet(self._vectors_path)
+                .agg(F.max("_batch_id"))
+                .collect()[0][0]
+                or 0
+            )
+        (
+            vec_ids.select(
+                F.col("vec_id").cast("long"),
+                F.lit(int(batch_id)).cast("long").alias("_del_batch_id"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_del_batch_id")
+            .parquet(self._tombstones_path)
+        )
+
+    def _tombstones(self) -> "DataFrame | None":
+        """``(vec_id, _del)`` with _del = the newest tombstone per id,
+        or None when nothing was ever deleted. Only the missing-path
+        case maps to None — a genuine read failure propagates (the
+        `_load_pq` rule: swallowing it would silently serve deleted
+        rows)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            t = self.spark.read.parquet(self._tombstones_path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
+        return t.groupBy("vec_id").agg(F.max("_del_batch_id").alias("_del"))
+
+    def _mask_tombstones(self, rows: DataFrame) -> DataFrame:
+        """Serving-reality filter: drop rows whose ``_batch_id`` is
+        covered by a tombstone. The tombstone table is O(deletes
+        since the last reindex) — broadcast by size like any dimension
+        (explicit hint omitted so AQE keeps the choice as it grows)."""
+        t = self._tombstones()
+        if t is None:
+            return rows
+        return (
+            rows.join(t, "vec_id", "left")
+            .filter(F.col("_del").isNull() | (F.col("_batch_id") > F.col("_del")))
+            .drop("_del")
+        )
+
     # ---- drift monitoring / re-learning ---------------------------------
     def cell_skew(self) -> dict:
         """Cell-balance gauge: ``{n_cells, max_cell, mean_cell, skew}``
@@ -508,9 +584,11 @@ class AnnIndex:
         # not inflate the drift gauge that triggers reindex
         w_new = Window.partitionBy("vec_id").orderBy(F.col("_batch_id").desc())
         rows = (
-            stored.select("vec_id", "cell", "_batch_id")
-            .withColumn("_rn", F.row_number().over(w_new))
-            .filter(F.col("_rn") == 1)
+            self._mask_tombstones(
+                stored.select("vec_id", "cell", "_batch_id")
+                .withColumn("_rn", F.row_number().over(w_new))
+                .filter(F.col("_rn") == 1)
+            )
             .groupBy("cell")
             .count()
             .collect()
@@ -543,8 +621,11 @@ class AnnIndex:
         stored = self.spark.read.parquet(self._vectors_path)
         w_new = Window.partitionBy("vec_id").orderBy(F.col("_batch_id").desc())
         cur = (
-            stored.withColumn("_rn", F.row_number().over(w_new))
-            .filter(F.col("_rn") == 1)
+            self._mask_tombstones(
+                stored.withColumn("_rn", F.row_number().over(w_new)).filter(
+                    F.col("_rn") == 1
+                )
+            )
             .select("vec_id", "embedding", "cell")
         )
         scaled = F.floor(F.col("x") * _CENTROID_SCALE).cast("long")
@@ -571,6 +652,18 @@ class AnnIndex:
             cur.select("vec_id", "embedding"), codebook, mode="overwrite"
         )
         codebook.unpersist()
+        # In-place reindex IS the tombstone compaction: dead rows were
+        # filtered out of `cur` above, so the rebuilt vectors carry no
+        # deleted ids and the tombstone table resets. (Local-fs delete,
+        # the index.py/mvcc.py idiom; an object-store deployment swaps
+        # in its fs API here.) A successor build (dest=) starts clean
+        # because its path never had tombstones — but SELF keeps both
+        # its vectors and its tombstones untouched: it serves until the
+        # cutover, and masking must keep working there.
+        if dest is None:
+            import shutil
+
+            shutil.rmtree(self._tombstones_path, ignore_errors=True)
         return target
 
     # ---- search ----------------------------------------------------------
@@ -671,7 +764,9 @@ class AnnIndex:
             .filter(F.col("_rn_new") == 1)
             .drop("_rn_new")
         )
-        vectors = base
+        # tombstoned ids must not serve (mask AFTER newest-wins: a
+        # re-append in a batch newer than the tombstone revives the id)
+        vectors = self._mask_tombstones(base)
         if pq:
             if "pq_codes" not in vectors.columns:
                 raise ValueError(

@@ -67,10 +67,15 @@ class MetricsExporter:
         def scrape():
             s = index.cell_skew()
             lbl = {"index": name}
+            t = index._tombstones()
+            # O(deletes since last reindex); a growing count is the
+            # compaction (reindex) signal alongside rising skew
+            n_tomb = t.count() if t is not None else 0
             return [
                 ({**lbl, "stat": "skew"}, s["skew"]),
                 ({**lbl, "stat": "n_cells"}, s["n_cells"]),
                 ({**lbl, "stat": "max_cell"}, s["max_cell"]),
+                ({**lbl, "stat": "tombstones"}, n_tomb),
             ]
 
         return self.register_gauge("propulsion_ann_index_cells", scrape)

@@ -113,6 +113,115 @@ class TestAnnIndex:
         assert abs(top["cosine"] - 1.0) < 1e-9
 
 
+class TestDeletes:
+    """Tombstone lifecycle: delete masks serving, later re-append
+    revives, replayed delete batches are idempotent, and reindex is
+    the compaction."""
+
+    @staticmethod
+    def _vectors(spark, n=200, dim=8):
+        """Deterministic clustered vectors: 4 well-separated anchors +
+        a small per-id offset (clusters make the IVF assignment
+        meaningful; determinism keeps every assertion exact)."""
+        rows = []
+        for i in range(n):
+            a = i % 4
+            base = [100.0 * (1 if d == 2 * a else 0) - 50.0 * (1 if d == 2 * a + 1 else 0) for d in range(dim)]
+            rows.append((i, [b + 0.01 * ((i * 7 + d) % 11) for d, b in enumerate(base)]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    @pytest.fixture()
+    def small(self, spark, tmp_path):
+        return AnnIndex.build_from(
+            spark, self._vectors(spark), str(tmp_path / "idx"), n_cells=4
+        )
+
+    def _neighbors_of(self, spark, idx, probe_id=100, top_k=8):
+        q = self._vectors(spark).filter(F.col("vec_id") == probe_id).select(
+            F.lit(900_000).alias("query_id"), "embedding"
+        )
+        return {
+            r["neighbor_id"]
+            for r in idx.search(q, top_k=top_k, n_probes=2).collect()
+        }
+
+    def test_delete_masks_search_and_skew(self, spark, small):
+        before = self._neighbors_of(spark, small)
+        assert 100 in before  # the probe's own stored copy (query_id differs)
+        skew_before = small.cell_skew()
+        small.delete([100])
+        after = self._neighbors_of(spark, small)
+        assert 100 not in after
+        # the freed rank is backfilled, not left short
+        assert len(after) == len(before)
+        skew_after = small.cell_skew()
+        n_before = sum(
+            c * skew_before["n_cells"] for c in [skew_before["mean_cell"]]
+        )
+        n_after = skew_after["mean_cell"] * skew_after["n_cells"]
+        assert round(n_before - n_after) == 1
+
+    def test_reappend_after_delete_revives(self, spark, small):
+        small.delete([100])
+        assert 100 not in self._neighbors_of(spark, small)
+        row = self._vectors(spark).filter(F.col("vec_id") == 100).select(
+            "vec_id", "embedding"
+        )
+        small.append(row, batch_id=7)  # newer than the tombstone's cover
+        assert 100 in self._neighbors_of(spark, small)
+
+    def test_delete_batch_replay_is_idempotent(self, spark, small):
+        small.delete([100, 104], batch_id=5)
+        t = {r["vec_id"]: r["_del"] for r in small._tombstones().collect()}
+        assert t == {100: 5, 104: 5}
+        # replaying batch 5 with the corrected set REPLACES the batch
+        # (dynamic partition overwrite), it does not accumulate
+        small.delete([100], batch_id=5)
+        t = {r["vec_id"]: r["_del"] for r in small._tombstones().collect()}
+        assert t == {100: 5}
+        assert 104 in self._neighbors_of(spark, small, probe_id=104)
+
+    def test_reindex_compacts_tombstones(self, spark, small):
+        import os
+
+        small.delete([100, 104])
+        small.reindex()
+        assert not os.path.exists(small._tombstones_path)
+        stored = {
+            r["vec_id"]
+            for r in spark.read.parquet(small._vectors_path)
+            .select("vec_id")
+            .collect()
+        }
+        assert 100 not in stored and 104 not in stored
+        assert len(stored) == 198
+        assert 100 not in self._neighbors_of(spark, small)
+
+    def test_reindex_to_dest_leaves_self_serving(self, spark, small, tmp_path):
+        import os
+
+        small.delete([100])
+        dest = small.reindex(dest=str(tmp_path / "idx2"))
+        # successor: compacted, no tombstones, id gone from storage
+        assert not os.path.exists(dest._tombstones_path)
+        assert (
+            spark.read.parquet(dest._vectors_path)
+            .filter(F.col("vec_id") == 100)
+            .count()
+            == 0
+        )
+        assert 100 not in self._neighbors_of(spark, dest)
+        # self: vectors untouched, tombstones still masking
+        assert os.path.exists(small._tombstones_path)
+        assert (
+            spark.read.parquet(small._vectors_path)
+            .filter(F.col("vec_id") == 100)
+            .count()
+            == 1
+        )
+        assert 100 not in self._neighbors_of(spark, small)
+
+
 class TestAnnIndexStreaming:
     def test_stream_ingest_and_replay_idempotence(self, spark, tmp_path):
         """Two appends under distinct batch ids both land; replaying a
