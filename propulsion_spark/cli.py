@@ -665,6 +665,20 @@ def cmd_ann(args) -> int:
                 }
             )
         )
+    elif args.action == "delete":
+        idx = AnnIndex(spark, args.path)
+        ids = [int(v) for v in args.ids.split(",") if v.strip()]
+        idx.delete(ids, batch_id=args.del_batch)
+        t = idx._tombstones()
+        print(
+            json.dumps(
+                {
+                    "deleted": len(ids),
+                    "tombstones_live": t.count() if t is not None else 0,
+                    "path": args.path,
+                }
+            )
+        )
     else:
         idx = AnnIndex(spark, args.path)
         queries = (
@@ -677,9 +691,48 @@ def cmd_ann(args) -> int:
             top_k=args.top_k,
             n_probes=args.n_probes,
             quantized=getattr(args, "quantized", False),
+            pq=getattr(args, "pq", False),
         ).collect()
         for r in rows:
             print(json.dumps(r.asDict(), default=str))
+    spark.stop()
+    return 0
+
+
+def cmd_mediadedup(args) -> int:
+    """Perceptual near-duplicate media pairs: map-only decode+fingerprint
+    (pHash for image/bmp, spectral fingerprint for audio/wav), then the
+    multi-index hamming pair join — media bytes never shuffle."""
+    from pyspark.sql import functions as F
+
+    from propulsion_spark import get_spark
+    from propulsion_spark.operators.perceptual import (
+        media_fingerprints,
+        perceptual_dedup_pairs,
+    )
+
+    spark = get_spark("propulsion-mediadedup")
+    media = spark.read.parquet(args.src)
+    fps = media_fingerprints(
+        media,
+        media_col=args.media_col,
+        type_col=args.type_col,
+        id_col=args.id_col,
+    ).persist()  # fingerprint scan is the expensive part: pin across
+    try:  # the pair join + the two summary counts
+        pairs = perceptual_dedup_pairs(fps, max_hamming=args.max_hamming)
+        pairs.write.mode("overwrite").parquet(args.out)
+        written = spark.read.parquet(args.out)
+        summary = {
+            "n_media": fps.count(),
+            "n_fingerprinted": fps.filter(F.col("fp64").isNotNull()).count(),
+            "n_pairs": written.count(),
+            "max_hamming": args.max_hamming,
+            "out": args.out,
+        }
+    finally:
+        fps.unpersist()
+    print(json.dumps(summary))
     spark.stop()
     return 0
 
@@ -884,7 +937,22 @@ def main(argv=None) -> int:
     an = sub.add_parser(
         "ann", help="build/search the materialized partition-pruned ANN index"
     )
-    an.add_argument("action", choices=["build", "search", "stats", "reindex"])
+    an.add_argument(
+        "action", choices=["build", "search", "stats", "reindex", "delete"]
+    )
+    an.add_argument(
+        "--ids", default="",
+        help="delete: comma-separated vec_ids to tombstone",
+    )
+    an.add_argument(
+        "--del-batch", type=int, default=None,
+        help="delete: tombstone batch id (default: current max _batch_id "
+        "— kill every copy that exists right now)",
+    )
+    an.add_argument(
+        "--pq", action="store_true",
+        help="search: rank by ADC over stored PQ codes, exact re-rank",
+    )
     an.add_argument("--path", required=True)
     an.add_argument(
         "--dest", default=None,
@@ -903,6 +971,21 @@ def main(argv=None) -> int:
         help="rank candidates by their stored int8 quantization",
     )
     an.set_defaults(fn=cmd_ann)
+
+    md = sub.add_parser(
+        "mediadedup",
+        help="perceptual near-duplicate media pairs (pHash / audio FP)",
+    )
+    md.add_argument("--src", required=True, help="media parquet dir")
+    md.add_argument("--out", required=True, help="pairs output dir")
+    md.add_argument("--max-hamming", type=int, default=3)
+    md.add_argument("--media-col", default="media")
+    md.add_argument(
+        "--type-col", default="media_type",
+        help="column holding image/bmp | audio/wav (dotted paths OK)",
+    )
+    md.add_argument("--id-col", default="doc_id")
+    md.set_defaults(fn=cmd_mediadedup)
 
     qs = sub.add_parser("queries", help="list registered queries")
     qs.set_defaults(fn=cmd_queries)

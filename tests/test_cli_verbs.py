@@ -200,6 +200,79 @@ class TestAnnVerb:
         assert rows and all(r["query_id"] == 0 for r in rows)
 
 
+class TestAnnDeleteVerb:
+    def test_delete_masks_then_reindex_compacts(self, tmp_path):
+        run_cli(
+            "ann", "build", "--path", str(tmp_path / "idx3"),
+            "--sf-dir", "/root/testdata/sf0.001",
+        )
+        rep = run_cli(
+            "ann", "delete", "--path", str(tmp_path / "idx3"),
+            "--ids", "20,21",
+        )
+        assert rep == {
+            "deleted": 2,
+            "tombstones_live": 2,
+            "path": str(tmp_path / "idx3"),
+        }
+        # deleted ids never surface in a search
+        import json as _json
+        import subprocess
+        import sys
+
+        out = subprocess.run(
+            [sys.executable, "-m", "propulsion_spark.cli", "ann", "search",
+             "--path", str(tmp_path / "idx3"), "--queries", "10",
+             "--top-k", "50"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        rows = [_json.loads(l) for l in out.splitlines() if l.startswith("{")]
+        assert rows
+        assert not {r["neighbor_id"] for r in rows} & {20, 21}
+        run_cli("ann", "reindex", "--path", str(tmp_path / "idx3"))
+        stats = run_cli("ann", "stats", "--path", str(tmp_path / "idx3"))
+        assert stats["n_cells"] > 1  # still serving post-compaction
+
+
+class TestMediaDedupVerb:
+    def test_planted_dupes_reported(self, tmp_path):
+        import duckdb  # noqa: F401 — parity with sibling tests
+        import numpy as np
+
+        from propulsion_spark import get_spark
+        from propulsion_spark.operators.multimodal import encode_bmp
+        from propulsion_spark.operators.perceptual import resize_bilinear
+
+        spark = get_spark("mediadedup-fixture")
+        rows = []
+        for i in range(20):
+            rng = np.random.RandomState(i // 2)
+            g = resize_bilinear(rng.rand(8, 8) * 235.0, 32, 32)
+            if i % 2:
+                g = g + 15.0
+            g = g.astype(np.uint8).astype(np.float64)
+            rows.append(
+                (i, bytearray(encode_bmp(np.stack([g, g, g], axis=2))), "image/bmp")
+            )
+        rows.append((99, bytearray(b"notmedia"), "video/mp4"))
+        src = str(tmp_path / "media")
+        spark.createDataFrame(
+            rows, "doc_id long, media binary, media_type string"
+        ).write.parquet(src)
+
+        rep = run_cli(
+            "mediadedup", "--src", src, "--out", str(tmp_path / "pairs")
+        )
+        assert rep["n_media"] == 21
+        assert rep["n_fingerprinted"] == 20  # the mp4 degrades to null
+        assert rep["n_pairs"] == 10  # exactly the planted even/odd pairs
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+        }
+        assert got == {(2 * k, 2 * k + 1) for k in range(10)}
+
+
 class TestShardVerb:
     def test_shard_writes_partitioned_output(self, tmp_path):
         import duckdb
