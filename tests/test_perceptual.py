@@ -9,6 +9,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from propulsion_spark.operators.perceptual import (
     audio_fp64,
@@ -255,6 +256,63 @@ class TestDistributed:
         out = perceptual_dedup_pairs(media_fingerprints(df))
         assert out.count() == 0
         assert set(out.columns) == {"a_id", "b_id", "hamming", "media_type"}
+
+    def test_streaming_cross_batch_dedup(self, spark, tmp_path):
+        """Batch 2 re-encodes of batch-1 keepers are caught via the
+        registry without rereading batch 1; in-batch clusters resolve
+        to the min id; replays are idempotent end to end."""
+        from propulsion_spark.pipelines.media_dedup import MediaDedupStream
+
+        from tests.test_multimodal_real import _media_df
+
+        eng = MediaDedupStream(spark, str(tmp_path / "reg"))
+        g1, g2 = rand_img(70), rand_img(71)
+        b1 = _media_df(
+            spark,
+            [
+                (1, bytearray(to_bmp(g1)), ("image/bmp", 0, 0)),
+                # in-batch near-dup cluster of 1: brightness shift
+                (2, bytearray(to_bmp(g1 + 18.0)), ("image/bmp", 0, 0)),
+                (3, bytearray(to_bmp(g2)), ("image/bmp", 0, 0)),
+                (9, bytearray(b"??"), ("video/mp4", 0, 0)),  # kept as-is
+            ],
+        ).select("doc_id", "media", F.col("meta.media_type").alias("media_type"))
+        out = str(tmp_path / "kept")
+        eng.run_batch(b1, 1, out)
+        kept1 = {
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        }
+        assert kept1 == {1, 3, 9}
+        assert eng.stats["deduped_in_batch"] == 1
+        assert eng.stats["unfingerprintable"] == 1
+
+        # batch 2: a noisy copy of keeper 1, plus genuinely new content
+        g1n = g1 + np.random.RandomState(0).normal(0, 2.0, g1.shape)
+        b2 = _media_df(
+            spark,
+            [
+                (11, bytearray(to_bmp(g1n)), ("image/bmp", 0, 0)),
+                (12, bytearray(to_bmp(rand_img(72))), ("image/bmp", 0, 0)),
+            ],
+        ).select("doc_id", "media", F.col("meta.media_type").alias("media_type"))
+        eng.run_batch(b2, 2, out)
+        kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert kept == {1, 3, 9, 12}  # 11 deduped against last batch's keeper
+        assert eng.stats["deduped_cross_batch"] == 1
+
+        # replay batch 2: keepers match only their own registry rows →
+        # survive again; the batch partition is rewritten, not doubled
+        eng.run_batch(b2, 2, out)
+        kept_replay = [
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        ]
+        assert sorted(kept_replay) == [1, 3, 9, 12]
+
+    def test_streaming_rejects_unprovable_radius(self, spark, tmp_path):
+        from propulsion_spark.pipelines.media_dedup import MediaDedupStream
+
+        with pytest.raises(ValueError, match="pigeonhole"):
+            MediaDedupStream(spark, str(tmp_path / "r"), max_hamming=4)
 
     def test_resize_images_distributed(self, spark):
         from tests.test_multimodal_real import _media_df
