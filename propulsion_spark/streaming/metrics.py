@@ -80,6 +80,17 @@ class MetricsExporter:
 
         return self.register_gauge("propulsion_ann_index_cells", scrape)
 
+    def register_media_dedup(self, pipeline) -> "MetricsExporter":
+        """A :class:`~propulsion_spark.pipelines.media_dedup.
+        MediaDedupStream`: exports its per-stage media counters
+        (``propulsion_media_dedup_total{stage=...}`` — seen,
+        unfingerprintable, deduped_in_batch, deduped_cross_batch,
+        kept), O(1) per scrape like the curation counters."""
+        return self.register_gauge(
+            "propulsion_media_dedup_total",
+            lambda: [({"stage": k}, v) for k, v in sorted(pipeline.stats.items())],
+        )
+
     def register_curation(self, pipeline) -> "MetricsExporter":
         """A :class:`~propulsion_spark.pipelines.CurationPipeline`:
         exports its per-stage document counters

@@ -146,10 +146,17 @@ class TestDeletes:
         }
 
     def test_delete_masks_search_and_skew(self, spark, small):
+        from propulsion_spark.streaming.metrics import MetricsExporter
+
         before = self._neighbors_of(spark, small)
         assert 100 in before  # the probe's own stored copy (query_id differs)
         skew_before = small.cell_skew()
         small.delete([100])
+        # the tombstone count rides the standard index scrape
+        text = (
+            MetricsExporter(group="td").register_ann_index("s", small).render()
+        )
+        assert 'stat="tombstones"' in text
         after = self._neighbors_of(spark, small)
         assert 100 not in after
         # the freed rank is backfilled, not left short

@@ -308,6 +308,15 @@ class TestDistributed:
         ]
         assert sorted(kept_replay) == [1, 3, 9, 12]
 
+        # stats ride the standard exporter
+        from propulsion_spark.streaming.metrics import MetricsExporter
+
+        text = (
+            MetricsExporter(group="md").register_media_dedup(eng).render()
+        )
+        assert "propulsion_media_dedup_total" in text
+        assert 'stage="deduped_cross_batch"' in text
+
     def test_streaming_rejects_unprovable_radius(self, spark, tmp_path):
         from propulsion_spark.pipelines.media_dedup import MediaDedupStream
 
