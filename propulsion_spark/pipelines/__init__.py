@@ -1,2 +1,3 @@
 from propulsion_spark.pipelines.ann_index import AnnIndex  # noqa: F401
 from propulsion_spark.pipelines.curation import CurationPipeline  # noqa: F401
+from propulsion_spark.pipelines.media_dedup import MediaDedupStream  # noqa: F401
