@@ -635,58 +635,6 @@ def q_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------- embedding-cosine near-dup
-NEAR_DUP_COSINE = 0.35  # synthetic corpus: ~99.9th pct of pair similarity
-
-
-@register(
-    "dedup_embedding_cosine",
-    f"""
-WITH {_DUCK_NORMED},
-{_DUCK_TB.strip()},
-pair_cands AS (
-  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-  FROM tb a JOIN tb b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id
-)
-SELECT a_id, b_id,
-       {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
-FROM pair_cands JOIN normed a ON a.vec_id = a_id JOIN normed b ON b.vec_id = b_id
-WHERE {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {NEAR_DUP_COSINE}
-""",
-    doc=f"Embedding-space near-duplicate pairs: cosine >= {NEAR_DUP_COSINE} "
-    "among multi-table LSH candidates — semantic dedup for a 100 TB corpus "
-    "(candidates per bucket, O(n·bucket) not O(n²)).",
-)
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tb = _spark_tb_pairs(_spark_bucketed(spark, sf_dir))
-    a = tb.select(F.col("vec_id").alias("a_id"), "t", "bk")
-    b = tb.select(F.col("vec_id").alias("b_id"), "t", "bk")
-    cands = (
-        a.join(b, ["t", "bk"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
-    normed = _spark_normed(spark, sf_dir)
-    a = normed.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = normed.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    cosine = _spark_dot("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm"))
-    return (
-        cands.join(a, "a_id")
-        .join(b, "b_id")
-        .select("a_id", "b_id", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
-    )
-
-
 # ------------------------------------------------- IVF-style ANN
 _DUCK_IVF_CELLS = f"""
 dims AS (SELECT unnest(generate_series(1, {DIM})) AS dim),
@@ -715,6 +663,157 @@ cells AS (
 """
 
 
+# ------------------- embedding-cosine near-dup + SemDeDup (merged report)
+NEAR_DUP_COSINE = 0.35  # synthetic corpus: ~99.9th pct of pair similarity
+SEMDEDUP_COS = 0.32  # ε-ball bound: in-cell ~99.5th pct — selective, nonempty
+
+
+def _spark_ivf_cells(
+    spark: SparkSession, sf_dir: str, dist: DataFrame | None = None
+) -> DataFrame:
+    """(vec_id, cell): nearest coarse-codebook centroid per vector — the
+    IVF assignment step, shared by ANN probing and SemDeDup."""
+    if dist is None:
+        dist = _spark_ivf_dist(spark, sf_dir)
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
+    return (
+        dist.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("label").alias("cell"))
+    )
+
+
+def semdedup_verdicts(
+    normed: DataFrame, cells: DataFrame, threshold: float = SEMDEDUP_COS
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop every vector
+    that falls inside a LOWER-id vector's cosine ε-ball *within its
+    k-means cell*. One row per dropped vector: ``b_id`` = the dropped
+    id, ``a_id`` = its strongest lower-id witness, ``cosine`` = their
+    similarity (ties → lowest witness id, so the verdict set is a pure
+    function of the corpus).
+
+    Scale shape: the coarse clustering bounds the pair space to
+    O(Σ cell²) instead of O(n²), and each cell's pairs co-locate under
+    one (cell) shuffle key — the exact trick the paper uses to run on
+    LAION-scale corpora. Keep-lowest-id is the deterministic stand-in
+    for the paper's keep-one-per-ε-group rule.
+    """
+    n = normed.join(cells, "vec_id")
+    a = n.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        "cell",
+    )
+    b = n.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        "cell",
+    )
+    cosine = _spark_dot("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm"))
+    scored = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("b_id").orderBy(F.col("cosine").desc(), F.col("a_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_DUCK_SEMDEDUP = f"""
+sd_cand AS (
+  SELECT ca.vec_id AS a_id, cb.vec_id AS b_id
+  FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+),
+sd_scored AS (
+  SELECT a_id, b_id,
+         {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+  FROM sd_cand JOIN normed a ON a.vec_id = a_id JOIN normed b ON b.vec_id = b_id
+),
+semdedup AS (
+  SELECT a_id, b_id, cosine FROM (
+    SELECT a_id, b_id, cosine,
+           row_number() OVER (PARTITION BY b_id ORDER BY cosine DESC, a_id) AS rn
+    FROM sd_scored WHERE cosine >= {SEMDEDUP_COS}
+  ) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+WITH {_DUCK_NORMED},
+{_DUCK_TB.strip()},
+{_DUCK_IVF_CELLS.strip()},
+{_DUCK_SEMDEDUP.strip()},
+pair_cands AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM tb a JOIN tb b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id
+)
+SELECT 'lsh_pairs' AS method, a_id, b_id, cosine FROM (
+  SELECT a_id, b_id,
+         {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+  FROM pair_cands JOIN normed a ON a.vec_id = a_id JOIN normed b ON b.vec_id = b_id
+) WHERE cosine >= {NEAR_DUP_COSINE}
+UNION ALL
+SELECT 'semdedup' AS method, a_id, b_id, cosine FROM semdedup
+""",
+    doc=f"Embedding-space near-duplicate report, two arms. "
+    f"method='lsh_pairs': pairs at cosine >= {NEAR_DUP_COSINE} among "
+    "multi-table LSH candidates (candidates per bucket, O(n·bucket) not "
+    "O(n²)). method='semdedup' (r9): SemDeDup verdicts (Abbas et al. "
+    "2023) — within each IVF coarse-codebook cell, every vector caught "
+    f"in a lower-id vector's ε-ball (cosine >= {SEMDEDUP_COS}) is "
+    "reported with its strongest witness; the clustering bounds the "
+    "pair space to O(Σ cell²) and keys the shuffle by cell. The oracle "
+    "recomputes both the LSH buckets and the k-means assignment "
+    "exactly, so the hash gate attests the full candidate→verdict "
+    "chain.",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucketed = _spark_bucketed(spark, sf_dir)
+    tb = _spark_tb_pairs(bucketed)
+    a = tb.select(F.col("vec_id").alias("a_id"), "t", "bk")
+    b = tb.select(F.col("vec_id").alias("b_id"), "t", "bk")
+    cands = (
+        a.join(b, ["t", "bk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    normed = _spark_normed(spark, sf_dir).persist()
+    na = normed.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    nb = normed.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cosine = _spark_dot("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm"))
+    pairs = (
+        cands.join(na, "a_id")
+        .join(nb, "b_id")
+        .select("a_id", "b_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .select(F.lit("lsh_pairs").alias("method"), "a_id", "b_id", "cosine")
+    )
+    sd = semdedup_verdicts(normed, _spark_ivf_cells(spark, sf_dir)).select(
+        F.lit("semdedup").alias("method"), "a_id", "b_id", "cosine"
+    )
+    return finalize(pairs.unionByName(sd), bucketed, normed)
+
+
 def q_similarity_ivf_single(
     spark: SparkSession, sf_dir: str, dist: DataFrame | None = None
 ) -> DataFrame:
@@ -726,12 +825,7 @@ def q_similarity_ivf_single(
     ``similarity_ivf_topk`` query."""
     if dist is None:
         dist = _spark_ivf_dist(spark, sf_dir)
-    w_cell = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
-    cells = (
-        dist.withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("label").alias("cell"))
-    )
+    cells = _spark_ivf_cells(spark, sf_dir, dist=dist)
     normed = _spark_normed(spark, sf_dir).join(cells, "vec_id")
     q = normed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
