@@ -582,8 +582,93 @@ def q_corpus_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------------------ TF-IDF keyword extraction
+# ---------------------------- TF-IDF keywords + BM25 ranking (merged)
 TFIDF_TOPK = 3
+# BM25 constants are DYADIC on purpose (exactly representable in both
+# decimal and binary): DuckDB parses bare decimal literals as DECIMAL
+# before converting, so a non-dyadic 1.2 would be 1 ulp off Spark's
+# double literal, while 1.25/0.75 convert exactly on both engines.
+BM25_K1 = 1.25
+BM25_B = 0.75
+BM25_TOPK = 3
+BM25_QUERY_TERMS = ("hash", "spark", "window")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: "tuple[str, ...]" = BM25_QUERY_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(doc_id, token, tf, doc_freq, score): Okapi BM25 of every document
+    against each query term — the lexical-retrieval complement to the
+    ANN surface (a RAG/search pipeline runs both and fuses).
+
+    The idf is the RATIONAL Robertson form (N − df + 0.5)/(df + 0.5) —
+    a monotone transform of the usual ln(·+1) idf, so per-term ranking
+    is identical while every operation stays inside +,·,/ (exactly-
+    rounded IEEE, bit-identical across engines; ln drifts in the last
+    ulp between libm builds — the same rule as the linear idf above).
+
+    Plan: the term filter pushes into the exploded token stream before
+    the (doc, term) tf aggregate (map-side partial agg), the per-term
+    df aggregate is |terms|-sized, corpus stats are a single broadcast
+    row — no shuffle wider than the tf table, O(corpus) one scan.
+    """
+    toks = docs.select("doc_id", F.explode(F.expr(_toks("spark"))).alias("token"))
+    dls = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    qtf = (
+        toks.filter(F.col("token").isin(list(terms)))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    qdf = qtf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    stats = dls.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    idf = (F.col("n_docs").cast("double") - F.col("doc_freq") + 0.5) / (
+        F.col("doc_freq").cast("double") + 0.5
+    )
+    denom = F.col("tf").cast("double") + k1 * (
+        (1.0 - b) + b * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    score = idf * ((F.col("tf").cast("double") * (k1 + 1.0)) / denom)
+    return (
+        qtf.join(qdf, "token")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "token", "tf", "doc_freq", score.alias("score"))
+    )
+
+
+def _bm25_duck(terms: "tuple[str, ...]" = BM25_QUERY_TERMS) -> str:
+    """DuckDB twin of bm25_scores: term-for-term the same double
+    expression tree (every operand cast to DOUBLE before the op, dyadic
+    constants), so scores are bit-identical."""
+    in_list = ", ".join("'{}'".format(t.replace("'", "''")) for t in sorted(terms))
+    return f"""
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dls
+),
+qtf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks
+  WHERE token IN ({in_list}) GROUP BY 1, 2
+),
+qdf AS (SELECT token, count(*) AS doc_freq FROM qtf GROUP BY 1),
+bm AS (
+  SELECT doc_id, token, tf, doc_freq,
+         ((CAST(n_docs AS DOUBLE) - doc_freq + 0.5)
+            / (CAST(doc_freq AS DOUBLE) + 0.5))
+         * ((CAST(tf AS DOUBLE) * {BM25_K1 + 1.0})
+            / (CAST(tf AS DOUBLE)
+               + {BM25_K1} * ({1.0 - BM25_B}
+                              + {BM25_B} * (CAST(dl AS DOUBLE) / avgdl)))) AS score
+  FROM qtf JOIN qdf USING (token) JOIN dls USING (doc_id) CROSS JOIN stats
+)
+"""
 
 
 @register(
@@ -594,8 +679,9 @@ WITH toks AS (
 ),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
 dfq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
-n AS (SELECT count(*) AS n_docs FROM documents)
-SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+n AS (SELECT count(*) AS n_docs FROM documents),
+{_bm25_duck().strip()}
+SELECT 'tfidf' AS method, doc_id, CAST(rank AS BIGINT) AS rank, token,
        CAST(tf AS BIGINT) AS tf, CAST(doc_freq AS BIGINT) AS doc_freq, score
 FROM (
   SELECT doc_id, token, tf, doc_freq,
@@ -605,17 +691,29 @@ FROM (
                                      token) AS rank
   FROM tf JOIN dfq USING (token) CROSS JOIN n
 ) WHERE rank <= {TFIDF_TOPK}
+UNION ALL
+SELECT 'bm25' AS method, doc_id, CAST(rank AS BIGINT) AS rank, token,
+       CAST(tf AS BIGINT) AS tf, CAST(doc_freq AS BIGINT) AS doc_freq, score
+FROM (
+  SELECT doc_id, token, tf, doc_freq, score,
+         row_number() OVER (PARTITION BY token
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM bm
+) WHERE rank <= {BM25_TOPK}
 """,
-    doc=f"TF-IDF keyword extraction: top-{TFIDF_TOPK} terms per document "
-    "scored tf × (N / df) — the linear-idf variant, deliberately: one "
-    "integer product and ONE exactly-rounded IEEE division ranks "
-    "identically to tf·(N/df) and is bit-identical across engines, "
-    "where ln(N/df) would drift in the last ulp between libm builds. "
-    "Plan shape: term-frequency aggregate (doc-key shuffle absorbed "
-    "map-side by partial agg), vocabulary-sized doc-frequency "
-    "aggregate, corpus count broadcast as a single-row cross join, "
-    "top-k window per doc. The keyword/topic-tagging stage of a "
-    "curation pipeline.",
+    doc=f"Keyword/retrieval report, two arms. method='tfidf': top-"
+    f"{TFIDF_TOPK} terms per document scored tf × (N / df) — the "
+    "linear-idf variant, deliberately: one integer product and ONE "
+    "exactly-rounded IEEE division ranks identically to tf·(N/df) and "
+    "is bit-identical across engines, where ln(N/df) would drift in "
+    "the last ulp between libm builds. method='bm25' (r9): Okapi BM25 "
+    f"top-{BM25_TOPK} documents per query term (rational Robertson "
+    "idf, dyadic k1/b constants — same no-transcendentals rule), the "
+    "lexical-retrieval complement to the ANN surface. Plan shape: "
+    "term-frequency aggregate (doc-key shuffle absorbed map-side by "
+    "partial agg), vocabulary-sized doc-frequency aggregate, corpus "
+    "stats broadcast as a single-row cross join, top-k windows per doc "
+    "(tfidf) / per term (bm25).",
 )
 def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -625,13 +723,14 @@ def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.count("*").alias("n_docs"))
     score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("doc_freq")
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
-    return (
+    tfidf = (
         tf.join(dfq, "token")
         .crossJoin(F.broadcast(n))
         .withColumn("score", score)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TFIDF_TOPK)
         .select(
+            F.lit("tfidf").alias("method"),
             "doc_id",
             "rank",
             "token",
@@ -640,6 +739,22 @@ def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+    wb = Window.partitionBy("token").orderBy(F.col("score").desc(), F.col("doc_id"))
+    bm25 = (
+        bm25_scores(docs)
+        .withColumn("rank", F.row_number().over(wb).cast("long"))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            F.lit("bm25").alias("method"),
+            "doc_id",
+            "rank",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            "score",
+        )
+    )
+    return tfidf.unionByName(bm25)
 
 
 # --------------------------------------------------- reproducible splits

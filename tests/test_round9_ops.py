@@ -117,3 +117,80 @@ class TestSemDeDup:
             if r["method"] == "semdedup":
                 assert r["cosine"] >= SEMDEDUP_COS
                 assert r["a_id"] < r["b_id"]
+
+
+class TestBM25:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"]),
+            "doc_id long, text string",
+        )
+
+    def test_scores_match_reference_formula(self, spark):
+        from propulsion_spark.operators.textops import (
+            BM25_B,
+            BM25_K1,
+            bm25_scores,
+        )
+
+        docs = self._docs(
+            spark,
+            [
+                (1, "spark spark spark filler filler"),
+                (2, "spark filler"),
+                (3, "filler filler filler"),
+            ],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in bm25_scores(docs, terms=("spark",)).collect()
+        }
+        assert set(out) == {1, 2}
+        n_docs, avgdl = 3, (5 + 2 + 3) / 3
+        df = 2
+
+        def expect(tf, dl):
+            idf = (n_docs - df + 0.5) / (df + 0.5)
+            return idf * (
+                tf * (BM25_K1 + 1.0)
+                / (tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl)))
+            )
+
+        assert out[1]["score"] == expect(3, 5)
+        assert out[2]["score"] == expect(1, 2)
+        assert out[1]["doc_freq"] == df and out[1]["tf"] == 3
+
+    def test_length_normalization_prefers_shorter_doc_at_equal_tf(self, spark):
+        from propulsion_spark.operators.textops import bm25_scores
+
+        docs = self._docs(
+            spark,
+            [
+                (1, "spark " + "pad " * 40),
+                (2, "spark pad"),
+            ],
+        )
+        out = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ("spark",)).collect()}
+        assert out[2] > out[1]
+
+    def test_merged_report_ranks_per_term(self, spark):
+        from propulsion_spark.operators.textops import (
+            BM25_QUERY_TERMS,
+            BM25_TOPK,
+            q_text_tfidf_keywords,
+        )
+
+        rows = q_text_tfidf_keywords(spark, SF_SMOKE).collect()
+        bm = [r for r in rows if r["method"] == "bm25"]
+        assert {r["token"] for r in bm} <= set(BM25_QUERY_TERMS)
+        by_term: dict = {}
+        for r in bm:
+            by_term.setdefault(r["token"], []).append(r)
+        for term, rs in by_term.items():
+            ranks = sorted(r["rank"] for r in rs)
+            assert ranks == list(range(1, len(rs) + 1))
+            assert len(rs) <= BM25_TOPK
+            # rank order == score order
+            rs = sorted(rs, key=lambda r: r["rank"])
+            scores = [r["score"] for r in rs]
+            assert scores == sorted(scores, reverse=True)
