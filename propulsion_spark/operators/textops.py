@@ -815,6 +815,51 @@ def _epoch_copies_sql(dialect: str, weights: "dict[str, int] | None" = None) -> 
     )
 
 
+# --------------------------------------------- priority sampling (r9)
+PSAMPLE_K = 100
+_PS_M = 1 << 20  # u = (h%M + 1)/M is exact: M is a power of two, so the
+# division only shifts the exponent — u is the same double on both engines
+
+
+def _priority_expr(dialect: str, weight: str = "n_chars", id_col: str = "doc_id") -> str:
+    """w / u: the Duffield-Lund-Thorup priority (JACM '07 "Priority
+    sampling for estimation of arbitrary subset sums"). Top-K by this
+    key is a weighted without-replacement sample with unbiased
+    subset-sum estimators. Chosen over A-ES (u^(1/w)) deliberately:
+    the priority needs only exactly-rounded IEEE division, where the
+    exponentiation key would drift between libm builds (the repo's
+    no-transcendentals rule)."""
+    if dialect == "spark":
+        h = SPARK_H64.format(x=f"concat(cast({id_col} as string), '-ps')")
+    else:
+        h = DUCK_H64.format(x=f"concat(CAST({id_col} AS VARCHAR), '-ps')")
+    u = f"(CAST(({h}) % {_PS_M} AS DOUBLE) + 1.0) / {_PS_M}"
+    return f"CAST({weight} AS DOUBLE) / ({u})"
+
+
+def priority_sample(
+    df: DataFrame, k: int = PSAMPLE_K, weight: str = "n_chars", id_col: str = "doc_id"
+) -> DataFrame:
+    """The k rows with the largest priorities (ties → lowest id) plus
+    their ``ps_priority`` — a deterministic size-weighted sample whose
+    inclusion never flips for an old row when the corpus grows, only
+    the threshold moves.
+
+    Scale shape: orderBy(...).limit(k) compiles to
+    TakeOrderedAndProject — every partition keeps a local k-heap and
+    the driver merges k-sized heaps; no global sort, no wide shuffle,
+    O(k) driver memory. The anti-pattern (row_number over an
+    unpartitioned window → single-task sort) is exactly what this
+    avoids."""
+    pri = F.expr(_priority_expr("spark", weight=weight, id_col=id_col))
+    return (
+        df.withColumn("ps_priority", pri)
+        .orderBy(F.col("ps_priority").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+
 # benchmark-decontamination facet of corpus_split_assign: the
 # pseudo-benchmark is the doc_id % BENCH_MOD == 0 slice (both engines
 # derive it identically); a doc is bench-hit when it shares ≥1 word
@@ -864,6 +909,10 @@ grams AS (
 bench_hits AS (
   SELECT DISTINCT doc_id FROM grams WHERE g IN
     (SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_MOD} = 0)
+),
+psample AS (
+  SELECT doc_id FROM base
+  ORDER BY {_priority_expr('duck')} DESC, doc_id LIMIT {PSAMPLE_K}
 )
 SELECT source, split,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -876,10 +925,15 @@ SELECT source, split,
        CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_bench_hit,
        CAST(sum(epoch_copies) AS BIGINT) AS epoch_copies,
-       CAST(sum(epoch_copies * n_chars) AS BIGINT) AS epoch_chars
+       CAST(sum(epoch_copies * n_chars) AS BIGINT) AS epoch_chars,
+       CAST(sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_psample,
+       CAST(sum(CASE WHEN p.doc_id IS NOT NULL THEN n_chars ELSE 0 END) AS BIGINT)
+           AS psample_chars
 FROM (SELECT *, {{EPOCH_COPIES_DUCK}} AS epoch_copies FROM base) base
 JOIN fps USING (fp)
 LEFT JOIN bench_hits h USING (doc_id)
+LEFT JOIN psample p USING (doc_id)
 GROUP BY source, split
 """.replace(
         "{EPOCH_COPIES_DUCK}", _epoch_copies_sql("duck")
@@ -908,7 +962,12 @@ GROUP BY source, split
     "epoch_copies/epoch_chars total the deterministic per-source "
     "training-mixture copy counts (EPOCH_BP; >1 epoch up-samples "
     "curated sources) that resample_epochs materializes — the "
-    "token-budget accounting a mixture recipe is planned against.",
+    "token-budget accounting a mixture recipe is planned against — "
+    f"PLUS priority sampling (r9): n_psample/psample_chars count the "
+    f"global top-{PSAMPLE_K} size-weighted priority sample "
+    "(Duffield-Lund-Thorup w/u priorities; TakeOrderedAndProject, no "
+    "global sort) per cell — the weighted inspection/eval draw whose "
+    "subset-sum estimators are unbiased.",
 )
 def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from propulsion_spark.operators.decontam import (
@@ -943,9 +1002,13 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_hit = contamination_scores(docs, bloom).select(
         "doc_id", (F.col("n_hits") > 0).alias("bench_hit")
     )
+    psample = priority_sample(docs.select("doc_id", "n_chars")).select(
+        "doc_id", F.lit(True).alias("in_ps")
+    )
     return (
         base.join(fps, "fp")
         .join(bench_hit, "doc_id")
+        .join(F.broadcast(psample), "doc_id", "left")
         .groupBy("source", "split")
         .agg(
             F.count("*").alias("n_docs"),
@@ -959,6 +1022,10 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("epoch_copies").alias("epoch_copies"),
             F.sum(F.col("epoch_copies") * F.col("n_chars")).alias(
                 "epoch_chars"
+            ),
+            F.sum(F.when(F.col("in_ps"), 1).otherwise(0)).alias("n_psample"),
+            F.sum(F.when(F.col("in_ps"), F.col("n_chars")).otherwise(0)).alias(
+                "psample_chars"
             ),
         )
     )

@@ -194,3 +194,62 @@ class TestBM25:
             rs = sorted(rs, key=lambda r: r["rank"])
             scores = [r["score"] for r in rs]
             assert scores == sorted(scores, reverse=True)
+
+
+class TestPrioritySample:
+    def _docs(self, spark, n=200):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": range(n), "n_chars": [(i * 37) % 501 for i in range(n)]}
+            ),
+            "doc_id long, n_chars long",
+        )
+
+    def test_matches_bruteforce_selection(self, spark):
+        from propulsion_spark.operators.textops import _PS_M, priority_sample
+        import hashlib
+
+        docs = self._docs(spark)
+        got = sorted(
+            r["doc_id"] for r in priority_sample(docs, k=25).collect()
+        )
+
+        def pri(i, w):
+            h = int(hashlib.md5(f"{i}-ps".encode()).hexdigest()[:15], 16)
+            u = (float(h % _PS_M) + 1.0) / _PS_M
+            return float(w) / u
+
+        rows = [(i, (i * 37) % 501) for i in range(200)]
+        want = sorted(
+            sorted(rows, key=lambda t: (-pri(*t), t[0]))[:25]
+        )
+        assert got == [i for i, _ in want]
+
+    def test_partition_invariant(self, spark):
+        from propulsion_spark.operators.textops import priority_sample
+
+        docs = self._docs(spark, 300)
+        a = sorted(r["doc_id"] for r in priority_sample(docs, k=40).collect())
+        b = sorted(
+            r["doc_id"]
+            for r in priority_sample(docs.repartition(13), k=40).collect()
+        )
+        assert a == b and len(a) == 40
+
+    def test_growth_only_displaces_never_reshuffles(self, spark):
+        """Appending docs can only evict old members past the new
+        threshold — every surviving old member keeps its priority, so
+        the old sample ⊇ (new sample ∩ old corpus)."""
+        from propulsion_spark.operators.textops import priority_sample
+
+        old = self._docs(spark, 150)
+        new = self._docs(spark, 300)
+        s_old = {r["doc_id"] for r in priority_sample(old, k=30).collect()}
+        s_new = {r["doc_id"] for r in priority_sample(new, k=30).collect()}
+        assert (s_new & set(range(150))) <= s_old
+
+    def test_plan_is_take_ordered_not_global_sort(self, spark):
+        from propulsion_spark.operators.textops import priority_sample
+
+        plan = priority_sample(self._docs(spark), k=10)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
