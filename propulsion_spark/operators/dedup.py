@@ -277,10 +277,136 @@ def lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return band_pairs_from_sigs(minhash_with_bands(spark, sf_dir, persist=True))
 
 
+# ---- fuzzy edit-distance join (r9): PassJoin segment signatures ----
+FUZZY_LEN = 16  # fixed-length normalized prefix key
+FUZZY_MAXD = 2  # levenshtein bound
+
+
+def _ed_segments(length: int = FUZZY_LEN, d: int = FUZZY_MAXD):
+    """(idx, start, len) of the d+1 contiguous key segments (1-based
+    starts), longer segments first — the PassJoin partition scheme."""
+    n = d + 1
+    base, rem = divmod(length, n)
+    segs, start = [], 1
+    for i in range(n):
+        seg_len = base + (1 if i < rem else 0)
+        segs.append((i, start, seg_len))
+        start += seg_len
+    return segs
+
+
+def _fuzzy_key(dialect: str, text_col: str = "text") -> str:
+    """Fixed-length record-linkage key: the first FUZZY_LEN chars of the
+    normalized text, '#'-padded so every key has exactly FUZZY_LEN chars
+    (the fixed length is what makes the segment scheme complete)."""
+    if dialect == "spark":
+        return f"rpad(substring({normalized('spark', text_col)}, 1, {FUZZY_LEN}), {FUZZY_LEN}, '#')"
+    return f"rpad(substr({normalized('duck', text_col)}, 1, {FUZZY_LEN}), {FUZZY_LEN}, '#')"
+
+
+def fuzzy_edit_pairs(
+    docs: DataFrame,
+    max_dist: int = FUZZY_MAXD,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a_id, b_id, dist): all doc pairs whose fixed-length prefix keys
+    are within ``max_dist`` levenshtein edits — the record-linkage /
+    fuzzy-join verb (near-identical titles, headers, URLs).
+
+    Candidate generation is the PassJoin partition scheme (Li, Deng,
+    Feng VLDB'11): each key splits into d+1 contiguous segments; by
+    pigeonhole, ed(a,b) <= d means at least one of a's segments occurs
+    verbatim in b within a ±d position shift, so candidates come from
+    ONE equi-join on (segment_idx, segment_text) — never O(n²) — and
+    the exact levenshtein verify runs on candidates only. Explode
+    fan-out is (d+1) rows on the probe side and ≤ (d+1)(2d+1) on the
+    build side, constants at any corpus size; skewed segments (shared
+    boilerplate prefixes) behave like hot LSH buckets and are handled
+    the same way (AQE skew join).
+    """
+    segs = _ed_segments(FUZZY_LEN, max_dist)
+    seg_structs = ", ".join(
+        f"named_struct('i', {i}, 's', {s}, 'l', {l})" for i, s, l in segs
+    )
+    keys = docs.selectExpr(
+        f"{id_col} AS doc_id", f"{_fuzzy_key('spark', text_col)} AS k"
+    )
+    asegs = keys.selectExpr(
+        "doc_id AS a_id", "k AS ka", f"explode(array({seg_structs})) AS g"
+    ).selectExpr("a_id", "g.i AS i", "substring(ka, g.s, g.l) AS seg")
+    bsubs = (
+        keys.selectExpr(
+            "doc_id AS b_id", "k AS kb", f"explode(array({seg_structs})) AS g"
+        )
+        .selectExpr(
+            "b_id",
+            "kb",
+            "g.i AS i",
+            "g.l AS l",
+            f"explode(sequence(greatest(1, g.s - {max_dist}),"
+            f" least(g.s + {max_dist}, {FUZZY_LEN} - g.l + 1))) AS st",
+        )
+        .selectExpr("b_id", "kb", "i", "substring(kb, st, l) AS seg")
+    )
+    cands = (
+        asegs.join(bsubs, ["i", "seg"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    ka = keys.select(F.col("doc_id").alias("a_id"), F.col("k").alias("ka"))
+    kb = keys.select(F.col("doc_id").alias("b_id"), F.col("k").alias("kb"))
+    return (
+        cands.join(ka, "a_id")
+        .join(kb, "b_id")
+        .withColumn("dist", F.levenshtein("ka", "kb").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select("a_id", "b_id", "dist")
+    )
+
+
+def _fuzzy_duck() -> str:
+    """DuckDB twin of fuzzy_edit_pairs at the default (LEN, D)."""
+    segs = _ed_segments()
+    seg_rows = ", ".join(f"({i}, {s}, {l})" for i, s, l in segs)
+    return f"""
+fkeys AS (
+  SELECT doc_id, {_fuzzy_key('duck')} AS k FROM documents
+),
+fsegs AS (
+  SELECT doc_id AS a_id, i, substr(k, s, l) AS seg
+  FROM fkeys, (VALUES {seg_rows}) segs(i, s, l)
+),
+fsubs AS (
+  SELECT b_id, i, substr(k, CAST(st AS INT), l) AS seg
+  FROM (
+    SELECT doc_id AS b_id, k, i, l,
+           unnest(generate_series(greatest(1, s - {FUZZY_MAXD}),
+                                  least(s + {FUZZY_MAXD}, {FUZZY_LEN} - l + 1))) AS st
+    FROM fkeys, (VALUES {seg_rows}) segs(i, s, l)
+  )
+),
+fcand AS (
+  SELECT DISTINCT least(a_id, b_id) AS a_id, greatest(a_id, b_id) AS b_id
+  FROM fsegs JOIN fsubs USING (i, seg) WHERE a_id != b_id
+),
+fuzzy AS (
+  SELECT a_id, b_id, levenshtein(ka.k, kb.k) AS dist
+  FROM fcand JOIN fkeys ka ON ka.doc_id = a_id JOIN fkeys kb ON kb.doc_id = b_id
+  WHERE levenshtein(ka.k, kb.k) <= {FUZZY_MAXD}
+)
+"""
+
+
 @register(
     "dedup_minhash_lsh_pairs",
     f"""
 WITH {_DUCK_SIGS_BANDED}, {_DUCK_BAND_PAIRS},
+{_fuzzy_duck().strip()},
 grams AS (SELECT doc_id, {_grams('duck')} AS g FROM documents)
 SELECT 'candidate' AS stage, a_id, b_id,
        CAST(matches AS DOUBLE) / {NUM_HASHES} AS score
@@ -294,15 +420,21 @@ JOIN grams ga ON ga.doc_id = a_id
 JOIN grams gb ON gb.doc_id = b_id
 WHERE length(list_intersect(ga.g, gb.g)) /
       (length(ga.g) + length(gb.g) - length(list_intersect(ga.g, gb.g))) >= {JACCARD_CUTOFF}
+UNION ALL
+SELECT 'edit', a_id, b_id, CAST(dist AS DOUBLE) FROM fuzzy
 """,
-    doc="The two-phase near-dup pipeline in one report. stage='candidate': "
+    doc="The near-dup pair pipeline in one report. stage='candidate': "
     "MinHash-LSH band-bucket pairs at estimated Jaccard ≥ 0.5 (score = "
     "signature agreement; shuffle on band key, never O(n²)). "
     "stage='verified': exact word-3-gram Jaccard ≥ 0.2 computed on the "
     "banded candidates only (cheap LSH recall → exact precision, the "
     "100 TB scale shape — verification cost scales with candidates, not "
     "with the corpus squared). Merged r5 from dedup_minhash_lsh_pairs + "
-    "dedup_ngram_jaccard so the driver gate attests both stages.",
+    "dedup_ngram_jaccard so the driver gate attests both stages. "
+    f"stage='edit' (r9): the fuzzy edit-distance join — levenshtein ≤ "
+    f"{FUZZY_MAXD} over fixed-{FUZZY_LEN}-char normalized prefix keys, "
+    "candidates from the complete PassJoin segment scheme (one "
+    "equi-join on (segment_idx, segment_text)); score = the distance.",
 )
 def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_with_bands(spark, sf_dir, persist=True)
@@ -332,7 +464,15 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("score") >= JACCARD_CUTOFF)
     )
-    return finalize(candidates.unionByName(verified), pairs, sigs)
+    edit = fuzzy_edit_pairs(load_table(spark, sf_dir, "documents")).select(
+        F.lit("edit").alias("stage"),
+        "a_id",
+        "b_id",
+        F.col("dist").cast("double").alias("score"),
+    )
+    return finalize(
+        candidates.unionByName(verified).unionByName(edit), pairs, sigs
+    )
 
 
 # ----------------------------------------------------- winnowing

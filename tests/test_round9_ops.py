@@ -253,3 +253,101 @@ class TestPrioritySample:
 
         plan = priority_sample(self._docs(spark), k=10)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestFuzzyEditJoin:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": range(len(texts)), "text": texts}
+            ),
+            "doc_id long, text string",
+        )
+
+    def test_complete_vs_bruteforce(self, spark):
+        """The PassJoin segment filter loses NO pair: operator output ==
+        all-pairs levenshtein over the fixed-length keys."""
+        from propulsion_spark.operators.dedup import (
+            FUZZY_LEN,
+            FUZZY_MAXD,
+            fuzzy_edit_pairs,
+            normalized,
+        )
+        import itertools
+
+        texts = [
+            "alpha beta gamma delta",
+            "alpha beta gamma delts",      # 1 sub inside the window
+            "alpha bets gamma delta",      # 1 sub
+            "alpha beta gamma",            # same 16-prefix
+            "alphx betx gammx delta",      # 3 subs → out at d=2
+            "totally different words",
+            "zzz yyy xxx www",
+            "alpha  beta   gamma delta",   # whitespace collapses → dup
+            "ALPHA BETA GAMMA DELTA",      # case-folds → dup
+            "",                            # all-pad key
+            "b",                           # near-all-pad
+        ]
+        docs = self._docs(spark, texts)
+        got = sorted(
+            (r["a_id"], r["b_id"], r["dist"])
+            for r in fuzzy_edit_pairs(docs).collect()
+        )
+
+        keys_df = docs.selectExpr(
+            "doc_id", f"{'rpad(substring(' + normalized('spark') + ', 1, 16), 16, {})'.format(chr(39)+chr(35)+chr(39))} AS k"
+        ).collect()
+        keys = {r["doc_id"]: r["k"] for r in keys_df}
+
+        def lev(a, b):
+            m, n = len(a), len(b)
+            dp = list(range(n + 1))
+            for i in range(1, m + 1):
+                prev, dp[0] = dp[0], i
+                for j in range(1, n + 1):
+                    cur = dp[j]
+                    dp[j] = min(
+                        dp[j] + 1,
+                        dp[j - 1] + 1,
+                        prev + (a[i - 1] != b[j - 1]),
+                    )
+                    prev = cur
+            return dp[n]
+
+        want = sorted(
+            (a, b, lev(keys[a], keys[b]))
+            for a, b in itertools.combinations(sorted(keys), 2)
+            if lev(keys[a], keys[b]) <= FUZZY_MAXD
+        )
+        assert got == want and len(want) >= 4
+        assert all(len(k) == FUZZY_LEN for k in keys.values())
+
+    def test_symmetric_and_canonical(self, spark):
+        from propulsion_spark.operators.dedup import fuzzy_edit_pairs
+
+        docs = self._docs(spark, ["hello world foo", "hello world fop"])
+        rows = fuzzy_edit_pairs(docs).collect()
+        assert [(r["a_id"], r["b_id"], r["dist"]) for r in rows] == [(0, 1, 1)]
+
+    def test_partition_invariant(self, spark):
+        from propulsion_spark.operators.dedup import fuzzy_edit_pairs
+
+        texts = [f"prefix {i % 9} common tail words" for i in range(60)]
+        docs = self._docs(spark, texts)
+        a = sorted(map(tuple, fuzzy_edit_pairs(docs).collect()))
+        b = sorted(map(tuple, fuzzy_edit_pairs(docs.repartition(11)).collect()))
+        assert a == b and len(a) > 0
+
+    def test_merged_report_edit_stage(self, spark):
+        from propulsion_spark.operators.dedup import (
+            FUZZY_MAXD,
+            q_dedup_minhash_lsh_pairs,
+        )
+
+        rows = q_dedup_minhash_lsh_pairs(spark, SF_SMOKE).collect()
+        stages = {r["stage"] for r in rows}
+        assert stages <= {"candidate", "verified", "edit"}
+        for r in rows:
+            if r["stage"] == "edit":
+                assert 0 <= r["score"] <= FUZZY_MAXD
+                assert r["a_id"] < r["b_id"]
