@@ -64,6 +64,11 @@ def cmd_sync(args) -> int:
             lm_kwargs["lm"] = spark.read.parquet(lm_table)
             if getattr(args, "lm_min_score", None) is not None:
                 lm_kwargs["lm_min_score"] = args.lm_min_score
+        sem_table = getattr(args, "semdedup_embeddings", None)
+        if sem_table:
+            lm_kwargs["semdedup_embeddings"] = spark.read.parquet(sem_table)
+            if getattr(args, "semdedup_cos", None) is not None:
+                lm_kwargs["semdedup_cos"] = args.semdedup_cos
         pipe = CurationPipeline(
             spark,
             dst if kind == "curated" else args.to,
@@ -810,6 +815,19 @@ def main(argv=None) -> int:
         help="with --curate: cut cross-document duplicated k-token "
         "spans before the gates (Lee et al. 2021 ExactSubstr; intra-"
         "batch span table — run single-batch for corpus-wide spans)",
+    )
+    s.add_argument(
+        "--semdedup-embeddings",
+        help="with --curate: parquet dir of (vec_id, embedding, label) "
+        "rows keyed by doc_id — drops semantic near-duplicates "
+        "(SemDeDup: in-cell cosine eps-balls over a k-means "
+        "assignment; drop set computed once per pipeline life)",
+    )
+    s.add_argument(
+        "--semdedup-cos",
+        type=float,
+        help="with --semdedup-embeddings: cosine threshold for the "
+        "eps-ball (default SEMDEDUP_COS)",
     )
     s.set_defaults(fn=cmd_sync)
 

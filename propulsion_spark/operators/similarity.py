@@ -683,6 +683,50 @@ def _spark_ivf_cells(
     )
 
 
+def normed_frame(emb: DataFrame) -> DataFrame:
+    """(…, nrm) over any (vec_id, embedding) frame — the frame-based
+    twin of _spark_normed for side-input pipelines."""
+    return emb.withColumn("nrm", F.sqrt(_spark_dot("embedding", "embedding")))
+
+
+def ivf_cells(emb: DataFrame, label_col: str = "label") -> DataFrame:
+    """(vec_id, cell) over a (vec_id, embedding, label) frame: exact
+    fixed-point label-seeded centroids + nearest-centroid assignment —
+    the frame-based twin of _spark_ivf_cells, for pipelines whose
+    embeddings arrive as a side input instead of a table. Determinism
+    matches the oracle machinery: centroid components are 2^-30
+    fixed-point integer sums, distances exact decimal sums."""
+    expl = emb.select(
+        "vec_id", F.col(label_col).alias("label"),
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    scaled = F.floor(F.col("x") * _CENTROID_SCALE).cast("long")
+    cent = (
+        expl.groupBy("label", "dim")
+        .agg(
+            (F.sum(scaled).cast("double") / (F.count("*") * _CENTROID_SCALE)).alias("c")
+        )
+    )
+    diff = F.col("x") - F.col("c")
+    dist = (
+        expl.drop("label")
+        .join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label")
+        .agg(F.sum((diff * diff).cast("decimal(20,12)")).cast("double").alias("d2"))
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
+    return (
+        dist.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("label").alias("cell"))
+    )
+
+
 def semdedup_verdicts(
     normed: DataFrame, cells: DataFrame, threshold: float = SEMDEDUP_COS
 ) -> DataFrame:

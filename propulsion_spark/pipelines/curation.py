@@ -205,6 +205,8 @@ class CurationPipeline:
         lm: DataFrame | None = None,
         lm_min_score: float = -8.0,
         lm_alpha: float = 0.1,
+        semdedup_embeddings: DataFrame | None = None,
+        semdedup_cos: float | None = None,
     ):
         self.spark = spark
         self.out_path = out_path
@@ -264,6 +266,34 @@ class CurationPipeline:
             self._lm_bc = broadcast_lm(spark, lm, alpha=lm_alpha)
         else:
             self._lm_bc = None
+        # SemDeDup stage (Abbas et al. 2023): like the Bloom and the LM,
+        # the embedding side input is fixed for the pipeline's life, so
+        # the corpus-wide drop set is computed ONCE here (k-means cell
+        # assignment + in-cell ε-ball verdicts — O(Σ cell²) pairs, one
+        # cell-keyed shuffle) and each batch only anti-joins against it.
+        # localCheckpoint: the drop set is small (dropped ids only) and
+        # its lineage (pairwise cosines) must not be re-run per batch.
+        if semdedup_embeddings is not None:
+            from propulsion_spark.operators.similarity import (
+                SEMDEDUP_COS,
+                ivf_cells,
+                normed_frame,
+                semdedup_verdicts,
+            )
+
+            self._sem_drops = (
+                semdedup_verdicts(
+                    normed_frame(semdedup_embeddings),
+                    ivf_cells(semdedup_embeddings),
+                    threshold=(
+                        SEMDEDUP_COS if semdedup_cos is None else semdedup_cos
+                    ),
+                )
+                .select(F.col("b_id").alias("doc_id"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            self._sem_drops = None
         self.fingerprints = _FingerprintTable(spark, f"{out_path}/_fingerprints")
         self.token_hist = _TokenHistogram(spark, f"{out_path}/_token_hist")
         self.bands = (
@@ -279,6 +309,7 @@ class CurationPipeline:
             "pii_redacted": 0,
             "span_trimmed": 0,
             "deduped": 0,
+            "sem_deduped": 0,
             "near_deduped": 0,
             "kept": 0,
         }
@@ -451,12 +482,19 @@ class CurationPipeline:
             (passed.fp == F.col("_kfp")) & (passed.doc_id == F.col("_keeper")),
         ).select(*df.columns, "fp")
         exact_kept = exact_kept.cache()
+        if self._sem_drops is not None:
+            # SemDeDup: anti-join against the pipeline-life drop set.
+            # The set covers the corpus the embedding side input
+            # describes — ids outside it pass untouched.
+            sem_kept = exact_kept.join(self._sem_drops, "doc_id", "left_anti")
+        else:
+            sem_kept = exact_kept
         sigs = new_bands = None
         if self.near_dedup:
-            kept_docs, new_bands, sigs = self._near_dedup_batch(exact_kept)
+            kept_docs, new_bands, sigs = self._near_dedup_batch(sem_kept)
             kept_docs = kept_docs.cache()
         else:
-            kept_docs = exact_kept
+            kept_docs = sem_kept
         try:
             n_seen = df.count()
             n_passed_q = passed_q.count()
@@ -468,6 +506,9 @@ class CurationPipeline:
                 passed.count() if self._bloom is not None else n_passed_l
             )
             n_exact = exact_kept.count()
+            n_sem = (
+                sem_kept.count() if self._sem_drops is not None else n_exact
+            )
             n_kept = kept_docs.count()
             out = kept_docs.drop("fp")
             if self.assign_splits:
@@ -520,7 +561,8 @@ class CurationPipeline:
                 self.stats["pii_redacted"] += n_pii_docs
                 self.stats["span_trimmed"] += n_span_trimmed
                 self.stats["deduped"] += n_passed - n_exact
-                self.stats["near_deduped"] += n_exact - n_kept
+                self.stats["sem_deduped"] += n_exact - n_sem
+                self.stats["near_deduped"] += n_sem - n_kept
                 self.stats["kept"] += n_kept
         finally:
             exact_kept.unpersist()

@@ -114,3 +114,19 @@ class TestCliCurate:
         assert rep["caught_up"] is True
         assert "span_trimmed" in rep["stats"]
         assert rep["stats"]["kept"] > 0
+
+    def test_sync_curate_semdedup(self, tmp_path):
+        """--semdedup-embeddings through the CLI: the corpus-wide drop
+        set is built from the fixture embeddings and the sem_deduped
+        stat is reported."""
+        rep = run_cli(
+            "sync",
+            "--from", "documents:/root/testdata/sf0.001",
+            "--to", f"curated:{tmp_path / 'corpus'}",
+            "--curate",
+            "--semdedup-embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+            "--checkpoints", str(tmp_path / "ck"),
+        )
+        assert rep["caught_up"] is True
+        assert "sem_deduped" in rep["stats"]
+        assert rep["stats"]["kept"] > 0

@@ -351,3 +351,91 @@ class TestFuzzyEditJoin:
             if r["stage"] == "edit":
                 assert 0 <= r["score"] <= FUZZY_MAXD
                 assert r["a_id"] < r["b_id"]
+
+
+class TestSemDedupCurationStage:
+    DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+    GOOD = "the quick brown fox jumps over the lazy dog and keeps running far "
+
+    def _doc(self, doc_id, text):
+        return {
+            "doc_id": doc_id,
+            "text": text,
+            "lang": "en",
+            "source": "s",
+            "n_chars": len(text),
+        }
+
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]),
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    def test_semantic_duplicates_dropped_once(self, spark, tmp_path):
+        from propulsion_spark.pipelines import CurationPipeline
+
+        # docs 1 and 2: textually distinct (different fps, no shared
+        # grams) but embedding-identical → SemDeDup drops 2; doc 3 is
+        # embedding-orthogonal and survives.
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    self._doc(1, self.GOOD * 2 + "first variant"),
+                    self._doc(
+                        2,
+                        "entirely different prose describing one concept "
+                        "using other vocabulary with many more distinct "
+                        "tokens than any floor requires today",
+                    ),
+                    self._doc(
+                        3,
+                        "unrelated third document whose content shares "
+                        "nothing textual nor semantic with either "
+                        "neighbour and still passes every quality gate",
+                    ),
+                ]
+            ),
+            self.DOC_SCHEMA,
+        )
+        emb = self._emb(
+            spark,
+            [
+                (1, [1.0, 0.0, 0.0, 0.0], 0),
+                (2, [0.9, 0.1, 0.0, 0.0], 0),  # cos ≈ .994 with 1
+                (3, [0.0, 0.0, 1.0, 0.0], 1),
+            ],
+        )
+        pipe = CurationPipeline(
+            spark, str(tmp_path / "out"), semdedup_embeddings=emb
+        )
+        pipe.process_batch(docs)
+        kept = sorted(r.doc_id for r in pipe.curated().collect())
+        assert kept == [1, 3]
+        assert pipe.stats["sem_deduped"] == 1
+        assert pipe.stats["kept"] == 2
+
+    def test_ids_outside_side_input_pass(self, spark, tmp_path):
+        from propulsion_spark.pipelines import CurationPipeline
+
+        docs = spark.createDataFrame(
+            pd.DataFrame([self._doc(99, self.GOOD * 2)]), self.DOC_SCHEMA
+        )
+        emb = self._emb(spark, [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0)])
+        pipe = CurationPipeline(
+            spark, str(tmp_path / "out"), semdedup_embeddings=emb
+        )
+        pipe.process_batch(docs)
+        assert [r.doc_id for r in pipe.curated().collect()] == [99]
+        assert pipe.stats["sem_deduped"] == 0
+
+    def test_frame_cells_match_table_cells(self, spark):
+        """ivf_cells (frame-based) reproduces _spark_ivf_cells
+        (table-based) on the fixture embeddings."""
+        from propulsion_spark import load_table
+        from propulsion_spark.operators.similarity import ivf_cells
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        a = sorted(map(tuple, ivf_cells(emb).collect()))
+        b = sorted(map(tuple, _spark_ivf_cells(spark, SF_SMOKE).collect()))
+        assert a == b
