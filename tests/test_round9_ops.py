@@ -439,3 +439,84 @@ class TestSemDedupCurationStage:
         a = sorted(map(tuple, ivf_cells(emb).collect()))
         b = sorted(map(tuple, _spark_ivf_cells(spark, SF_SMOKE).collect()))
         assert a == b
+
+
+class TestZOrderLayout:
+    def test_morton_interleave_known_bits(self, spark):
+        from propulsion_spark.operators.layout import zorder_key
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"x": [0b11, 0b10, 0b00], "y": [0b00, 0b01, 0b11]}),
+            "x long, y long",
+        )
+        out = [
+            r["z"]
+            for r in df.select(
+                zorder_key([F.col("x"), F.col("y")], bits=2).alias("z")
+            ).collect()
+        ]
+        # bit b of col i lands at b*2+i: x=11,y=00 → 0101 = 5;
+        # x=10,y=01 → x-bit1@pos2 + y-bit0@pos1 = 0110 = 6
+        assert out == [0b0101, 0b0110, 0b1010]
+
+    def test_key_width_guard(self, spark):
+        from propulsion_spark.operators.layout import zorder_key
+        import pytest
+
+        with pytest.raises(ValueError):
+            zorder_key([F.lit(0)] * 4, bits=16)
+
+    def test_zorder_skips_more_files_than_linear_sort(self, spark, tmp_path):
+        """The point of the layout: a box predicate on (x, y) skips most
+        z-ordered files, but almost no files of a y-sorted layout when
+        filtering on x (and vice versa)."""
+        from propulsion_spark.operators.layout import (
+            file_skip_stats,
+            layout_zorder,
+        )
+
+        n = 1 << 14
+        df = spark.range(n).select(
+            (F.col("id") % 128).alias("x"),
+            (F.floor(F.col("id") / 128)).alias("y"),
+            F.col("id").alias("payload"),
+        )
+        z_path = str(tmp_path / "z")
+        lin_path = str(tmp_path / "lin")
+        layout_zorder(df, ["x", "y"], num_files=16).write.parquet(z_path)
+        df.repartitionByRange(16, "y").sortWithinPartitions(
+            "y"
+        ).write.parquet(lin_path)
+
+        box = {"x": (0, 15), "y": (0, 15)}  # 1/64 of the grid
+        z = file_skip_stats(z_path, box)
+        lin = file_skip_stats(lin_path, box)
+        assert z["files"] >= 16 and lin["files"] >= 16
+        # z-order skips most files; the y-sorted layout only prunes on y
+        assert z["skipped"] / z["files"] >= 0.75
+        assert z["skipped"] / z["files"] > lin["skipped"] / lin["files"]
+        # and the x-only predicate is hopeless for the linear layout
+        lin_x = file_skip_stats(lin_path, {"x": (0, 15)})
+        z_x = file_skip_stats(z_path, {"x": (0, 15)})
+        assert lin_x["skipped"] == 0
+        assert z_x["skipped"] > 0
+
+    def test_layout_preserves_rows_and_schema(self, spark, tmp_path):
+        from propulsion_spark.operators.layout import layout_zorder
+
+        df = spark.range(1000).select(
+            (F.col("id") % 10).alias("x"), F.col("id").alias("y")
+        )
+        out_path = str(tmp_path / "out")
+        layout_zorder(df, ["x", "y"], num_files=4).write.parquet(out_path)
+        back = spark.read.parquet(out_path)
+        assert back.columns == ["x", "y"]
+        assert back.count() == 1000
+        assert back.agg(F.sum("y")).collect()[0][0] == 999 * 1000 // 2
+
+    def test_constant_column_quantizes_to_zero(self, spark):
+        from propulsion_spark.operators.layout import with_zorder_key
+
+        df = spark.range(10).select(F.lit(7).alias("x"), F.col("id").alias("y"))
+        keys = [r["zkey"] for r in with_zorder_key(df, ["x", "y"], bits=4).collect()]
+        assert len(set(keys)) > 1  # y still differentiates
