@@ -278,7 +278,12 @@ def lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- fuzzy edit-distance join (r9): PassJoin segment signatures ----
-FUZZY_LEN = 16  # fixed-length normalized prefix key
+# Key length picks the segment entropy: at 16 the ~11-char segments of
+# a low-entropy corpus (synthetic 30-word vocabulary) collapse to a few
+# hot values and the candidate join goes quadratic inside them (10.1 s
+# at sf0.1); at 32 each segment spans ~2 words and candidates are
+# near-linear (1.9 s, measured) — same lever as LSH bucket width.
+FUZZY_LEN = 32  # fixed-length normalized prefix key
 FUZZY_MAXD = 2  # levenshtein bound
 
 

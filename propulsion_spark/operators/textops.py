@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from propulsion_spark import load_table
-from propulsion_spark.operators import register
+from propulsion_spark.operators import finalize, register
 from propulsion_spark.operators.lm import LM_SCALE
 from propulsion_spark.operators.dedup import (
     DUCK_H64,
@@ -599,6 +599,7 @@ def bm25_scores(
     terms: "tuple[str, ...]" = BM25_QUERY_TERMS,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    tf_all: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, token, tf, doc_freq, score): Okapi BM25 of every document
     against each query term — the lexical-retrieval complement to the
@@ -614,14 +615,23 @@ def bm25_scores(
     the (doc, term) tf aggregate (map-side partial agg), the per-term
     df aggregate is |terms|-sized, corpus stats are a single broadcast
     row — no shuffle wider than the tf table, O(corpus) one scan.
+    ``tf_all`` lets a caller that already aggregated (doc_id, token, tf)
+    over ALL tokens (the merged tfidf report) share it instead of
+    re-exploding the corpus: dl = sum(tf) per doc, identical integers.
     """
-    toks = docs.select("doc_id", F.explode(F.expr(_toks("spark"))).alias("token"))
-    dls = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    qtf = (
-        toks.filter(F.col("token").isin(list(terms)))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-    )
+    if tf_all is not None:
+        dls = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        qtf = tf_all.filter(F.col("token").isin(list(terms)))
+    else:
+        toks = docs.select(
+            "doc_id", F.explode(F.expr(_toks("spark"))).alias("token")
+        )
+        dls = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        qtf = (
+            toks.filter(F.col("token").isin(list(terms)))
+            .groupBy("doc_id", "token")
+            .agg(F.count("*").alias("tf"))
+        )
     qdf = qtf.groupBy("token").agg(F.count("*").alias("doc_freq"))
     stats = dls.agg(
         F.count("*").alias("n_docs"),
@@ -718,7 +728,8 @@ FROM (
 def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.expr(_toks("spark"))).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # both arms read the (doc, token, tf) aggregate: persist it once
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
     dfq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
     n = docs.agg(F.count("*").alias("n_docs"))
     score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("doc_freq")
@@ -741,7 +752,7 @@ def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wb = Window.partitionBy("token").orderBy(F.col("score").desc(), F.col("doc_id"))
     bm25 = (
-        bm25_scores(docs)
+        bm25_scores(docs, tf_all=tf)
         .withColumn("rank", F.row_number().over(wb).cast("long"))
         .filter(F.col("rank") <= BM25_TOPK)
         .select(
@@ -754,7 +765,7 @@ def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
-    return tfidf.unionByName(bm25)
+    return finalize(tfidf.unionByName(bm25), tf)
 
 
 # --------------------------------------------------- reproducible splits

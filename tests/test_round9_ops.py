@@ -294,8 +294,10 @@ class TestFuzzyEditJoin:
             for r in fuzzy_edit_pairs(docs).collect()
         )
 
+        from propulsion_spark.operators.dedup import _fuzzy_key
+
         keys_df = docs.selectExpr(
-            "doc_id", f"{'rpad(substring(' + normalized('spark') + ', 1, 16), 16, {})'.format(chr(39)+chr(35)+chr(39))} AS k"
+            "doc_id", f"{_fuzzy_key('spark')} AS k"
         ).collect()
         keys = {r["doc_id"]: r["k"] for r in keys_df}
 
