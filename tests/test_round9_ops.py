@@ -522,3 +522,95 @@ class TestZOrderLayout:
         df = spark.range(10).select(F.lit(7).alias("x"), F.col("id").alias("y"))
         keys = [r["zkey"] for r in with_zorder_key(df, ["x", "y"], bits=4).collect()]
         assert len(set(keys)) > 1  # y still differentiates
+
+
+class TestDSIR:
+    """Data Selection with Importance Resampling over the bigram-LM
+    machinery: target-like docs outweigh raw-like docs, the Gumbel
+    draw is deterministic."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"]),
+            "doc_id long, text string",
+        )
+
+    def _bcs(self, spark):
+        from propulsion_spark.operators.lm import broadcast_lm, train_bigram_lm
+
+        target = self._mk(
+            spark,
+            [(i, "quantum field theory lattice gauge boson " * 4) for i in range(5)],
+        )
+        raw = self._mk(
+            spark,
+            [(i, "buy cheap shoes online free shipping deals " * 4) for i in range(5)]
+            + [(9, "quantum field theory lattice gauge boson " * 4)],
+        )
+        return (
+            broadcast_lm(spark, train_bigram_lm(target)),
+            broadcast_lm(spark, train_bigram_lm(raw)),
+        )
+
+    def test_target_like_docs_outweigh_raw_like(self, spark):
+        from propulsion_spark.operators.dsir import dsir_weights
+
+        t_bc, r_bc = self._bcs(spark)
+        docs = self._mk(
+            spark,
+            [
+                (1, "quantum field theory lattice gauge boson"),
+                (2, "buy cheap shoes online free shipping deals"),
+                (3, "quantum field theory free shipping deals"),
+            ],
+        )
+        w = {r["doc_id"]: r["logw"] for r in dsir_weights(docs, t_bc, r_bc).collect()}
+        assert w[1] > w[3] > w[2]
+        assert w[1] > 0 and w[2] < 0
+
+    def test_resample_prefers_target_and_is_deterministic(self, spark):
+        from propulsion_spark.operators.dsir import dsir_resample
+
+        t_bc, r_bc = self._bcs(spark)
+        docs = self._mk(
+            spark,
+            [(i, "quantum field theory lattice gauge boson") for i in range(10)]
+            + [(i, "buy cheap shoes online free shipping deals") for i in range(10, 40)],
+        )
+        # low temperature → essentially hard selection on weight
+        got = sorted(
+            r["doc_id"]
+            for r in dsir_resample(docs, k=10, target_bc=t_bc, raw_bc=r_bc, tau=0.01).collect()
+        )
+        assert got == list(range(10))
+        again = sorted(
+            r["doc_id"]
+            for r in dsir_resample(
+                docs.repartition(7), k=10, target_bc=t_bc, raw_bc=r_bc, tau=0.01
+            ).collect()
+        )
+        assert again == got
+
+    def test_gramless_docs_never_enter_the_draw(self, spark):
+        from propulsion_spark.operators.dsir import dsir_resample
+
+        t_bc, r_bc = self._bcs(spark)
+        docs = self._mk(
+            spark,
+            [(1, "quantum field theory lattice"), (2, "word"), (3, "")],
+        )
+        got = [r["doc_id"] for r in dsir_resample(docs, 5, t_bc, r_bc).collect()]
+        assert got == [1]
+
+    def test_plan_is_take_ordered(self, spark):
+        from propulsion_spark.operators.dsir import dsir_resample
+
+        t_bc, r_bc = self._bcs(spark)
+        docs = self._mk(spark, [(i, "quantum field theory") for i in range(20)])
+        plan = (
+            dsir_resample(docs, 3, t_bc, r_bc)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
