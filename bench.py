@@ -411,6 +411,34 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
             media_fingerprints(media, type_col="media_type")
         ).write.format("noop").mode("overwrite").save()
         timings["pipeline_media_phash_dedup"] = round(time.time() - t0, 3)
+
+        # z-order layout write (r9): morton key + range shuffle +
+        # in-file sort over events — the one-extra-shuffle cost that
+        # buys multi-dimensional min/max file skipping
+        from propulsion_spark import load_table as _lt
+        from propulsion_spark.operators.layout import layout_zorder
+
+        ev = _lt(spark, sf_dir, "events").select("user_id", "value", "event_type")
+        t0 = time.time()
+        layout_zorder(ev, ["user_id", "value"], num_files=32).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/zorder")
+        timings["pipeline_zorder_layout"] = round(time.time() - t0, 3)
+
+        # DSIR selection (r9): train target + raw bigram LMs, broadcast,
+        # two map-only scoring passes, Gumbel-top-k draw
+        from propulsion_spark.operators.dsir import dsir_resample
+        from propulsion_spark.operators.lm import broadcast_lm, train_bigram_lm
+
+        t0 = time.time()
+        target_lm = train_bigram_lm(full.filter("doc_id % 7 = 0"), min_count=2)
+        raw_lm = train_bigram_lm(full, min_count=2)
+        t_bc = broadcast_lm(spark, target_lm)
+        r_bc = broadcast_lm(spark, raw_lm)
+        dsir_resample(full, k=500, target_bc=t_bc, raw_bc=r_bc).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["pipeline_dsir_select"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings
