@@ -580,6 +580,58 @@ def cmd_lmtrain(args) -> int:
     return 0
 
 
+def cmd_dsir(args) -> int:
+    """DSIR data selection: importance-resample --k docs from --src
+    toward the --target domain (two bigram LMs trained here, or reuse
+    pre-trained counts via --target-lm/--raw-lm), write the selection."""
+    from propulsion_spark import get_spark
+    from propulsion_spark.operators.dsir import dsir_resample
+    from propulsion_spark.operators.lm import broadcast_lm, train_bigram_lm
+
+    if not args.target and not args.target_lm:
+        print(json.dumps({"error": "one of --target / --target-lm required"}))
+        return 2
+    spark = get_spark("propulsion-dsir")
+    docs = spark.read.parquet(args.src)
+    if args.target_lm:
+        target_lm = spark.read.parquet(args.target_lm)
+    else:
+        target_lm = train_bigram_lm(
+            spark.read.parquet(args.target), min_count=args.min_count
+        )
+    if args.raw_lm:
+        raw_lm = spark.read.parquet(args.raw_lm)
+    else:
+        raw_lm = train_bigram_lm(docs, min_count=args.min_count)
+    t_bc = broadcast_lm(spark, target_lm)
+    r_bc = broadcast_lm(spark, raw_lm)
+    picked = dsir_resample(
+        docs, k=args.k, target_bc=t_bc, raw_bc=r_bc, tau=args.tau,
+        salt=args.salt,
+    )
+    picked.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    agg = out.selectExpr(
+        "count(*) AS n_selected",
+        "min(logw) AS min_logw",
+        "max(logw) AS max_logw",
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "k": args.k,
+                "tau": args.tau,
+                "n_selected": agg["n_selected"],
+                "min_logw": agg["min_logw"],
+                "max_logw": agg["max_logw"],
+                "out": args.out,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def cmd_decontam(args) -> int:
     """Remove benchmark n-grams from a corpus: build the Bloom bitset
     from --bench, score every --src doc map-only, write kept/flagged."""
@@ -951,6 +1003,25 @@ def main(argv=None) -> int:
         help="prune grams seen fewer times (keeps the table broadcastable)",
     )
     lt.set_defaults(fn=cmd_lmtrain)
+
+    ds = sub.add_parser(
+        "dsir",
+        help="importance-resample k docs toward a target domain (DSIR)",
+    )
+    ds.add_argument("--src", required=True, help="raw corpus parquet dir")
+    ds.add_argument(
+        "--target", help="target-domain docs parquet dir (trains the target LM)"
+    )
+    ds.add_argument("--target-lm", help="pre-trained target LM counts (lmtrain)")
+    ds.add_argument("--raw-lm", help="pre-trained raw LM counts (lmtrain)")
+    ds.add_argument("--out", required=True)
+    ds.add_argument("--k", type=int, required=True)
+    ds.add_argument("--tau", type=float, default=1.0,
+                    help="resampling temperature (0 → hard top-k)")
+    ds.add_argument("--salt", default="dsir-0",
+                    help="re-salt for an independent draw")
+    ds.add_argument("--min-count", type=int, default=2)
+    ds.set_defaults(fn=cmd_dsir)
 
     an = sub.add_parser(
         "ann", help="build/search the materialized partition-pruned ANN index"

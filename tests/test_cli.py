@@ -130,3 +130,16 @@ class TestCliCurate:
         assert rep["caught_up"] is True
         assert "sem_deduped" in rep["stats"]
         assert rep["stats"]["kept"] > 0
+
+    def test_dsir_selection(self, tmp_path):
+        """dsir verb e2e: select k docs from the fixture corpus toward
+        a target slice and report the weight range."""
+        rep = run_cli(
+            "dsir",
+            "--src", "/root/testdata/sf0.001/documents.parquet",
+            "--target", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(tmp_path / "picked"),
+            "--k", "20",
+        )
+        assert rep["n_selected"] == 20
+        assert rep["max_logw"] >= rep["min_logw"]
