@@ -689,33 +689,40 @@ def normed_frame(emb: DataFrame) -> DataFrame:
     return emb.withColumn("nrm", F.sqrt(_spark_dot("embedding", "embedding")))
 
 
-def ivf_cells(emb: DataFrame, label_col: str = "label") -> DataFrame:
-    """(vec_id, cell) over a (vec_id, embedding, label) frame: exact
-    fixed-point label-seeded centroids + nearest-centroid assignment —
-    the frame-based twin of _spark_ivf_cells, for pipelines whose
-    embeddings arrive as a side input instead of a table. Determinism
-    matches the oracle machinery: centroid components are 2^-30
-    fixed-point integer sums, distances exact decimal sums."""
+def centroids_frame(emb: DataFrame, label_col: str = "label") -> DataFrame:
+    """(label, dim, c) exact fixed-point label-seeded centroids over any
+    (vec_id, embedding, label) frame — the frame-based codebook builder
+    (components are 2^-30 quantized integer sums: deterministic under
+    any partitioning, same discipline as the oracle machinery)."""
     expl = emb.select(
-        "vec_id", F.col(label_col).alias("label"),
+        F.col(label_col).alias("label"),
         F.posexplode("embedding").alias("pos", "xf"),
     ).select(
-        "vec_id",
         "label",
         (F.col("pos") + 1).cast("long").alias("dim"),
         F.col("xf").cast("double").alias("x"),
     )
     scaled = F.floor(F.col("x") * _CENTROID_SCALE).cast("long")
-    cent = (
-        expl.groupBy("label", "dim")
-        .agg(
-            (F.sum(scaled).cast("double") / (F.count("*") * _CENTROID_SCALE)).alias("c")
-        )
+    return expl.groupBy("label", "dim").agg(
+        (F.sum(scaled).cast("double") / (F.count("*") * _CENTROID_SCALE)).alias("c")
+    )
+
+
+def assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment of a (vec_id,
+    embedding) frame against a broadcast (label, dim, c) codebook —
+    exact decimal distance sums, deterministic argmin (ties → lowest
+    label)."""
+    expl = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
     )
     diff = F.col("x") - F.col("c")
     dist = (
-        expl.drop("label")
-        .join(F.broadcast(cent), "dim")
+        expl.join(F.broadcast(cent), "dim")
         .groupBy("vec_id", "label")
         .agg(F.sum((diff * diff).cast("decimal(20,12)")).cast("double").alias("d2"))
     )
@@ -725,6 +732,14 @@ def ivf_cells(emb: DataFrame, label_col: str = "label") -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("label").alias("cell"))
     )
+
+
+def ivf_cells(emb: DataFrame, label_col: str = "label") -> DataFrame:
+    """(vec_id, cell) over a (vec_id, embedding, label) frame: exact
+    fixed-point label-seeded centroids + nearest-centroid assignment —
+    the frame-based twin of _spark_ivf_cells, for pipelines whose
+    embeddings arrive as a side input instead of a table."""
+    return assign_cells(emb, centroids_frame(emb, label_col))
 
 
 def semdedup_verdicts(

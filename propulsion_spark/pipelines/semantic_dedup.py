@@ -1,0 +1,207 @@
+"""Streaming (cross-batch) semantic dedup — the embedding twin of
+MediaDedupStream and of the curation pipeline's near-dup stage: each
+micro-batch assigns its vectors to cells under a codebook FROZEN at
+construction (the AnnIndex append discipline — a drifting codebook
+would silently re-cluster history), resolves ε-ball duplicates INSIDE
+the batch exactly (SemDeDup keep-lowest-id), then checks survivors
+against a durable registry of every keeper ever admitted — so a
+paraphrase of a document ingested last week is caught this week without
+re-scoring last week's corpus.
+
+Scale shape (the media-dedup discipline, applied to embeddings):
+
+- Cell assignment is one broadcast-codebook aggregate per batch; the
+  registry join is keyed by cell, so cross-batch comparison cost is
+  O(batch × cell occupancy), never O(batch × corpus).
+- State is O(keepers) rows of (cell, keeper, embedding, nrm) — the
+  embedding IS the fingerprint here (cosine needs it); at 100 TB the
+  registry is the corpus's embedding table re-partitioned by cell,
+  which the storage layer already holds — int8-quantizing the stored
+  vectors (the AnnIndex trick) is the future shrink lever.
+- The registry is the repo's append-then-compact ``_DeltaRegistry``
+  (lease-fenced atomic manifest flips): ``register()`` writes O(batch)
+  delta rows, segments fold every ``compact_after`` batches.
+- Greedy across batches: clusters never merge retroactively
+  (first-writer-wins — the same streaming trade the text and media
+  pipelines document).
+- Replay-idempotent: a keeper re-processing its own batch matches only
+  its OWN registry rows (self-matches excluded), survives again, and
+  re-registers identical rows that the registry resolve dedups; the
+  kept-output write is keyed by batch id with dynamic partition
+  overwrite.
+
+jet/propulsion has no embedding analogue — LLM-data-pipeline extension
+surface alongside SemDeDup's batch operator
+(`operators/similarity.py::semdedup_verdicts`, Abbas et al. 2023).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from propulsion_spark.pipelines.curation import _DeltaRegistry
+
+
+class _SemVecTable(_DeltaRegistry):
+    """Keeper-vector registry: one row per keeper carrying its cell,
+    embedding and norm for the cosine verify. Replays resolve away."""
+
+    SCHEMA = "cell long, keeper long, embedding array<float>, nrm double"
+    COLS = ["cell", "keeper", "embedding", "nrm"]
+
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        return df.dropDuplicates(["cell", "keeper"])
+
+
+class SemDedupStream:
+    """Cross-batch SemDeDup over a durable keeper registry.
+
+    ``codebook`` is a (label, dim, c) centroid frame (build one with
+    ``operators.similarity.centroids_frame`` over a seed corpus) —
+    materialized once here and broadcast into every batch's
+    assignment. ``process_batch`` returns the batch's surviving rows;
+    ``run_batch`` writes them idempotently; ``stream_into`` wires
+    foreachBatch."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry_path: str,
+        codebook: DataFrame,
+        threshold: float | None = None,
+        id_col: str = "doc_id",
+        emb_col: str = "embedding",
+        compact_after: int = 8,
+    ):
+        from propulsion_spark.operators.similarity import SEMDEDUP_COS
+
+        self.spark = spark
+        self.registry = _SemVecTable(
+            spark, registry_path, compact_after=compact_after
+        )
+        # freeze the codebook for the stream's life: small (cells×dims),
+        # lineage cut so no batch re-runs the seed aggregation
+        self.codebook = codebook.localCheckpoint(eager=True)
+        self.threshold = SEMDEDUP_COS if threshold is None else threshold
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.stats = {
+            "seen": 0,
+            "unembeddable": 0,
+            "deduped_in_batch": 0,
+            "deduped_cross_batch": 0,
+            "kept": 0,
+        }
+
+    def process_batch(self, df: DataFrame, batch_id: int = 0) -> DataFrame:
+        """One micro-batch: assign cells → intra-batch SemDeDup →
+        cross-batch registry check → register survivors → survivors.
+
+        Rows with a NULL or zero-norm embedding are KEPT and counted
+        (`unembeddable`), never silently dropped — cosine is undefined
+        for them, so they must degrade to "not deduped", not to data
+        loss (the media-dedup null-fingerprint contract)."""
+        from propulsion_spark.operators.similarity import (
+            _spark_dot,
+            assign_cells,
+            semdedup_verdicts,
+        )
+
+        base = df.select(
+            F.col(self.id_col).alias("vec_id"),
+            F.col(self.emb_col).alias("embedding"),
+        ).withColumn("nrm", F.sqrt(_spark_dot("embedding", "embedding")))
+        normed = base.filter(
+            F.col("embedding").isNotNull() & (F.col("nrm") > 0)
+        ).persist()
+        try:
+            cells = assign_cells(normed, self.codebook)
+            framed = normed.join(cells, "vec_id").persist()
+            # intra-batch: ε-ball keep-lowest-id
+            dropped = semdedup_verdicts(
+                normed, cells, threshold=self.threshold
+            ).select(F.col("b_id").alias("vec_id"))
+            canon = framed.join(dropped, "vec_id", "left_anti")
+            # cross-batch: cell-keyed join vs registered keepers,
+            # cosine verify against each keeper's full vector;
+            # keeper == own id is a replay seeing its own registration
+            table = self.registry.read()
+            cosine = _spark_dot("embedding", "k_emb") / (
+                F.col("nrm") * F.col("k_nrm")
+            )
+            hits = (
+                canon.join(
+                    table.select(
+                        "cell",
+                        F.col("keeper"),
+                        F.col("embedding").alias("k_emb"),
+                        F.col("nrm").alias("k_nrm"),
+                    ),
+                    "cell",
+                )
+                .filter(
+                    (F.col("keeper") != F.col("vec_id"))
+                    & (cosine >= self.threshold)
+                )
+                .select("vec_id")
+                .distinct()
+            )
+            survivors = canon.join(hits, "vec_id", "left_anti")
+            self.registry.register(
+                survivors.select(
+                    "cell",
+                    F.col("vec_id").alias("keeper"),
+                    "embedding",
+                    "nrm",
+                )
+            )
+            keep_ids = survivors.select("vec_id").unionByName(
+                base.join(normed.select("vec_id"), "vec_id", "left_anti")
+                .select("vec_id")
+            )
+            out = df.join(
+                keep_ids.withColumnRenamed("vec_id", self.id_col), self.id_col
+            )
+            n_seen = df.count()
+            n_emb = normed.count()
+            n_canon = canon.count()
+            n_surv = survivors.count()
+            self.stats["seen"] += n_seen
+            self.stats["unembeddable"] += n_seen - n_emb
+            self.stats["deduped_in_batch"] += n_emb - n_canon
+            self.stats["deduped_cross_batch"] += n_canon - n_surv
+            self.stats["kept"] += n_surv + (n_seen - n_emb)
+            return out
+        finally:
+            normed.unpersist()
+            try:
+                framed.unpersist()
+            except NameError:
+                pass
+
+    def run_batch(self, df: DataFrame, batch_id: int, out_path: str) -> None:
+        """process + idempotent write keyed by batch id (dynamic
+        partition overwrite — replays rewrite, never duplicate)."""
+        (
+            self.process_batch(df, batch_id)
+            .withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+
+    def stream_into(
+        self, stream_df: DataFrame, out_path: str, checkpoint_location: str, **trigger
+    ):
+        """Continuous ingestion: foreachBatch with the micro-batch id as
+        the idempotence key, same shape as MediaDedupStream."""
+        return (
+            stream_df.writeStream.foreachBatch(
+                lambda df, bid: self.run_batch(df, bid, out_path)
+            )
+            .option("checkpointLocation", checkpoint_location)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )

@@ -91,6 +91,17 @@ class MetricsExporter:
             lambda: [({"stage": k}, v) for k, v in sorted(pipeline.stats.items())],
         )
 
+    def register_semantic_dedup(self, pipeline) -> "MetricsExporter":
+        """A :class:`~propulsion_spark.pipelines.semantic_dedup.
+        SemDedupStream`: exports its per-stage vector counters
+        (``propulsion_semantic_dedup_total{stage=...}`` — seen,
+        unembeddable, deduped_in_batch, deduped_cross_batch, kept),
+        O(1) per scrape like the media counters."""
+        return self.register_gauge(
+            "propulsion_semantic_dedup_total",
+            lambda: [({"stage": k}, v) for k, v in sorted(pipeline.stats.items())],
+        )
+
     def register_curation(self, pipeline) -> "MetricsExporter":
         """A :class:`~propulsion_spark.pipelines.CurationPipeline`:
         exports its per-stage document counters

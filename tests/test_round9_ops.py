@@ -614,3 +614,124 @@ class TestDSIR:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestSemDedupStream:
+    """Cross-batch streaming SemDeDup over the durable keeper registry."""
+
+    def _emb_docs(self, spark, rows):
+        # rows: (doc_id, [floats])
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "embedding"]),
+            "doc_id long, embedding array<float>",
+        )
+
+    def _codebook(self, spark):
+        from propulsion_spark.operators.similarity import centroids_frame
+
+        seed = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (100, [1.0, 0.0, 0.0], 0),
+                    (101, [0.9, 0.1, 0.0], 0),
+                    (102, [0.0, 0.0, 1.0], 1),
+                    (103, [0.0, 0.1, 0.9], 1),
+                ],
+                columns=["vec_id", "embedding", "label"],
+            ),
+            "vec_id long, embedding array<float>, label int",
+        )
+        return centroids_frame(seed)
+
+    def _stream(self, spark, tmp_path, **kw):
+        from propulsion_spark.pipelines import SemDedupStream
+
+        return SemDedupStream(
+            spark, str(tmp_path / "reg"), self._codebook(spark), **kw
+        )
+
+    def test_cross_batch_duplicate_caught(self, spark, tmp_path):
+        s = self._stream(spark, tmp_path)
+        b1 = self._emb_docs(spark, [(1, [1.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0])])
+        out1 = sorted(r.doc_id for r in s.process_batch(b1, 0).collect())
+        assert out1 == [1, 2]
+        # batch 2: 3 ≈ 1 (same direction) → cross-batch drop; 4 novel
+        b2 = self._emb_docs(spark, [(3, [2.0, 0.0, 0.0]), (4, [0.0, 1.0, 0.0])])
+        out2 = sorted(r.doc_id for r in s.process_batch(b2, 1).collect())
+        assert out2 == [4]
+        assert s.stats["deduped_cross_batch"] == 1
+        assert s.stats["kept"] == 3
+
+    def test_intra_batch_before_registry(self, spark, tmp_path):
+        s = self._stream(spark, tmp_path)
+        b = self._emb_docs(
+            spark,
+            [(1, [1.0, 0.0, 0.0]), (2, [3.0, 0.0, 0.0]), (3, [0.0, 0.0, 1.0])],
+        )
+        out = sorted(r.doc_id for r in s.process_batch(b, 0).collect())
+        assert out == [1, 3]
+        assert s.stats["deduped_in_batch"] == 1
+        assert s.stats["deduped_cross_batch"] == 0
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        s = self._stream(spark, tmp_path)
+        b = self._emb_docs(spark, [(1, [1.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0])])
+        first = sorted(r.doc_id for r in s.process_batch(b, 0).collect())
+        replay = sorted(r.doc_id for r in s.process_batch(b, 0).collect())
+        # a keeper re-seeing its own registration survives again
+        assert first == replay == [1, 2]
+
+    def test_unembeddable_rows_kept(self, spark, tmp_path):
+        s = self._stream(spark, tmp_path)
+        b = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (1, [1.0, 0.0, 0.0]),
+                    (2, None),
+                    (3, [0.0, 0.0, 0.0]),  # zero norm: cosine undefined
+                ],
+                columns=["doc_id", "embedding"],
+            ),
+            "doc_id long, embedding array<float>",
+        )
+        out = sorted(r.doc_id for r in s.process_batch(b, 0).collect())
+        assert out == [1, 2, 3]
+        assert s.stats["unembeddable"] == 2
+
+    def test_stream_into_availablenow(self, spark, tmp_path):
+        import glob
+
+        src = str(tmp_path / "src")
+        b = self._emb_docs(
+            spark,
+            [(i, [1.0, 0.0, 0.0]) for i in range(5)]
+            + [(i, [0.0, 0.0, 1.0]) for i in range(10, 15)],
+        )
+        b.write.parquet(src)
+        s = self._stream(spark, tmp_path)
+        q = s.stream_into(
+            spark.readStream.schema(
+                "doc_id long, embedding array<float>"
+            ).parquet(src),
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+        )
+        q.awaitTermination(120)
+        kept = sorted(
+            r.doc_id
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        )
+        # one keeper per direction
+        assert kept == [0, 10]
+        assert glob.glob(str(tmp_path / "out") + "/_batch_id=*")
+
+    def test_stats_ride_the_metrics_exporter(self, spark, tmp_path):
+        from propulsion_spark.streaming.metrics import MetricsExporter
+
+        s = self._stream(spark, tmp_path)
+        s.process_batch(
+            self._emb_docs(spark, [(1, [1.0, 0.0, 0.0]), (2, [2.0, 0.0, 0.0])]), 0
+        ).count()
+        text = MetricsExporter(group="sd").register_semantic_dedup(s).render()
+        assert "propulsion_semantic_dedup_total" in text
+        assert 'stage="deduped_in_batch"' in text
