@@ -756,6 +756,40 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_semdedup(args) -> int:
+    """SemDeDup verdicts over an embeddings table: k-means cell
+    assignment (label-seeded fixed-point centroids) + in-cell cosine
+    eps-ball drops, written as (a_id witness, b_id dropped, cosine)."""
+    from propulsion_spark import get_spark
+    from propulsion_spark.operators.similarity import (
+        SEMDEDUP_COS,
+        ivf_cells,
+        normed_frame,
+        semdedup_verdicts,
+    )
+
+    spark = get_spark("propulsion-semdedup")
+    emb = spark.read.parquet(args.src)
+    threshold = SEMDEDUP_COS if args.cos is None else args.cos
+    verdicts = semdedup_verdicts(
+        normed_frame(emb), ivf_cells(emb), threshold=threshold
+    )
+    verdicts.write.mode("overwrite").parquet(args.out)
+    written = spark.read.parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "n_vectors": emb.count(),
+                "n_dropped": written.count(),
+                "cos": threshold,
+                "out": args.out,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def cmd_mediadedup(args) -> int:
     """Perceptual near-duplicate media pairs: map-only decode+fingerprint
     (pHash for image/bmp, spectral fingerprint for audio/wav), then the
@@ -1075,6 +1109,18 @@ def main(argv=None) -> int:
     )
     md.add_argument("--id-col", default="doc_id")
     md.set_defaults(fn=cmd_mediadedup)
+
+    sd = sub.add_parser(
+        "semdedup",
+        help="semantic near-duplicate verdicts over an embeddings table",
+    )
+    sd.add_argument(
+        "--src", required=True,
+        help="embeddings parquet dir: (vec_id, embedding, label)",
+    )
+    sd.add_argument("--out", required=True, help="verdicts output dir")
+    sd.add_argument("--cos", type=float, help="eps-ball cosine threshold")
+    sd.set_defaults(fn=cmd_semdedup)
 
     qs = sub.add_parser("queries", help="list registered queries")
     qs.set_defaults(fn=cmd_queries)

@@ -143,3 +143,13 @@ class TestCliCurate:
         )
         assert rep["n_selected"] == 20
         assert rep["max_logw"] >= rep["min_logw"]
+
+    def test_semdedup_verdicts(self, tmp_path):
+        """semdedup verb e2e over the fixture embeddings."""
+        rep = run_cli(
+            "semdedup",
+            "--src", "/root/testdata/sf0.001/embeddings.parquet",
+            "--out", str(tmp_path / "verdicts"),
+        )
+        assert rep["n_vectors"] > 0
+        assert 0 <= rep["n_dropped"] < rep["n_vectors"]
