@@ -1341,3 +1341,48 @@ def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf_learned").alias("method"), "query_id", "n_hit", "recall"
     )
     return finalize(lsh.unionByName(ivf).unionByName(learned), bf, dist0)
+
+
+# --------------------------- hybrid retrieval fusion (r9): RRF
+RRF_K = 60  # the canonical Cormack/Clarke/Buettcher constant
+
+
+def rrf_fuse(
+    ranked: "list[DataFrame]",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR'09):
+    fuse any number of ranked lists into one by score = Σ 1/(k + rank).
+    The standard hybrid-retrieval combiner — BM25 lexical ranks +
+    embedding-cosine ANN ranks in, one fused ranking out — chosen over
+    score interpolation because it needs NO score calibration between
+    systems (ranks only) and stays inside exactly-rounded IEEE
+    division, so fused scores are reproducible anywhere.
+
+    An id absent from one list simply contributes nothing from it
+    (outer union semantics). One union + one (id) aggregate + one
+    global rank window over the fused (small, candidate-sized) table —
+    inputs are top-k lists, so nothing here scales with the corpus.
+    """
+    tagged = None
+    for df in ranked:
+        part = df.select(
+            F.col(id_col).alias("_id"),
+            (
+                F.lit(1.0)
+                / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+            ).alias("_contrib"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = tagged.groupBy("_id").agg(
+        F.sum("_contrib").alias("rrf_score"),
+        F.count("*").alias("n_lists"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("_id"))
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    ).select(
+        F.col("_id").alias(id_col), "rrf_score", "n_lists", "fused_rank"
+    )

@@ -5,6 +5,7 @@ fuzzy edit-distance join."""
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from propulsion_spark.operators.similarity import (
@@ -735,3 +736,63 @@ class TestSemDedupStream:
         text = MetricsExporter(group="sd").register_semantic_dedup(s).render()
         assert "propulsion_semantic_dedup_total" in text
         assert 'stage="deduped_in_batch"' in text
+
+
+class TestRRFFusion:
+    def _ranked(self, spark, pairs):
+        return spark.createDataFrame(
+            pd.DataFrame(pairs, columns=["doc_id", "rank"]),
+            "doc_id long, rank long",
+        )
+
+    def test_fused_scores_match_formula(self, spark):
+        from propulsion_spark.operators.similarity import RRF_K, rrf_fuse
+
+        bm25 = self._ranked(spark, [(1, 1), (2, 2), (3, 3)])
+        ann = self._ranked(spark, [(3, 1), (1, 2), (4, 3)])
+        out = {r["doc_id"]: r for r in rrf_fuse([bm25, ann]).collect()}
+        assert out[1]["rrf_score"] == 1.0 / (RRF_K + 1) + 1.0 / (RRF_K + 2)
+        assert out[4]["rrf_score"] == 1.0 / (RRF_K + 3)
+        assert out[1]["n_lists"] == 2 and out[4]["n_lists"] == 1
+        # doc in both lists outranks single-list docs here
+        assert out[1]["fused_rank"] == 1
+        ranks = sorted(r["fused_rank"] for r in out.values())
+        assert ranks == [1, 2, 3, 4]
+
+    def test_consensus_beats_single_list_top(self, spark):
+        """A doc ranked 2nd by both systems outranks a doc ranked 1st
+        by only one — the property RRF is used for."""
+        from propulsion_spark.operators.similarity import rrf_fuse
+
+        a = self._ranked(spark, [(10, 1), (7, 2)])
+        b = self._ranked(spark, [(20, 1), (7, 2)])
+        out = {r["doc_id"]: r["fused_rank"] for r in rrf_fuse([a, b]).collect()}
+        assert out[7] == 1
+
+    def test_end_to_end_bm25_plus_ann(self, spark):
+        """Fuse real BM25 ranks with real brute-force cosine ranks over
+        the fixture tables (doc_id == vec_id)."""
+        from propulsion_spark.operators.similarity import (
+            q_similarity_topk_bruteforce,
+            rrf_fuse,
+        )
+        from propulsion_spark.operators.textops import bm25_scores
+        from propulsion_spark import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        bm25 = (
+            bm25_scores(docs, terms=("hash",))
+            .withColumn("rank", F.row_number().over(wb).cast("long"))
+            .filter(F.col("rank") <= 10)
+        )
+        ann = (
+            q_similarity_topk_bruteforce(spark, SF_SMOKE)
+            .filter(F.col("query_id") == 0)
+            .select(F.col("neighbor_id").alias("doc_id"), "rank")
+        )
+        fused = rrf_fuse([bm25.select("doc_id", "rank"), ann])
+        rows = fused.collect()
+        assert len(rows) >= 10
+        ranks = sorted(r["fused_rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
