@@ -374,6 +374,42 @@ def fuzzy_edit_pairs(
     )
 
 
+def fuzzy_segment_stats(
+    docs: DataFrame,
+    max_dist: int = FUZZY_MAXD,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per segment index: bucket-occupancy gauge for the fuzzy
+    join's candidate stage — n_buckets, max/avg bucket size, and the
+    exact candidate-pair count Σ n·(n−1) the (idx, seg) equi-join will
+    materialize. The lsh_bucket_stats twin for PassJoin: this round's
+    hot-segment incident (a 16-char key collapsed to a few segment
+    values and the join went quadratic inside them — 10.1 s → 1.9 s
+    after widening to 32) is exactly what this gauge makes visible
+    BEFORE the join runs at 100 TB. Aggregate-only: the gauge itself
+    never builds a pair."""
+    segs = _ed_segments(FUZZY_LEN, max_dist)
+    seg_structs = ", ".join(
+        f"named_struct('i', {i}, 's', {s}, 'l', {l})" for i, s, l in segs
+    )
+    keys = docs.selectExpr(
+        f"{id_col} AS doc_id", f"{_fuzzy_key('spark', text_col)} AS k"
+    )
+    buckets = (
+        keys.selectExpr("doc_id", "k", f"explode(array({seg_structs})) AS g")
+        .selectExpr("g.i AS i", "substring(k, g.s, g.l) AS seg")
+        .groupBy("i", "seg")
+        .agg(F.count("*").alias("n"))
+    )
+    return buckets.groupBy("i").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        (F.sum("n").cast("double") / F.count("*")).alias("avg_bucket"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("candidate_pairs"),
+    )
+
+
 def _fuzzy_duck() -> str:
     """DuckDB twin of fuzzy_edit_pairs at the default (LEN, D)."""
     segs = _ed_segments()

@@ -796,3 +796,51 @@ class TestRRFFusion:
         assert len(rows) >= 10
         ranks = sorted(r["fused_rank"] for r in rows)
         assert ranks == list(range(1, len(rows) + 1))
+
+
+class TestFuzzySegmentStats:
+    def test_occupancy_and_pair_count(self, spark):
+        from propulsion_spark.operators.dedup import (
+            FUZZY_MAXD,
+            fuzzy_segment_stats,
+        )
+
+        # 4 identical keys + 2 distinct → first segment bucket of 4:
+        # candidate_pairs = 4*3 = 12 in that bucket
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": range(6),
+                    "text": ["shared prefix words tail"] * 4
+                    + ["first unique document text", "second unique other text"],
+                }
+            ),
+            "doc_id long, text string",
+        )
+        rows = {r["i"]: r for r in fuzzy_segment_stats(docs).collect()}
+        assert set(rows) == set(range(FUZZY_MAXD + 1))
+        for r in rows.values():
+            assert r["max_bucket"] >= 4
+            assert r["candidate_pairs"] >= 12
+            assert r["n_buckets"] <= 3  # 4 shared + ≤2 unique values
+
+    def test_gauge_predicts_join_work(self, spark):
+        """The gauge's candidate_pairs bounds what the join builds:
+        uniform keys → tiny buckets → near-zero candidates."""
+        from propulsion_spark.operators.dedup import fuzzy_segment_stats
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": range(50),
+                    "text": [
+                        f"a{i} b{i * 7} c{i * 13} d{i * 31} e{i * 3} f{i * 11}"
+                        for i in range(50)
+                    ],
+                }
+            ),
+            "doc_id long, text string",
+        )
+        rows = fuzzy_segment_stats(docs).collect()
+        total = sum(r["candidate_pairs"] for r in rows)
+        assert total < 50 * 49  # far from all-pairs
