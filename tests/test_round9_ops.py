@@ -289,7 +289,10 @@ class TestFuzzyEditJoin:
             "",                            # all-pad key
             "b",                           # near-all-pad
         ]
-        docs = self._docs(spark, texts)
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+            "doc_id long, text string",
+        )
         got = sorted(
             (r["a_id"], r["b_id"], r["dist"])
             for r in fuzzy_edit_pairs(docs).collect()
@@ -844,3 +847,54 @@ class TestFuzzySegmentStats:
         rows = fuzzy_segment_stats(docs).collect()
         total = sum(r["candidate_pairs"] for r in rows)
         assert total < 50 * 49  # far from all-pairs
+
+    def test_complete_on_randomized_low_entropy_corpus(self, spark):
+        """Pigeonhole completeness under stress: a seeded random corpus
+        over a 3-char alphabet (maximal segment collisions, heavy
+        padding, many ties) still matches all-pairs brute force."""
+        import itertools
+        import random
+
+        from propulsion_spark.operators.dedup import (
+            FUZZY_MAXD,
+            _fuzzy_key,
+            fuzzy_edit_pairs,
+        )
+
+        rng = random.Random(9)
+        texts = [
+            "".join(rng.choice("ab ") for _ in range(rng.randint(0, 20)))
+            for _ in range(40)
+        ]
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r["a_id"], r["b_id"], r["dist"])
+            for r in fuzzy_edit_pairs(docs).collect()
+        )
+        keys = {
+            r["doc_id"]: r["k"]
+            for r in docs.selectExpr(
+                "doc_id", f"{_fuzzy_key('spark')} AS k"
+            ).collect()
+        }
+
+        def lev(a, b):
+            m, n = len(a), len(b)
+            dp = list(range(n + 1))
+            for i in range(1, m + 1):
+                prev, dp[0] = dp[0], i
+                for j in range(1, n + 1):
+                    cur = dp[j]
+                    dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                    prev = cur
+            return dp[n]
+
+        want = sorted(
+            (a, b, lev(keys[a], keys[b]))
+            for a, b in itertools.combinations(sorted(keys), 2)
+            if lev(keys[a], keys[b]) <= FUZZY_MAXD
+        )
+        assert got == want and len(want) > 0
