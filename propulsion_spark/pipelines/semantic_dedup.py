@@ -148,9 +148,13 @@ class SemDedupStream:
                 .distinct()
             )
             survivors = canon.join(hits, "vec_id", "left_anti")
+            # cell cast pins the registry schema: codebooks with int
+            # labels must not write int cells next to the long SCHEMA
+            # (mixed per-segment parquet types poison later unions —
+            # the ann_index _load_pq lesson)
             self.registry.register(
                 survivors.select(
-                    "cell",
+                    F.col("cell").cast("long").alias("cell"),
                     F.col("vec_id").alias("keeper"),
                     "embedding",
                     "nrm",
