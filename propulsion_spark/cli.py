@@ -69,6 +69,13 @@ def cmd_sync(args) -> int:
             lm_kwargs["semdedup_embeddings"] = spark.read.parquet(sem_table)
             if getattr(args, "semdedup_cos", None) is not None:
                 lm_kwargs["semdedup_cos"] = args.semdedup_cos
+        dsir_t = getattr(args, "dsir_target_lm", None)
+        dsir_r = getattr(args, "dsir_raw_lm", None)
+        if dsir_t or dsir_r:
+            lm_kwargs["dsir_target_lm"] = spark.read.parquet(dsir_t) if dsir_t else None
+            lm_kwargs["dsir_raw_lm"] = spark.read.parquet(dsir_r) if dsir_r else None
+            if getattr(args, "dsir_min_logw", None) is not None:
+                lm_kwargs["dsir_min_logw"] = args.dsir_min_logw
         pipe = CurationPipeline(
             spark,
             dst if kind == "curated" else args.to,
@@ -914,6 +921,22 @@ def main(argv=None) -> int:
         type=float,
         help="with --semdedup-embeddings: cosine threshold for the "
         "eps-ball (default SEMDEDUP_COS)",
+    )
+    s.add_argument(
+        "--dsir-target-lm",
+        help="with --curate: parquet LM counts of the TARGET domain "
+        "(lmtrain) — gates docs by DSIR log importance weight",
+    )
+    s.add_argument(
+        "--dsir-raw-lm",
+        help="with --dsir-target-lm: parquet LM counts of the RAW "
+        "corpus (lmtrain)",
+    )
+    s.add_argument(
+        "--dsir-min-logw",
+        type=float,
+        help="with the DSIR gate: minimum log importance weight "
+        "(default 0.0 — at least as target-like as raw)",
     )
     s.set_defaults(fn=cmd_sync)
 

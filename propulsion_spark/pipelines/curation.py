@@ -15,6 +15,10 @@ query).
                             a reference LM broadcast once per pipeline
                             life — the CCNet-style gibberish filter;
                             train offline with the `lmtrain` verb)
+      → DSIR gate          (optional: log importance weight under a
+                            target vs raw LM pair — the streaming
+                            target-domain filter; both LMs broadcast
+                            once per pipeline life)
       → decontamination    (optional: benchmark n-gram Bloom bitset
                             built once, broadcast, map-only scan —
                             before dedup so a flagged doc never
@@ -207,6 +211,10 @@ class CurationPipeline:
         lm_alpha: float = 0.1,
         semdedup_embeddings: DataFrame | None = None,
         semdedup_cos: float | None = None,
+        dsir_target_lm: DataFrame | None = None,
+        dsir_raw_lm: DataFrame | None = None,
+        dsir_min_logw: float = 0.0,
+        dsir_alpha: float = 0.1,
     ):
         self.spark = spark
         self.out_path = out_path
@@ -266,6 +274,27 @@ class CurationPipeline:
             self._lm_bc = broadcast_lm(spark, lm, alpha=lm_alpha)
         else:
             self._lm_bc = None
+        # DSIR gate (Xie et al. 2023): a streaming target-domain filter —
+        # both LM count tables broadcast once for the pipeline's life,
+        # per batch two map-only scoring passes; a doc whose log
+        # importance weight log p_target − log p_raw falls below
+        # dsir_min_logw is less target-like than raw and gates out.
+        # NULL weights (<2 tokens) pass — the token-bounds gate owns
+        # degenerate lengths.
+        self.dsir_min_logw = dsir_min_logw
+        if dsir_target_lm is not None or dsir_raw_lm is not None:
+            if dsir_target_lm is None or dsir_raw_lm is None:
+                raise ValueError(
+                    "the DSIR gate needs BOTH dsir_target_lm and dsir_raw_lm"
+                )
+            from propulsion_spark.operators.lm import broadcast_lm
+
+            self._dsir_bcs = (
+                broadcast_lm(spark, dsir_target_lm, alpha=dsir_alpha),
+                broadcast_lm(spark, dsir_raw_lm, alpha=dsir_alpha),
+            )
+        else:
+            self._dsir_bcs = None
         # SemDeDup stage (Abbas et al. 2023): like the Bloom and the LM,
         # the embedding side input is fixed for the pipeline's life, so
         # the corpus-wide drop set is computed ONCE here (k-means cell
@@ -306,6 +335,7 @@ class CurationPipeline:
             "rejected_repetition": 0,
             "rejected_benchmark": 0,
             "rejected_lm": 0,
+            "rejected_dsir": 0,
             "pii_redacted": 0,
             "span_trimmed": 0,
             "deduped": 0,
@@ -456,6 +486,25 @@ class CurationPipeline:
             )
         else:
             passed_l = passed_r
+        if self._dsir_bcs is not None:
+            # DSIR target-domain gate: two map-only broadcast-LM scores,
+            # keep docs at least dsir_min_logw more target-like than raw
+            from propulsion_spark.operators.dsir import dsir_weights
+
+            t_bc, r_bc = self._dsir_bcs
+            w = dsir_weights(
+                passed_l.select("doc_id", "text"), t_bc, r_bc
+            ).select("doc_id", "logw")
+            passed_d = (
+                passed_l.join(w, "doc_id", "left")
+                .filter(
+                    F.col("logw").isNull()
+                    | (F.col("logw") >= self.dsir_min_logw)
+                )
+                .drop("logw")
+            )
+        else:
+            passed_d = passed_l
         if self._bloom is not None:
             # decontaminate BEFORE dedup: a flagged doc must never
             # become a fingerprint/band keeper (it would then suppress
@@ -465,13 +514,13 @@ class CurationPipeline:
             )
 
             flagged = contamination_scores(
-                passed_l.select("doc_id", "text"), self._bloom_bc
+                passed_d.select("doc_id", "text"), self._bloom_bc
             ).filter(
                 F.col("contaminated_frac") > self.decontam_threshold
             ).select("doc_id")
-            passed = passed_l.join(flagged, "doc_id", "left_anti")
+            passed = passed_d.join(flagged, "doc_id", "left_anti")
         else:
-            passed = passed_l
+            passed = passed_d
         # intra-batch keeper, then cross-batch anti-join vs seen fps
         keeper = passed.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
         fresh = keeper.join(self.fingerprints.read(), "fp", "left_anti").select(
@@ -502,8 +551,11 @@ class CurationPipeline:
             n_passed_l = (
                 passed_l.count() if self._lm_bc is not None else n_passed_r
             )
+            n_passed_d = (
+                passed_d.count() if self._dsir_bcs is not None else n_passed_l
+            )
             n_passed = (
-                passed.count() if self._bloom is not None else n_passed_l
+                passed.count() if self._bloom is not None else n_passed_d
             )
             n_exact = exact_kept.count()
             n_sem = (
@@ -557,7 +609,8 @@ class CurationPipeline:
                 self.stats["rejected_quality"] += n_seen - n_passed_q
                 self.stats["rejected_repetition"] += n_passed_q - n_passed_r
                 self.stats["rejected_lm"] += n_passed_r - n_passed_l
-                self.stats["rejected_benchmark"] += n_passed_l - n_passed
+                self.stats["rejected_dsir"] += n_passed_l - n_passed_d
+                self.stats["rejected_benchmark"] += n_passed_d - n_passed
                 self.stats["pii_redacted"] += n_pii_docs
                 self.stats["span_trimmed"] += n_span_trimmed
                 self.stats["deduped"] += n_passed - n_exact

@@ -898,3 +898,69 @@ class TestFuzzySegmentStats:
             if lev(keys[a], keys[b]) <= FUZZY_MAXD
         )
         assert got == want and len(want) > 0
+
+
+class TestDSIRCurationGate:
+    DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+    TARGETY = (
+        "quantum field theory lattice gauge boson operator spectrum "
+        "renormalization flows keep this document safely above gates"
+    )
+    RAWY = (
+        "buy cheap shoes online free shipping deals discount voucher "
+        "coupon promo codes keep this document safely above gates"
+    )
+
+    def _doc(self, doc_id, text):
+        return {
+            "doc_id": doc_id,
+            "text": text,
+            "lang": "en",
+            "source": "s",
+            "n_chars": len(text),
+        }
+
+    def _lms(self, spark):
+        from propulsion_spark.operators.lm import train_bigram_lm
+
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            pd.DataFrame(rows), self.DOC_SCHEMA
+        )
+        target = mk([self._doc(i, self.TARGETY) for i in range(5)])
+        raw = mk(
+            [self._doc(i, self.RAWY) for i in range(5)]
+            + [self._doc(9, self.TARGETY)]
+        )
+        return train_bigram_lm(target), train_bigram_lm(raw)
+
+    def test_gate_drops_raw_like_docs(self, spark, tmp_path):
+        from propulsion_spark.pipelines import CurationPipeline
+
+        t_lm, r_lm = self._lms(spark)
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                [self._doc(1, self.TARGETY), self._doc(2, self.RAWY)]
+            ),
+            self.DOC_SCHEMA,
+        )
+        pipe = CurationPipeline(
+            spark,
+            str(tmp_path / "out"),
+            dsir_target_lm=t_lm,
+            dsir_raw_lm=r_lm,
+        )
+        pipe.process_batch(docs)
+        assert [r.doc_id for r in pipe.curated().collect()] == [1]
+        assert pipe.stats["rejected_dsir"] == 1
+        assert pipe.stats["kept"] == 1
+
+    def test_both_lms_required(self, spark, tmp_path):
+        import pytest
+
+        from propulsion_spark.pipelines import CurationPipeline
+
+        t_lm, _ = self._lms(spark)
+        with pytest.raises(ValueError, match="BOTH"):
+            CurationPipeline(
+                spark, str(tmp_path / "out"), dsir_target_lm=t_lm
+            )
