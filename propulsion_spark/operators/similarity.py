@@ -1343,6 +1343,24 @@ def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize(lsh.unionByName(ivf).unionByName(learned), bf, dist0)
 
 
+def semdedup_cell_stats(cells: DataFrame) -> DataFrame:
+    """One-row occupancy gauge for the SemDeDup pair stage: n_cells,
+    max/avg cell size, and the exact pair count Σ n·(n−1)/2 the in-cell
+    comparison will materialize — the fuzzy_segment_stats twin for
+    embeddings. Run it on the assignment BEFORE the ε-ball stage at
+    scale: a collapsed codebook (one hot cell) turns the stage
+    quadratic, and this is the gauge that shows it. Aggregate-only."""
+    occ = cells.groupBy("cell").agg(F.count("*").alias("n"))
+    return occ.agg(
+        F.count("*").alias("n_cells"),
+        F.max("n").alias("max_cell"),
+        (F.sum("n").cast("double") / F.count("*")).alias("avg_cell"),
+        (F.sum(F.col("n") * (F.col("n") - 1)) / 2).cast("long").alias(
+            "candidate_pairs"
+        ),
+    )
+
+
 # --------------------------- hybrid retrieval fusion (r9): RRF
 RRF_K = 60  # the canonical Cormack/Clarke/Buettcher constant
 

@@ -964,3 +964,16 @@ class TestDSIRCurationGate:
             CurationPipeline(
                 spark, str(tmp_path / "out"), dsir_target_lm=t_lm
             )
+
+
+class TestSemDedupCellStats:
+    def test_occupancy_and_pairs(self, spark):
+        from propulsion_spark.operators.similarity import semdedup_cell_stats
+
+        cells = _cells(spark, [(i, i % 3) for i in range(9)] + [(100, 7)])
+        row = semdedup_cell_stats(cells).collect()[0]
+        assert row["n_cells"] == 4
+        assert row["max_cell"] == 3
+        # 3 cells of 3 → 3·C(3,2)=9 pairs; singleton adds 0
+        assert row["candidate_pairs"] == 9
+        assert row["avg_cell"] == 10 / 4
