@@ -977,3 +977,71 @@ class TestSemDedupCellStats:
         # 3 cells of 3 → 3·C(3,2)=9 pairs; singleton adds 0
         assert row["candidate_pairs"] == 9
         assert row["avg_cell"] == 10 / 4
+
+
+class TestSemDedupGroups:
+    def test_chain_groups_and_lowest_centroid_keep(self, spark):
+        """Three chained near-dups in one cell form ONE group even when
+        the endpoints are below threshold pairwise (the ε-connected
+        contract), and the keeper is the member FARTHEST from the
+        centroid (lowest cosine), per the paper's diversity rule."""
+        from propulsion_spark.operators.similarity import (
+            centroids_frame,
+            semdedup_groups,
+        )
+
+        # cell 0 centroid will be the mean of the seed vectors
+        seed = spark.createDataFrame(
+            pd.DataFrame(
+                [(50, [1.0, 0.0], 0), (51, [0.8, 0.6], 0)],
+                columns=["vec_id", "embedding", "label"],
+            ),
+            "vec_id long, embedding array<float>, label int",
+        )
+        cent = centroids_frame(seed)
+        # chain: 1-2 close, 2-3 close, 1-3 farther; all in cell 0
+        normed = _normed(
+            spark,
+            [(1, [1.0, 0.0]), (2, [0.95, 0.3122499]), (3, [0.8, 0.6])],
+        )
+        cells = _cells(spark, [(1, 0), (2, 0), (3, 0)])
+        rows = {
+            r["vec_id"]: r
+            for r in semdedup_groups(
+                normed, cells, centroids=cent, threshold=0.94
+            ).collect()
+        }
+        assert len({r["group"] for r in rows.values()}) == 1
+        keepers = [v for v, r in rows.items() if r["keep"]]
+        assert len(keepers) == 1
+        # centroid ≈ (0.9, 0.3): vec 1 and vec 3 are the boundary
+        # members; exactly one of them (the lower-cosine one) survives
+        assert keepers[0] in (1, 3)
+
+    def test_singletons_kept(self, spark):
+        from propulsion_spark.operators.similarity import semdedup_groups
+
+        normed = _normed(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+        cells = _cells(spark, [(1, 0), (2, 0)])
+        rows = semdedup_groups(normed, cells, threshold=0.9).collect()
+        assert all(r["keep"] for r in rows)
+        assert {r["group"] for r in rows} == {1, 2}
+
+    def test_lowest_id_fallback_matches_verdicts(self, spark):
+        """Without centroids the group resolution keeps the lowest id —
+        consistent with semdedup_verdicts' drop set on non-chained
+        duplicates."""
+        from propulsion_spark.operators.similarity import semdedup_groups
+
+        normed = _normed(
+            spark, [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (7, [0.0, 1.0])]
+        )
+        cells = _cells(spark, [(1, 0), (2, 0), (7, 0)])
+        rows = {r["vec_id"]: r for r in semdedup_groups(normed, cells).collect()}
+        assert rows[1]["keep"] and not rows[2]["keep"] and rows[7]["keep"]
+        drops_v = {
+            r["b_id"]
+            for r in semdedup_verdicts(normed, cells).collect()
+        }
+        drops_g = {v for v, r in rows.items() if not r["keep"]}
+        assert drops_g == drops_v
