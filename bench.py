@@ -439,6 +439,22 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
             "noop"
         ).mode("overwrite").save()
         timings["pipeline_dsir_select"] = round(time.time() - t0, 3)
+
+        # streaming semantic dedup (r9): codebook from the embeddings
+        # table, two halves of the corpus as consecutive micro-batches —
+        # tracks assignment + eps-ball + registry round-trips per batch
+        from propulsion_spark.operators.similarity import centroids_frame
+        from propulsion_spark.pipelines import SemDedupStream
+
+        emb = _lt(spark, sf_dir, "embeddings")
+        sds = SemDedupStream(
+            spark, f"{tmp}/semreg", centroids_frame(emb)
+        )
+        half = emb.selectExpr("vec_id AS doc_id", "embedding")
+        t0 = time.time()
+        sds.process_batch(half.filter("doc_id % 2 = 0"), 0).count()
+        sds.process_batch(half.filter("doc_id % 2 = 1"), 1).count()
+        timings["pipeline_semdedup_stream"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings
