@@ -763,6 +763,77 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_datacard(args) -> int:
+    """One-command corpus data card (the Datasheets-for-Datasets
+    practice, Gebru et al. 2018): composes already-attested registered
+    queries into a single JSON summary — size and language mix, exact
+    token-length quantiles, exact-duplicate rate, cross-split
+    contamination, benchmark overlap, mixture/epoch/priority-sample
+    accounting. Every number comes from an oracle-verified query, so
+    the card inherits the driver's correctness gate."""
+    from propulsion_spark import get_spark
+    from propulsion_spark.operators import load_all
+
+    spark = get_spark("propulsion-datacard")
+    reg = load_all()
+    sf = args.sf_dir
+
+    lang_rows = [
+        r.asDict() for r in reg["text_lang_stats"].build(spark, sf).collect()
+    ]
+    langs = {
+        r["lang"]: {
+            k: r[k]
+            for k in (
+                "n_docs",
+                "total_tokens",
+                "p50_tokens",
+                "p90_tokens",
+                "p99_tokens",
+                "lm_self_score",
+            )
+            if r.get(k) is not None
+        }
+        for r in lang_rows
+    }
+    dup = reg["dedup_exact"].build(spark, sf)
+    n_fps = dup.count()
+    n_docs = int(
+        dup.agg(F.sum("n_copies").alias("n")).collect()[0]["n"] or 0
+    )
+    split_rows = [
+        r.asDict()
+        for r in reg["corpus_split_assign"].build(spark, sf).collect()
+    ]
+    card = {
+        "sf_dir": sf,
+        "n_docs": n_docs,
+        "n_unique_fingerprints": n_fps,
+        "exact_dup_rate": round(1 - n_fps / n_docs, 6) if n_docs else 0.0,
+        "languages": langs,
+        "splits": sorted(
+            (
+                {
+                    "source": r["source"],
+                    "split": r["split"],
+                    "n_docs": r["n_docs"],
+                    "total_chars": r["total_chars"],
+                    "n_contaminated": r["n_contaminated"],
+                    "n_bench_hit": r["n_bench_hit"],
+                    "n_sampled": r["n_sampled"],
+                    "epoch_copies": r["epoch_copies"],
+                    "n_psample": r["n_psample"],
+                }
+                for r in split_rows
+            ),
+            key=lambda d: (d["source"], d["split"]),
+        ),
+    }
+    print(json.dumps(card))
+    spark.stop()
+    return 0
+
+
 def cmd_semdedup(args) -> int:
     """SemDeDup verdicts over an embeddings table: k-means cell
     assignment (label-seeded fixed-point centroids) + in-cell cosine
@@ -1144,6 +1215,13 @@ def main(argv=None) -> int:
     sd.add_argument("--out", required=True, help="verdicts output dir")
     sd.add_argument("--cos", type=float, help="eps-ball cosine threshold")
     sd.set_defaults(fn=cmd_semdedup)
+
+    dc = sub.add_parser(
+        "datacard",
+        help="one-JSON corpus data card from the attested query surface",
+    )
+    dc.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    dc.set_defaults(fn=cmd_datacard)
 
     qs = sub.add_parser("queries", help="list registered queries")
     qs.set_defaults(fn=cmd_queries)

@@ -153,3 +153,16 @@ class TestCliCurate:
         )
         assert rep["n_vectors"] > 0
         assert 0 <= rep["n_dropped"] < rep["n_vectors"]
+
+    def test_datacard(self, tmp_path):
+        """datacard verb: one JSON line composing attested queries."""
+        rep = run_cli("datacard", "--sf-dir", "/root/testdata/sf0.001")
+        assert rep["n_docs"] > 0
+        assert 0 <= rep["exact_dup_rate"] < 1
+        assert "en" in rep["languages"]
+        assert rep["languages"]["en"]["p50_tokens"] > 0
+        assert rep["splits"] and {s["split"] for s in rep["splits"]} <= {
+            "train", "val", "test"
+        }
+        for s in rep["splits"]:
+            assert s["n_psample"] >= 0 and s["epoch_copies"] >= s["n_docs"] * 0
