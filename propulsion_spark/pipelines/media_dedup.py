@@ -198,8 +198,15 @@ class MediaDedupStream:
             )
             self.registry.register(new_rows)
             # original rows back: fingerprinted survivors + null-fp rows
-            keep_ids = survivors_fp.select("doc_id").unionByName(
-                all_fps.filter(F.col("fp64").isNull()).select("doc_id")
+            # localCheckpoint pins the (ids-only) keep set: the returned
+            # frame is consumed after the finally block unpersists, and
+            # a lazy lineage would re-fingerprint the whole batch
+            keep_ids = (
+                survivors_fp.select("doc_id")
+                .unionByName(
+                    all_fps.filter(F.col("fp64").isNull()).select("doc_id")
+                )
+                .localCheckpoint(eager=True)
             )
             out = df.join(
                 keep_ids.withColumnRenamed("doc_id", self.id_col),

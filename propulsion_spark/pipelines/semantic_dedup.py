@@ -160,9 +160,17 @@ class SemDedupStream:
                     "nrm",
                 )
             )
-            keep_ids = survivors.select("vec_id").unionByName(
-                base.join(normed.select("vec_id"), "vec_id", "left_anti")
-                .select("vec_id")
+            # localCheckpoint pins the (ids-only, batch-bounded) keep
+            # set: the returned frame is consumed AFTER the finally
+            # block releases the persists, and a lazy lineage would
+            # re-run the whole assignment+verdict+registry chain
+            keep_ids = (
+                survivors.select("vec_id")
+                .unionByName(
+                    base.join(normed.select("vec_id"), "vec_id", "left_anti")
+                    .select("vec_id")
+                )
+                .localCheckpoint(eager=True)
             )
             out = df.join(
                 keep_ids.withColumnRenamed("vec_id", self.id_col), self.id_col
