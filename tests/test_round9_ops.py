@@ -743,6 +743,29 @@ class TestSemDedupStream:
         assert "propulsion_semantic_dedup_total" in text
         assert 'stage="deduped_in_batch"' in text
 
+    def test_registry_compaction_preserves_keepers(self, spark, tmp_path):
+        """Crossing compact_after mid-stream folds the delta segments;
+        keepers registered before the fold still dedup afterwards."""
+        s = self._stream(spark, tmp_path, compact_after=3, threshold=0.9)
+        # five single-vector batches, all distinct directions
+        dirs = [
+            [1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0],
+            [1.0, 1.0, 0.0],
+            [0.0, 1.0, 1.0],
+        ]
+        for i, d in enumerate(dirs):
+            out = s.process_batch(self._emb_docs(spark, [(i, d)]), i)
+            assert [r.doc_id for r in out.collect()] == [i]
+        # batch 6 redelivers a copy of the FIRST keeper (registered
+        # before any compaction) — still caught
+        out = s.process_batch(
+            self._emb_docs(spark, [(100, [2.0, 0.0, 0.0])]), 6
+        )
+        assert out.count() == 0
+        assert s.stats["deduped_cross_batch"] == 1
+
 
 class TestRRFFusion:
     def _ranked(self, spark, pairs):
@@ -1048,3 +1071,48 @@ class TestSemDedupGroups:
         }
         drops_g = {v for v, r in rows.items() if not r["keep"]}
         assert drops_g == drops_v
+
+
+class TestZorderKeyProperty:
+    def test_interleave_matches_python_reference_randomized(self, spark):
+        """One batched check over 300 seeded-random (x, y, z) triples:
+        the JVM shift/mask key equals a bit-level Python reference."""
+        import random
+
+        from propulsion_spark.operators.layout import zorder_key
+
+        rng = random.Random(17)
+        bits = 10
+        rows = [
+            (
+                i,
+                rng.randrange(1 << bits),
+                rng.randrange(1 << bits),
+                rng.randrange(1 << bits),
+            )
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["i", "x", "y", "z"]),
+            "i long, x long, y long, z long",
+        )
+        got = {
+            r["i"]: r["k"]
+            for r in df.select(
+                "i",
+                zorder_key(
+                    [F.col("x"), F.col("y"), F.col("z")], bits=bits
+                ).alias("k"),
+            ).collect()
+        }
+
+        def ref(x, y, z):
+            k = 0
+            for b in range(bits):
+                k |= ((x >> b) & 1) << (b * 3 + 0)
+                k |= ((y >> b) & 1) << (b * 3 + 1)
+                k |= ((z >> b) & 1) << (b * 3 + 2)
+            return k
+
+        for i, x, y, z in rows:
+            assert got[i] == ref(x, y, z)
