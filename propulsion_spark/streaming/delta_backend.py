@@ -30,6 +30,13 @@ the delta backend on any machine with ``pip install delta-spark``).
 against the parquet backend; the Delta legs are recorded skips. The
 exact contract a deployment must verify before trusting these adapters
 is ``docs/DELTA_CONFORMANCE.md`` — run it wherever delta-spark installs.
+The STORAGE-MODEL half of the gap is closed natively (r9): the
+positions matrix also runs an always-on ``deltalite`` leg —
+``streaming/deltalite.py`` implements the public Delta transaction-log
+protocol (version-numbered JSON actions, add/remove replay,
+put-if-absent commits, optimistic compaction) without the JVM
+extension, so log-structured commit semantics are conformance-tested
+in-sandbox even though delta-spark binary interop still is not.
 
 Session requirement: build the SparkSession with
 

@@ -1,0 +1,255 @@
+"""deltalite — a minimal, dependency-free implementation of the PUBLIC
+Delta Lake transaction-log protocol (delta-io/delta PROTOCOL.md) for
+the positions table.
+
+Why this exists: the recommended 100 TB deployment stores the durable
+tables in Delta (``delta_backend.py``), but this sandbox cannot install
+``delta-spark``, so those adapters have only ever run as recorded
+skips. deltalite closes the *semantics* half of that gap natively: the
+same log-structured storage model — version-numbered JSON action files,
+``add``/``remove`` file actions, put-if-absent commit atomicity,
+optimistic concurrency with retry — implemented directly against the
+public spec, always runnable. What it deliberately is NOT: a full Delta
+client (no checkpoints, no column stats, no deletion vectors, reader/
+writer protocol pinned at 1/2), and interop with real Delta readers is
+untested here for the same environment reason delta-spark is — the
+claim this module carries is "the log-structured commit semantics run
+and are conformance-tested in-sandbox", not "binary-validated against
+delta-spark".
+
+Protocol subset implemented (PROTOCOL.md):
+
+- table dir = parquet data files + ``_delta_log/<version 020d>.json``
+- commit files are newline-delimited JSON actions; version 0 carries
+  ``protocol`` (minReader 1 / minWriter 2) and ``metaData`` (schema
+  string, format parquet)
+- the live file set is the log replay: adds minus removes, in version
+  order — readers NEVER list the data directory (an orphaned parquet
+  file from a crashed writer is invisible until its commit lands)
+- commit atomicity = put-if-absent of the next version file
+  (``O_CREAT|O_EXCL`` — the documented LogStore contract for
+  local/HDFS-like filesystems; object stores use their conditional
+  writes); a losing writer re-reads the log and retries — optimistic
+  concurrency instead of the parquet backend's file lease
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from propulsion_spark.streaming.positions import (
+    _COLS,
+    POSITIONS_SCHEMA,
+    _resolve,
+)
+
+_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+class CommitConflict(Exception):
+    """Another writer owns the attempted log version (retryable)."""
+
+
+class DeltaliteLog:
+    """The transaction log of one table directory."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, "_delta_log")
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # -- replay -----------------------------------------------------------
+    def versions(self) -> "list[int]":
+        return sorted(
+            int(f[:-5])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        )
+
+    def snapshot(self) -> "tuple[int, list[str]]":
+        """(latest version, live data-file paths) by log replay —
+        ``add`` accumulates, ``remove`` retires, version order."""
+        live: "dict[str, bool]" = {}
+        versions = self.versions()
+        for v in versions:
+            with open(self._vfile(v)) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "add" in action:
+                        live[action["add"]["path"]] = True
+                    elif "remove" in action:
+                        live.pop(action["remove"]["path"], None)
+        latest = versions[-1] if versions else -1
+        return latest, [os.path.join(self.path, p) for p in live]
+
+    def _vfile(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.json")
+
+    # -- commit -----------------------------------------------------------
+    def try_commit(self, version: int, actions: "list[dict]") -> None:
+        """Put-if-absent of ``version``: O_CREAT|O_EXCL either owns the
+        file or raises — two writers can never both own one version."""
+        tmp = self._vfile(version) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        try:
+            fd = os.open(self._vfile(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            os.remove(tmp)
+            raise CommitConflict(version)
+        try:
+            with open(tmp) as src:
+                os.write(fd, src.read().encode())
+        finally:
+            os.close(fd)
+            os.remove(tmp)
+
+    def init_table(self, schema_json: str) -> None:
+        """Version 0: protocol + metaData (idempotent — losing the race
+        to another initializer is success)."""
+        if self.versions():
+            return
+        actions = [
+            {"protocol": _PROTOCOL},
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_json,
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": int(time.time() * 1000),
+                }
+            },
+        ]
+        try:
+            self.try_commit(0, actions)
+        except CommitConflict:
+            pass
+
+
+def _add_action(table_path: str, rel: str) -> dict:
+    full = os.path.join(table_path, rel)
+    return {
+        "add": {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(full),
+            "modificationTime": int(os.path.getmtime(full) * 1000),
+            "dataChange": True,
+        }
+    }
+
+
+def _remove_action(rel: str) -> dict:
+    return {
+        "remove": {
+            "path": rel,
+            "deletionTimestamp": int(time.time() * 1000),
+            "dataChange": True,
+        }
+    }
+
+
+class DeltalitePositionsTable:
+    """PositionsTable on the deltalite log: same public surface
+    (``read`` / ``merge`` / ``vacuum``), same newest-wins resolution —
+    but durability/concurrency come from the Delta-protocol log instead
+    of the lease+manifest pair. merge() appends ONE delta file +
+    commit (O(batch), conflict-free by construction); every
+    ``compact_after`` commits it also folds the live set into one base
+    file under optimistic concurrency (the remove set must match the
+    snapshot, or the commit loses and the fold retries)."""
+
+    MAX_RETRIES = 12
+
+    def __init__(self, spark: SparkSession, path: str, compact_after: int = 8):
+        self.spark = spark
+        self.path = path
+        self.compact_after = compact_after
+        self.log = DeltaliteLog(path)
+        self.log.init_table(POSITIONS_SCHEMA.json())
+
+    # -- reads -------------------------------------------------------------
+    def read(self) -> DataFrame:
+        _, files = self.log.snapshot()
+        if not files:
+            return self.spark.createDataFrame([], POSITIONS_SCHEMA)
+        df = self.spark.read.schema(POSITIONS_SCHEMA).parquet(*files)
+        return _resolve(df) if len(files) > 1 else df
+
+    # -- writes ------------------------------------------------------------
+    def _write_file(self, df: DataFrame) -> str:
+        rel = f"part-{uuid.uuid4().hex}.parquet"
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        os.replace(os.path.join(staging, part), os.path.join(self.path, rel))
+        for f in os.listdir(staging):
+            os.remove(os.path.join(staging, f))
+        os.rmdir(staging)
+        return rel
+
+    def merge(self, updates: DataFrame, assume_nonempty: bool = False) -> None:
+        if not assume_nonempty and updates.isEmpty():
+            return
+        rel = self._write_file(_resolve(updates.select(*_COLS)))
+        for _ in range(self.MAX_RETRIES):
+            version, _ = self.log.snapshot()
+            try:
+                self.log.try_commit(version + 1, [_add_action(self.path, rel)])
+                break
+            except CommitConflict:
+                continue
+        else:  # pragma: no cover - pathological contention
+            raise CommitConflict(f"merge lost {self.MAX_RETRIES} races")
+        if (version + 1) % self.compact_after == 0:
+            self._compact()
+
+    def _compact(self) -> None:
+        """Fold the live set into one base file. Optimistic: the commit
+        removes exactly the snapshot's files; if another writer lands a
+        commit first, THIS fold aborts (its base file is orphaned —
+        invisible to readers — and the next threshold crossing folds
+        again)."""
+        version, files = self.log.snapshot()
+        if len(files) <= 1:
+            return
+        base_df = _resolve(
+            self.spark.read.schema(POSITIONS_SCHEMA).parquet(*files)
+        )
+        rel = self._write_file(base_df)
+        actions = [
+            _remove_action(os.path.relpath(f, self.path)) for f in files
+        ] + [_add_action(self.path, rel)]
+        try:
+            self.log.try_commit(version + 1, actions)
+        except CommitConflict:
+            pass  # lost the race: retry at the next threshold
+
+    def vacuum(self, grace_s: float = 3600.0) -> "list[str]":
+        """Delete data files that are NOT in the live set and older than
+        ``grace_s`` (Delta's VACUUM retention contract: the grace keeps
+        files readable by snapshots taken before their remove)."""
+        _, files = self.log.snapshot()
+        live = {os.path.basename(f) for f in files}
+        dropped = []
+        now = time.time()
+        for f in os.listdir(self.path):
+            if (
+                f.endswith(".parquet")
+                and f not in live
+                and now - os.path.getmtime(os.path.join(self.path, f)) > grace_s
+            ):
+                os.remove(os.path.join(self.path, f))
+                dropped.append(f)
+        return dropped

@@ -14,6 +14,7 @@ from propulsion_spark.streaming.delta_backend import (
     DeltaEventStoreTable,
     DeltaPositionsTable,
 )
+from propulsion_spark.streaming.deltalite import DeltalitePositionsTable
 from propulsion_spark.streaming.event_store import EventStoreTable
 from propulsion_spark.streaming.positions import PositionsTable
 
@@ -23,6 +24,11 @@ needs_delta = pytest.mark.skipif(
     not HAVE_DELTA, reason="delta-spark not installed (pip install delta-spark)"
 )
 BACKENDS = ["parquet", pytest.param("delta", marks=needs_delta)]
+# the positions matrix gains an always-runnable log-structured leg:
+# deltalite implements the PUBLIC Delta transaction-log protocol
+# natively (streaming/deltalite.py), so the Delta storage-model
+# semantics are conformance-tested even where delta-spark can't install
+POSITIONS_BACKENDS = BACKENDS + ["deltalite"]
 
 
 @pytest.fixture
@@ -53,12 +59,14 @@ def delta_spark():
 def backend_session(request, spark):
     if request.param == "delta":
         return request.param, request.getfixturevalue("delta_spark")
-    return request.param, spark
+    return request.param, spark  # parquet and deltalite share the session
 
 
 def _positions(backend, spark, path):
     if backend == "delta":
         return DeltaPositionsTable(spark, path)
+    if backend == "deltalite":
+        return DeltalitePositionsTable(spark, path)
     return PositionsTable(spark, path)
 
 
@@ -68,7 +76,7 @@ def _store(backend, spark, path):
     return EventStoreTable(spark, path)
 
 
-@pytest.mark.parametrize("backend_session", BACKENDS, indirect=True)
+@pytest.mark.parametrize("backend_session", POSITIONS_BACKENDS, indirect=True)
 class TestPositionsConformance:
     SCHEMA = "stream_name string, pos long, revision long, malformed boolean"
 

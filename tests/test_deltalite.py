@@ -1,0 +1,134 @@
+"""deltalite: the native minimal Delta-protocol log
+(`streaming/deltalite.py`) — protocol shape, log-replay reads,
+put-if-absent commit atomicity, optimistic compaction, vacuum grace."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from propulsion_spark.streaming.deltalite import (
+    CommitConflict,
+    DeltaliteLog,
+    DeltalitePositionsTable,
+)
+
+SCHEMA = "stream_name string, pos long, revision long, malformed boolean"
+
+
+def _merge(tbl, spark, rows):
+    tbl.merge(spark.createDataFrame(rows, SCHEMA))
+
+
+class TestProtocolShape:
+    def test_version_zero_carries_protocol_and_metadata(self, spark, tmp_path):
+        tbl = DeltalitePositionsTable(spark, str(tmp_path / "t"))
+        log_dir = os.path.join(tbl.path, "_delta_log")
+        v0 = os.path.join(log_dir, f"{0:020d}.json")
+        actions = [json.loads(x) for x in open(v0) if x.strip()]
+        kinds = [next(iter(a)) for a in actions]
+        assert kinds == ["protocol", "metaData"]
+        assert actions[0]["protocol"] == {
+            "minReaderVersion": 1,
+            "minWriterVersion": 2,
+        }
+        md = actions[1]["metaData"]
+        assert md["format"]["provider"] == "parquet"
+        assert "stream_name" in md["schemaString"]
+
+    def test_versions_are_contiguous_and_adds_reference_real_files(
+        self, spark, tmp_path
+    ):
+        tbl = DeltalitePositionsTable(spark, str(tmp_path / "t"))
+        for i in range(3):
+            _merge(tbl, spark, [(f"s-{i}", i + 1, 0, False)])
+        log = DeltaliteLog(tbl.path)
+        assert log.versions() == [0, 1, 2, 3]
+        _, files = log.snapshot()
+        assert len(files) == 3
+        assert all(os.path.exists(f) for f in files)
+
+    def test_readers_replay_the_log_not_the_directory(self, spark, tmp_path):
+        """An orphaned parquet file (crashed writer: data written,
+        commit never landed) is invisible — the protocol's whole
+        point."""
+        tbl = DeltalitePositionsTable(spark, str(tmp_path / "t"))
+        _merge(tbl, spark, [("s", 5, 0, False)])
+        # forge an orphan with a conflicting row
+        spark.createDataFrame([("s", 999, 9, True)], SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / "orphan"))
+        part = next(
+            f
+            for f in os.listdir(str(tmp_path / "orphan"))
+            if f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(str(tmp_path / "orphan"), part),
+            os.path.join(tbl.path, "part-orphan.parquet"),
+        )
+        (row,) = tbl.read().collect()
+        assert row.pos == 5 and not row.malformed
+
+
+class TestCommitAtomicity:
+    def test_put_if_absent_rejects_the_second_writer(self, spark, tmp_path):
+        log = DeltaliteLog(str(tmp_path / "t"))
+        log.try_commit(0, [{"protocol": {"minReaderVersion": 1}}])
+        with pytest.raises(CommitConflict):
+            log.try_commit(0, [{"protocol": {"minReaderVersion": 1}}])
+
+    def test_merge_retries_past_a_squatted_version(self, spark, tmp_path):
+        tbl = DeltalitePositionsTable(spark, str(tmp_path / "t"))
+        _merge(tbl, spark, [("a", 1, 0, False)])
+        # another writer owns version 2 (adds nothing)
+        tbl.log.try_commit(2, [])
+        _merge(tbl, spark, [("b", 2, 0, False)])  # lands at 3 via retry
+        assert tbl.log.versions() == [0, 1, 2, 3]
+        rows = {r.stream_name: r.pos for r in tbl.read().collect()}
+        assert rows == {"a": 1, "b": 2}
+
+
+class TestCompactionAndVacuum:
+    def test_threshold_compaction_folds_to_one_live_file(self, spark, tmp_path):
+        tbl = DeltalitePositionsTable(
+            spark, str(tmp_path / "t"), compact_after=3
+        )
+        for i in range(3):
+            _merge(tbl, spark, [("s", i + 1, i, False)])
+        _, files = tbl.log.snapshot()
+        assert len(files) == 1  # merge 3 crossed the threshold → folded
+        (row,) = tbl.read().collect()
+        assert (row.pos, row.revision) == (3, 2)
+
+    def test_vacuum_respects_the_grace_window(self, spark, tmp_path):
+        tbl = DeltalitePositionsTable(
+            spark, str(tmp_path / "t"), compact_after=2
+        )
+        for i in range(4):
+            _merge(tbl, spark, [("s", i + 1, 0, False)])
+        # retired files survive a graceful vacuum, die at grace 0
+        assert tbl.vacuum(grace_s=3600) == []
+        dropped = tbl.vacuum(grace_s=0.0)
+        assert dropped
+        (row,) = tbl.read().collect()
+        assert row.pos == 4
+
+    def test_newest_wins_semantics_match_parquet_backend(self, spark, tmp_path):
+        from propulsion_spark.streaming.positions import PositionsTable
+
+        lite = DeltalitePositionsTable(spark, str(tmp_path / "a"))
+        ref = PositionsTable(spark, str(tmp_path / "b"))
+        batches = [
+            [("s", 5, 1, False), ("t", 1, 0, False)],
+            [("s", 3, 2, True)],
+            [("s", 4, 0, False), ("t", 2, 1, False)],
+        ]
+        for b in batches:
+            _merge(lite, spark, b)
+            ref.merge(spark.createDataFrame(b, SCHEMA))
+        a = sorted(map(tuple, lite.read().collect()))
+        b = sorted(map(tuple, ref.read().collect()))
+        assert a == b
