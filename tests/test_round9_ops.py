@@ -496,19 +496,20 @@ class TestZOrderLayout:
 
         box = {"x": (0, 15), "y": (0, 15)}  # 1/64 of the grid
         z = file_skip_stats(z_path, box)
-        lin = file_skip_stats(lin_path, box)
-        # range partitioning samples its bounds, so exact file counts
-        # can wobble with session state under the full suite — the
-        # pinned properties are comparative plus a conservative floor
-        assert z["files"] >= 8 and lin["files"] >= 8
-        # z-order skips most files; the y-sorted layout only prunes on y
+        # sampling-based range bounds wobble exact counts by a file, so
+        # the pinned box claim is a conservative floor, not a horse race
+        # against the y-sorted layout (which legitimately prunes a
+        # y-BOUNDED box via its own sort dimension)
+        assert z["files"] >= 8
         assert z["skipped"] / z["files"] >= 0.5
-        assert z["skipped"] / z["files"] > lin["skipped"] / lin["files"]
-        # and the x-only predicate is hopeless for the linear layout
+        # the property that IS z-order's: pruning survives on the
+        # dimension the linear layout did NOT sort by — x-only
+        # predicates skip nothing in the y-sorted layout and most
+        # z-ordered files
         lin_x = file_skip_stats(lin_path, {"x": (0, 15)})
         z_x = file_skip_stats(z_path, {"x": (0, 15)})
-        assert lin_x["skipped"] == 0
-        assert z_x["skipped"] > 0
+        assert lin_x["files"] >= 8 and lin_x["skipped"] == 0
+        assert z_x["skipped"] / z_x["files"] >= 0.5
 
     def test_layout_preserves_rows_and_schema(self, spark, tmp_path):
         from propulsion_spark.operators.layout import layout_zorder
