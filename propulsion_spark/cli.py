@@ -763,6 +763,42 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_zorder(args) -> int:
+    """Rewrite a parquet table in Z-order (Morton) layout over the given
+    columns, then report the footer-level file-skipping the layout buys
+    for an optional probe box."""
+    from propulsion_spark import get_spark
+    from propulsion_spark.operators.layout import (
+        file_skip_stats,
+        layout_zorder,
+    )
+
+    spark = get_spark("propulsion-zorder")
+    cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+    df = spark.read.parquet(args.src)
+    layout_zorder(df, cols, num_files=args.num_files).write.mode(
+        "overwrite"
+    ).parquet(args.out)
+    report = {
+        "cols": cols,
+        "num_files": args.num_files,
+        "rows": spark.read.parquet(args.out).count(),
+        "out": args.out,
+    }
+    if args.probe:
+        # probe format: col=lo:hi[,col=lo:hi...]
+        box = {}
+        for term in args.probe.split(","):
+            name, _, rng = term.partition("=")
+            lo, _, hi = rng.partition(":")
+            box[name.strip()] = (float(lo), float(hi))
+        report["probe"] = {k: list(v) for k, v in box.items()}
+        report["skip"] = file_skip_stats(args.out, box)
+    print(json.dumps(report))
+    spark.stop()
+    return 0
+
+
 def cmd_datacard(args) -> int:
     """One-command corpus data card (the Datasheets-for-Datasets
     practice, Gebru et al. 2018): composes already-attested registered
@@ -1222,6 +1258,23 @@ def main(argv=None) -> int:
     )
     dc.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     dc.set_defaults(fn=cmd_datacard)
+
+    zo = sub.add_parser(
+        "zorder",
+        help="rewrite a parquet table in Z-order layout for file skipping",
+    )
+    zo.add_argument("--src", required=True, help="input parquet dir")
+    zo.add_argument("--out", required=True, help="z-ordered output dir")
+    zo.add_argument(
+        "--cols", required=True, help="comma-separated layout columns"
+    )
+    zo.add_argument("--num-files", type=int, default=32)
+    zo.add_argument(
+        "--probe",
+        help="optional box predicate col=lo:hi[,col=lo:hi] — reports how "
+        "many files a stats-aware scan would skip",
+    )
+    zo.set_defaults(fn=cmd_zorder)
 
     qs = sub.add_parser("queries", help="list registered queries")
     qs.set_defaults(fn=cmd_queries)

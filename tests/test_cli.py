@@ -166,3 +166,18 @@ class TestCliCurate:
         }
         for s in rep["splits"]:
             assert s["n_psample"] >= 0 and s["epoch_copies"] >= s["n_docs"] * 0
+
+    def test_zorder_layout(self, tmp_path):
+        """zorder verb: rewrite events in morton layout and report the
+        probe-box skipping."""
+        rep = run_cli(
+            "zorder",
+            "--src", "/root/testdata/sf0.001/events.parquet",
+            "--out", str(tmp_path / "z"),
+            "--cols", "user_id,value",
+            "--num-files", "8",
+            "--probe", "user_id=0:10",
+        )
+        assert rep["rows"] > 0
+        assert rep["skip"]["files"] >= 1
+        assert 0 <= rep["skip"]["skipped"] <= rep["skip"]["files"]
