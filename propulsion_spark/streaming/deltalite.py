@@ -253,3 +253,116 @@ class DeltalitePositionsTable:
                 os.remove(os.path.join(self.path, f))
                 dropped.append(f)
         return dropped
+
+
+_CKPT_SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": n, "type": t, "nullable": False, "metadata": {}}
+            for n, t in (
+                ("source", "string"),
+                ("tranche", "string"),
+                ("grp", "string"),
+                ("pos", "long"),
+                ("seq", "long"),
+                ("updated_at", "timestamp"),
+            )
+        ],
+    }
+)
+
+
+class DeltaliteCheckpointStore:
+    """:class:`~propulsion_spark.streaming.checkpoints.CheckpointStore`
+    on the deltalite log — the W8 consumer-group store with the Delta
+    storage model instead of directory listings: readers replay the log
+    (a crashed writer's orphaned segment is invisible, and the
+    compaction remove+add lands atomically, so the listing-vs-removal
+    race `_read_all` retries around cannot happen at all), and commits
+    are put-if-absent versions with OCC retry.
+
+    Implemented as a subclass swapping the three storage primitives
+    (`_files` / `_append` / `_maybe_compact`); the throttle, pending
+    dict, and the whole IFeedCheckpointStore surface are inherited
+    verbatim — the point of the conformance matrix is exactly that the
+    semantics live above the storage driver.
+    """
+
+    def __new__(cls, *a, **kw):
+        # deferred subclassing: checkpoints imports pandas lazily and
+        # this module must stay importable without it at module load
+        from propulsion_spark.streaming.checkpoints import CheckpointStore
+
+        actual = type(
+            "DeltaliteCheckpointStore",
+            (cls._mixin(), CheckpointStore),
+            {},
+        )
+        return actual(*a, **kw)
+
+    @staticmethod
+    def _mixin():
+        class _DeltaliteStorage:
+            def __post_init__(self):
+                super().__post_init__()
+                self.log = DeltaliteLog(self.path)
+                self.log.init_table(_CKPT_SCHEMA_JSON)
+
+            def _files(self):
+                _, files = self.log.snapshot()
+                return sorted(files)
+
+            def _append(self, rows):
+                import pandas as pd
+
+                rel = f"ckpt-{uuid.uuid4().hex}.parquet"
+                tmp = os.path.join(self.path, rel + ".tmp")
+                pd.DataFrame(rows).to_parquet(tmp)
+                os.replace(tmp, os.path.join(self.path, rel))
+                for _ in range(12):
+                    version, _ = self.log.snapshot()
+                    try:
+                        self.log.try_commit(
+                            version + 1, [_add_action(self.path, rel)]
+                        )
+                        return
+                    except CommitConflict:
+                        continue
+                raise CommitConflict("checkpoint append lost 12 races")
+
+            def _maybe_compact(self, max_files: int = 64):
+                version, files = self.log.snapshot()
+                if len(files) <= max_files:
+                    return
+                snap = self.snapshot()
+                rel = f"ckpt-{uuid.uuid4().hex}.parquet"
+                tmp = os.path.join(self.path, rel + ".tmp")
+                snap.to_parquet(tmp)
+                os.replace(tmp, os.path.join(self.path, rel))
+                actions = [
+                    _remove_action(os.path.relpath(f, self.path))
+                    for f in files
+                ] + [_add_action(self.path, rel)]
+                try:
+                    self.log.try_commit(version + 1, actions)
+                except CommitConflict:
+                    pass  # lost the race; retry at the next crossing
+
+            def vacuum(self, grace_s: float = 3600.0):
+                _, files = self.log.snapshot()
+                live = {os.path.basename(f) for f in files}
+                dropped = []
+                now = time.time()
+                for f in os.listdir(self.path):
+                    full = os.path.join(self.path, f)
+                    if (
+                        f.endswith(".parquet")
+                        and f not in live
+                        and now - os.path.getmtime(full) > grace_s
+                    ):
+                        os.remove(full)
+                        dropped.append(f)
+                return dropped
+
+        return _DeltaliteStorage

@@ -132,3 +132,64 @@ class TestCompactionAndVacuum:
         a = sorted(map(tuple, lite.read().collect()))
         b = sorted(map(tuple, ref.read().collect()))
         assert a == b
+
+
+class TestDeltaliteCheckpointStore:
+    def _mk(self, tmp_path, **kw):
+        from propulsion_spark.streaming.deltalite import (
+            DeltaliteCheckpointStore,
+        )
+
+        return DeltaliteCheckpointStore(
+            path=str(tmp_path / "ck"), group="g", **kw
+        )
+
+    def test_start_commit_flush_roundtrip(self, spark, tmp_path):
+        ck = self._mk(tmp_path)
+        assert ck.start("src", "0", establish_origin=7) == 7
+        ck.commit("src", "0", 42)
+        ck.flush()
+        assert ck.position("src", "0") == 42
+        # a fresh store (new process) resolves from the log
+        again = self._mk(tmp_path)
+        assert again.start("src", "0") == 42
+
+    def test_newest_wins_across_commits(self, spark, tmp_path):
+        ck = self._mk(tmp_path)
+        ck.start("src", "0", establish_origin=0)
+        for pos in (5, 3, 9):
+            ck.commit("src", "0", pos)
+            ck.flush()
+        assert self._mk(tmp_path).start("src", "0") == 9
+
+    def test_compaction_folds_log(self, spark, tmp_path):
+        ck = self._mk(tmp_path)
+        ck.start("s", "0", establish_origin=0)
+        for i in range(70):
+            ck.commit("s", "0", i + 1)
+            ck.flush()
+        # _maybe_compact(max_files=64) crossed: live set folded
+        assert len(ck._files()) <= 64
+        assert self._mk(tmp_path).start("s", "0") == 70
+
+    def test_orphan_segment_invisible(self, spark, tmp_path):
+        import os
+
+        import pandas as pd
+
+        ck = self._mk(tmp_path)
+        ck.start("src", "0", establish_origin=3)
+        # forge an uncommitted segment claiming a huge position
+        pd.DataFrame(
+            [
+                {
+                    "source": "src",
+                    "tranche": "0",
+                    "grp": "g",
+                    "pos": 999,
+                    "seq": 10**18,
+                    "updated_at": pd.Timestamp.utcnow().tz_localize(None),
+                }
+            ]
+        ).to_parquet(os.path.join(ck.path, "ckpt-orphan.parquet"))
+        assert self._mk(tmp_path).start("src", "0") == 3
