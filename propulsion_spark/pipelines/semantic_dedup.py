@@ -118,10 +118,14 @@ class SemDedupStream:
         try:
             cells = assign_cells(normed, self.codebook)
             framed = normed.join(cells, "vec_id").persist()
-            # intra-batch: ε-ball keep-lowest-id
-            dropped = semdedup_verdicts(
-                normed, cells, threshold=self.threshold
-            ).select(F.col("b_id").alias("vec_id"))
+            # intra-batch: ε-ball keep-lowest-id. The drop set is
+            # ids-only and batch-bounded: localCheckpoint pins it so the
+            # pair join runs ONCE, not once per downstream count/write
+            dropped = (
+                semdedup_verdicts(normed, cells, threshold=self.threshold)
+                .select(F.col("b_id").alias("vec_id"))
+                .localCheckpoint(eager=True)
+            )
             canon = framed.join(dropped, "vec_id", "left_anti")
             # cross-batch: cell-keyed join vs registered keepers,
             # cosine verify against each keeper's full vector;
@@ -146,6 +150,9 @@ class SemDedupStream:
                 )
                 .select("vec_id")
                 .distinct()
+                # ids-only: pin so the registry join runs once (same
+                # rationale as the drop set above)
+                .localCheckpoint(eager=True)
             )
             survivors = canon.join(hits, "vec_id", "left_anti")
             # cell cast pins the registry schema: codebooks with int
