@@ -71,6 +71,13 @@ def cmd_sync(args) -> int:
                 lm_kwargs["semdedup_cos"] = args.semdedup_cos
         dsir_t = getattr(args, "dsir_target_lm", None)
         dsir_r = getattr(args, "dsir_raw_lm", None)
+        if bool(dsir_t) != bool(dsir_r):
+            # same JSON-error + exit-2 convention as cmd_dsir's own flag
+            # validation — not an unhandled ValueError traceback.
+            print(json.dumps({
+                "error": "--dsir-target-lm and --dsir-raw-lm must be given together"
+            }))
+            return 2
         if dsir_t or dsir_r:
             lm_kwargs["dsir_target_lm"] = spark.read.parquet(dsir_t) if dsir_t else None
             lm_kwargs["dsir_raw_lm"] = spark.read.parquet(dsir_r) if dsir_r else None

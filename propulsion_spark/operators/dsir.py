@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from propulsion_spark.operators.lm import lm_likelihood_bc
 
-_DSIR_M = 1 << 20  # u = (h%M + 1)/M in (0, 1]: endpoints safe for ln(-ln u)
+_DSIR_M = 1 << 20  # u = (h%M + 0.5)/M in (0, 1) exclusive: ln(-ln u) finite
 
 
 def dsir_weights(
@@ -85,21 +85,30 @@ def dsir_resample(
     weight (no grams) never enter the draw.
     """
     w = dsir_weights(docs, target_bc, raw_bc, text_col=text_col, id_col=id_col)
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{salt}-"), F.col(id_col).cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (h % _DSIR_M + 1).cast("double") / _DSIR_M
-    gumbel = -F.log(-F.log(u))
-    keyed = (
-        docs.join(w.filter(F.col("logw").isNotNull()), id_col)
-        .withColumn("dsir_key", F.col("logw") / F.lit(float(tau)) + gumbel)
-    )
+    weighted = docs.join(w.filter(F.col("logw").isNotNull()), id_col)
+    if tau <= 0:
+        # τ=0 is the advertised "hard top-k by weight" degenerate case:
+        # softmax(logw/0) puts all mass on the argmax, so the draw IS the
+        # deterministic top-k.  Dividing by 0.0 would make ±Inf/NaN keys
+        # (NaN sorts first under desc) — order by logw directly instead.
+        keyed = weighted.withColumn("dsir_key", F.col("logw"))
+    else:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}-"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        # +0.5 keeps u strictly inside (0, 1): u=1 would make
+        # -log(-log(u)) NULL and silently drop ~1/2^20 of the corpus.
+        u = ((h % _DSIR_M).cast("double") + 0.5) / _DSIR_M
+        gumbel = -F.log(-F.log(u))
+        keyed = weighted.withColumn(
+            "dsir_key", F.col("logw") / F.lit(float(tau)) + gumbel
+        )
     return (
         keyed.orderBy(F.col("dsir_key").desc(), F.col(id_col))
         .limit(k)

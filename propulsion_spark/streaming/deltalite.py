@@ -94,21 +94,22 @@ class DeltaliteLog:
 
     # -- commit -----------------------------------------------------------
     def try_commit(self, version: int, actions: "list[dict]") -> None:
-        """Put-if-absent of ``version``: O_CREAT|O_EXCL either owns the
-        file or raises — two writers can never both own one version."""
+        """Put-if-absent of ``version`` with ATOMIC content: the actions
+        are fully written (and fsynced) to a tmp file first, then
+        published via ``os.link(tmp, vfile)`` — link either creates the
+        version file complete-in-one-shot or fails with EEXIST, so a
+        concurrent ``snapshot()`` can never observe a torn commit (e.g.
+        a compaction's removes without its add)."""
         tmp = self._vfile(version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            fd = os.open(self._vfile(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, self._vfile(version))
         except FileExistsError:
-            os.remove(tmp)
             raise CommitConflict(version)
-        try:
-            with open(tmp) as src:
-                os.write(fd, src.read().encode())
         finally:
-            os.close(fd)
             os.remove(tmp)
 
     def init_table(self, schema_json: str) -> None:

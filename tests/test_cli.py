@@ -7,7 +7,7 @@ import subprocess
 import sys
 
 
-def run_cli(*args, timeout=240):
+def run_cli(*args, timeout=240, expect_rc=0):
     proc = subprocess.run(
         [sys.executable, "-m", "propulsion_spark.cli", *args],
         capture_output=True,
@@ -15,7 +15,7 @@ def run_cli(*args, timeout=240):
         timeout=timeout,
         cwd="/root/repo",
     )
-    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert proc.returncode == expect_rc, proc.stderr[-2000:]
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
@@ -130,6 +130,22 @@ class TestCliCurate:
         assert rep["caught_up"] is True
         assert "sem_deduped" in rep["stats"]
         assert rep["stats"]["kept"] > 0
+
+    def test_sync_curate_one_sided_dsir_flags_is_a_clean_error(self, tmp_path):
+        """A lone --dsir-target-lm (without --dsir-raw-lm) must follow
+        the CLI's JSON-error + exit-2 convention, not raise an unhandled
+        ValueError traceback from CurationPipeline."""
+        rep = run_cli(
+            "sync",
+            "--from", "documents:/root/testdata/sf0.001",
+            "--to", f"curated:{tmp_path / 'corpus'}",
+            "--curate",
+            "--dsir-target-lm", str(tmp_path / "nonexistent-lm"),
+            "--checkpoints", str(tmp_path / "ck"),
+            "--positions", str(tmp_path / "pos"),
+            expect_rc=2,
+        )
+        assert "together" in rep["error"]
 
     def test_dsir_selection(self, tmp_path):
         """dsir verb e2e: select k docs from the fixture corpus toward

@@ -80,6 +80,24 @@ class TestCommitAtomicity:
         with pytest.raises(CommitConflict):
             log.try_commit(0, [{"protocol": {"minReaderVersion": 1}}])
 
+    def test_publish_is_atomic_link_with_full_content(self, spark, tmp_path):
+        """The version file is published via os.link of a fully-written
+        tmp — a reader can never observe it empty or torn (the r9 bug:
+        O_CREAT|O_EXCL then write let a compaction's removes land before
+        its add). Here: content is complete at publish, and no tmp
+        litter survives success or conflict."""
+        log = DeltaliteLog(str(tmp_path / "t"))
+        actions = [{"remove": {"path": f"old-{i}.parquet"}} for i in range(200)]
+        actions.append({"add": {"path": "base.parquet", "size": 1}})
+        log.try_commit(0, actions)
+        got = [json.loads(x) for x in open(log._vfile(0)) if x.strip()]
+        assert got == actions
+        with pytest.raises(CommitConflict):
+            log.try_commit(0, [{"add": {"path": "loser.parquet"}}])
+        # conflict did not clobber the winner, and no tmp files remain
+        assert [json.loads(x) for x in open(log._vfile(0)) if x.strip()] == got
+        assert not [f for f in os.listdir(log.log_dir) if ".tmp-" in f]
+
     def test_merge_retries_past_a_squatted_version(self, spark, tmp_path):
         tbl = DeltalitePositionsTable(spark, str(tmp_path / "t"))
         _merge(tbl, spark, [("a", 1, 0, False)])

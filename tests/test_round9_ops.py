@@ -599,6 +599,31 @@ class TestDSIR:
         )
         assert again == got
 
+    def test_tau_zero_is_exact_topk_by_weight(self, spark):
+        """τ=0 (advertised "hard top-k") must order by logw directly —
+        dividing by 0.0 made ±Inf/NaN keys, and NaN sorts FIRST under
+        desc, so zero-weight docs were selected before everything."""
+        from propulsion_spark.operators.dsir import dsir_resample, dsir_weights
+
+        t_bc, r_bc = self._bcs(spark)
+        docs = self._mk(
+            spark,
+            [(i, "quantum field theory lattice gauge boson") for i in range(5)]
+            # logw == 0 docs (same likelihood under both LMs): the old
+            # 0/0 NaN key put these first; they must now rank by weight
+            + [(i, "never seen grams xyzzy plugh") for i in range(5, 15)]
+            + [(i, "buy cheap shoes online free shipping deals") for i in range(15, 30)],
+        )
+        w = {r["doc_id"]: r["logw"] for r in dsir_weights(docs, t_bc, r_bc).collect()}
+        expect = sorted(w, key=lambda d: (-w[d], d))[:8]
+        got = [
+            r["doc_id"]
+            for r in dsir_resample(docs, k=8, target_bc=t_bc, raw_bc=r_bc, tau=0.0)
+            .orderBy(F.col("dsir_key").desc(), "doc_id")
+            .collect()
+        ]
+        assert got == expect
+
     def test_gramless_docs_never_enter_the_draw(self, spark):
         from propulsion_spark.operators.dsir import dsir_resample
 
