@@ -56,10 +56,43 @@ def _quantize(c: Column, lo, hi, bits: int) -> Column:
     )
 
 
+def zorder_key_sql(cols: "list[str]", bits: int = ZORDER_BITS) -> str:
+    """The ``zorder_key`` bit arithmetic as engine-portable ANSI SQL —
+    term-for-term the same shift/mask/or chain, so an external engine
+    (the DuckDB oracle, a lakehouse maintenance job) reproduces the key
+    bit-identically from the same quantized inputs."""
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
+    return " | ".join(
+        f"(((CAST({c} AS BIGINT) >> {b}) & 1) << {b * n + i})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    )
+
+
+def quantize_sql(col: str, lo: str, hi: str, bits: int = ZORDER_BITS) -> str:
+    """``_quantize`` as portable SQL over the same IEEE expression
+    order — ``((x - lo) / (hi - lo)) * (2^bits - 1)``, floored and
+    clamped — for oracles that must match ``with_zorder_key``'s keys.
+    ``lo``/``hi`` are SQL expressions (typically min/max subqueries)."""
+    m = (1 << bits) - 1
+    return (
+        f"LEAST(GREATEST(CAST(floor(((CAST({col} AS DOUBLE) - {lo})"
+        f" / ({hi} - {lo})) * {float(m)}) AS BIGINT), 0), {m})"
+    )
+
+
 def with_zorder_key(
-    df: DataFrame, cols: "list[str]", bits: int = ZORDER_BITS
+    df: DataFrame,
+    cols: "list[str]",
+    bits: int = ZORDER_BITS,
+    keep_quantized: bool = False,
 ) -> DataFrame:
     """``df`` plus a ``zkey`` Morton key over ``cols``.
+    ``keep_quantized`` also emits the per-column grid coordinates as
+    ``q_<col>`` — the inputs a layout gauge needs to measure how tight
+    each file's box envelope is on every dimension.
 
     Quantization bounds come from ONE single-row min/max aggregate
     (control-plane collect — same class as codebook reads): ranks would
@@ -81,7 +114,11 @@ def with_zorder_key(
         _quantize(F.col(name), stats[f"_lo_{name}"], stats[f"_hi_{name}"], bits)
         for name in cols
     ]
-    return df.withColumn("zkey", zorder_key(quantized, bits))
+    out = df.withColumn("zkey", zorder_key(quantized, bits))
+    if keep_quantized:
+        for name, q in zip(cols, quantized):
+            out = out.withColumn(f"q_{name}", q)
+    return out
 
 
 def layout_zorder(

@@ -30,6 +30,7 @@ from propulsion_spark.operators import finalize, register
 DIM = 64
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
+RRF_K = 60  # the canonical Cormack/Clarke/Buettcher constant
 
 
 def _spark_dot(a: str, b: str) -> F.Column:
@@ -1296,6 +1297,64 @@ GROUP BY bf.query_id
 """
 
 
+# RRF-fused recall (r10): the hybrid-retrieval combiner attested
+# end-to-end — fuse the LSH and the NPROBE-probe IVF top-k lists
+# per query with score Σ 1/(RRF_K + rank), keep the fused top-K, and
+# measure ITS recall against brute force. Exactly two input lists by
+# design: each (query, neighbor) has at most two contributions, so the
+# double sum is a single commutative add — order-independent, hence
+# bit-identical between Spark's aggregate and DuckDB's regardless of
+# row order (three or more lists would reintroduce float-sum ordering).
+_DUCK_RRF_RECALL = f"""
+WITH {_DUCK_NORMED},
+{_DUCK_TB.strip()},
+{_DUCK_LSH_CANDS.strip()},
+{_DUCK_IVF_CELLS.strip()},
+qcells AS (
+  SELECT vec_id, label AS cell FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+    FROM dist
+  ) WHERE rn <= {NPROBE}
+),
+bf AS ({_BF_SUBQUERY}),
+lsh_ann AS ({_DUCK_ANN_TOPK}),
+ivf_ann AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC,
+                        c.vec_id) AS BIGINT) AS rank
+    FROM (SELECT n.*, qc.cell FROM normed n JOIN qcells qc USING (vec_id)) q
+    JOIN (SELECT n.*, cl.cell FROM normed n JOIN cells cl USING (vec_id)) c
+      ON c.vec_id != q.vec_id AND c.cell = q.cell
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+),
+fused AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf_score DESC, neighbor_id) AS frank
+    FROM (
+      SELECT query_id, neighbor_id,
+             sum(1.0 / ({float(RRF_K)} + CAST(rank AS DOUBLE))) AS rrf_score
+      FROM (SELECT query_id, neighbor_id, rank FROM lsh_ann
+            UNION ALL
+            SELECT query_id, neighbor_id, rank FROM ivf_ann)
+      GROUP BY query_id, neighbor_id
+    )
+  ) WHERE frank <= {TOP_K}
+)
+SELECT bf.query_id,
+       CAST(count(fused.neighbor_id) AS BIGINT) AS n_hit,
+       count(fused.neighbor_id) / {TOP_K} AS recall
+FROM bf LEFT JOIN fused USING (query_id, neighbor_id)
+GROUP BY bf.query_id
+"""
+
+
 @register(
     "similarity_recall",
     f"""
@@ -1304,6 +1363,8 @@ UNION ALL
 SELECT 'ivf_multiprobe', s.* FROM ({_DUCK_IVF_RECALL.strip()}) s
 UNION ALL
 SELECT 'ivf_learned', s.* FROM ({_DUCK_IVF_LEARNED_RECALL.strip()}) s
+UNION ALL
+SELECT 'rrf_lsh_ivf', s.* FROM ({_DUCK_RRF_RECALL.strip()}) s
 """,
     doc=f"ANN quality gauge, both index families in one report: "
     f"recall@{TOP_K} per query of the multi-table hyperplane-LSH search "
@@ -1311,7 +1372,12 @@ SELECT 'ivf_learned', s.* FROM ({_DUCK_IVF_LEARNED_RECALL.strip()}) s
     "truth — the measurement every approximate index must report before "
     "it replaces the exact path. On the near-random synthetic corpus "
     "LSH reaches the 0.8+ target while the coarse-codebook IVF sits far "
-    "lower — the honest quantizer trade, reported not hidden.",
+    "lower — the honest quantizer trade, reported not hidden. "
+    "method='rrf_lsh_ivf' (r10): recall of the reciprocal-rank-FUSED "
+    "list (rrf_fuse over the LSH and multi-probe-IVF top-k lists, "
+    "per-query) — attests the hybrid-retrieval combiner end-to-end: "
+    "rank-only 1/(k+rank) contributions, two lists so the fused score "
+    "is one commutative double add, fused top-k re-ranked per query.",
 )
 def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # share the expensive common inputs across the three recall
@@ -1324,12 +1390,14 @@ def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     dist0 = _spark_ivf_dist(spark, sf_dir).persist()
-    lsh = _recall_vs_bruteforce(bf, q_similarity_lsh_topk(spark, sf_dir)).select(
+    # the LSH and multi-probe-IVF top-k lists feed BOTH their own recall
+    # arm and the RRF fusion arm: persist each once
+    lsh_ann = q_similarity_lsh_topk(spark, sf_dir).persist()
+    ivf_ann = _ivf_multiprobe_from_dist(spark, sf_dir, dist0).persist()
+    lsh = _recall_vs_bruteforce(bf, lsh_ann).select(
         F.lit("lsh_multitable").alias("method"), "query_id", "n_hit", "recall"
     )
-    ivf = _recall_vs_bruteforce(
-        bf, _ivf_multiprobe_from_dist(spark, sf_dir, dist0)
-    ).select(
+    ivf = _recall_vs_bruteforce(bf, ivf_ann).select(
         F.lit("ivf_multiprobe").alias("method"), "query_id", "n_hit", "recall"
     )
     learned = _recall_vs_bruteforce(
@@ -1340,7 +1408,21 @@ def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("ivf_learned").alias("method"), "query_id", "n_hit", "recall"
     )
-    return finalize(lsh.unionByName(ivf).unionByName(learned), bf, dist0)
+    fused_ann = rrf_fuse(
+        [lsh_ann, ivf_ann],
+        id_col="neighbor_id",
+        by=["query_id"],
+    ).filter(F.col("fused_rank") <= TOP_K)
+    rrf = _recall_vs_bruteforce(bf, fused_ann).select(
+        F.lit("rrf_lsh_ivf").alias("method"), "query_id", "n_hit", "recall"
+    )
+    return finalize(
+        lsh.unionByName(ivf).unionByName(learned).unionByName(rrf),
+        bf,
+        dist0,
+        lsh_ann,
+        ivf_ann,
+    )
 
 
 def semdedup_groups(
@@ -1457,7 +1539,8 @@ def semdedup_cell_stats(cells: DataFrame) -> DataFrame:
 
 
 # --------------------------- hybrid retrieval fusion (r9): RRF
-RRF_K = 60  # the canonical Cormack/Clarke/Buettcher constant
+# (RRF_K lives with the other design constants at the top of the module
+# so the oracle SQL built at import time can reference it.)
 
 
 def rrf_fuse(
@@ -1465,6 +1548,7 @@ def rrf_fuse(
     id_col: str = "doc_id",
     rank_col: str = "rank",
     k: int = RRF_K,
+    by: "list[str] | None" = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR'09):
     fuse any number of ranked lists into one by score = Σ 1/(k + rank).
@@ -1478,10 +1562,17 @@ def rrf_fuse(
     (outer union semantics). One union + one (id) aggregate + one
     global rank window over the fused (small, candidate-sized) table —
     inputs are top-k lists, so nothing here scales with the corpus.
+
+    ``by`` names grouping columns present in every input (e.g. a
+    ``query_id`` when fusing per-query ANN lists): fusion and the rank
+    window then run within each group — one window per group instead of
+    one global sort, the multi-query retrieval shape.
     """
+    by = by or []
     tagged = None
     for df in ranked:
         part = df.select(
+            *by,
             F.col(id_col).alias("_id"),
             (
                 F.lit(1.0)
@@ -1489,13 +1580,13 @@ def rrf_fuse(
             ).alias("_contrib"),
         )
         tagged = part if tagged is None else tagged.unionByName(part)
-    fused = tagged.groupBy("_id").agg(
+    fused = tagged.groupBy(*by, "_id").agg(
         F.sum("_contrib").alias("rrf_score"),
         F.count("*").alias("n_lists"),
     )
-    w = Window.orderBy(F.col("rrf_score").desc(), F.col("_id"))
+    w = Window.partitionBy(*by).orderBy(F.col("rrf_score").desc(), F.col("_id"))
     return fused.withColumn(
         "fused_rank", F.row_number().over(w).cast("long")
     ).select(
-        F.col("_id").alias(id_col), "rrf_score", "n_lists", "fused_rank"
+        *by, F.col("_id").alias(id_col), "rrf_score", "n_lists", "fused_rank"
     )

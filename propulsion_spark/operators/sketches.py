@@ -30,10 +30,48 @@ from pyspark.sql import functions as F
 
 from propulsion_spark import load_table
 from propulsion_spark.operators import register
+from propulsion_spark.operators.layout import (
+    ZORDER_BITS,
+    quantize_sql,
+    zorder_key_sql,
+)
 
 KMV_K = 64
 HASH_BITS = 52
 HASH_SPACE = float(1 << HASH_BITS)  # M
+
+# Z-order gauge design point (r10): 12-bit grid per column; the top
+# 6 interleaved key bits = the 64 "files" a range write on the key
+# would produce. By Morton construction each prefix bucket is exactly
+# one 8×8 quadrant of the (user_id × value) grid, so every bucket's
+# box-envelope volume is ≤ 1/64 of the space — the tight-stats
+# invariant min/max file skipping relies on, attested exactly.
+ZPREFIX_BITS = 6
+_Z_SHIFT = 2 * ZORDER_BITS - ZPREFIX_BITS
+_Z_CELLS = float((1 << ZORDER_BITS) ** 2)
+
+_DUCK_ZORDER_ARM = f"""
+SELECT 'zorder' AS method,
+       'z-' || CAST(zb AS VARCHAR) AS event_type,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(max(zkey) AS BIGINT) AS detail,
+       CAST((max(qu) - min(qu) + 1) * (max(qv) - min(qv) + 1) AS DOUBLE)
+           / {_Z_CELLS} AS est_distinct,
+       CAST(count(DISTINCT zkey) AS BIGINT) AS exact_distinct
+FROM (
+  SELECT qu, qv, zkey, zkey >> {_Z_SHIFT} AS zb FROM (
+    SELECT qu, qv, {zorder_key_sql(["qu", "qv"])} AS zkey FROM (
+      SELECT {quantize_sql("user_id", "b.ulo", "b.uhi")} AS qu,
+             {quantize_sql("value", "b.vlo", "b.vhi")} AS qv
+      FROM events, (SELECT min(CAST(user_id AS DOUBLE)) AS ulo,
+                           max(CAST(user_id AS DOUBLE)) AS uhi,
+                           min(CAST(value AS DOUBLE)) AS vlo,
+                           max(CAST(value AS DOUBLE)) AS vhi FROM events) b
+    )
+  )
+)
+GROUP BY zb
+"""
 
 # HLL design point: 2^8 = 256 registers from the first byte of md5;
 # rho from the next 52 bits. Registers, their integer power sum, and
@@ -235,6 +273,7 @@ FROM (
   GROUP BY token
   HAVING count(*) >= (SELECT count(*) FROM documents)
 )
+UNION ALL {_DUCK_ZORDER_ARM}
 """,
     doc=f"THREE mergeable sketch families per event type in one "
     "long-format report, every branch bit-identical across engines. "
@@ -265,7 +304,16 @@ FROM (
     "attestation shape as the decontamination Bloom row; detail=1 is "
     "the per-token witness that the estimate never undercounted. "
     "Production note: Spark's native approx_count_distinct (HLL++) is "
-    "the raw-speed tool; these are the oracle-checkable design points.",
+    "the raw-speed tool; these are the oracle-checkable design points. "
+    "method='zorder' (r10): the multi-dimensional LAYOUT gauge — events "
+    "(user_id, value) quantized to the 12-bit grid, Morton-interleaved "
+    "with layout.zorder_key, bucketed by the top-6-bit key prefix (the "
+    "64 files a range write would produce); per bucket the row count, "
+    "max key (detail), the box-envelope volume fraction min/max "
+    "skipping would see (est_distinct — ≤ 1/64 by Morton construction, "
+    "the tight-stats invariant attested exactly), and distinct keys "
+    "(exact_distinct). Pure shift/mask/or + one grid-stats aggregate, "
+    "bit-identical across engines.",
 )
 def q_sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -388,7 +436,44 @@ def q_sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("exact_distinct"),
         )
     )
-    return kmv.unionByName(hll).unionByName(qarms).unionByName(cmin)
+    # Z-order layout gauge arm (r10): Morton keys from the layout
+    # module's own arithmetic (the code path `layout_zorder` writes
+    # with), grouped by the key prefix a range write files on. One
+    # map-only key computation + one 64-group aggregate.
+    from propulsion_spark.operators.layout import with_zorder_key
+
+    zkeyed = with_zorder_key(
+        ev.select("user_id", "value"), ["user_id", "value"], keep_quantized=True
+    )
+    zarm = (
+        zkeyed.groupBy(F.shiftright(F.col("zkey"), _Z_SHIFT).alias("zb"))
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.max("zkey").alias("detail"),
+            (
+                (
+                    (F.max("q_user_id") - F.min("q_user_id") + 1)
+                    * (F.max("q_value") - F.min("q_value") + 1)
+                ).cast("double")
+                / F.lit(_Z_CELLS)
+            ).alias("est_distinct"),
+            F.countDistinct("zkey").alias("exact_distinct"),
+        )
+        .select(
+            F.lit("zorder").alias("method"),
+            F.concat(F.lit("z-"), F.col("zb").cast("string")).alias("event_type"),
+            "n_kept",
+            "detail",
+            "est_distinct",
+            "exact_distinct",
+        )
+    )
+    return (
+        kmv.unionByName(hll)
+        .unionByName(qarms)
+        .unionByName(cmin)
+        .unionByName(zarm)
+    )
 
 
 # ---- Count-Min sketch (token frequency / heavy hitters) ----------------
