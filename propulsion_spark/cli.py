@@ -772,25 +772,30 @@ def cmd_ann(args) -> int:
 
 def cmd_zorder(args) -> int:
     """Rewrite a parquet table in Z-order (Morton) layout over the given
-    columns, then report the footer-level file-skipping the layout buys
-    for an optional probe box."""
+    columns INTO a deltalite table — each output file's min/max envelope
+    lands in the transaction log's ``add.stats`` — then report the
+    file-skipping a probe box buys, answered from the log (zero data
+    IO) with the footer-level gauge alongside as the cross-check."""
     from propulsion_spark import get_spark
     from propulsion_spark.operators.layout import (
         file_skip_stats,
         layout_zorder,
     )
+    from propulsion_spark.streaming.deltalite import DeltaliteTable
 
     spark = get_spark("propulsion-zorder")
     cols = [c.strip() for c in args.cols.split(",") if c.strip()]
     df = spark.read.parquet(args.src)
-    layout_zorder(df, cols, num_files=args.num_files).write.mode(
-        "overwrite"
-    ).parquet(args.out)
+    table = DeltaliteTable(spark, args.out)
+    version = table.write(
+        layout_zorder(df, cols, num_files=args.num_files), mode="overwrite"
+    )
     report = {
         "cols": cols,
         "num_files": args.num_files,
-        "rows": spark.read.parquet(args.out).count(),
+        "rows": table.read().count(),
         "out": args.out,
+        "log_version": version,
     }
     if args.probe:
         # probe format: col=lo:hi[,col=lo:hi...]
@@ -800,7 +805,8 @@ def cmd_zorder(args) -> int:
             lo, _, hi = rng.partition(":")
             box[name.strip()] = (float(lo), float(hi))
         report["probe"] = {k: list(v) for k, v in box.items()}
-        report["skip"] = file_skip_stats(args.out, box)
+        report["skip"] = table.skip_stats(box)
+        report["skip_footer"] = file_skip_stats(args.out, box)
     print(json.dumps(report))
     spark.stop()
     return 0

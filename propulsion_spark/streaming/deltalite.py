@@ -10,11 +10,11 @@ same log-structured storage model — version-numbered JSON action files,
 ``add``/``remove`` file actions, put-if-absent commit atomicity,
 optimistic concurrency with retry — implemented directly against the
 public spec, always runnable. What it deliberately is NOT: a full Delta
-client (no checkpoints, no column stats, no deletion vectors, reader/
-writer protocol pinned at 1/2), and interop with real Delta readers is
-untested here for the same environment reason delta-spark is — the
-claim this module carries is "the log-structured commit semantics run
-and are conformance-tested in-sandbox", not "binary-validated against
+client (no deletion vectors, no column mapping, reader/writer protocol
+pinned at 1/2), and interop with real Delta readers is untested here
+for the same environment reason delta-spark is — the claim this module
+carries is "the log-structured commit semantics run and are
+conformance-tested in-sandbox", not "binary-validated against
 delta-spark".
 
 Protocol subset implemented (PROTOCOL.md):
@@ -27,10 +27,24 @@ Protocol subset implemented (PROTOCOL.md):
   order — readers NEVER list the data directory (an orphaned parquet
   file from a crashed writer is invisible until its commit lands)
 - commit atomicity = put-if-absent of the next version file
-  (``O_CREAT|O_EXCL`` — the documented LogStore contract for
-  local/HDFS-like filesystems; object stores use their conditional
-  writes); a losing writer re-reads the log and retries — optimistic
-  concurrency instead of the parquet backend's file lease
+  (published via hard link of a fully-written tmp — the documented
+  LogStore contract for local/HDFS-like filesystems; object stores use
+  their conditional writes); a losing writer re-reads the log and
+  retries — optimistic concurrency instead of the parquet backend's
+  file lease
+- parquet CHECKPOINTS (r10): every ``CHECKPOINT_INTERVAL`` commits the
+  replayed state (protocol + metaData + live adds) is folded into
+  ``<version 020d>.checkpoint.parquet`` and ``_last_checkpoint`` points
+  at it; readers start replay FROM the checkpoint, so read cost is
+  O(interval) commits regardless of table age, and commit files at or
+  below the checkpoint become deletable (metadata cleanup)
+- per-file column STATS (r10): every ``add`` carries the spec's
+  ``stats`` JSON (numRecords / minValues / maxValues / nullCount, from
+  the parquet footer the writer just produced), so scan planning —
+  :meth:`DeltaliteTable.skip_stats` — prunes files from the LOG alone,
+  never touching data-file footers (at 100 TB: no S3 footer storm; the
+  z-order write path records its tight envelopes where the planner
+  reads them)
 """
 
 from __future__ import annotations
@@ -49,10 +63,116 @@ from propulsion_spark.streaming.positions import (
 )
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+CHECKPOINT_INTERVAL = 10  # the Delta writers' default
 
 
 class CommitConflict(Exception):
     """Another writer owns the attempted log version (retryable)."""
+
+
+def _checkpoint_arrow_schema():
+    """The checkpoint parquet schema — the spec's action columns
+    (protocol / metaData / add) as explicit Arrow structs, so empty
+    maps and all-null columns round-trip without inference surprises."""
+    import pyarrow as pa
+
+    str_map = pa.map_(pa.string(), pa.string())
+    return pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int64()),
+                        ("minWriterVersion", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", str_map),
+                        (
+                            "format",
+                            pa.struct(
+                                [("provider", pa.string()), ("options", str_map)]
+                            ),
+                        ),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", str_map),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def _file_stats(full: str) -> "dict | None":
+    """Column statistics of one parquet file in the protocol's
+    ``add.stats`` shape: numRecords + per-leaf-column minValues /
+    maxValues / nullCount. Computed once, by the writer that just
+    produced the file, from its footer — readers then plan entirely
+    from the log. Binary/nested leaves (no portable ordering) carry
+    only a null count; timestamps serialize as ISO strings."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(full).metadata
+    except Exception:
+        return None
+
+    def _plain(v):
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return None
+        return v
+
+    mins: "dict[str, object]" = {}
+    maxs: "dict[str, object]" = {}
+    nulls: "dict[str, int]" = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if st is None:
+                continue
+            if st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if not st.has_min_max:
+                continue
+            mn, mx = _plain(st.min), _plain(st.max)
+            if mn is None or mx is None:
+                continue
+            if name in mins:
+                mins[name] = min(mins[name], mn)
+                maxs[name] = max(maxs[name], mx)
+            else:
+                mins[name], maxs[name] = mn, mx
+    return {
+        "numRecords": md.num_rows,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    }
 
 
 class DeltaliteLog:
@@ -71,11 +191,43 @@ class DeltaliteLog:
             if f.endswith(".json") and f[:-5].isdigit()
         )
 
-    def snapshot(self) -> "tuple[int, list[str]]":
-        """(latest version, live data-file paths) by log replay —
-        ``add`` accumulates, ``remove`` retires, version order."""
-        live: "dict[str, bool]" = {}
-        versions = self.versions()
+    def last_checkpoint(self) -> "int | None":
+        """Version of the newest parquet checkpoint, from the spec's
+        ``_last_checkpoint`` pointer file (None before the first)."""
+        try:
+            with open(os.path.join(self.log_dir, "_last_checkpoint")) as fh:
+                return int(json.load(fh)["version"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return None
+
+    def _replay(self) -> "tuple[int, dict, dict | None, dict | None]":
+        """(latest version, {rel_path: add action}, metaData, protocol)
+        — reconstructed from the newest checkpoint (if any) plus ONLY
+        the commit files after it. Read cost is O(CHECKPOINT_INTERVAL)
+        commits regardless of table age; commits at or below the
+        checkpoint are never opened (and may be deleted)."""
+        live: "dict[str, dict]" = {}
+        meta: "dict | None" = None
+        proto: "dict | None" = None
+        start = -1
+        ck = self.last_checkpoint()
+        if ck is not None:
+            import pyarrow.parquet as pq
+
+            for row in pq.read_table(self._ckpt_file(ck)).to_pylist():
+                if row.get("add") and row["add"].get("path"):
+                    add = {k: v for k, v in row["add"].items() if v is not None}
+                    if isinstance(add.get("partitionValues"), list):
+                        add["partitionValues"] = dict(add["partitionValues"])
+                    live[add["path"]] = add
+                elif row.get("metaData") and row["metaData"].get("id"):
+                    meta = row["metaData"]
+                elif row.get("protocol") and row["protocol"].get(
+                    "minReaderVersion"
+                ):
+                    proto = row["protocol"]
+            start = ck
+        versions = [v for v in self.versions() if v > start]
         for v in versions:
             with open(self._vfile(v)) as fh:
                 for line in fh:
@@ -83,11 +235,101 @@ class DeltaliteLog:
                         continue
                     action = json.loads(line)
                     if "add" in action:
-                        live[action["add"]["path"]] = True
+                        live[action["add"]["path"]] = action["add"]
                     elif "remove" in action:
                         live.pop(action["remove"]["path"], None)
-        latest = versions[-1] if versions else -1
+                    elif "metaData" in action:
+                        meta = action["metaData"]
+                    elif "protocol" in action:
+                        proto = action["protocol"]
+        latest = versions[-1] if versions else start
+        return latest, live, meta, proto
+
+    def snapshot(self) -> "tuple[int, list[str]]":
+        """(latest version, live data-file paths) by log replay —
+        ``add`` accumulates, ``remove`` retires, version order."""
+        latest, live, _, _ = self._replay()
         return latest, [os.path.join(self.path, p) for p in live]
+
+    def snapshot_adds(self) -> "tuple[int, dict]":
+        """(latest version, {rel_path: add action}) — the full add
+        actions including their ``stats``, for log-side scan planning."""
+        latest, live, _, _ = self._replay()
+        return latest, live
+
+    # -- checkpoints --------------------------------------------------------
+    def _ckpt_file(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
+
+    def checkpoint(self) -> int:
+        """Fold the replayed state into ``<v>.checkpoint.parquet`` and
+        repoint ``_last_checkpoint``. Returns the checkpointed version
+        (-1 if the log is empty). Safe to race: the parquet lands under
+        a tmp name first, and the pointer file moves atomically."""
+        latest, live, meta, proto = self._replay()
+        if latest < 0:
+            return -1
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows: "list[dict]" = []
+        if proto:
+            rows.append({"protocol": proto})
+        if meta:
+            m = dict(meta)
+            fmt = m.get("format") or {}
+            m["format"] = {
+                "provider": fmt.get("provider", "parquet"),
+                "options": dict(fmt.get("options") or {}),
+            }
+            m["configuration"] = dict(m.get("configuration") or {})
+            m["partitionColumns"] = list(m.get("partitionColumns") or [])
+            m = {
+                k: m.get(k)
+                for k in (
+                    "id",
+                    "schemaString",
+                    "partitionColumns",
+                    "configuration",
+                    "format",
+                    "createdTime",
+                )
+            }
+            rows.append({"metaData": m})
+        for add in live.values():
+            rows.append(
+                {
+                    "add": {
+                        "path": add["path"],
+                        "partitionValues": dict(add.get("partitionValues") or {}),
+                        "size": add.get("size"),
+                        "modificationTime": add.get("modificationTime"),
+                        "dataChange": bool(add.get("dataChange", True)),
+                        "stats": add.get("stats"),
+                    }
+                }
+            )
+        table = pa.Table.from_pylist(rows, schema=_checkpoint_arrow_schema())
+        tmp = self._ckpt_file(latest) + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, self._ckpt_file(latest))
+        ptr_tmp = os.path.join(
+            self.log_dir, f"_last_checkpoint.tmp-{uuid.uuid4().hex}"
+        )
+        with open(ptr_tmp, "w") as fh:
+            json.dump({"version": latest, "size": len(rows)}, fh)
+        os.replace(ptr_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+        return latest
+
+    def maybe_checkpoint(self, interval: int = CHECKPOINT_INTERVAL) -> "int | None":
+        """Checkpoint when ``interval`` commits have landed since the
+        last one (the writers' contract in the spec)."""
+        last = self.last_checkpoint()
+        versions = self.versions()
+        latest = versions[-1] if versions else -1
+        if latest >= 0 and latest - (last if last is not None else -1) >= interval:
+            return self.checkpoint()
+        return None
 
     def _vfile(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:020d}.json")
@@ -138,7 +380,7 @@ class DeltaliteLog:
 
 def _add_action(table_path: str, rel: str) -> dict:
     full = os.path.join(table_path, rel)
-    return {
+    action = {
         "add": {
             "path": rel,
             "partitionValues": {},
@@ -147,6 +389,10 @@ def _add_action(table_path: str, rel: str) -> dict:
             "dataChange": True,
         }
     }
+    stats = _file_stats(full)
+    if stats is not None:
+        action["add"]["stats"] = json.dumps(stats)
+    return action
 
 
 def _remove_action(rel: str) -> dict:
@@ -215,6 +461,7 @@ class DeltalitePositionsTable:
             raise CommitConflict(f"merge lost {self.MAX_RETRIES} races")
         if (version + 1) % self.compact_after == 0:
             self._compact()
+        self.log.maybe_checkpoint()
 
     def _compact(self) -> None:
         """Fold the live set into one base file. Optimistic: the commit
@@ -252,6 +499,118 @@ class DeltalitePositionsTable:
                 and now - os.path.getmtime(os.path.join(self.path, f)) > grace_s
             ):
                 os.remove(os.path.join(self.path, f))
+                dropped.append(f)
+        return dropped
+
+
+class DeltaliteTable:
+    """A generic deltalite DATA table: Spark stages the parquet files,
+    the log records one ``add`` per file WITH footer stats, readers and
+    scan planning replay the log. This is where the z-order layout pays
+    off inside the engine's own store: ``layout_zorder`` writes
+    non-overlapping key ranges, the adds record each file's tight
+    min/max envelope, and :meth:`skip_stats` prunes from the log alone
+    — zero data-file IO at plan time (no footer storm at 100 TB).
+    The directory stays a plain parquet dir (``_delta_log`` is
+    underscore-prefixed, so vanilla ``spark.read.parquet`` readers that
+    don't know the log still work — they just lose snapshot isolation).
+    """
+
+    MAX_RETRIES = 12
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.log = DeltaliteLog(path)
+
+    def write(self, df: DataFrame, mode: str = "append") -> int:
+        """Stage ``df``'s partitions as parquet files, move them in,
+        and land ONE commit adding them all (``mode='overwrite'`` also
+        removes the previous live set — atomically in the same commit,
+        so readers see either the old table or the new one, never a
+        mix). Returns the committed version."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unsupported mode {mode!r}")
+        self.log.init_table(df.schema.json())
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        rels = []
+        for part in sorted(os.listdir(staging)):
+            if part.endswith(".parquet"):
+                rel = f"part-{uuid.uuid4().hex}.parquet"
+                os.replace(
+                    os.path.join(staging, part), os.path.join(self.path, rel)
+                )
+                rels.append(rel)
+        for f in os.listdir(staging):
+            os.remove(os.path.join(staging, f))
+        os.rmdir(staging)
+        adds = [_add_action(self.path, rel) for rel in rels]
+        for _ in range(self.MAX_RETRIES):
+            version, live = self.log.snapshot_adds()
+            actions = (
+                [_remove_action(rel) for rel in live] if mode == "overwrite" else []
+            ) + adds
+            try:
+                self.log.try_commit(version + 1, actions)
+                self.log.maybe_checkpoint()
+                return version + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"write lost {self.MAX_RETRIES} races")
+
+    def read(self) -> DataFrame:
+        _, live, meta, _ = self.log._replay()
+        files = [os.path.join(self.path, p) for p in live]
+        if files:
+            return self.spark.read.parquet(*files)
+        # empty table: the schema lives in the log's metaData action
+        from pyspark.sql.types import StructType
+
+        if meta and meta.get("schemaString"):
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(meta["schemaString"]))
+            )
+        raise FileNotFoundError(f"deltalite table {self.path} is uninitialized")
+
+    def skip_stats(
+        self, predicates: "dict[str, tuple[float, float]]"
+    ) -> "dict[str, int]":
+        """The file-skipping gauge answered FROM THE LOG: for every live
+        file, decide from its recorded ``add.stats`` whether a box
+        predicate ``{col: (lo, hi)}`` could skip it (some predicate
+        column's [min, max] disjoint from its bound). Same decision rule
+        as ``operators.layout.file_skip_stats`` but zero data-file IO —
+        the add actions already carry the envelopes. Files committed
+        without stats count as unskippable (the honest default)."""
+        _, live = self.log.snapshot_adds()
+        skipped = 0
+        for add in live.values():
+            raw = add.get("stats")
+            if not raw:
+                continue
+            stats = json.loads(raw)
+            mins, maxs = stats.get("minValues", {}), stats.get("maxValues", {})
+            for col, (lo, hi) in predicates.items():
+                if col in mins and (mins[col] > hi or maxs[col] < lo):
+                    skipped += 1
+                    break
+        return {"files": len(live), "skipped": skipped}
+
+    def vacuum(self, grace_s: float = 3600.0) -> "list[str]":
+        """Delete non-live data files older than the grace window."""
+        _, files = self.log.snapshot()
+        live = {os.path.basename(f) for f in files}
+        dropped = []
+        now = time.time()
+        for f in os.listdir(self.path):
+            full = os.path.join(self.path, f)
+            if (
+                f.endswith(".parquet")
+                and f not in live
+                and now - os.path.getmtime(full) > grace_s
+            ):
+                os.remove(full)
                 dropped.append(f)
         return dropped
 
@@ -327,6 +686,7 @@ class DeltaliteCheckpointStore:
                         self.log.try_commit(
                             version + 1, [_add_action(self.path, rel)]
                         )
+                        self.log.maybe_checkpoint()
                         return
                     except CommitConflict:
                         continue

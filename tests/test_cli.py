@@ -197,3 +197,8 @@ class TestCliCurate:
         assert rep["rows"] > 0
         assert rep["skip"]["files"] >= 1
         assert 0 <= rep["skip"]["skipped"] <= rep["skip"]["files"]
+        # r10: the layout now lands in a deltalite table — the skip
+        # gauge is answered from the log's add.stats and must agree
+        # with the footer-level cross-check on a fresh table
+        assert rep["log_version"] >= 1
+        assert rep["skip"] == rep["skip_footer"]
