@@ -80,25 +80,15 @@ def _decode(row: tuple) -> StreamState:
     return st
 
 
-def make_stateful_processor(
+def _make_drain(
     handle: Callable[[str, pd.DataFrame], "tuple[str, int]"],
-    require_all: bool = True,
-    max_buffered_events: int = 100_000,
-    ttl_ms: int = 0,
+    require_all: bool,
 ):
-    """Build the applyInPandasWithState function: ingest → dispatch →
-    persist. Dispatch loops until no span is dispatchable (the reference
-    scheduler drains all dispatchable spans across cycles; a single-shot
-    dispatch would strand the second buffered span of a stream that then
-    goes idle, since state functions only run for keys present in the
-    batch). On state-TTL timeout, residual dispatchable spans are drained
-    and only *empty* streams are purged (ref purges only empty streams,
-    src/Propulsion/Streams.fs:904-913 — dropping buffered spans whose
-    source offsets Spark already committed would be silent event loss)."""
+    """The dispatch loop both execution legs share: dispatch spans until
+    none is dispatchable; returns (outcome of the last dispatch, total
+    events dispatched)."""
 
-    def _drain(stream: str, st: StreamState) -> tuple[str, int]:
-        """Dispatch spans until none is dispatchable; returns (outcome of
-        the last dispatch, total events dispatched)."""
+    def _drain(stream: str, st: StreamState) -> "tuple[str, int]":
         outcome = "buffered"
         dispatched = 0
         while True:
@@ -122,22 +112,59 @@ def make_stateful_processor(
                 break  # leave the span buffered; retried next batch/tick
         return outcome, dispatched
 
-    def _emit(stream: str, st: StreamState, outcome: str, dispatched: int):
-        gap = st.gap()
-        return pd.DataFrame(
-            [
-                {
-                    "stream_name": stream,
-                    "write_pos": st.write_pos,
-                    "dispatched": dispatched,
-                    "buffered": st.queued_events,
-                    "gap_start": gap[0] if gap else None,
-                    "gap_end": gap[1] if gap else None,
-                    "outcome": outcome,
-                    "revision": st.revision,
-                }
-            ]
+    return _drain
+
+
+def _emit(stream: str, st: StreamState, outcome: str, dispatched: int):
+    gap = st.gap()
+    return pd.DataFrame(
+        [
+            {
+                "stream_name": stream,
+                "write_pos": st.write_pos,
+                "dispatched": dispatched,
+                "buffered": st.queued_events,
+                "gap_start": gap[0] if gap else None,
+                "gap_end": gap[1] if gap else None,
+                "outcome": outcome,
+                "revision": st.revision,
+            }
+        ]
+    )
+
+
+def _ingest_pdf(st: StreamState, pdf: pd.DataFrame) -> None:
+    pdf = pdf.sort_values("idx")
+    events = [
+        Event(
+            int(r.idx),
+            str(r.event_type),
+            r.data if isinstance(r.data, str) else "",
+            bool(r.is_unfold),
+            int(r.size) if pd.notna(r.size) else 0,
         )
+        for r in pdf.itertuples()
+    ]
+    st.ingest(events)
+
+
+def make_stateful_processor(
+    handle: Callable[[str, pd.DataFrame], "tuple[str, int]"],
+    require_all: bool = True,
+    max_buffered_events: int = 100_000,
+    ttl_ms: int = 0,
+):
+    """Build the applyInPandasWithState function: ingest → dispatch →
+    persist. Dispatch loops until no span is dispatchable (the reference
+    scheduler drains all dispatchable spans across cycles; a single-shot
+    dispatch would strand the second buffered span of a stream that then
+    goes idle, since state functions only run for keys present in the
+    batch). On state-TTL timeout, residual dispatchable spans are drained
+    and only *empty* streams are purged (ref purges only empty streams,
+    src/Propulsion/Streams.fs:904-913 — dropping buffered spans whose
+    source offsets Spark already committed would be silent event loss)."""
+
+    _drain = _make_drain(handle, require_all)
 
     def process(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -161,18 +188,7 @@ def make_stateful_processor(
             return
         st = _decode(state.get) if state.exists else StreamState(write_pos=0)
         for pdf in pdfs:
-            pdf = pdf.sort_values("idx")
-            events = [
-                Event(
-                    int(r.idx),
-                    str(r.event_type),
-                    r.data if isinstance(r.data, str) else "",
-                    bool(r.is_unfold),
-                    int(r.size) if pd.notna(r.size) else 0,
-                )
-                for r in pdf.itertuples()
-            ]
-            st.ingest(events)
+            _ingest_pdf(st, pdf)
         if st.queued_events > max_buffered_events:
             st.mark_malformed()
             outcome, dispatched = "malformed", 0
@@ -186,25 +202,148 @@ def make_stateful_processor(
     return process
 
 
+def make_span_buffer_processor(
+    handle: Callable[[str, pd.DataFrame], "tuple[str, int]"],
+    require_all: bool = True,
+    max_buffered_events: int = 100_000,
+    ttl_ms: int = 0,
+):
+    """The same span-buffer kernel as a Spark-4 ``StatefulProcessor``
+    (``transformWithStateInPandas``) — the native successor API: typed
+    value state instead of a single state struct, and explicit TIMERS
+    instead of the per-key timeout duration. The state transition is
+    the identical pure kernel; only the storage/timer plumbing differs
+    — which is the point of keeping the kernel pure.
+
+    Purge semantics match the applyInPandasWithState leg exactly: on an
+    expired timer, residual dispatchable spans are drained and only
+    EMPTY streams drop their state; a gapped stream re-arms its timer.
+    Spark's native value-state TTL (``getValueState(ttlDurationMs=…)``)
+    is deliberately NOT used for the buffer — it would silently drop
+    buffered spans whose source offsets are already committed
+    (ref purges only empty streams, src/Propulsion/Streams.fs:904-913).
+
+    Returned lazily (class defined inside) so importing this module
+    never requires the Spark-4 streaming-state client stack; the class
+    itself is pure Python and unit-testable with a faked handle.
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+
+    drain = _make_drain(handle, require_all)
+
+    class SpanBufferProcessor(StatefulProcessor):
+        def init(self, phandle):
+            self._state = phandle.getValueState("span_buffer", STATE_SCHEMA)
+            self._phandle = phandle
+
+        def _arm(self, timer_values):
+            if ttl_ms > 0:
+                self._phandle.registerTimer(
+                    timer_values.getCurrentProcessingTimeInMs() + ttl_ms
+                )
+
+        def handleInputRows(self, key, rows, timer_values):
+            (stream,) = key
+            st = (
+                _decode(tuple(self._state.get()))
+                if self._state.exists()
+                else StreamState(write_pos=0)
+            )
+            for pdf in rows:
+                _ingest_pdf(st, pdf)
+            if st.queued_events > max_buffered_events:
+                st.mark_malformed()
+                outcome, dispatched = "malformed", 0
+            else:
+                outcome, dispatched = drain(stream, st)
+            self._state.update(_encode(st))
+            self._arm(timer_values)
+            yield _emit(stream, st, outcome, dispatched)
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            (stream,) = key
+            if not self._state.exists():
+                return
+            st = _decode(tuple(self._state.get()))
+            outcome, dispatched = drain(stream, st)
+            if st.is_empty:
+                self._state.clear()
+                yield _emit(stream, st, "purged", dispatched)
+            else:
+                # still-buffered (gapped or failing) spans survive the
+                # purge tick: persist, re-arm, report
+                self._state.update(_encode(st))
+                self._arm(timer_values)
+                yield _emit(stream, st, outcome, dispatched)
+
+        def close(self):
+            pass
+
+    return SpanBufferProcessor()
+
+
+def transform_with_state_available() -> bool:
+    """True when the Spark-4 transformWithState Python runtime can run
+    here: the API needs ``google.protobuf`` for its state-server
+    protocol (not installable in this sandbox — same class of gate as
+    the delta-spark legs)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        from pyspark.sql.streaming import StatefulProcessor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def stateful_stream(
     envelope_stream: DataFrame,
     handle,
     require_all: bool = True,
     ttl_ms: int = 0,
+    engine: str = "auto",
 ) -> DataFrame:
     """Attach the span-buffer kernel to a streaming envelope DataFrame.
 
     Returns the outcome stream; start it with ``writeStream`` (the
     caller picks sink/trigger/checkpoint).
+
+    ``engine``: ``'apply'`` = applyInPandasWithState (Spark 3.x API,
+    always available), ``'tws'`` = Spark-4 transformWithStateInPandas
+    (native timers + typed state; requires the RocksDB state store and
+    the protobuf-backed Python state client), ``'auto'`` = tws when its
+    runtime is importable, else apply — the same native-with-fallback
+    policy as the store CDC DataSource.
     """
     from propulsion_spark import ensure_shipped
 
-    ensure_shipped(envelope_stream.sparkSession)
+    spark = envelope_stream.sparkSession
+    ensure_shipped(spark)
     if require_all and ttl_ms > 0:
         # purging a gapped stream's state would silently re-admit events
         # below its write position (ref: requireAll × purgeInterval are
         # mutually exclusive, src/Propulsion/Streams.fs:864)
         raise ValueError("require_all and state TTL (purge) are mutually exclusive")
+    if engine == "auto":
+        engine = "tws" if transform_with_state_available() else "apply"
+    if engine == "tws":
+        # transformWithState requires the RocksDB state store provider
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        return envelope_stream.groupBy("stream_name").transformWithStateInPandas(
+            make_span_buffer_processor(
+                handle, require_all=require_all, ttl_ms=ttl_ms
+            ),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="ProcessingTime" if ttl_ms > 0 else "None",
+        )
+    if engine != "apply":
+        raise ValueError(f"unknown state engine {engine!r}")
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if ttl_ms > 0
