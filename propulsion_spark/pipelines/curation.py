@@ -79,6 +79,13 @@ class _DeltaRegistry:
     #: subclasses set: DDL schema string and column list
     SCHEMA = ""
     COLS: list[str] = []
+    #: optional derived partition columns (``_with_partitions`` adds
+    #: them): segments and compacted bases are then written
+    #: ``partitionBy`` these, so pruned reads (a filter on the partition
+    #: column) list only the touched subdirectories — the bucketed
+    #: layout that keeps per-batch registry scans O(touched buckets)
+    #: instead of O(registry)
+    PARTITION_BY: list[str] = []
 
     def __init__(self, spark: SparkSession, path: str, compact_after: int = 8):
         from propulsion_spark.streaming.mvcc import FileLease, JsonManifest
@@ -94,12 +101,48 @@ class _DeltaRegistry:
     def _resolve(self, df: DataFrame) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
 
-    def read(self) -> DataFrame:
+    def _with_partitions(self, df: DataFrame) -> DataFrame:
+        """Add the derived ``PARTITION_BY`` columns (no-op default)."""
+        return df
+
+    def read(self, partition_filter=None) -> DataFrame:
+        """Resolved registry view. ``partition_filter`` (a Column over
+        the ``PARTITION_BY`` columns) prunes the scan to the touched
+        partition subdirectories — apply it BEFORE resolution, which is
+        semantics-preserving because partitions are derived from the
+        resolution key."""
         segs = self.manifest.load([])
         if not segs:
             return self.spark.createDataFrame([], self.SCHEMA)
-        raw = self.spark.read.parquet(*[os.path.join(self.path, s) for s in segs])
-        return self._resolve(raw) if len(segs) > 1 else raw
+        raw = self._read_segments(segs)
+        if partition_filter is not None:
+            raw = raw.filter(partition_filter)
+        return self._resolve(raw) if len(segs) > 1 or partition_filter is not None else raw
+
+    def _read_segments(self, segs: "list[str]") -> DataFrame:
+        paths = [os.path.join(self.path, s) for s in segs]
+        if not self.PARTITION_BY:
+            return self.spark.read.parquet(*paths)
+        # each partitioned segment is its own table root — one multi-path
+        # scan would need a common basePath it doesn't have, so union
+        # per-segment scans (the manifest bounds segments at
+        # compact_after + 1, so the plan stays narrow) and partition
+        # pruning applies within every branch
+        frames = [self.spark.read.parquet(p) for p in paths]
+        out = frames[0]
+        for df in frames[1:]:
+            out = out.unionByName(df)
+        return out
+
+    def _write_segment(self, df: DataFrame, seg: str) -> None:
+        out = self._with_partitions(self._resolve(df))
+        writer = out.write.mode("overwrite")
+        # a zero-row partitionBy write produces NO files (only _SUCCESS)
+        # and the segment becomes unreadable — empty deltas are written
+        # flat instead, carrying the schema (incl. the partition column)
+        if self.PARTITION_BY and not out.isEmpty():
+            writer = writer.partitionBy(*self.PARTITION_BY)
+        writer.parquet(os.path.join(self.path, seg))
 
     def register(self, novel: DataFrame) -> None:
         with self._write_lock, self._FileLease(self.path) as lease:
@@ -107,17 +150,17 @@ class _DeltaRegistry:
             try:
                 segs = self.manifest.load([])
                 delta = f"d-{uuid.uuid4().hex}"
-                self._resolve(novel.select(*self.COLS)).write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(self.path, delta))
+                self._write_segment(novel.select(*self.COLS), delta)
                 segs = segs + [delta]
                 if len(segs) > self.compact_after:
                     base = f"v-{uuid.uuid4().hex}"
-                    self._resolve(
-                        self.spark.read.parquet(
-                            *[os.path.join(self.path, s) for s in segs]
-                        )
-                    ).write.mode("overwrite").parquet(os.path.join(self.path, base))
+                    # drop + re-derive the partition columns: partition
+                    # values read back type-inferred, a recompute keeps
+                    # the written layout identical to fresh segments
+                    self._write_segment(
+                        self._read_segments(segs).drop(*self.PARTITION_BY),
+                        base,
+                    )
                     segs = [base]
                 self.manifest.flip(segs)
             finally:

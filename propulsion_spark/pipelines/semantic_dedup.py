@@ -45,13 +45,38 @@ from propulsion_spark.pipelines.curation import _DeltaRegistry
 
 class _SemVecTable(_DeltaRegistry):
     """Keeper-vector registry: one row per keeper carrying its cell,
-    embedding and norm for the cosine verify. Replays resolve away."""
+    embedding and norm for the cosine verify. Replays resolve away.
+
+    Segments are PARTITIONED by ``_bkt = cell % N_BUCKETS`` (r10): a
+    micro-batch whose rows touch K cells reads at most K bucket
+    subdirectories of each segment instead of the whole registry — the
+    same bucketed-layout trick the event store uses. At 100 TB the
+    registry is corpus-sized while a batch touches a handful of cells,
+    so the pruned scan is the difference between O(batch-locality) and
+    O(corpus) registry IO per batch."""
 
     SCHEMA = "cell long, keeper long, embedding array<float>, nrm double"
     COLS = ["cell", "keeper", "embedding", "nrm"]
+    PARTITION_BY = ["_bkt"]
+    N_BUCKETS = 16
 
     def _resolve(self, df: DataFrame) -> DataFrame:
         return df.dropDuplicates(["cell", "keeper"])
+
+    def _with_partitions(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "_bkt", (F.col("cell") % self.N_BUCKETS).cast("int")
+        )
+
+    def read_buckets(self, buckets: "list[int]") -> DataFrame:
+        """The registry pruned to the given cell buckets: the filter is
+        a literal IN over the partition column, so Spark's partition
+        discovery lists ONLY those subdirectories."""
+        if not buckets:
+            return self.spark.createDataFrame([], self.SCHEMA)
+        return self.read(
+            partition_filter=F.col("_bkt").isin([int(b) for b in buckets])
+        )
 
 
 class SemDedupStream:
@@ -129,8 +154,22 @@ class SemDedupStream:
             canon = framed.join(dropped, "vec_id", "left_anti")
             # cross-batch: cell-keyed join vs registered keepers,
             # cosine verify against each keeper's full vector;
-            # keeper == own id is a replay seeing its own registration
-            table = self.registry.read()
+            # keeper == own id is a replay seeing its own registration.
+            # The registry scan is PRUNED to the batch's cell buckets
+            # (a tiny control-plane collect of ≤ N_BUCKETS ints — same
+            # class as the codebook read): a batch touching one cell
+            # reads one bucket subdir per segment, never the registry.
+            batch_buckets = [
+                r[0]
+                for r in framed.select(
+                    (F.col("cell") % _SemVecTable.N_BUCKETS)
+                    .cast("int")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            table = self.registry.read_buckets(batch_buckets)
             cosine = _spark_dot("embedding", "k_emb") / (
                 F.col("nrm") * F.col("k_nrm")
             )

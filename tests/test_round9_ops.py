@@ -869,6 +869,70 @@ class TestSemDedupStream:
         assert s.stats["deduped_cross_batch"] == 1
 
 
+    def test_registry_scan_prunes_to_touched_buckets(self, spark, tmp_path):
+        """r10: segments are partitioned by cell bucket and a batch's
+        registry join lists ONLY the bucket subdirs its rows touch —
+        pinned by the PartitionFilters on every FileScan of the pruned
+        read's physical plan."""
+        from propulsion_spark.pipelines.semantic_dedup import _SemVecTable
+
+        s = self._stream(spark, tmp_path)
+        # keepers in both cells (cell 0 and cell 1 → different buckets)
+        s.process_batch(
+            self._emb_docs(
+                spark, [(1, [1.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+            ),
+            0,
+        )
+        cells = {
+            r.cell
+            for r in s.registry.read().select("cell").distinct().collect()
+        }
+        assert len(cells) == 2  # the pin needs two distinct buckets
+        b0, b1 = sorted(c % _SemVecTable.N_BUCKETS for c in cells)
+        assert b0 != b1
+        pruned = s.registry.read_buckets([b0])
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert scans, "pruned read lost its partition filters"
+        assert all(f"= {b0})" in ln for ln in scans)
+        # and the pruned view still resolves exactly bucket b0's keepers
+        assert {r.keeper for r in pruned.collect()} == {
+            r.keeper
+            for r in s.registry.read()
+            .filter((F.col("cell") % _SemVecTable.N_BUCKETS) == b0)
+            .collect()
+        }
+        # empty bucket list short-circuits to an empty frame, no scan
+        assert s.registry.read_buckets([]).count() == 0
+
+    def test_bucket_pruning_survives_compaction(self, spark, tmp_path):
+        """The compacted base is re-partitioned by bucket too — pruned
+        reads stay pruned after the fold, and cross-batch dedup still
+        catches a redelivered keeper afterwards."""
+        s = self._stream(spark, tmp_path, compact_after=2)
+        dirs = [[1.0, 0.0, 0.0], [0.0, 0.0, 1.0], [0.0, 1.0, 0.0]]
+        for i, d in enumerate(dirs):
+            s.process_batch(self._emb_docs(spark, [(i, d)]), i)
+        # compaction crossed: now redeliver keeper 0 — must be caught
+        out = s.process_batch(
+            self._emb_docs(spark, [(50, [0.99, 0.01, 0.0])]), 9
+        )
+        assert out.count() == 0
+        assert s.stats["deduped_cross_batch"] >= 1
+        some_bucket = [
+            r[0]
+            for r in s.registry.read()
+            .select((F.col("cell") % 16).cast("int"))
+            .distinct()
+            .collect()
+        ][:1]
+        pruned = s.registry.read_buckets(some_bucket)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert scans and all("_bkt" in ln for ln in scans)
+
+
 class TestRRFFusion:
     def _ranked(self, spark, pairs):
         return spark.createDataFrame(
