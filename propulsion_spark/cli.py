@@ -770,6 +770,93 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """Hybrid retrieval end-to-end: BM25 lexical ranks + ANN cosine
+    ranks fused with reciprocal-rank fusion — the RAG-shaped consumer
+    the three components exist to serve. The query is free-text terms
+    (``--terms``, the lexical arm) plus query-by-example (``--query-id``
+    names a corpus vec_id; doc_id == vec_id across the corpus tables).
+    Reports the fused top-k and a recall gauge of both the ANN arm and
+    the fused list against the brute-force cosine ground truth — the
+    honest number a hybrid deployment watches."""
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from propulsion_spark import get_spark, load_table
+    from propulsion_spark.operators.similarity import _spark_dot, rrf_fuse
+    from propulsion_spark.operators.textops import bm25_scores
+    from propulsion_spark.pipelines.ann_index import AnnIndex
+
+    terms = tuple(t.strip() for t in args.terms.split(",") if t.strip())
+    if not terms:
+        print(json.dumps({"error": "--terms must name at least one term"}))
+        return 2
+    spark = get_spark("propulsion-search")
+    idx = AnnIndex(spark, args.index)
+    if not _os.path.exists(idx._vectors_path):
+        idx = AnnIndex.build(spark, args.sf_dir, args.index)
+    docs = load_table(spark, args.sf_dir, "documents")
+    cand = max(args.k * 4, args.k)  # per-arm candidate depth
+    # lexical arm: multi-term BM25 = sum of per-term scores per doc
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    bm25 = (
+        bm25_scores(docs, terms=terms)
+        .groupBy("doc_id")
+        .agg(F.sum("score").alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= cand)
+        .select("doc_id", "rank")
+    )
+    # ANN arm: query-by-example through the materialized index
+    emb = load_table(spark, args.sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == args.query_id).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    if q.isEmpty():
+        print(json.dumps({"error": f"vec_id {args.query_id} not in embeddings"}))
+        return 2
+    ann = idx.search(q, top_k=cand, n_probes=args.n_probes).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse([bm25, ann]).filter(F.col("fused_rank") <= args.k)
+    results = [r.asDict() for r in fused.orderBy("fused_rank").collect()]
+    # recall gauge vs exact cosine top-k (one broadcast of the single
+    # query row against the corpus — the measurement, not hope)
+    qq = q.select(
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_spark_dot("embedding", "embedding")).alias("q_nrm"),
+    )
+    cosine = _spark_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
+    bf_ids = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") != args.query_id)
+        .withColumn("nrm", F.sqrt(_spark_dot("embedding", "embedding")))
+        .crossJoin(F.broadcast(qq))
+        .select("vec_id", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(args.k)
+        .collect()
+    }
+    ann_ids = {r["doc_id"] for r in ann.filter(F.col("rank") <= args.k).collect()}
+    fused_ids = {r["doc_id"] for r in results}
+    print(
+        json.dumps(
+            {
+                "terms": list(terms),
+                "query_id": args.query_id,
+                "k": args.k,
+                "results": results,
+                "ann_recall": len(ann_ids & bf_ids) / args.k,
+                "fused_recall": len(fused_ids & bf_ids) / args.k,
+                "n_bm25_candidates": bm25.count(),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def cmd_zorder(args) -> int:
     """Rewrite a parquet table in Z-order (Morton) layout over the given
     columns INTO a deltalite table — each output file's min/max envelope
@@ -1237,6 +1324,26 @@ def main(argv=None) -> int:
         help="rank candidates by their stored int8 quantization",
     )
     an.set_defaults(fn=cmd_ann)
+
+    se = sub.add_parser(
+        "search",
+        help="hybrid retrieval: BM25 + ANN-index search fused with RRF, "
+        "with a recall gauge vs brute force",
+    )
+    se.add_argument(
+        "--terms", required=True, help="comma-separated lexical query terms"
+    )
+    se.add_argument(
+        "--query-id", type=int, required=True,
+        help="query-by-example: a corpus vec_id (doc_id == vec_id)",
+    )
+    se.add_argument(
+        "--index", required=True, help="ANN index dir (built here if absent)"
+    )
+    se.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    se.add_argument("--k", type=int, default=10)
+    se.add_argument("--n-probes", type=int, default=2)
+    se.set_defaults(fn=cmd_search)
 
     md = sub.add_parser(
         "mediadedup",

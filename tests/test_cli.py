@@ -160,6 +160,37 @@ class TestCliCurate:
         assert rep["n_selected"] == 20
         assert rep["max_logw"] >= rep["min_logw"]
 
+    def test_hybrid_search(self, tmp_path):
+        """search verb e2e: BM25 + ANN-index search fused with RRF over
+        the fixture corpus, recall gauge pinned (measured 0.3 ANN /
+        0.4 fused at these args — deterministic corpus and pipeline,
+        pinned with margin)."""
+        rep = run_cli(
+            "search",
+            "--terms", "hash,tree",
+            "--query-id", "0",
+            "--index", str(tmp_path / "idx"),
+            "--k", "10",
+        )
+        assert len(rep["results"]) == 10
+        ranks = [r["fused_rank"] for r in rep["results"]]
+        assert ranks == list(range(1, 11))
+        assert rep["ann_recall"] >= 0.25
+        assert rep["fused_recall"] >= 0.3
+        # the consensus doc (in BOTH arms) leads the fused ranking
+        assert rep["results"][0]["n_lists"] == 2
+        assert rep["n_bm25_candidates"] > 0
+
+    def test_search_requires_terms(self, tmp_path):
+        rep = run_cli(
+            "search",
+            "--terms", " ",
+            "--query-id", "0",
+            "--index", str(tmp_path / "idx"),
+            expect_rc=2,
+        )
+        assert "terms" in rep["error"]
+
     def test_semdedup_verdicts(self, tmp_path):
         """semdedup verb e2e over the fixture embeddings."""
         rep = run_cli(
