@@ -235,6 +235,214 @@ class FileTopicConsumer:
         return self.consumed_events - before
 
 
+# ------------------------------------------------- native Spark source
+# The fake broker as a first-class Spark format, mirroring
+# StoreCdcDataSource: ``spark.readStream.format("propulsion-kafka-fake")
+# .option("path", topic_dir)`` consumes the partitioned log with offsets
+# riding Spark's OWN offset/commit log — the closest in-sandbox
+# stand-in for the real Kafka connector's integration surface
+# (ref: tests/Propulsion.Kafka.Integration/ConsumersIntegration.fs:
+# 206-370 — resume-from-committed semantics), so restart/resume,
+# back-pressure (maxRecordsPerTrigger), and parallel per-partition
+# reads are exercised through Spark's native streaming machinery
+# instead of the driver-side poll loop above.
+try:  # PySpark ≥ 4.0 — gate so older runtimes keep the poll-loop path
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    _MESSAGE_DDL = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in MESSAGE_SCHEMA.fields
+    )
+
+    class _TopicRange(InputPartition):
+        def __init__(self, path: str, name: str, p: int, lo: int, hi: int):
+            self.path = path
+            self.name = name
+            self.p = p
+            self.lo = lo
+            self.hi = hi
+
+    def _n_partitions(path: str, default: int) -> int:
+        import re
+
+        found = [
+            int(m.group(1))
+            for f in os.listdir(path)
+            if (m := re.fullmatch(r"p(\d+)\.jsonl", f))
+        ]
+        return max(default, max(found) + 1 if found else 0)
+
+    def _read_range_arrow(part: "_TopicRange"):
+        """Executor-side read of one partition's [lo, hi) offset range
+        as Arrow batches in the Kafka wire shape."""
+        import pyarrow as pa
+
+        if part.hi <= part.lo:
+            return iter(())
+        keys, values, parts_, offs, tss = [], [], [], [], []
+        try:
+            fh = open(os.path.join(part.path, f"p{part.p}.jsonl"))
+        except FileNotFoundError:
+            return iter(())
+        with fh:
+            for line in fh:
+                rec = json.loads(line)
+                if rec["offset"] < part.lo:
+                    continue
+                if rec["offset"] >= part.hi:
+                    break
+                keys.append(
+                    rec["key"].encode() if rec["key"] is not None else None
+                )
+                values.append(rec["value"].encode())
+                parts_.append(part.p)
+                offs.append(rec["offset"])
+                tss.append(int(rec["ts"] * 1_000_000))
+        batch = pa.record_batch(
+            [
+                pa.array(keys, pa.binary()),
+                pa.array(values, pa.binary()),
+                pa.array([part.name] * len(offs), pa.string()),
+                pa.array(parts_, pa.int32()),
+                pa.array(offs, pa.int64()),
+                pa.array(tss, pa.timestamp("us")),
+            ],
+            names=["key", "value", "topic", "partition", "offset", "timestamp"],
+        )
+        return iter([batch])
+
+    class _FakeKafkaStreamReader(DataSourceStreamReader):
+        """Offsets are {partition: next-offset-to-read} dicts — exactly
+        the connector's startingOffsets shape — persisted by Spark's
+        checkpoint; commit() is a no-op because Spark's own commit log
+        is the source of truth (the point of the exercise)."""
+
+        def __init__(self, options: dict):
+            self.path = options["path"]
+            self.name = options.get("name", "topic")
+            self.default_parts = int(options.get("partitions", 4))
+            self.max_records = int(options.get("maxrecordspertrigger", 1 << 30))
+            self._last: "dict[str, int] | None" = None
+
+        def _ends(self) -> "dict[str, int]":
+            n = _n_partitions(self.path, self.default_parts)
+            ends = {}
+            for p in range(n):
+                try:
+                    with open(os.path.join(self.path, f"p{p}.jsonl")) as f:
+                        ends[str(p)] = sum(1 for _ in f)
+                except FileNotFoundError:
+                    ends[str(p)] = 0
+            return ends
+
+        def initialOffset(self) -> dict:
+            start = {str(p): 0 for p in range(
+                _n_partitions(self.path, self.default_parts)
+            )}
+            self._last = dict(start)
+            return start
+
+        def latestOffset(self) -> dict:
+            ends = self._ends()
+            if self._last is not None:
+                # admission control per partition, from the newest
+                # offset THIS READER planned (post-restart the first
+                # batch is unthrottled — same contract and rationale as
+                # _StoreCdcStreamReader.latestOffset)
+                ends = {
+                    p: max(
+                        min(end, self._last.get(p, 0) + self.max_records),
+                        self._last.get(p, 0),
+                    )
+                    for p, end in ends.items()
+                }
+            self._last = dict(ends)
+            return ends
+
+        def partitions(self, start: dict, end: dict):
+            self._last = {
+                p: max((self._last or {}).get(p, 0), int(v))
+                for p, v in end.items()
+            }
+            parts = [
+                _TopicRange(self.path, self.name, int(p), int(start.get(p, 0)), int(hi))
+                for p, hi in end.items()
+                if int(hi) > int(start.get(p, 0))
+            ]
+            # Spark requires ≥1 partition; an empty batch reads nothing
+            return parts or [_TopicRange(self.path, self.name, 0, 0, 0)]
+
+        def read(self, partition):  # executes on Python workers
+            return _read_range_arrow(partition)
+
+        def commit(self, end: dict) -> None:
+            pass  # Spark's commit log is authoritative
+
+    class _FakeKafkaSnapshotReader(DataSourceReader):
+        """Batch face: the whole topic as of now."""
+
+        def __init__(self, options: dict):
+            self.path = options["path"]
+            self.name = options.get("name", "topic")
+            self.default_parts = int(options.get("partitions", 4))
+
+        def partitions(self):
+            n = _n_partitions(self.path, self.default_parts)
+            parts = []
+            for p in range(n):
+                try:
+                    with open(os.path.join(self.path, f"p{p}.jsonl")) as f:
+                        hi = sum(1 for _ in f)
+                except FileNotFoundError:
+                    hi = 0
+                parts.append(_TopicRange(self.path, self.name, p, 0, hi))
+            return parts or [_TopicRange(self.path, self.name, 0, 0, 0)]
+
+        def read(self, partition):
+            return _read_range_arrow(partition)
+
+    class FakeKafkaDataSource(DataSource):
+        """The file-backed broker as a Spark format. Options: ``path``
+        (topic dir, required), ``name`` (topic name), ``partitions``
+        (partition count for empty topics), streaming only:
+        ``maxRecordsPerTrigger`` (per-partition admission control)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "propulsion-kafka-fake"
+
+        def schema(self) -> str:
+            return _MESSAGE_DDL
+
+        def reader(self, schema):
+            return _FakeKafkaSnapshotReader(
+                {k.lower(): v for k, v in self.options.items()}
+            )
+
+        def streamReader(self, schema):
+            return _FakeKafkaStreamReader(
+                {k.lower(): v for k, v in self.options.items()}
+            )
+
+    def register_fake_kafka(spark: SparkSession) -> None:
+        """Register the native source with this session (idempotent)."""
+        spark.dataSource.register(FakeKafkaDataSource)
+
+except ImportError:  # pragma: no cover — PySpark < 4.0
+
+    FakeKafkaDataSource = None
+
+    def register_fake_kafka(spark: SparkSession) -> None:
+        raise NotImplementedError(
+            "the native fake-kafka source needs the PySpark DataSource "
+            "API (Spark >= 4.0); use FileTopicConsumer instead"
+        )
+
+
 def produce_rendered(rendered: DataFrame, topic: FileTopic) -> int:
     """The StreamsProducerSink analog against the fake (ref:
     ProducerSinks.fs:15-45): one message per rendered span, keyed by
