@@ -455,6 +455,42 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         sds.process_batch(half.filter("doc_id % 2 = 0"), 0).count()
         sds.process_batch(half.filter("doc_id % 2 = 1"), 1).count()
         timings["pipeline_semdedup_stream"] = round(time.time() - t0, 3)
+
+        # hybrid retrieval (r10): BM25 lexical arm over the corpus +
+        # ANN-index query-by-example arm + per-query RRF fusion — the
+        # RAG-shaped consumer; measures the serving path (index built
+        # outside the timing: build cost is pipeline_ann_build)
+        from pyspark.sql import Window as _W
+
+        from propulsion_spark.operators.similarity import rrf_fuse
+        from propulsion_spark.operators.textops import bm25_scores
+        from propulsion_spark.pipelines.ann_index import AnnIndex
+
+        idx = AnnIndex.build(spark, sf_dir, f"{tmp}/searchidx")
+        t0 = time.time()
+        wb = _W.orderBy(F.col("score").desc(), F.col("doc_id"))
+        bm25 = (
+            bm25_scores(full, terms=("hash", "tree"))
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .withColumn("rank", F.row_number().over(wb).cast("long"))
+            .filter("rank <= 40")
+            .select("doc_id", "rank")
+        )
+        q10 = emb.filter("vec_id < 10").selectExpr(
+            "vec_id AS query_id", "embedding"
+        )
+        ann = idx.search(q10, top_k=40, n_probes=2).select(
+            F.col("query_id"), F.col("neighbor_id").alias("doc_id"), "rank"
+        )
+        # fuse the one lexical list against each query's ANN list
+        fused = rrf_fuse(
+            [ann, bm25.crossJoin(ann.select("query_id").distinct())],
+            id_col="doc_id",
+            by=["query_id"],
+        ).filter("fused_rank <= 10")
+        fused.write.format("noop").mode("overwrite").save()
+        timings["pipeline_hybrid_search"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings
