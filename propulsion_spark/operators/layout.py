@@ -45,7 +45,10 @@ def zorder_key(cols: "list[Column]", bits: int = ZORDER_BITS) -> Column:
 
 def _quantize(c: Column, lo, hi, bits: int) -> Column:
     """Scale a numeric column to [0, 2^bits) against collected bounds.
-    Degenerate bounds (constant column) quantize to 0 everywhere."""
+    Degenerate bounds (constant column, or None from an empty/all-null
+    input) quantize to 0 everywhere."""
+    if lo is None or hi is None:
+        return F.lit(0).cast("long")
     span = float(hi) - float(lo)
     if span <= 0:
         return F.lit(0).cast("long")

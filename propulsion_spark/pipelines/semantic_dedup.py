@@ -16,8 +16,11 @@ Scale shape (the media-dedup discipline, applied to embeddings):
 - State is O(keepers) rows of (cell, keeper, embedding, nrm) — the
   embedding IS the fingerprint here (cosine needs it); at 100 TB the
   registry is the corpus's embedding table re-partitioned by cell,
-  which the storage layer already holds — int8-quantizing the stored
-  vectors (the AnnIndex trick) is the future shrink lever.
+  which the storage layer already holds. ``int8_registry=True`` (r10)
+  applies the AnnIndex shrink lever: keepers store max-abs-scaled int8
+  codes + scale + true norm (¼ the bytes), the verify dequantizes the
+  keeper side only (asymmetric). Registry segments are PARTITIONED by
+  cell bucket, so a batch scans only the buckets it touches.
 - The registry is the repo's append-then-compact ``_DeltaRegistry``
   (lease-fenced atomic manifest flips): ``register()`` writes O(batch)
   delta rows, segments fold every ``compact_after`` batches.
@@ -79,6 +82,22 @@ class _SemVecTable(_DeltaRegistry):
         )
 
 
+class _SemVecInt8Table(_SemVecTable):
+    """The registry's int8 shrink lever (the AnnIndex trick): keepers
+    store max-abs-scaled int8 codes + scale + the TRUE norm instead of
+    the float32 vector — ¼ the registry bytes moved per cross-batch
+    candidate. The cosine verify dequantizes the keeper side only
+    (asymmetric, like quantized ANN search): with unit-ish embeddings
+    the dequantization error on cosine is ~1e-2, so thresholds keep a
+    margin; measure with the fixture test before flipping a corpus."""
+
+    SCHEMA = (
+        "cell long, keeper long, qvec array<tinyint>, "
+        "qscale double, nrm double"
+    )
+    COLS = ["cell", "keeper", "qvec", "qscale", "nrm"]
+
+
 class SemDedupStream:
     """Cross-batch SemDeDup over a durable keeper registry.
 
@@ -98,11 +117,14 @@ class SemDedupStream:
         id_col: str = "doc_id",
         emb_col: str = "embedding",
         compact_after: int = 8,
+        int8_registry: bool = False,
     ):
         from propulsion_spark.operators.similarity import SEMDEDUP_COS
 
         self.spark = spark
-        self.registry = _SemVecTable(
+        self.int8_registry = bool(int8_registry)
+        table_cls = _SemVecInt8Table if int8_registry else _SemVecTable
+        self.registry = table_cls(
             spark, registry_path, compact_after=compact_after
         )
         # freeze the codebook for the stream's life: small (cells×dims),
@@ -170,17 +192,30 @@ class SemDedupStream:
                 .collect()
             ]
             table = self.registry.read_buckets(batch_buckets)
+            if self.int8_registry:
+                # asymmetric verify: dequantize the keeper side only
+                keepers = table.select(
+                    "cell",
+                    F.col("keeper"),
+                    F.expr(
+                        "transform(qvec, v -> cast(v as double)"
+                        " * qscale / 127.0D)"
+                    ).alias("k_emb"),
+                    F.col("nrm").alias("k_nrm"),
+                )
+            else:
+                keepers = table.select(
+                    "cell",
+                    F.col("keeper"),
+                    F.col("embedding").alias("k_emb"),
+                    F.col("nrm").alias("k_nrm"),
+                )
             cosine = _spark_dot("embedding", "k_emb") / (
                 F.col("nrm") * F.col("k_nrm")
             )
             hits = (
                 canon.join(
-                    table.select(
-                        "cell",
-                        F.col("keeper"),
-                        F.col("embedding").alias("k_emb"),
-                        F.col("nrm").alias("k_nrm"),
-                    ),
+                    keepers,
                     "cell",
                 )
                 .filter(
@@ -198,14 +233,27 @@ class SemDedupStream:
             # labels must not write int cells next to the long SCHEMA
             # (mixed per-segment parquet types poison later unions —
             # the ann_index _load_pq lesson)
-            self.registry.register(
-                survivors.select(
+            if self.int8_registry:
+                qs = F.expr("array_max(transform(embedding, x -> abs(x)))")
+                novel = survivors.select(
+                    F.col("cell").cast("long").alias("cell"),
+                    F.col("vec_id").alias("keeper"),
+                    F.expr(
+                        "transform(embedding, x -> cast(round("
+                        "x / array_max(transform(embedding, v -> abs(v)))"
+                        " * 127.0) as tinyint))"
+                    ).alias("qvec"),
+                    qs.cast("double").alias("qscale"),
+                    "nrm",
+                )
+            else:
+                novel = survivors.select(
                     F.col("cell").cast("long").alias("cell"),
                     F.col("vec_id").alias("keeper"),
                     "embedding",
                     "nrm",
                 )
-            )
+            self.registry.register(novel)
             # localCheckpoint pins the (ids-only, batch-bounded) keep
             # set: the returned frame is consumed AFTER the finally
             # block releases the persists, and a lazy lineage would

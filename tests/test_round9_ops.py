@@ -869,6 +869,33 @@ class TestSemDedupStream:
         assert s.stats["deduped_cross_batch"] == 1
 
 
+    def test_int8_registry_catches_the_same_duplicates(self, spark, tmp_path):
+        """int8_registry=True (r10): keepers stored as max-abs int8
+        codes (¼ bytes), verify dequantizes the keeper side only — on
+        the fixture the SAME cross-batch duplicates are caught and the
+        same distinct directions survive (threshold margin ≫ the ~1e-2
+        dequantization error)."""
+        s = self._stream(spark, tmp_path, int8_registry=True)
+        out0 = s.process_batch(
+            self._emb_docs(spark, [(1, [1.0, 0.0, 0.0])]), 0
+        )
+        assert [r.doc_id for r in out0.collect()] == [1]
+        # near-duplicate of keeper 1 → caught through the int8 codes
+        out1 = s.process_batch(
+            self._emb_docs(spark, [(2, [0.98, 0.02, 0.0])]), 1
+        )
+        assert out1.count() == 0
+        assert s.stats["deduped_cross_batch"] == 1
+        # a genuinely distinct direction still survives
+        out2 = s.process_batch(
+            self._emb_docs(spark, [(3, [0.0, 0.0, 1.0])]), 2
+        )
+        assert [r.doc_id for r in out2.collect()] == [3]
+        # the registry really holds codes, not floats
+        row = s.registry.read().filter(F.col("keeper") == 1).collect()[0]
+        assert -128 <= min(row.qvec) and max(row.qvec) <= 127
+        assert row.qscale > 0 and abs(row.nrm - 1.0) < 1e-6
+
     def test_registry_scan_prunes_to_touched_buckets(self, spark, tmp_path):
         """r10: segments are partitioned by cell bucket and a batch's
         registry join lists ONLY the bucket subdirs its rows touch —
