@@ -86,6 +86,11 @@ class _DeltaRegistry:
     #: layout that keeps per-batch registry scans O(touched buckets)
     #: instead of O(registry)
     PARTITION_BY: list[str] = []
+    #: subclasses whose register() inputs are unique by construction
+    #: (e.g. one row per surviving keeper) set this False to skip the
+    #: defensive per-delta resolve shuffle; reads and compaction still
+    #: resolve across segments
+    RESOLVE_DELTAS = True
 
     def __init__(self, spark: SparkSession, path: str, compact_after: int = 8):
         from propulsion_spark.streaming.mvcc import FileLease, JsonManifest
@@ -117,7 +122,9 @@ class _DeltaRegistry:
         raw = self._read_segments(segs)
         if partition_filter is not None:
             raw = raw.filter(partition_filter)
-        return self._resolve(raw) if len(segs) > 1 or partition_filter is not None else raw
+        # single segments are written resolved — only cross-segment
+        # reads need the fold (a pruning filter preserves resolution)
+        return self._resolve(raw) if len(segs) > 1 else raw
 
     def _read_segments(self, segs: "list[str]") -> DataFrame:
         paths = [os.path.join(self.path, s) for s in segs]
@@ -134,15 +141,28 @@ class _DeltaRegistry:
             out = out.unionByName(df)
         return out
 
-    def _write_segment(self, df: DataFrame, seg: str) -> None:
-        out = self._with_partitions(self._resolve(df))
-        writer = out.write.mode("overwrite")
+    def _write_segment(self, df: DataFrame, seg: str, resolve: bool = True) -> None:
+        out = self._with_partitions(self._resolve(df) if resolve else df)
+        dest = os.path.join(self.path, seg)
+        if not self.PARTITION_BY:
+            out.write.mode("overwrite").parquet(dest)
+            return
+        # one narrow shuffle keyed by the partition columns before the
+        # write: without it every task writes its own file into every
+        # touched bucket (shuffle.partitions × buckets tiny files per
+        # segment); 16 tasks bound the fan-in for registry-sized deltas
+        out.repartition(16, *[F.col(c) for c in self.PARTITION_BY]).write.mode(
+            "overwrite"
+        ).partitionBy(*self.PARTITION_BY).parquet(dest)
         # a zero-row partitionBy write produces NO files (only _SUCCESS)
-        # and the segment becomes unreadable — empty deltas are written
-        # flat instead, carrying the schema (incl. the partition column)
-        if self.PARTITION_BY and not out.isEmpty():
-            writer = writer.partitionBy(*self.PARTITION_BY)
-        writer.parquet(os.path.join(self.path, seg))
+        # and the segment becomes unreadable — detected from the dir
+        # (no extra Spark action) and rewritten flat to carry the schema
+        if not any(
+            f.endswith(".parquet")
+            for _, _, names in os.walk(dest)
+            for f in names
+        ):
+            out.write.mode("overwrite").parquet(dest)
 
     def register(self, novel: DataFrame) -> None:
         with self._write_lock, self._FileLease(self.path) as lease:
@@ -150,7 +170,10 @@ class _DeltaRegistry:
             try:
                 segs = self.manifest.load([])
                 delta = f"d-{uuid.uuid4().hex}"
-                self._write_segment(novel.select(*self.COLS), delta)
+                self._write_segment(
+                    novel.select(*self.COLS), delta,
+                    resolve=self.RESOLVE_DELTAS,
+                )
                 segs = segs + [delta]
                 if len(segs) > self.compact_after:
                     base = f"v-{uuid.uuid4().hex}"

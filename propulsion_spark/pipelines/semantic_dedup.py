@@ -62,6 +62,11 @@ class _SemVecTable(_DeltaRegistry):
     COLS = ["cell", "keeper", "embedding", "nrm"]
     PARTITION_BY = ["_bkt"]
     N_BUCKETS = 16
+    # register() inputs are one row per SURVIVING keeper (unique by
+    # construction — survivors carry distinct vec_ids), so the delta
+    # write skips the defensive dedup shuffle; replays still resolve
+    # away at read/compaction time via dropDuplicates across segments
+    RESOLVE_DELTAS = False
 
     def _resolve(self, df: DataFrame) -> DataFrame:
         return df.dropDuplicates(["cell", "keeper"])
@@ -181,16 +186,19 @@ class SemDedupStream:
             # (a tiny control-plane collect of ≤ N_BUCKETS ints — same
             # class as the codebook read): a batch touching one cell
             # reads one bucket subdir per segment, never the registry.
-            batch_buckets = [
-                r[0]
-                for r in framed.select(
-                    (F.col("cell") % _SemVecTable.N_BUCKETS)
-                    .cast("int")
-                    .alias("b")
-                )
-                .distinct()
-                .collect()
-            ]
+            if self.registry.manifest.load([]):
+                batch_buckets = [
+                    r[0]
+                    for r in framed.select(
+                        (F.col("cell") % _SemVecTable.N_BUCKETS)
+                        .cast("int")
+                        .alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+            else:
+                batch_buckets = []  # empty registry: skip collect AND scan
             table = self.registry.read_buckets(batch_buckets)
             if self.int8_registry:
                 # asymmetric verify: dequantize the keeper side only
