@@ -336,3 +336,80 @@ class TestDeltaliteDataTable:
         out = t.read()
         assert out.count() == 0
         assert [f.name for f in out.schema.fields] == ["x", "y"]
+
+
+class TestLogModelConformance:
+    """Model-based conformance: a random interleaving of merges,
+    checkpoints, metadata cleanups and vacuums must always read back
+    exactly the newest-wins dict model — the property the protocol's
+    whole machinery (replay, checkpoints, atomic commits, retention)
+    exists to preserve."""
+
+    def test_random_op_sequences_match_model(self, spark, tmp_path):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from propulsion_spark.streaming.deltalite import (
+            DeltalitePositionsTable,
+        )
+
+        op = st.one_of(
+            st.tuples(
+                st.just("merge"),
+                st.lists(
+                    st.tuples(
+                        st.sampled_from(["a", "b", "c", "d"]),
+                        st.integers(0, 50),
+                        st.integers(0, 3),
+                    ),
+                    min_size=1,
+                    max_size=3,
+                ),
+            ),
+            st.tuples(st.just("checkpoint"), st.none()),
+            st.tuples(st.just("cleanup"), st.none()),
+            st.tuples(st.just("vacuum"), st.none()),
+        )
+
+        case_no = [0]
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        @given(st.lists(op, min_size=2, max_size=8))
+        def run(ops):
+            case_no[0] += 1
+            tbl = DeltalitePositionsTable(
+                spark, str(tmp_path / f"t{case_no[0]}"), compact_after=3
+            )
+            model: dict[str, tuple] = {}
+            for kind, arg in ops:
+                if kind == "merge":
+                    rows = [(s, p, r, False) for s, p, r in arg]
+                    _merge(tbl, spark, rows)
+                    for s, p, r in arg:
+                        # the table's fold is per-column monotonic max
+                        # (positions/revisions only advance)
+                        cur = model.get(s, (-1, -1))
+                        model[s] = (max(cur[0], p), max(cur[1], r))
+                elif kind == "checkpoint":
+                    tbl.log.checkpoint()
+                elif kind == "cleanup":
+                    ck = tbl.log.last_checkpoint()
+                    if ck is not None:
+                        for v in range(ck + 1):
+                            try:
+                                os.remove(tbl.log._vfile(v))
+                            except FileNotFoundError:
+                                pass
+                elif kind == "vacuum":
+                    tbl.vacuum(grace_s=0.0)
+                got = {
+                    r.stream_name: (r.pos, r.revision)
+                    for r in tbl.read().collect()
+                }
+                assert got == model, (kind, got, model)
+
+        run()
