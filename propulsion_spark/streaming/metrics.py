@@ -102,6 +102,32 @@ class MetricsExporter:
             lambda: [({"stage": k}, v) for k, v in sorted(pipeline.stats.items())],
         )
 
+    def register_deltalite(self, name: str, log) -> "MetricsExporter":
+        """A :class:`~propulsion_spark.streaming.deltalite.DeltaliteLog`:
+        exports the log-health gauges an operator watches —
+        ``propulsion_deltalite{stat=...}``: latest version, commits
+        since the last parquet checkpoint (replay cost; should stay
+        under CHECKPOINT_INTERVAL), live file count, and how many live
+        adds carry column stats (files the scan planner can prune;
+        anything below live_files means stat-less legacy adds are
+        serving unskippable). Driver-side log replay only — O(interval)
+        commit files per scrape, no data IO."""
+
+        def scrape():
+            lbl = {"table": name}
+            latest, live = log.snapshot_adds()
+            ck = log.last_checkpoint()
+            behind = latest - ck if ck is not None else latest + 1
+            with_stats = sum(1 for a in live.values() if a.get("stats"))
+            return [
+                ({**lbl, "stat": "version"}, max(latest, 0)),
+                ({**lbl, "stat": "commits_since_checkpoint"}, max(behind, 0)),
+                ({**lbl, "stat": "live_files"}, len(live)),
+                ({**lbl, "stat": "live_files_with_stats"}, with_stats),
+            ]
+
+        return self.register_gauge("propulsion_deltalite", scrape)
+
     def register_curation(self, pipeline) -> "MetricsExporter":
         """A :class:`~propulsion_spark.pipelines.CurationPipeline`:
         exports its per-stage document counters

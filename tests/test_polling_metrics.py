@@ -217,3 +217,39 @@ class TestNewGaugeExports:
         assert 'propulsion_lsh_bucket{group="g1",param="L"}' in text
         assert 'propulsion_lsh_bucket{group="g1",param="k"}' in text
         assert 'design="corpus"' in text and 'stat="max_bucket"' in text
+
+
+class TestDeltaliteGauges:
+    def test_log_health_gauges(self, spark, tmp_path):
+        from propulsion_spark.streaming.deltalite import (
+            CHECKPOINT_INTERVAL,
+            DeltalitePositionsTable,
+        )
+        from propulsion_spark.streaming.metrics import MetricsExporter
+
+        tbl = DeltalitePositionsTable(
+            spark, str(tmp_path / "t"), compact_after=10**9
+        )
+        for i in range(CHECKPOINT_INTERVAL + 2):
+            tbl.merge(
+                spark.createDataFrame(
+                    [(f"s-{i}", i + 1, 0, False)],
+                    "stream_name string, pos long, revision long, malformed boolean",
+                )
+            )
+        text = (
+            MetricsExporter(group="dl")
+            .register_deltalite("positions", tbl.log)
+            .render()
+        )
+        assert 'propulsion_deltalite{group="dl",stat="version",table="positions"} 12' in text
+        # checkpoint fired at v9 → 3 commits since
+        assert (
+            'propulsion_deltalite{group="dl",stat="commits_since_checkpoint",table="positions"} 3'
+            in text
+        )
+        assert 'propulsion_deltalite{group="dl",stat="live_files",table="positions"} 12' in text
+        assert (
+            'propulsion_deltalite{group="dl",stat="live_files_with_stats",table="positions"} 12'
+            in text
+        )
