@@ -277,10 +277,15 @@ class SemDedupStream:
             out = df.join(
                 keep_ids.withColumnRenamed("vec_id", self.id_col), self.id_col
             )
+            # counting discipline: the drop and hit sets are pinned
+            # ids-only frames (one row per dropped/hit id by
+            # construction), so their counts are near-free — canon and
+            # survivors counts DERIVE from them instead of re-running
+            # the anti-joins as two more jobs per batch
             n_seen = df.count()
             n_emb = normed.count()
-            n_canon = canon.count()
-            n_surv = survivors.count()
+            n_canon = n_emb - dropped.count()
+            n_surv = n_canon - hits.count()
             self.stats["seen"] += n_seen
             self.stats["unembeddable"] += n_seen - n_emb
             self.stats["deduped_in_batch"] += n_emb - n_canon
