@@ -948,25 +948,52 @@ qcells1 AS (
 """
 
 
+def _codebook_arrays(cent: DataFrame) -> DataFrame:
+    """(label, c_arr): the long-form (label, dim, c) codebook pivoted to
+    dim-ordered centroid arrays — the broadcast shape the map-only
+    distance path consumes."""
+    return cent.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+        ).alias("c_arr")
+    )
+
+
+# per-(vector, centroid) squared distance as ONE array expression:
+# zip_with pairs each component with its centroid coordinate, every
+# (x−c)² term is rounded to DECIMAL(20,12) exactly like the long-form
+# aggregate's per-row cast, and the decimal fold is exact integer
+# arithmetic — order-independent, hence bit-identical to the former
+# explode → broadcast-join → groupBy-sum plan while being MAP-ONLY
+# (the n·dims·cells pre-aggregation blowup and its shuffle are gone).
+_D2_EXPR = (
+    "cast(aggregate("
+    "zip_with(embedding, c_arr, (xf, c) -> "
+    "cast((cast(xf as double) - c) * (cast(xf as double) - c) "
+    "as decimal(20,12))), "
+    "cast(0 as decimal(30,12)), "
+    "(acc, v) -> cast(acc + v as decimal(30,12))"
+    ") as double)"
+)
+
+
 def _spark_ivf_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, d2): exact fixed-point distance of every vector
-    to every centroid cell — shared by assignment and probe selection."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    to every centroid cell — shared by assignment and probe selection.
+    One broadcast of the (cells) codebook arrays + a map-only zip_with
+    fold per (vector, cell) pair; no explode, no aggregate shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = q_embedding_centroids(spark, sf_dir).select(
         "label", "dim", F.col("centroid").alias("c")
     )
-    expl = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "xf")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).cast("long").alias("dim"),
-        F.col("xf").cast("double").alias("x"),
-    )
-    diff = F.col("x") - F.col("c")
-    return (
-        expl.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "label")
-        .agg(F.sum((diff * diff).cast("decimal(20,12)")).cast("double").alias("d2"))
+    return _dist_to_codebook_arrays(emb, cent)
+
+
+def _dist_to_codebook_arrays(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, label, d2) for every (vector, centroid) pair — the
+    map-only twin of the long-form distance aggregate (see _D2_EXPR)."""
+    return emb.crossJoin(F.broadcast(_codebook_arrays(cent))).select(
+        "vec_id", "label", F.expr(_D2_EXPR).alias("d2")
     )
 
 
@@ -996,7 +1023,8 @@ def _spark_ivf_dist_learned(
     their seed label identity; a cell that loses all members simply
     drops out of the codebook (inner joins on both engines)."""
     cent1 = _spark_ivf_learned_codebook(spark, sf_dir, dist0=dist0)
-    return _dist_to_codebook(_spark_ivf_expl(spark, sf_dir), cent1)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _dist_to_codebook_arrays(emb, cent1)
 
 
 def _spark_ivf_learned_codebook(

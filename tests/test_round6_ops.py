@@ -746,3 +746,34 @@ class TestStreamingSharding:
         for off, n in train:
             assert off == run
             run += n
+
+
+class TestDistPathParity:
+    def test_map_only_distance_matches_long_form_bit_for_bit(self, spark):
+        """r10: the map-only zip_with/decimal-fold distance path (what
+        every IVF query now plans) must reproduce the long-form
+        explode→join→groupBy-sum aggregate EXACTLY — decimal addition
+        is order-independent, so the two folds are the same number."""
+        from propulsion_spark import load_table
+        from propulsion_spark.operators.similarity import (
+            _dist_to_codebook,
+            _dist_to_codebook_arrays,
+            _spark_ivf_expl,
+            q_embedding_centroids,
+        )
+
+        codebook = q_embedding_centroids(spark, SF).select(
+            "label", "dim", F.col("centroid").alias("c")
+        )
+        long_form = {
+            (r["vec_id"], r["label"]): r["d2"]
+            for r in _dist_to_codebook(
+                _spark_ivf_expl(spark, SF), codebook
+            ).collect()
+        }
+        emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+        arr_form = {
+            (r["vec_id"], r["label"]): r["d2"]
+            for r in _dist_to_codebook_arrays(emb, codebook).collect()
+        }
+        assert long_form == arr_form and len(arr_form) > 0
