@@ -770,6 +770,60 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_deltalite(args) -> int:
+    """Maintenance for a deltalite table (the engine's native
+    Delta-protocol log): describe the log's health, force a parquet
+    checkpoint, vacuum retired files, or count rows as of a version
+    (time travel)."""
+    from propulsion_spark import get_spark
+    from propulsion_spark.streaming.deltalite import DeltaliteLog, DeltaliteTable
+
+    log = DeltaliteLog(args.path)
+    if args.action == "describe":
+        latest, live = log.snapshot_adds()
+        ck = log.last_checkpoint()
+        print(
+            json.dumps(
+                {
+                    "path": args.path,
+                    "version": latest,
+                    "checkpoint": ck,
+                    "commits_since_checkpoint": (
+                        latest - ck if ck is not None else latest + 1
+                    ),
+                    "live_files": len(live),
+                    "live_files_with_stats": sum(
+                        1 for a in live.values() if a.get("stats")
+                    ),
+                    "live_bytes": sum(a.get("size", 0) for a in live.values()),
+                }
+            )
+        )
+        return 0
+    if args.action == "checkpoint":
+        v = log.checkpoint()
+        print(json.dumps({"checkpointed": v, "path": args.path}))
+        return 0
+    spark = get_spark("propulsion-deltalite")
+    table = DeltaliteTable(spark, args.path)
+    if args.action == "vacuum":
+        dropped = table.vacuum(grace_s=args.grace)
+        print(json.dumps({"dropped": len(dropped), "grace_s": args.grace}))
+    else:  # read
+        df = table.read(version=args.version)
+        print(
+            json.dumps(
+                {
+                    "version": args.version,
+                    "rows": df.count(),
+                    "columns": df.columns,
+                }
+            )
+        )
+    spark.stop()
+    return 0
+
+
 def cmd_search(args) -> int:
     """Hybrid retrieval end-to-end: BM25 lexical ranks + ANN cosine
     ranks fused with reciprocal-rank fusion — the RAG-shaped consumer
@@ -1324,6 +1378,19 @@ def main(argv=None) -> int:
         help="rank candidates by their stored int8 quantization",
     )
     an.set_defaults(fn=cmd_ann)
+
+    dl = sub.add_parser(
+        "delta",
+        help="deltalite table maintenance: describe / checkpoint / "
+        "vacuum / versioned read (time travel)",
+    )
+    dl.add_argument("action", choices=["describe", "checkpoint", "vacuum", "read"])
+    dl.add_argument("--path", required=True, help="deltalite table dir")
+    dl.add_argument("--grace", type=float, default=3600.0,
+                    help="vacuum: retention grace seconds")
+    dl.add_argument("--version", type=int, default=None,
+                    help="read: versionAsOf (default latest)")
+    dl.set_defaults(fn=cmd_deltalite)
 
     se = sub.add_parser(
         "search",

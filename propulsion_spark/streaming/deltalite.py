@@ -200,17 +200,27 @@ class DeltaliteLog:
         except (FileNotFoundError, ValueError, KeyError):
             return None
 
-    def _replay(self) -> "tuple[int, dict, dict | None, dict | None]":
+    def _replay(
+        self, version: "int | None" = None
+    ) -> "tuple[int, dict, dict | None, dict | None]":
         """(latest version, {rel_path: add action}, metaData, protocol)
         — reconstructed from the newest checkpoint (if any) plus ONLY
         the commit files after it. Read cost is O(CHECKPOINT_INTERVAL)
         commits regardless of table age; commits at or below the
-        checkpoint are never opened (and may be deleted)."""
+        checkpoint are never opened (and may be deleted).
+
+        ``version`` replays only through that commit — TIME TRAVEL,
+        exactly Delta's ``versionAsOf``. The checkpoint is used only
+        when it is not newer than the requested version; a version
+        whose commit prefix was metadata-cleaned raises (the history
+        is gone — same contract as Delta)."""
         live: "dict[str, dict]" = {}
         meta: "dict | None" = None
         proto: "dict | None" = None
         start = -1
         ck = self.last_checkpoint()
+        if ck is not None and version is not None and ck > version:
+            ck = None  # checkpoint is ahead of the asked-for snapshot
         if ck is not None:
             import pyarrow.parquet as pq
 
@@ -228,6 +238,14 @@ class DeltaliteLog:
                     proto = row["protocol"]
             start = ck
         versions = [v for v in self.versions() if v > start]
+        if version is not None:
+            if start == -1 and versions and versions[0] > 0 and version >= 0:
+                raise FileNotFoundError(
+                    f"version {version}: the commit prefix below "
+                    f"{versions[0]} was cleaned and no checkpoint at or "
+                    "below the requested version survives"
+                )
+            versions = [v for v in versions if v <= version]
         for v in versions:
             with open(self._vfile(v)) as fh:
                 for line in fh:
@@ -245,10 +263,13 @@ class DeltaliteLog:
         latest = versions[-1] if versions else start
         return latest, live, meta, proto
 
-    def snapshot(self) -> "tuple[int, list[str]]":
+    def snapshot(self, version: "int | None" = None) -> "tuple[int, list[str]]":
         """(latest version, live data-file paths) by log replay —
-        ``add`` accumulates, ``remove`` retires, version order."""
-        latest, live, _, _ = self._replay()
+        ``add`` accumulates, ``remove`` retires, version order.
+        ``version`` time-travels to that commit (Delta versionAsOf);
+        the returned files exist as long as vacuum's grace window has
+        not reclaimed them."""
+        latest, live, _, _ = self._replay(version)
         return latest, [os.path.join(self.path, p) for p in live]
 
     def snapshot_adds(self) -> "tuple[int, dict]":
@@ -559,8 +580,11 @@ class DeltaliteTable:
                 continue
         raise CommitConflict(f"write lost {self.MAX_RETRIES} races")
 
-    def read(self) -> DataFrame:
-        _, live, meta, _ = self.log._replay()
+    def read(self, version: "int | None" = None) -> DataFrame:
+        """The table as of ``version`` (None = latest) — Delta's
+        versionAsOf over the replayed log; an old snapshot stays
+        readable until vacuum's grace window reclaims its files."""
+        _, live, meta, _ = self.log._replay(version)
         files = [os.path.join(self.path, p) for p in live]
         if files:
             return self.spark.read.parquet(*files)

@@ -466,3 +466,30 @@ class TestDecontamVerb:
             f"SELECT doc_id, contaminated_frac > 0 FROM read_parquet('{tmp_path}/flagged/**/*.parquet')"
         ).fetchall()
         assert flagged == [(7, True)]
+
+
+class TestDeltaVerb:
+    def test_describe_checkpoint_read_vacuum(self, tmp_path):
+        """delta verb over a table the zorder verb just wrote: the full
+        maintenance loop — describe, force-checkpoint, time-travel
+        read, vacuum."""
+        out = str(tmp_path / "z")
+        run_cli(
+            "zorder",
+            "--src", "/root/testdata/sf0.001/events.parquet",
+            "--out", out,
+            "--cols", "user_id,value",
+            "--num-files", "4",
+        )
+        desc = run_cli("delta", "describe", "--path", out)
+        assert desc["version"] >= 1 and desc["live_files"] >= 1
+        assert desc["live_files_with_stats"] == desc["live_files"]
+        ck = run_cli("delta", "checkpoint", "--path", out)
+        assert ck["checkpointed"] == desc["version"]
+        desc2 = run_cli("delta", "describe", "--path", out)
+        assert desc2["commits_since_checkpoint"] == 0
+        head = run_cli("delta", "read", "--path", out,
+                       "--version", str(desc["version"]))
+        assert head["rows"] == 1000
+        vac = run_cli("delta", "vacuum", "--path", out, "--grace", "3600")
+        assert vac["dropped"] == 0  # everything is live and fresh

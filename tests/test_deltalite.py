@@ -413,3 +413,54 @@ class TestLogModelConformance:
                 assert got == model, (kind, got, model)
 
         run()
+
+
+class TestTimeTravel:
+    def test_read_version_as_of(self, spark, tmp_path):
+        """versionAsOf over the data table: every committed version
+        stays readable (until vacuum), overwrites included."""
+        from propulsion_spark.streaming.deltalite import DeltaliteTable
+
+        t = DeltaliteTable(spark, str(tmp_path / "d"))
+        v1 = t.write(
+            spark.createDataFrame([(1,)], "x long").coalesce(1)
+        )
+        v2 = t.write(
+            spark.createDataFrame([(2,)], "x long").coalesce(1), mode="append"
+        )
+        v3 = t.write(
+            spark.createDataFrame([(9,)], "x long").coalesce(1),
+            mode="overwrite",
+        )
+        assert sorted(r.x for r in t.read(version=v1).collect()) == [1]
+        assert sorted(r.x for r in t.read(version=v2).collect()) == [1, 2]
+        assert sorted(r.x for r in t.read(version=v3).collect()) == [9]
+        assert sorted(r.x for r in t.read().collect()) == [9]
+
+    def test_time_travel_ignores_a_newer_checkpoint(self, spark, tmp_path):
+        """A checkpoint NEWER than the asked-for version must not feed
+        the replay — the snapshot comes from the commit prefix alone."""
+        tbl = DeltalitePositionsTable(
+            spark, str(tmp_path / "t"), compact_after=10**9
+        )
+        for i in range(12):
+            _merge(tbl, spark, [(f"s-{i}", i + 1, 0, False)])
+        assert tbl.log.last_checkpoint() is not None
+        _, files = tbl.log.snapshot(version=3)
+        assert len(files) == 3  # merges 1..3 only
+
+    def test_cleaned_prefix_raises_for_old_versions(self, spark, tmp_path):
+        """After metadata cleanup, versions below the checkpoint are
+        gone — asking for one raises instead of answering wrong."""
+        tbl = DeltalitePositionsTable(
+            spark, str(tmp_path / "t"), compact_after=10**9
+        )
+        for i in range(12):
+            _merge(tbl, spark, [(f"s-{i}", i + 1, 0, False)])
+        ck = tbl.log.last_checkpoint()
+        for v in range(ck + 1):
+            os.remove(tbl.log._vfile(v))
+        with pytest.raises(FileNotFoundError):
+            tbl.log.snapshot(version=max(ck - 1, 0))
+        # at-or-after the checkpoint still answers
+        assert tbl.log.snapshot(version=ck)[1]
