@@ -713,19 +713,11 @@ def assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, cell): nearest-centroid assignment of a (vec_id,
     embedding) frame against a broadcast (label, dim, c) codebook —
     exact decimal distance sums, deterministic argmin (ties → lowest
-    label)."""
-    expl = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "xf")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).cast("long").alias("dim"),
-        F.col("xf").cast("double").alias("x"),
-    )
-    diff = F.col("x") - F.col("c")
-    dist = (
-        expl.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "label")
-        .agg(F.sum((diff * diff).cast("decimal(20,12)")).cast("double").alias("d2"))
+    label). Rides the map-only zip_with distance path (bit-identical
+    to the long-form aggregate — see _D2_EXPR); the argmin window
+    shuffles (vec, cells) rows only."""
+    dist = _dist_to_codebook_arrays(
+        emb.select("vec_id", "embedding"), cent
     )
     w_cell = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
     return (
