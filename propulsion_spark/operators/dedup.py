@@ -8,6 +8,14 @@ everything stays in whole-stage codegen: higher-order array functions
 are the groupBy/join on the dedup keys themselves — the minimum any
 dedup needs. At 100 TB the LSH band join is the standard scale path:
 candidates are generated per band bucket instead of O(n²).
+
+Production note: the signature stage is compute-bound on md5 (one
+digest per distinct shingle — measured ~half the pairs query at
+sf0.1). md5 is the deliberate ORACLE-portable design point; a
+deployment that doesn't need cross-engine hash equality swaps
+``SPARK_H64`` for ``xxhash64(x)`` (JVM-intrinsic, ~5-10× faster, same
+map-only shape) without touching any other stage — the banding,
+joins and verification are hash-agnostic.
 """
 
 from __future__ import annotations
