@@ -751,3 +751,83 @@ class DeltaliteCheckpointStore:
                 return dropped
 
         return _DeltaliteStorage
+
+
+# ------------------------------------------------- native Spark source
+# The deltalite table as a first-class Spark FORMAT (the Delta reader
+# convention): ``spark.read.format("propulsion-deltalite")
+# .option("path", dir)`` is a log-consistent SNAPSHOT — crash orphans
+# and retired generations invisible, unlike a raw parquet scan of the
+# same directory — and ``.option("versionAsOf", N)`` time-travels.
+# Schema comes from the log's metaData action, partitions are the live
+# files (one executor partition each, read as Arrow), so a vanilla
+# reader gets snapshot isolation without importing this package's
+# classes. Gated exactly like the other native sources (Spark >= 4).
+try:
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _LiveFilePartition(InputPartition):
+        def __init__(self, path: "str | None"):
+            self.path = path
+
+    class _DeltaliteSnapshotReader(DataSourceReader):
+        def __init__(self, options: dict):
+            self.path = options["path"]
+            v = options.get("versionasof")
+            self.version = int(v) if v is not None else None
+
+        def partitions(self):
+            _, files = DeltaliteLog(self.path).snapshot(self.version)
+            return [_LiveFilePartition(f) for f in files] or [
+                _LiveFilePartition(None)
+            ]
+
+        def read(self, partition):  # executes on Python workers
+            if partition.path is None:
+                return iter(())
+            import pyarrow.parquet as pq
+
+            return iter(pq.read_table(partition.path).to_batches())
+
+    class DeltaliteDataSource(DataSource):
+        """``spark.read.format("propulsion-deltalite")``: log-consistent
+        snapshot reads (+ ``versionAsOf``) of a deltalite table."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "propulsion-deltalite"
+
+        def schema(self) -> str:
+            from pyspark.sql.types import StructType
+
+            opts = {k.lower(): v for k, v in self.options.items()}
+            _, _, meta, _ = DeltaliteLog(opts["path"])._replay(
+                int(opts["versionasof"]) if opts.get("versionasof") else None
+            )
+            if not meta or not meta.get("schemaString"):
+                raise FileNotFoundError(
+                    f"deltalite table {opts['path']} has no metaData action"
+                )
+            fields = StructType.fromJson(json.loads(meta["schemaString"]))
+            return ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in fields.fields
+            )
+
+        def reader(self, schema):
+            return _DeltaliteSnapshotReader(
+                {k.lower(): v for k, v in self.options.items()}
+            )
+
+    def register_deltalite(spark: SparkSession) -> None:
+        """Register the native format with this session (idempotent)."""
+        spark.dataSource.register(DeltaliteDataSource)
+
+except ImportError:  # pragma: no cover — PySpark < 4.0
+
+    DeltaliteDataSource = None
+
+    def register_deltalite(spark: SparkSession) -> None:
+        raise NotImplementedError(
+            "the native deltalite format needs the PySpark DataSource "
+            "API (Spark >= 4.0); use DeltaliteTable.read() instead"
+        )

@@ -464,3 +464,60 @@ class TestTimeTravel:
             tbl.log.snapshot(version=max(ck - 1, 0))
         # at-or-after the checkpoint still answers
         assert tbl.log.snapshot(version=ck)[1]
+
+
+class TestNativeFormat:
+    """r10: spark.read.format('propulsion-deltalite') — snapshot
+    isolation + versionAsOf for vanilla readers."""
+
+    def test_snapshot_read_hides_orphans_and_time_travels(
+        self, spark, tmp_path
+    ):
+        from propulsion_spark.streaming.deltalite import (
+            DeltaliteTable,
+            register_deltalite,
+        )
+
+        register_deltalite(spark)
+        t = DeltaliteTable(spark, str(tmp_path / "d"))
+        v1 = t.write(spark.createDataFrame([(1, 2.0)], "x long, y double").coalesce(1))
+        t.write(
+            spark.createDataFrame([(3, 4.0)], "x long, y double").coalesce(1),
+            mode="append",
+        )
+        # forge an orphan (crashed writer): invisible to the format,
+        # visible to a raw parquet scan — the point of the log
+        spark.createDataFrame([(99, 0.0)], "x long, y double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / "orphan"))
+        part = next(
+            f for f in os.listdir(str(tmp_path / "orphan")) if f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(str(tmp_path / "orphan"), part),
+            os.path.join(t.path, "part-orphan.parquet"),
+        )
+        fmt = spark.read.format("propulsion-deltalite").option("path", t.path)
+        assert sorted(r.x for r in fmt.load().collect()) == [1, 3]
+        assert sorted(
+            r.x for r in fmt.option("versionAsOf", str(v1)).load().collect()
+        ) == [1]
+        raw = {r.x for r in spark.read.parquet(t.path).collect()}
+        assert 99 in raw  # the raw scan DOES see the orphan
+
+    def test_schema_comes_from_the_log_metadata(self, spark, tmp_path):
+        from propulsion_spark.streaming.deltalite import (
+            DeltaliteTable,
+            register_deltalite,
+        )
+
+        register_deltalite(spark)
+        t = DeltaliteTable(spark, str(tmp_path / "d"))
+        t.write(spark.createDataFrame([], "a string, b long").coalesce(1))
+        df = (
+            spark.read.format("propulsion-deltalite")
+            .option("path", t.path)
+            .load()
+        )
+        assert [f.name for f in df.schema.fields] == ["a", "b"]
+        assert df.count() == 0
