@@ -1,6 +1,9 @@
 """deltalite — a minimal, dependency-free implementation of the PUBLIC
-Delta Lake transaction-log protocol (delta-io/delta PROTOCOL.md) for
-the positions table.
+Delta Lake transaction-log protocol (delta-io/delta PROTOCOL.md):
+the positions table and consumer-group checkpoint store ride it, a
+generic :class:`DeltaliteTable` serves data tables (the z-order verb
+writes through it), and ``spark.read.format("propulsion-deltalite")``
+gives vanilla readers snapshot-isolated, version-travelable reads.
 
 Why this exists: the recommended 100 TB deployment stores the durable
 tables in Delta (``delta_backend.py``), but this sandbox cannot install
