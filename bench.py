@@ -460,23 +460,15 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         # ANN-index query-by-example arm + per-query RRF fusion — the
         # RAG-shaped consumer; measures the serving path (index built
         # outside the timing: build cost is pipeline_ann_build)
-        from pyspark.sql import Window as _W
-
         from propulsion_spark.operators.similarity import rrf_fuse
-        from propulsion_spark.operators.textops import bm25_scores
+        from propulsion_spark.operators.textops import bm25_topk
         from propulsion_spark.pipelines.ann_index import AnnIndex
 
         idx = AnnIndex.build(spark, sf_dir, f"{tmp}/searchidx")
         t0 = time.time()
-        wb = _W.orderBy(F.col("score").desc(), F.col("doc_id"))
-        bm25 = (
-            bm25_scores(full, terms=("hash", "tree"))
-            .groupBy("doc_id")
-            .agg(F.sum("score").alias("score"))
-            .withColumn("rank", F.row_number().over(wb).cast("long"))
-            .filter("rank <= 40")
-            .select("doc_id", "rank")
-        )
+        # TakeOrderedAndProject top-k (r11): the r10 global row_number
+        # window funneled every per-doc score through one task
+        bm25 = bm25_topk(full, terms=("hash", "tree"), k=40)
         q10 = emb.filter("vec_id < 10").selectExpr(
             "vec_id AS query_id", "embedding"
         )

@@ -835,11 +835,9 @@ def cmd_search(args) -> int:
     honest number a hybrid deployment watches."""
     import os as _os
 
-    from pyspark.sql import Window
-
     from propulsion_spark import get_spark, load_table
     from propulsion_spark.operators.similarity import _spark_dot, rrf_fuse
-    from propulsion_spark.operators.textops import bm25_scores
+    from propulsion_spark.operators.textops import bm25_topk
     from propulsion_spark.pipelines.ann_index import AnnIndex
 
     terms = tuple(t.strip() for t in args.terms.split(",") if t.strip())
@@ -852,15 +850,15 @@ def cmd_search(args) -> int:
         idx = AnnIndex.build(spark, args.sf_dir, args.index)
     docs = load_table(spark, args.sf_dir, "documents")
     cand = max(args.k * 4, args.k)  # per-arm candidate depth
-    # lexical arm: multi-term BM25 = sum of per-term scores per doc
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    bm25 = (
-        bm25_scores(docs, terms=terms)
-        .groupBy("doc_id")
-        .agg(F.sum("score").alias("score"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= cand)
-        .select("doc_id", "rank")
+    # lexical arm: multi-term BM25 top-cand via TakeOrderedAndProject
+    # (distributed partial heaps — never a single-task global window),
+    # materialized ONCE: the ≤cand rows feed both the fuse and the
+    # n_bm25_candidates gauge (r10 re-executed the whole arm for the
+    # count)
+    bm25_rows = bm25_topk(docs, terms=terms, k=cand).collect()
+    bm25 = spark.createDataFrame(
+        [(r["doc_id"], r["rank"]) for r in bm25_rows],
+        "doc_id long, rank long",
     )
     # ANN arm: query-by-example through the materialized index
     emb = load_table(spark, args.sf_dir, "embeddings")
@@ -903,7 +901,7 @@ def cmd_search(args) -> int:
                 "results": results,
                 "ann_recall": len(ann_ids & bf_ids) / args.k,
                 "fused_recall": len(fused_ids & bf_ids) / args.k,
-                "n_bm25_candidates": bm25.count(),
+                "n_bm25_candidates": len(bm25_rows),
             }
         )
     )

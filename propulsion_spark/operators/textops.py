@@ -652,6 +652,43 @@ def bm25_scores(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    terms: "tuple[str, ...]" = BM25_QUERY_TERMS,
+    k: int = 40,
+    tf_all: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, rank): the k best documents by summed multi-term BM25 —
+    the lexical arm a hybrid (BM25 + ANN + RRF) retrieval feeds into
+    ``rrf_fuse``.
+
+    Scale shape: per-doc score sums flow into ``orderBy(...).limit(k)``
+    which compiles to TakeOrderedAndProject — every partition keeps a
+    local k-heap, the driver merges O(partitions) k-sized heaps, no
+    global sort. The rank window then runs over the ≤k survivors only,
+    partitioned by a non-foldable constant (``bounded_window_key``) so
+    its spec survives Catalyst folding and the plan never goes through
+    AllTuples (the r10 scale defect — one task holding EVERY per-doc
+    score — that this helper retires). Ties break on doc_id in both
+    the heap and the window, so ranks are deterministic and identical
+    to a full-corpus ranking's top k.
+    """
+    from propulsion_spark.operators import bounded_window_key
+
+    scored = (
+        bm25_scores(docs, terms=terms, tf_all=tf_all)
+        .groupBy("doc_id")
+        .agg(F.sum("score").alias("score"))
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    w = Window.partitionBy(bounded_window_key("doc_id")).orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("doc_id", "rank")
+
+
 def _bm25_duck(terms: "tuple[str, ...]" = BM25_QUERY_TERMS) -> str:
     """DuckDB twin of bm25_scores: term-for-term the same double
     expression tree (every operand cast to DOUBLE before the op, dyadic

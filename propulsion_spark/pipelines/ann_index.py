@@ -399,13 +399,16 @@ class AnnIndex:
             F.element_at(self._cells_topk_udf(codebook, 1)("embedding"), 1),
         )
 
-    def _assign_and_write(
+    def _index_rows(
         self,
         vectors: DataFrame,
         codebook: DataFrame,
-        mode: str,
         batch_id: int = 0,
-    ) -> None:
+    ) -> DataFrame:
+        """The exact DataFrame a build/append writes — assignment +
+        int8 quantization (+ PQ codes when trained) — exposed unwritten
+        so tools/plan_audit.py can audit the build path's physical plan
+        (the r10 blind spot: bench-only pipelines were never audited)."""
         assigned = self._assign_vectorized(vectors, codebook)
         from propulsion_spark.operators.dedup import let_bound
 
@@ -454,6 +457,16 @@ class AnnIndex:
                 .withColumn("pq_nrm", F.col("_pq.nrm"))
                 .drop("_pq")
             )
+        return rows
+
+    def _assign_and_write(
+        self,
+        vectors: DataFrame,
+        codebook: DataFrame,
+        mode: str,
+        batch_id: int = 0,
+    ) -> None:
+        rows = self._index_rows(vectors, codebook, batch_id)
         # (_batch_id, cell) partitioning + dynamic overwrite makes every
         # APPEND idempotent under replays: re-running batch N rewrites
         # exactly its own partitions instead of appending duplicates —

@@ -5,7 +5,6 @@ fuzzy edit-distance join."""
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from propulsion_spark.operators.similarity import (
@@ -1022,22 +1021,17 @@ class TestRRFFusion:
             q_similarity_topk_bruteforce,
             rrf_fuse,
         )
-        from propulsion_spark.operators.textops import bm25_scores
+        from propulsion_spark.operators.textops import bm25_topk
         from propulsion_spark import load_table
 
         docs = load_table(spark, SF_SMOKE, "documents")
-        wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-        bm25 = (
-            bm25_scores(docs, terms=("hash",))
-            .withColumn("rank", F.row_number().over(wb).cast("long"))
-            .filter(F.col("rank") <= 10)
-        )
+        bm25 = bm25_topk(docs, terms=("hash",), k=10)
         ann = (
             q_similarity_topk_bruteforce(spark, SF_SMOKE)
             .filter(F.col("query_id") == 0)
             .select(F.col("neighbor_id").alias("doc_id"), "rank")
         )
-        fused = rrf_fuse([bm25.select("doc_id", "rank"), ann])
+        fused = rrf_fuse([bm25, ann])
         rows = fused.collect()
         assert len(rows) >= 10
         ranks = sorted(r["fused_rank"] for r in rows)

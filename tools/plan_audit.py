@@ -115,7 +115,35 @@ def audit_plan(plan: str) -> list[str]:
     n_exch = plan.count("Exchange hashpartitioning")
     if n_exch > 4:
         bad.append(f"{n_exch} exchanges")
+    if _has_global_window(plan):
+        bad.append("global-window")
     return bad
+
+
+def _has_global_window(plan: str) -> bool:
+    """A Window node with an EMPTY partition spec — the unpartitioned
+    window anti-pattern (Catalyst requires AllTuples: EVERY input row
+    funnels through one task before ranking; the r10 hybrid-search
+    defect's signature). In plan text a partitioned window prints three
+    bracket groups (``Window [exprs], [partSpec], [orderSpec]``), a
+    global one only two — intermediate WindowGroupLimit/Sort nodes sit
+    between the Window and its SinglePartition exchange, so the spec on
+    the node line itself is the robust signal. Two-group windows are
+    ambiguous (a partition-only window — max().over(partitionBy(k)) —
+    also prints two), so the second group must look like an ORDER spec
+    (sort directions always print ``ASC/DESC NULLS ...``; partition
+    specs never do). A window over a pre-bounded input ranked through
+    ``operators.bounded_window_key`` has a non-empty (non-foldable)
+    partition spec and does not match."""
+    for ln in plan.splitlines():
+        if not re.search(r"\bWindow \[", ln):
+            continue
+        if re.search(r"\bWindow \[.*\], \[.*\], \[.*\]", ln):
+            continue  # partitioned + ordered
+        m = re.search(r"\bWindow \[.*\], \[(.*)\]", ln)
+        if m and re.search(r"(ASC|DESC) NULLS", m.group(1)):
+            return True  # ordered but unpartitioned
+    return False
 
 
 def audit(spark, sf_dir: str, registry=None) -> "dict[str, list[str]]":
@@ -142,6 +170,143 @@ def audit(spark, sf_dir: str, registry=None) -> "dict[str, list[str]]":
             finally:
                 spark.catalog.clearCache()  # un-finalized persists
             out[name] = audit_plan(plan)
+    return out
+
+
+#: bench-only pipelines (never registered → r10's audit never saw them;
+#: the hybrid-search global window shipped through exactly this gap).
+#: Flags expected by design:
+#: - hybrid_bm25_topk / hybrid_fused: bm25_scores crossJoins the
+#:   SINGLE-ROW corpus stats aggregate (broadcast scalar → Catalyst
+#:   plans a BNLJ — the text_tfidf_keywords annotation); exchange
+#:   counts are the sum of the arms' own shuffle-minimal aggregates
+#:   (tf/df/dl tables, the fuse union's one (query,id) agg) — each is
+#:   corpus-bounded or candidate-sized, never quadratic. The one flag
+#:   that must NEVER appear here is ``global-window`` (the r10 defect).
+BENCH_EXPECTED_FLAGGED = {
+    "hybrid_bm25_topk",
+    "hybrid_fused",
+}
+
+
+def bench_pipeline_frames(spark, sf_dir: str, tmp: str) -> "dict[str, object]":
+    """The final DataFrames of the bench-only pipelines, built exactly
+    the way bench.py builds them but left unexecuted, keyed by a stable
+    audit name. ``tmp`` holds the index/registry state some of them
+    need (built here — the builds themselves execute, the audited
+    frames do not)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from propulsion_spark import load_table
+    from propulsion_spark.operators.packing import pack_documents, shard_corpus
+    from propulsion_spark.operators.perceptual import (
+        media_fingerprints,
+        perceptual_dedup_pairs,
+    )
+    from propulsion_spark.operators.similarity import centroids_frame, rrf_fuse
+    from propulsion_spark.operators.textops import bm25_topk
+    from propulsion_spark.pipelines import SemDedupStream
+    from propulsion_spark.pipelines.ann_index import AnnIndex
+
+    out: "dict[str, object]" = {}
+    full = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    idx = AnnIndex.build(spark, sf_dir, f"{tmp}/auditidx")
+    codebook = spark.read.parquet(idx._codebook_path)
+    out["ann_build_rows"] = idx._index_rows(
+        emb.select("vec_id", "embedding"), codebook
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out["ann_search"] = idx.search(queries)
+    out["ann_search_pq"] = idx.search(queries, pq=True)
+
+    bm25 = bm25_topk(full, terms=("hash", "tree"), k=40)
+    out["hybrid_bm25_topk"] = bm25
+    ann = idx.search(queries, top_k=40, n_probes=2).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    out["hybrid_fused"] = rrf_fuse(
+        [ann, bm25.crossJoin(ann.select("query_id").distinct())],
+        id_col="doc_id",
+        by=["query_id"],
+    ).filter("fused_rank <= 10")
+
+    sds = SemDedupStream(spark, f"{tmp}/auditsemreg", centroids_frame(emb))
+    out["semdedup_batch"] = sds.process_batch(
+        emb.selectExpr("vec_id AS doc_id", "embedding"), 0
+    )
+
+    docs = full.select(
+        "doc_id",
+        F.expr(
+            "case when doc_id % 50 = 0 then 'valid' else 'train' end"
+        ).alias("split"),
+        F.expr("size(split(lower(trim(text)), '\\\\s+'))")
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    out["pack"] = pack_documents(docs, 2048)
+    out["shard"] = shard_corpus(docs, 1 << 18)
+
+    def _gen_bmps(batches):
+        import numpy as _np
+
+        from propulsion_spark.operators.multimodal import encode_bmp
+        from propulsion_spark.operators.perceptual import resize_bilinear
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = _np.random.RandomState(int(i) // 2)
+                base = resize_bilinear(rng.rand(8, 8) * 235.0, 64, 64)
+                g = (base + (15.0 if i % 2 else 0.0)).astype(_np.uint8)
+                g = g.astype(_np.float64)
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "media": encode_bmp(_np.stack([g, g, g], axis=2)),
+                        "media_type": "image/bmp",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = (
+        spark.range(64)
+        .repartition(4)
+        .mapInPandas(_gen_bmps, "doc_id long, media binary, media_type string")
+    )
+    out["media_phash_pairs"] = perceptual_dedup_pairs(
+        media_fingerprints(media, type_col="media_type")
+    )
+    return out
+
+
+def audit_bench(spark, sf_dir: str) -> "dict[str, list[str]]":
+    """Audit the bench-only pipelines the way ``audit`` covers the
+    registry; returns ``{name: [flags...]}``."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="plan-audit-bench-")
+    out: dict[str, list[str]] = {}
+    try:
+        with _audit_mode():
+            for name, df in sorted(bench_pipeline_frames(spark, sf_dir, tmp).items()):
+                try:
+                    plan = (
+                        df._jdf.queryExecution().executedPlan().toString()
+                    )
+                except Exception as ex:  # noqa: BLE001
+                    out[name] = [f"ERROR: {ex}"]
+                    continue
+                out[name] = audit_plan(plan)
+    finally:
+        spark.catalog.clearCache()
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
@@ -174,6 +339,10 @@ def main() -> int:
             f"pushed_filter_scans={pushed}{' ' + ','.join(bad) if bad else ''}"
         )
     print(f"\n{flagged} flagged (see module docstring for the expected set)")
+    print("\n-- bench-only pipelines --")
+    for name, bad in sorted(audit_bench(spark, sf_dir).items()):
+        status = "FLAG" if bad else "ok  "
+        print(f"{status} {name}{' ' + ','.join(bad) if bad else ''}")
     return 0
 
 
