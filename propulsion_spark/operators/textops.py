@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from propulsion_spark import load_table
 from propulsion_spark.operators import finalize, register
 from propulsion_spark.operators.lm import LM_SCALE
+from propulsion_spark.operators.dsir import DSIR_SEL_K, DSIR_TARGET_MOD
 from propulsion_spark.operators.dedup import (
     DUCK_H64,
     SPAN_K,
@@ -280,17 +281,62 @@ WITH scored AS (
          md5({normalized('duck')}) AS fp
   FROM documents
 ),
-keepers AS (SELECT fp, min(doc_id) AS keeper FROM scored GROUP BY fp)
+keepers AS (SELECT fp, min(doc_id) AS keeper FROM scored GROUP BY fp),
+dg AS (
+  SELECT doc_id, t[i] AS prefix, t[i + 1] AS w2, count(*) AS n
+  FROM (
+    SELECT doc_id, t, unnest(range(1, len(t))) AS i
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents)
+  )
+  GROUP BY 1, 2, 3
+),
+voc AS (
+  SELECT prefix, w2, sum(n) AS cr,
+         sum(CASE WHEN doc_id % {DSIR_TARGET_MOD} = 0 THEN n ELSE 0 END) AS ct
+  FROM dg GROUP BY 1, 2
+),
+vocp AS (
+  SELECT prefix, w2,
+         CASE WHEN ct > 0 AND pt_ > 0 THEN (ct * {LM_SCALE}) // pt_
+              ELSE 0 END - (cr * {LM_SCALE}) // pr_ AS ds
+  FROM (SELECT *, sum(cr) OVER (PARTITION BY prefix) AS pr_,
+               sum(ct) OVER (PARTITION BY prefix) AS pt_ FROM voc)
+),
+dsel AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, sum(n * ds) AS dsir_w
+    FROM dg JOIN vocp USING (prefix, w2) GROUP BY 1
+  ) ORDER BY dsir_w DESC, doc_id LIMIT {DSIR_SEL_K}
+)
 SELECT lang, CAST(count(*) AS BIGINT) AS kept_docs,
-       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+       CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dsir,
+       CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN n_chars ELSE 0 END) AS BIGINT)
+           AS dsir_chars
 FROM scored JOIN keepers ON doc_id = keeper
+LEFT JOIN dsel s USING (doc_id)
 WHERE alpha_ratio >= 0.7 AND n_tokens BETWEEN 10 AND 5000
 GROUP BY lang
 """,
     doc="The end-to-end curation composite every pre-training pipeline "
     "runs: quality gates (alpha ratio, token bounds) + exact-dedup keeper "
     "selection → per-language kept-corpus totals. One scan, one dedup "
-    "shuffle, one rollup.",
+    "shuffle, one rollup. r11 adds the DSIR selection facet "
+    "(operators/dsir.py dsir_select_exact — Xie et al. 2023 importance "
+    "resampling at τ=0): n_dsir/dsir_chars count the kept docs the "
+    f"{DSIR_SEL_K}-doc hard top-k draw toward the deterministic "
+    f"doc_id % {DSIR_TARGET_MOD} = 0 pseudo-target selects. The weight "
+    "is the LINEAR-domain surrogate Σ n(d,g)·[s_t(g) − s_r(g)] with "
+    "s(g) = (c·2^30) div p — BIGINT throughout (the floor(x·2^k) rule; "
+    "the paper's log-domain weight needs libm ln, which hash gates "
+    "exclude), so the selected id set is bit-identical on both engines. "
+    "The log-domain Gumbel draw (dsir_resample) stays the production "
+    "surface; this facet attests the shared machinery: gram stream, "
+    "conditional two-LM count aggregate, prefix-window totals, the "
+    "top-k selection plumbing.",
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -305,13 +351,23 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"md5({normalized('spark')}) AS fp",
     )
     keepers = scored.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    from propulsion_spark.operators.dsir import dsir_select_exact
+
+    sel = dsir_select_exact(docs).withColumn("_dsir", F.lit(1))
     return (
         scored.join(keepers, scored.doc_id == keepers.keeper)
         .filter((F.col("alpha_ratio") >= 0.7) & F.col("n_tokens").between(10, 5000))
+        .join(sel.select("doc_id", "_dsir"), "doc_id", "left")
         .groupBy("lang")
         .agg(
             F.count("*").alias("kept_docs"),
             F.sum("n_chars").alias("kept_chars"),
+            F.sum(F.coalesce(F.col("_dsir"), F.lit(0)))
+            .cast("long")
+            .alias("n_dsir"),
+            F.sum(
+                F.when(F.col("_dsir").isNotNull(), F.col("n_chars")).otherwise(0)
+            ).alias("dsir_chars"),
         )
     )
 

@@ -109,6 +109,88 @@ class TestCommitAtomicity:
         assert rows == {"a": 1, "b": 2}
 
 
+def _occ_writer(table_dir, writer_id, n_commits, barrier, out_q):
+    """Spawned-process body: land ``n_commits`` tagged commits through
+    the public retry discipline (read latest → try_commit(latest+1) →
+    on CommitConflict re-read and retry). Module-level so the spawn
+    start method can pickle it."""
+    from propulsion_spark.streaming.deltalite import (
+        CommitConflict,
+        DeltaliteLog,
+    )
+
+    log = DeltaliteLog(table_dir)
+    conflicts = 0
+    barrier.wait()  # maximize same-version contention
+    for seq in range(n_commits):
+        while True:
+            versions = log.versions()
+            v = (versions[-1] if versions else -1) + 1
+            try:
+                log.try_commit(
+                    v,
+                    [{"commitInfo": {"writer": writer_id, "seq": seq}}],
+                )
+                break
+            except CommitConflict:
+                conflicts += 1
+    out_q.put((writer_id, conflicts))
+
+
+class TestMultiProcessOCC:
+    def test_exactly_one_winner_per_version_across_processes(self, tmp_path):
+        """VERDICT r10 #7: deltalite now backs checkpoints, zorder
+        writes and a native read format, but hypothesis only covered op
+        INTERLEAVINGS in one process. Here 4 spawned processes race
+        ``try_commit`` flat-out on the same version counter: the
+        os.link put-if-absent must admit exactly one winner per version
+        and the losers' retries must land every payload exactly once,
+        with no torn or empty version file anywhere."""
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        table_dir = str(tmp_path / "t")
+        n_writers, n_commits = 4, 12
+        barrier = ctx.Barrier(n_writers)
+        out_q = ctx.Queue()
+        procs = [
+            ctx.Process(
+                target=_occ_writer,
+                args=(table_dir, w, n_commits, barrier, out_q),
+            )
+            for w in range(n_writers)
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join(120)
+            assert p.exitcode == 0
+        reported = dict(out_q.get(timeout=10) for _ in range(n_writers))
+        assert set(reported) == set(range(n_writers))
+        # with a start barrier at least someone lost a race; the retry
+        # loop must have absorbed every loss
+        log = DeltaliteLog(table_dir)
+        total = n_writers * n_commits
+        assert log.versions() == list(range(total))  # contiguous, no gaps
+        seen: dict = {}
+        for v in log.versions():
+            actions = [
+                json.loads(x) for x in open(log._vfile(v)) if x.strip()
+            ]
+            assert len(actions) == 1  # never torn, never empty
+            info = actions[0]["commitInfo"]
+            key = (info["writer"], info["seq"])
+            assert key not in seen, f"{key} committed twice"
+            seen[key] = v
+        assert len(seen) == total  # every payload landed exactly once
+        # per-writer sequences are monotone in version order (each
+        # writer's seq n committed before its seq n+1)
+        for w in range(n_writers):
+            vs = [seen[(w, s)] for s in range(n_commits)]
+            assert vs == sorted(vs)
+        assert not [f for f in os.listdir(log.log_dir) if ".tmp-" in f]
+
+
 class TestCompactionAndVacuum:
     def test_threshold_compaction_folds_to_one_live_file(self, spark, tmp_path):
         tbl = DeltalitePositionsTable(

@@ -126,6 +126,92 @@ class TestRrfFuseNonEmptySpec:
         assert sorted(out.values()) == [1, 2]
 
 
+class TestDsirSelectExact:
+    def _corpus(self, spark, rows):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"]),
+            "doc_id long, text string",
+        )
+
+    def test_target_lookalikes_outrank(self, spark):
+        """Docs written in the pseudo-target slice's vocabulary carry a
+        larger integer weight than docs the target LM never saw — the
+        DSIR property, under the linear-domain surrogate."""
+        from propulsion_spark.operators.dsir import dsir_select_exact
+
+        # ids ≡ 0 (mod 7) form the target slice; 1..6 are candidates —
+        # 8 and 15 mimic the target text, the rest are off-domain
+        rows = [
+            (0, "alpha beta gamma alpha beta"),
+            (7, "alpha beta gamma gamma beta"),
+            (14, "beta gamma alpha alpha gamma"),
+            (8, "alpha beta gamma alpha"),
+            (15, "gamma alpha beta beta"),
+            (9, "totally different words here now"),
+            (10, "unrelated tokens with nothing shared"),
+        ]
+        ranked = [
+            r["doc_id"]
+            for r in dsir_select_exact(self._corpus(spark, rows), k=7)
+            .orderBy(F.col("dsir_w").desc(), "doc_id")
+            .collect()
+        ]
+        # the draw pool is the whole corpus, so the target docs
+        # themselves lead; the lookalikes beat the off-domain docs,
+        # which land last (every gram OOV to the target LM)
+        assert set(ranked[-2:]) == {9, 10}
+        assert ranked.index(8) < ranked.index(9)
+        assert ranked.index(15) < ranked.index(9)
+        sel5 = {
+            r["doc_id"]
+            for r in dsir_select_exact(self._corpus(spark, rows), k=5).collect()
+        }
+        assert {8, 15} <= sel5 and not ({9, 10} & sel5)
+
+    def test_partition_invariant_and_deterministic(self, spark):
+        """The selected id set must not move under repartitioning —
+        integer weights, integer ties: no accumulation-order float
+        hazard anywhere."""
+        from propulsion_spark import load_table
+        from propulsion_spark.operators.dsir import dsir_select_exact
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+        a = sorted(
+            (r["doc_id"], r["dsir_w"])
+            for r in dsir_select_exact(docs, k=50).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["dsir_w"])
+            for r in dsir_select_exact(docs.repartition(13), k=50).collect()
+        )
+        assert a == b
+        assert len(a) == 50
+        assert all(isinstance(w, int) for _, w in a)
+
+    def test_short_docs_never_enter_the_draw(self, spark):
+        from propulsion_spark.operators.dsir import dsir_select_exact
+
+        rows = [(0, "alpha beta"), (1, "solo"), (2, ""), (3, "alpha beta")]
+        ids = {
+            r["doc_id"]
+            for r in dsir_select_exact(self._corpus(spark, rows), k=10).collect()
+        }
+        assert ids == {0, 3}  # <2-token docs contribute no grams
+
+    def test_curation_facet_bounded_by_k(self, spark):
+        """corpus_curation's n_dsir counts kept∩selected — never more
+        than the draw size."""
+        from propulsion_spark.operators.dsir import DSIR_SEL_K
+        from propulsion_spark.operators.textops import q_corpus_curation
+
+        rows = q_corpus_curation(spark, SF_SMOKE).collect()
+        assert {"n_dsir", "dsir_chars"} <= set(rows[0].asDict())
+        total = sum(r["n_dsir"] for r in rows)
+        assert 0 < total <= DSIR_SEL_K
+
+
 class TestBenchPipelinePlanAudit:
     def test_bench_flags_stay_within_expected_set(self, spark):
         """The r10 blind spot, closed: every bench-only pipeline's

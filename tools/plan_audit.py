@@ -42,6 +42,15 @@ stays a subset of ``EXPECTED_FLAGGED``):
   (lang, prefix, gram)). Each arm is individually shuffle-minimal
   (the LM arm is one corpus scan — see operators/lm.py); the join of
   three per-language one-row-per-group tables is broadcast-sized.
+- corpus_curation (r11): >4 exchanges by construction — the DSIR
+  selection facet adds its own shuffle-minimal arms to the curation
+  rollup: per-(doc, gram) counts (one corpus shuffle with map-side
+  combine), the vocab-sized two-LM conditional aggregate + prefix
+  windows (vocab-bounded, never the corpus), the gram-stream scoring
+  join, the per-doc weight aggregate, then TakeOrderedAndProject.
+  Each exchange carries either the gram stream once or a
+  vocab/doc-bounded table — the same merged-arms annotation as
+  text_lang_stats.
 - status_rollup (r8): >4 exchanges by construction — CASCADED
   re-aggregation replaces Spark's rollup(), which would Expand every
   corpus row ×3 before the shuffle and emits NO grand-total row on
@@ -91,6 +100,7 @@ def _audit_mode():
 #: member is annotated in the module docstring; anything OUTSIDE this
 #: set that flags is a regression (pinned by tests/test_plan_audit.py)
 EXPECTED_FLAGGED = {
+    "corpus_curation",
     "similarity_topk_bruteforce",
     "embedding_knn_classify",
     "similarity_recall",
