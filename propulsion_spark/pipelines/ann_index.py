@@ -61,32 +61,51 @@ PQ_LLOYD_ITERS = 5
 def _pq_train(X, m: int, k: int, iters: int):
     """Per-subspace Lloyd on the (driver-side) training sample.
     Deterministic: init = evenly spaced rows of the hash-ordered
-    sample, fixed iteration count, stable argmin."""
+    sample, fixed iteration count, stable argmin.
+
+    The iteration runs in float32 (r11): the 65k×128 distance matrix is
+    the measured hot spot of the whole index build (the r6→r10
+    pipeline_ann_build_10x creep was 100% PQ, ~2/3 of it this loop),
+    and halving its bandwidth roughly halves the train. Training
+    centroids are k-means means — float32 rounding moves them ~1e-7
+    relative, far below the quantization error the codebook exists to
+    absorb (recall pins in tests are threshold-, not value-based); the
+    RETURNED books are float64, so encode/search arithmetic downstream
+    is unchanged in kind."""
     import numpy as np
 
     n, d = X.shape
     dsub = d // m
-    Xs = X.reshape(n, m, dsub)
+    Xs = X.astype(np.float32, copy=False).reshape(n, m, dsub)
     books = np.zeros((m, k, dsub), dtype=np.float64)
     for j in range(m):
         Xj = np.ascontiguousarray(Xs[:, j, :])
-        x2 = (Xj * Xj).sum(axis=1)
         idx = np.linspace(0, n - 1, num=min(k, n)).astype(int)
         C = Xj[idx].copy()
         if len(C) < k:
-            C = np.vstack([C, np.zeros((k - len(C), dsub))])
+            C = np.vstack([C, np.zeros((k - len(C), dsub), dtype=np.float32)])
         for _ in range(iters):
-            # matmul-form distances (one BLAS GEMM, not an (n,k,dsub)
-            # broadcast temp — at k=128 the naive form allocates ~0.5 GB
-            # per subspace per iteration) + bincount centroid update
-            d2 = x2[:, None] - 2.0 * (Xj @ C.T) + (C * C).sum(axis=1)[None, :]
-            assign = d2.argmin(axis=1)
+            # argmin ‖x−c‖² ≡ argmax (x·c − ‖c‖²/2): the ‖x‖² term is
+            # constant per row, so one GEMM + one in-place subtract is
+            # the whole assignment — no (n,k) distance matrix temps
+            # (three 33 MB broadcasts per iteration at this shape, the
+            # measured hot spot of the whole index build)
+            score = Xj @ C.T
+            score -= 0.5 * (C * C).sum(axis=1)[None, :]
+            assign = score.argmax(axis=1)
             cnt = np.bincount(assign, minlength=k)
-            sums = np.zeros((k, dsub), dtype=np.float64)
-            np.add.at(sums, assign, Xj)
+            # per-dim weighted bincount beats ufunc.at scatter-adds by
+            # an order of magnitude at this shape (dsub columns of n)
+            sums = np.stack(
+                [
+                    np.bincount(assign, weights=Xj[:, t], minlength=k)
+                    for t in range(dsub)
+                ],
+                axis=1,
+            )
             nz = cnt > 0
-            C[nz] = sums[nz] / cnt[nz, None]
-        books[j] = C
+            C[nz] = (sums[nz] / cnt[nz, None]).astype(np.float32)
+        books[j] = C.astype(np.float64)
     return books
 
 
@@ -139,13 +158,22 @@ class AnnIndex:
             16,
             10,
         ).cast("long")
+        # Arrow toPandas, not collect(): 65k row OBJECTS of
+        # array<float> deserialize one Python list each — the measured
+        # slow half of the sample pass; Arrow moves the same batch
+        # columnar (the orderBy().limit() is TakeOrderedAndProject
+        # either way)
         sample = (
-            vectors.select("vec_id", "embedding")
+            vectors.select("embedding")
             .orderBy(h, "vec_id")
             .limit(PQ_TRAIN_SAMPLE)
-            .collect()
+            .toPandas()["embedding"]
         )
-        X = np.array([r["embedding"] for r in sample], dtype=np.float64)
+        X = np.stack(sample.values).astype(np.float64) if len(sample) else (
+            np.zeros((0, 0))
+        )
+        if X.size == 0:
+            raise ValueError("cannot train PQ on an empty vector frame")
         d = X.shape[1]
         # dim-agnostic: m is the largest divisor of d that is ≤ PQ_M
         # (always exists — 1 divides everything, m=1 is plain VQ). A
