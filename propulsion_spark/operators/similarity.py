@@ -867,18 +867,26 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_ivf_single(
-    spark: SparkSession, sf_dir: str, dist: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    dist: DataFrame | None = None,
+    cells: DataFrame | None = None,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN, single probe: vectors are assigned to the nearest
     coarse-codebook centroid cell and each query probes only its own
     cell. Work is O(n·cell_size); the join shuffles on cell id.
-    ``dist`` lets the merged report share one persisted distance table
-    across its branches. Oracle-verified through the merged
+    ``dist``/``cells``/``normed`` let the merged report share one
+    persisted distance table, rank pass and normed scan across its
+    branches. Oracle-verified through the merged
     ``similarity_ivf_topk`` query."""
-    if dist is None:
-        dist = _spark_ivf_dist(spark, sf_dir)
-    cells = _spark_ivf_cells(spark, sf_dir, dist=dist)
-    normed = _spark_normed(spark, sf_dir).join(cells, "vec_id")
+    if cells is None:
+        if dist is None:
+            dist = _spark_ivf_dist(spark, sf_dir)
+        cells = _spark_ivf_cells(spark, sf_dir, dist=dist)
+    if normed is None:
+        normed = _spark_normed(spark, sf_dir)
+    normed = normed.join(cells, "vec_id")
     q = normed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -1002,7 +1010,10 @@ def _spark_ivf_expl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spark_ivf_dist_learned(
-    spark: SparkSession, sf_dir: str, dist0: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    dist0: DataFrame | None = None,
+    assign0: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, label, d2) under the LEARNED codebook: one distributed
     Lloyd iteration from the label-seeded centroids — assign every
@@ -1014,25 +1025,32 @@ def _spark_ivf_dist_learned(
     codebook — no driver-side data, scales with the corpus. Cells keep
     their seed label identity; a cell that loses all members simply
     drops out of the codebook (inner joins on both engines)."""
-    cent1 = _spark_ivf_learned_codebook(spark, sf_dir, dist0=dist0)
+    cent1 = _spark_ivf_learned_codebook(
+        spark, sf_dir, dist0=dist0, assign0=assign0
+    )
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return _dist_to_codebook_arrays(emb, cent1)
 
 
 def _spark_ivf_learned_codebook(
-    spark: SparkSession, sf_dir: str, dist0: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    dist0: DataFrame | None = None,
+    assign0: DataFrame | None = None,
 ) -> DataFrame:
     """(label, dim, c): the one-Lloyd-iteration codebook — assign every
     vector to its nearest seeded cell, recompute each cell's centroid as
-    the fixed-point mean of its members."""
-    if dist0 is None:
-        dist0 = _spark_ivf_dist(spark, sf_dir)
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
-    assign0 = (
-        dist0.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("label").alias("cell"))
-    )
+    the fixed-point mean of its members. ``assign0`` lets the merged
+    report reuse its persisted rank pass for the seeded assignment."""
+    if assign0 is None:
+        if dist0 is None:
+            dist0 = _spark_ivf_dist(spark, sf_dir)
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
+        assign0 = (
+            dist0.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("label").alias("cell"))
+        )
     expl = _spark_ivf_expl(spark, sf_dir)
     scaled = F.floor(F.col("x") * _CENTROID_SCALE).cast("long")
     return (
@@ -1078,17 +1096,26 @@ def q_similarity_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_multiprobe_from_dist(
-    spark: SparkSession, sf_dir: str, dist: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    dist: DataFrame,
+    ranked: DataFrame | None = None,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
-    w_cell = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
-    ranked = dist.withColumn("rn", F.row_number().over(w_cell))
+    """``ranked``/``normed`` let the merged report share ONE persisted
+    rank-window pass and ONE normed scan across its branches instead of
+    recomputing them per branch (r11 — same rows either way)."""
+    if ranked is None:
+        w_cell = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
+        ranked = dist.withColumn("rn", F.row_number().over(w_cell))
     assign = ranked.filter(F.col("rn") == 1).select(
         "vec_id", F.col("label").alias("cell")
     )
     probes = ranked.filter(
         (F.col("rn") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
     ).select("vec_id", F.col("label").alias("cell"))
-    normed = _spark_normed(spark, sf_dir)
+    if normed is None:
+        normed = _spark_normed(spark, sf_dir)
     q = normed.join(probes, "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -1205,29 +1232,49 @@ FROM ({_DUCK_IVF_LEARNED_SEARCH.strip()}) s
 )
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["query_id", "neighbor_id", "rank", "cosine"]
-    # the (vec × cell) seeded distance table feeds all three branches
-    # (single assignment, multi-probe selection, and the Lloyd
-    # iteration's starting assignment): persist it ONCE instead of
-    # re-aggregating the dims×cells explosion per branch
-    dist0 = _spark_ivf_dist(spark, sf_dir).persist()
-    single = q_similarity_ivf_single(spark, sf_dir, dist=dist0).select(
+    # shared-intermediate discipline (r10 persisted the seeded distance
+    # table; r11 extends it to everything ≥2 branches consume):
+    # - ranked0 = dist0 + rank window, persisted ONCE — the single
+    #   branch's cell assignment, the multi branch's assignment+probes
+    #   and the Lloyd iteration's seed assignment are all cheap filters
+    #   of it (r10 re-ran the 16·n-row window shuffle per branch);
+    # - normed, persisted ONCE — r10 rescanned embeddings + recomputed
+    #   the decimal norm up to 5× across the branches.
+    # Same rows, same hash: rn/filter/join order is deterministic.
+    dist0 = _spark_ivf_dist(spark, sf_dir)
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
+    ranked0 = dist0.withColumn("rn", F.row_number().over(w_cell)).persist()
+    normed = _spark_normed(spark, sf_dir).persist()
+    cells = ranked0.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("label").alias("cell")
+    )
+    single = q_similarity_ivf_single(
+        spark, sf_dir, cells=cells, normed=normed
+    ).select(
         F.lit("seeded").alias("codebook"),
         F.lit(1).cast("long").alias("n_probes"),
         *cols,
     )
-    multi = _ivf_multiprobe_from_dist(spark, sf_dir, dist0).select(
+    multi = _ivf_multiprobe_from_dist(
+        spark, sf_dir, dist0, ranked=ranked0, normed=normed
+    ).select(
         F.lit("seeded").alias("codebook"),
         F.lit(NPROBE).cast("long").alias("n_probes"),
         *cols,
     )
     learned = _ivf_multiprobe_from_dist(
-        spark, sf_dir, _spark_ivf_dist_learned(spark, sf_dir, dist0=dist0)
+        spark,
+        sf_dir,
+        _spark_ivf_dist_learned(spark, sf_dir, assign0=cells),
+        normed=normed,
     ).select(
         F.lit("learned").alias("codebook"),
         F.lit(NPROBE).cast("long").alias("n_probes"),
         *cols,
     )
-    return finalize(single.unionByName(multi).unionByName(learned), dist0)
+    return finalize(
+        single.unionByName(multi).unionByName(learned), ranked0, normed
+    )
 
 
 _DUCK_IVF_RECALL = f"""
