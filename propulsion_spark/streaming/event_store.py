@@ -351,9 +351,13 @@ class EventStoreTable:
             F.col("stream_name").isin(list(stream_names))
         )
 
-    def read_tails(self, m: dict | None = None) -> DataFrame:
-        """Current (stream_name, tail) view — O(streams), never O(events)."""
-        m = m if m is not None else self._load()
+    def _tails_raw(self, m: dict) -> DataFrame:
+        """UNAGGREGATED (stream_name, tail) rows — up to one row per
+        (stream, tails segment), newest tail largest. :meth:`read_tails`
+        folds this to the per-stream view; sync's classifier instead
+        folds AFTER its batch join, so its aggregate is bounded by the
+        batch's streams, never the store's stream universe (r11 — the
+        ``redelivery_flat_10x`` gauge's residual state-growth term)."""
         if not m["tails"]:
             if not m["data"]:
                 return self.spark.createDataFrame([], "stream_name string, tail long")
@@ -361,10 +365,15 @@ class EventStoreTable:
             return self.read().groupBy("stream_name").agg(
                 (F.max("idx") + 1).alias("tail")
             )
-        raw = self.spark.read.parquet(
+        return self.spark.read.parquet(
             *[os.path.join(self.path, s) for s in m["tails"]]
         )
-        if len(m["tails"]) == 1:
+
+    def read_tails(self, m: dict | None = None) -> DataFrame:
+        """Current (stream_name, tail) view — O(streams), never O(events)."""
+        m = m if m is not None else self._load()
+        raw = self._tails_raw(m)
+        if len(m["tails"]) <= 1:
             return raw
         return raw.groupBy("stream_name").agg(F.max("tail").alias("tail"))
 
@@ -387,7 +396,7 @@ class EventStoreTable:
     def _sync_locked(self, batch: DataFrame) -> DataFrame:
         m = self._load()
         self._check_fanout(m)
-        tails = self.read_tails(m)
+        tails = self._tails_raw(m)
         # The batch lineage is walked at most twice (classification, then
         # the novel-suffix append) and each walk is single-pass, so sync
         # does NOT cache the batch: a cache would pay one extra
@@ -405,8 +414,21 @@ class EventStoreTable:
         span = batch.groupBy("stream_name").agg(
             F.min("idx").alias("span_lo"), (F.max("idx") + 1).alias("span_hi")
         )
+        joined = span.join(tails, "stream_name", "left")
+        if len(m["tails"]) > 1:
+            # multi-segment tails list: fold to the freshest tail AFTER
+            # the batch join — the aggregate is then bounded by the
+            # batch's streams (≤ segments rows each), not by every
+            # stream the store has ever seen. The join's stream_name
+            # hash partitioning already clusters the group keys, so no
+            # extra exchange (the old shape pre-aggregated the WHOLE
+            # tails union per sync: an O(streams) shuffle that grew
+            # with accumulated state).
+            joined = joined.groupBy("stream_name", "span_lo", "span_hi").agg(
+                F.max("tail").alias("tail")
+            )
         verdict = (
-            span.join(tails, "stream_name", "left")
+            joined
             .withColumn("tail", F.coalesce(F.col("tail"), F.lit(0)))
             .withColumn(
                 "outcome",
