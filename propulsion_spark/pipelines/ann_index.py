@@ -142,11 +142,40 @@ class AnnIndex:
         return os.path.join(self.path, "tombstones")
 
     # ---- product quantization -------------------------------------------
-    def _train_pq(self, vectors: DataFrame) -> None:
+    @staticmethod
+    def _coarse_matrix(codebook: DataFrame):
+        """(labs sorted ascending, C matrix row-aligned to labs) from a
+        (label, dim, c) coarse-codebook frame — the residual-PQ anchor
+        shared by train/encode/decode."""
+        import numpy as np
+
+        cb = codebook.toPandas()
+        piv = cb.pivot(index="label", columns="dim", values="c").sort_index()
+        return (
+            piv.index.to_numpy(dtype=np.int64),
+            np.ascontiguousarray(piv.to_numpy(dtype=np.float64)),
+        )
+
+    def _coarse_bc(self, codebook: DataFrame):
+        return self.spark.sparkContext.broadcast(self._coarse_matrix(codebook))
+
+    def _train_pq(self, vectors: DataFrame, codebook: DataFrame) -> None:
         """Train the PQ codebooks on a bounded deterministic sample
         (lowest salted-md5 ``vec_id`` hashes — the repo's
         re-salt-is-the-re-draw convention) and store them as
-        ``(sub, code, c array<double>)`` rows."""
+        ``(sub, code, c array<double>, residual)`` rows.
+
+        r11: books train on RESIDUALS (x − coarse centroid of x's
+        assigned cell) — classic IVF-PQ/IVFADC (Jégou, Douze & Schmid,
+        TPAMI 2011 §V). Residuals concentrate near 0 with far less
+        spread than raw vectors (the coarse quantizer already absorbed
+        the between-cell variance), so the same 8 bytes quantize much
+        finer. Encode and decode anchor on the coarse codebook in
+        effect at WRITE time — appends encode under the frozen stored
+        codebook and a reindex re-encodes every row under its new one,
+        so rows and their decode anchors can never diverge. A pre-r11
+        pq file has no ``residual`` column and keeps decoding
+        absolutely."""
         import numpy as np
 
         h = F.conv(
@@ -164,16 +193,18 @@ class AnnIndex:
         # columnar (the orderBy().limit() is TakeOrderedAndProject
         # either way)
         sample = (
-            vectors.select("embedding")
+            self._assign_vectorized(vectors, codebook)
+            .select("embedding", "cell")
             .orderBy(h, "vec_id")
             .limit(PQ_TRAIN_SAMPLE)
-            .toPandas()["embedding"]
+            .toPandas()
         )
-        X = np.stack(sample.values).astype(np.float64) if len(sample) else (
-            np.zeros((0, 0))
-        )
-        if X.size == 0:
+        if not len(sample):
             raise ValueError("cannot train PQ on an empty vector frame")
+        X = np.stack(sample["embedding"].values).astype(np.float64)
+        labs, C = self._coarse_matrix(codebook)
+        cells = sample["cell"].to_numpy(dtype=np.int64)
+        X = X - C[np.searchsorted(labs, cells)]
         d = X.shape[1]
         # dim-agnostic: m is the largest divisor of d that is ≤ PQ_M
         # (always exists — 1 divides everything, m=1 is plain VQ). A
@@ -182,12 +213,12 @@ class AnnIndex:
         m = next(mm for mm in range(min(PQ_M, d), 0, -1) if d % mm == 0)
         books = _pq_train(X, m, PQ_K, PQ_LLOYD_ITERS)
         rows = [
-            (j, c, [float(v) for v in books[j, c]])
+            (j, c, [float(v) for v in books[j, c]], True)
             for j in range(m)
             for c in range(PQ_K)
         ]
         self.spark.createDataFrame(
-            rows, "sub int, code int, c array<double>"
+            rows, "sub int, code int, c array<double>, residual boolean"
         ).write.mode("overwrite").parquet(self._pq_path)
 
     def _load_pq(self):
@@ -213,21 +244,31 @@ class AnnIndex:
         books = np.zeros((m, k, dsub), dtype=np.float64)
         for r in rows:
             books[r["sub"], r["code"]] = r["c"]
-        return self.spark.sparkContext.broadcast(books)
+        # pre-r11 files carry no `residual` column → absolute decode
+        residual = bool(rows[0].asDict().get("residual", False))
+        return self.spark.sparkContext.broadcast((books, residual))
 
-    def _pq_encode_udf(self, bc):
+    def _pq_encode_udf(self, bc, coarse=None):
         """Arrow-vectorized encoder: per vector, the argmin centroid
         code per subspace plus the reconstruction norm (so ADC search
-        pays one lookup-sum per candidate, no decode of the norm)."""
+        pays one lookup-sum per candidate, no decode of the norm).
+        Residual books (r11) encode x − coarse[cell] and the norm is
+        ‖coarse[cell] + decode(codes)‖ — the decode-side anchor rides
+        the cell column every index row already stores."""
         import numpy as np
         import pandas as pd
 
-        def enc(emb: "pd.Series") -> "pd.DataFrame":
-            B = bc.value
+        def enc(emb: "pd.Series", cell: "pd.Series") -> "pd.DataFrame":
+            B, residual = bc.value
             m, k, dsub = B.shape
             if len(emb) == 0:
                 return pd.DataFrame({"codes": [], "nrm": []})
             X = np.stack(emb.values).astype(np.float64)
+            cent = None
+            if residual:
+                labs, C = coarse.value
+                cent = C[np.searchsorted(labs, cell.to_numpy(dtype=np.int64))]
+                X = X - cent
             Xs = X.reshape(len(X), m, dsub)
             # per-subspace GEMM argmin (matmul form — einsum over the
             # (n,m,k,dsub) product is not BLAS-dispatched and was the
@@ -242,8 +283,10 @@ class AnnIndex:
                     + (Bj * Bj).sum(axis=1)[None, :]
                 )
                 codes[:, j] = d2.argmin(axis=1)  # stable for exact ties
-            rec = B[np.arange(m)[None, :], codes]  # (n, m, dsub)
-            nrm = np.sqrt(np.einsum("nmd,nmd->n", rec, rec))
+            rec = B[np.arange(m)[None, :], codes].reshape(len(X), -1)
+            if cent is not None:
+                rec = rec + cent
+            nrm = np.sqrt(np.einsum("nd,nd->n", rec, rec))
             return pd.DataFrame(
                 {
                     "codes": list(codes.astype(np.int8)),
@@ -251,32 +294,41 @@ class AnnIndex:
                 }
             )
 
-        enc.__annotations__ = {"emb": pd.Series, "return": pd.DataFrame}
+        enc.__annotations__ = {
+            "emb": pd.Series,
+            "cell": pd.Series,
+            "return": pd.DataFrame,
+        }
         return F.pandas_udf(
             enc, "struct<codes: array<tinyint>, nrm: double>"
         )
 
-    def _pq_dot_udf(self, bc):
+    def _pq_dot_udf(self, bc, coarse=None):
         """ADC (asymmetric distance computation) dot product: the
         full-precision query against each candidate's PQ
         reconstruction — the candidate side moves PQ_M bytes, not
-        4·dims."""
+        4·dims. Residual books reconstruct coarse[cell] + decode(codes)."""
         import numpy as np
         import pandas as pd
 
-        def dot(q: "pd.Series", codes: "pd.Series") -> "pd.Series":
-            B = bc.value
+        def dot(q: "pd.Series", codes: "pd.Series", cell: "pd.Series") -> "pd.Series":
+            B, residual = bc.value
             m, k, dsub = B.shape
             if len(q) == 0:
                 return pd.Series([], dtype="float64")
-            Q = np.stack(q.values).astype(np.float64).reshape(len(q), m, dsub)
+            n = len(q)
+            Q = np.stack(q.values).astype(np.float64)
             Cd = np.stack(codes.values).astype(np.int64)
-            rec = B[np.arange(m)[None, :], Cd]
-            return pd.Series(np.einsum("nmd,nmd->n", Q, rec))
+            rec = B[np.arange(m)[None, :], Cd].reshape(n, -1)
+            if residual:
+                labs, C = coarse.value
+                rec = rec + C[np.searchsorted(labs, cell.to_numpy(dtype=np.int64))]
+            return pd.Series(np.einsum("nd,nd->n", Q, rec))
 
         dot.__annotations__ = {
             "q": pd.Series,
             "codes": pd.Series,
+            "cell": pd.Series,
             "return": pd.Series,
         }
         return F.pandas_udf(dot, "double")
@@ -349,7 +401,9 @@ class AnnIndex:
         codebook = codebook.persist()
         idx = cls(spark, path)
         codebook.write.mode("overwrite").parquet(idx._codebook_path)
-        idx._train_pq(vectors)  # PQ codebooks freeze at build, like IVF's
+        # PQ codebooks freeze at build, like IVF's (residual-anchored
+        # on the coarse codebook just written)
+        idx._train_pq(vectors, codebook)
         idx._assign_and_write(vectors, codebook, mode="overwrite")
         codebook.unpersist()
         return idx
@@ -478,7 +532,10 @@ class AnnIndex:
             # reads PQ_M bytes per candidate where int8 reads dims bytes
             # and full precision 4·dims. Appends encode under the STORED
             # codebooks (frozen quantizer, same contract as the cells).
-            st = self._pq_encode_udf(pq)(F.col("embedding"))
+            coarse = self._coarse_bc(codebook) if pq.value[1] else None
+            st = self._pq_encode_udf(pq, coarse)(
+                F.col("embedding"), F.col("cell")
+            )
             rows = (
                 rows.withColumn("_pq", st)
                 .withColumn("pq_codes", F.col("_pq.codes"))
@@ -838,7 +895,10 @@ class AnnIndex:
             & (F.col("cell") == F.col("q_cell")),
         )
         if pq:
-            dot = self._pq_dot_udf(pq_bc)(F.col("q_emb"), F.col("_cand"))
+            coarse = self._coarse_bc(codebook) if pq_bc.value[1] else None
+            dot = self._pq_dot_udf(pq_bc, coarse)(
+                F.col("q_emb"), F.col("_cand"), F.col("cell")
+            )
             cosine = dot / (F.col("q_nrm") * F.col("_cnrm"))
             if pq_refine > 1:
                 # ADC shortlist → exact re-rank (IndexRefineFlat shape).
