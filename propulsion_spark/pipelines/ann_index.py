@@ -193,18 +193,28 @@ class AnnIndex:
         # columnar (the orderBy().limit() is TakeOrderedAndProject
         # either way)
         sample = (
-            self._assign_vectorized(vectors, codebook)
-            .select("embedding", "cell")
+            vectors.select("embedding")
             .orderBy(h, "vec_id")
             .limit(PQ_TRAIN_SAMPLE)
-            .toPandas()
+            .toPandas()["embedding"]
         )
         if not len(sample):
             raise ValueError("cannot train PQ on an empty vector frame")
-        X = np.stack(sample["embedding"].values).astype(np.float64)
-        labs, C = self._coarse_matrix(codebook)
-        cells = sample["cell"].to_numpy(dtype=np.int64)
-        X = X - C[np.searchsorted(labs, cells)]
+        X = np.stack(sample.values).astype(np.float64)
+        # coarse-assign the SAMPLE driver-side (same argmin the
+        # assignment UDF computes, one BLAS GEMM over 65k×cells) —
+        # running the assignment UDF before the TakeOrdered would pay a
+        # full-corpus UDF pass just to sample 65k rows, which showed up
+        # as +3 s on the 10× build bench. Training only needs a
+        # consistent residual distribution; row-level tie-break parity
+        # with the UDF is immaterial here (encode/search use the UDF).
+        _labs, C = self._coarse_matrix(codebook)
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        X = X - C[d2.argmin(axis=1)]
         d = X.shape[1]
         # dim-agnostic: m is the largest divisor of d that is ≤ PQ_M
         # (always exists — 1 divides everything, m=1 is plain VQ). A
