@@ -483,6 +483,23 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         ).filter("fused_rank <= 10")
         fused.write.format("noop").mode("overwrite").save()
         timings["pipeline_hybrid_search"] = round(time.time() - t0, 3)
+
+        # materialized lexical index (r11): one-time inverted-index
+        # build, then the steady-state serving cost — the BM25 arm at
+        # O(terms' postings buckets) instead of a corpus scan per query
+        from propulsion_spark.pipelines.lexical_index import LexicalIndex
+
+        t0 = time.time()
+        lex = LexicalIndex.build(spark, sf_dir, f"{tmp}/lexidx")
+        timings["pipeline_lexical_build"] = round(time.time() - t0, 3)
+        lex.search(("hash", "tree"), k=40).write.format("noop").mode(
+            "overwrite"
+        ).save()  # warm (parquet footers), like the headline queries
+        t0 = time.time()
+        lex.search(("hash", "tree"), k=40).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["pipeline_lexical_search"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings

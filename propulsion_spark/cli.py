@@ -854,8 +854,19 @@ def cmd_search(args) -> int:
     # (distributed partial heaps — never a single-task global window),
     # materialized ONCE: the ≤cand rows feed both the fuse and the
     # n_bm25_candidates gauge (r10 re-executed the whole arm for the
-    # count)
-    bm25_rows = bm25_topk(docs, terms=terms, k=cand).collect()
+    # count). With --lexical-index the arm serves from the materialized
+    # inverted index instead — O(terms' postings buckets), no corpus
+    # scan per query (bit-identical ranking, pinned by test).
+    if args.lexical_index:
+        from propulsion_spark.pipelines.lexical_index import LexicalIndex
+
+        if _os.path.exists(LexicalIndex(spark, args.lexical_index)._postings_path):
+            lex = LexicalIndex(spark, args.lexical_index)
+        else:
+            lex = LexicalIndex.build(spark, args.sf_dir, args.lexical_index)
+        bm25_rows = lex.search(terms, k=cand).collect()
+    else:
+        bm25_rows = bm25_topk(docs, terms=terms, k=cand).collect()
     bm25 = spark.createDataFrame(
         [(r["doc_id"], r["rank"]) for r in bm25_rows],
         "doc_id long, rank long",
@@ -1408,6 +1419,12 @@ def main(argv=None) -> int:
     se.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     se.add_argument("--k", type=int, default=10)
     se.add_argument("--n-probes", type=int, default=2)
+    se.add_argument(
+        "--lexical-index", default=None,
+        help="materialized inverted-index dir (built here if absent); "
+        "the BM25 arm then reads the terms' postings buckets instead "
+        "of scanning the corpus",
+    )
     se.set_defaults(fn=cmd_search)
 
     md = sub.add_parser(

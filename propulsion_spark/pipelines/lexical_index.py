@@ -1,0 +1,219 @@
+"""Materialized lexical (inverted) index: BM25 serving without the
+per-query corpus scan.
+
+The hybrid-retrieval lexical arm (``operators.textops.bm25_topk``)
+re-tokenizes and re-scans the whole documents table on every query —
+correct, and the right shape for one-off analytics, but a serving
+deployment asks the same index thousands of times. This is the
+materialized twin, the ``AnnIndex`` of the lexical side:
+
+- **postings**: one row per (token, doc) — ``(token, doc_id, tf, dl)``
+  with the document length DENORMALIZED onto every row, so scoring
+  needs no corpus-wide doc-length join at query time (the classic
+  posting-with-norm layout). Parquet, partitioned by
+  ``(_batch_id, bucket)`` where ``bucket = h64(token) % N_BUCKETS`` —
+  a query's terms resolve to a bounded bucket list DRIVER-SIDE (the
+  md5-prefix hash is reproducible in plain Python), so the scan is
+  partition-pruned to the terms' buckets before any IO.
+- **df**: per-token document frequencies, same bucketing — one small
+  row per distinct token per batch; query-time idf sums the batches.
+- **stats**: one row per batch — ``(n_docs, total_dl)``; N and avgdl
+  are exact integer sums over batches, divided once driver-side
+  (IEEE double, bit-identical to the scan path's agg).
+
+Query cost is O(postings of the query's terms), never O(corpus); the
+top-k is TakeOrderedAndProject (the bm25_topk shape). ``search`` is
+pinned BIT-IDENTICAL to ``bm25_topk`` over the same corpus — same
+rational Robertson idf, same expression tree (the AnnIndex
+"search matches the batch operator exactly" contract, ported).
+
+Appends are idempotent per ``batch_id`` (dynamic partition overwrite —
+the ``AnnIndex.append`` contract): replaying a batch replaces its own
+partitions. A doc must live in exactly one batch; re-ingesting a
+CHANGED doc under a new batch id is a rebuild concern (same caveat as
+the ANN index's mutated-vector note).
+
+Reference parity: jet/propulsion has no lexical index; this extends
+the retrieval surface next to the ANN index per the hybrid-search
+(BM25+ANN+RRF) consumer both exist to serve.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from propulsion_spark.operators.textops import BM25_B, BM25_K1
+
+N_BUCKETS = 64
+
+
+def _bucket_py(token: str) -> int:
+    """Driver-side twin of the Spark-side bucket expression — the
+    md5-prefix h64 (dedup.SPARK_H64) is plain md5, so a query's terms
+    map to buckets without a Spark job."""
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:15], 16) % N_BUCKETS
+
+
+_BUCKET_EXPR = (
+    "cast(conv(substring(md5(token), 1, 15), 16, 10) as bigint) "
+    f"% {N_BUCKETS}"
+)
+
+
+class LexicalIndex:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    @property
+    def _postings_path(self) -> str:
+        return os.path.join(self.path, "postings")
+
+    @property
+    def _df_path(self) -> str:
+        return os.path.join(self.path, "df")
+
+    @property
+    def _stats_path(self) -> str:
+        return os.path.join(self.path, "stats")
+
+    # ---- build / append --------------------------------------------------
+    @classmethod
+    def build(cls, spark: SparkSession, sf_dir: str, path: str) -> "LexicalIndex":
+        from propulsion_spark import load_table
+
+        return cls.build_from(
+            spark, load_table(spark, sf_dir, "documents"), path
+        )
+
+    @classmethod
+    def build_from(
+        cls, spark: SparkSession, docs: DataFrame, path: str
+    ) -> "LexicalIndex":
+        idx = cls(spark, path)
+        idx._write_batch(docs, batch_id=0, mode="overwrite")
+        return idx
+
+    def append(self, docs: DataFrame, batch_id: int = 1) -> None:
+        """Add a new batch of documents. Idempotent per ``batch_id``
+        (dynamic partition overwrite replaces the batch's own
+        partitions on replay, never duplicates them)."""
+        self._write_batch(docs, batch_id=batch_id, mode="append")
+
+    def _write_batch(self, docs: DataFrame, batch_id: int, mode: str) -> None:
+        from propulsion_spark.operators.textops import _toks
+
+        # the exact token stream bm25_scores scores — including split
+        # artifacts ('' for empty docs), so dl/n_docs/df match the scan
+        # path to the row
+        toks = docs.select(
+            "doc_id", F.explode(F.expr(_toks("spark"))).alias("token")
+        )
+        tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+        w_doc = Window.partitionBy("doc_id")
+        postings = (
+            tf.withColumn("dl", F.sum("tf").over(w_doc))
+            .withColumn("bucket", F.expr(_BUCKET_EXPR))
+            .withColumn("_batch_id", F.lit(batch_id).cast("long"))
+        )
+        (
+            postings.repartition("bucket")
+            .write.mode("overwrite")
+            .option(
+                "partitionOverwriteMode",
+                "dynamic" if mode == "append" else "static",
+            )
+            .partitionBy("_batch_id", "bucket")
+            .parquet(self._postings_path)
+        )
+        # df per token: postings are unique per (token, doc), so df is a
+        # row count — derived from the WRITTEN postings (one pruned
+        # columnar read beats re-exploding the corpus)
+        written = self.spark.read.parquet(self._postings_path).filter(
+            F.col("_batch_id") == batch_id
+        )
+        dfq = (
+            written.groupBy("bucket", "token")
+            .agg(F.count("*").alias("doc_freq"))
+            .withColumn("_batch_id", F.lit(batch_id).cast("long"))
+        )
+        (
+            dfq.repartition("bucket")
+            .write.mode("overwrite")
+            .option(
+                "partitionOverwriteMode",
+                "dynamic" if mode == "append" else "static",
+            )
+            .partitionBy("_batch_id", "bucket")
+            .parquet(self._df_path)
+        )
+        # dl rides every posting row; reduce to one row per doc first
+        per_doc = written.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+        stats = per_doc.groupBy().agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+        ).withColumn("_batch_id", F.lit(batch_id).cast("long"))
+        (
+            stats.coalesce(1)
+            .write.mode("overwrite")
+            .option(
+                "partitionOverwriteMode",
+                "dynamic" if mode == "append" else "static",
+            )
+            .partitionBy("_batch_id")
+            .parquet(self._stats_path)
+        )
+
+    # ---- search ----------------------------------------------------------
+    def stats(self) -> "tuple[int, int]":
+        rows = self.spark.read.parquet(self._stats_path).collect()
+        return (
+            sum(r["n_docs"] for r in rows),
+            sum(r["total_dl"] for r in rows),
+        )
+
+    def _pruned(self, path: str, terms: "tuple[str, ...]") -> DataFrame:
+        buckets = sorted({_bucket_py(t) for t in terms})
+        return self.spark.read.parquet(path).filter(
+            F.col("bucket").isin(buckets) & F.col("token").isin(list(terms))
+        )
+
+    def search(
+        self, terms: "tuple[str, ...]", k: int = 40
+    ) -> DataFrame:
+        """(doc_id, rank): top-k docs by summed multi-term BM25 —
+        bit-identical to ``bm25_topk(docs, terms, k)`` over the indexed
+        corpus (pinned by test), at O(terms' postings) cost: the
+        bucket list is derived driver-side, the scan partition-prunes
+        to it, and the token filter pushes into the pruned files."""
+        from propulsion_spark.operators import bounded_window_key
+
+        n_docs, total_dl = self.stats()
+        avgdl = float(total_dl) / float(n_docs)  # same IEEE division
+        dfq = self._pruned(self._df_path, terms).groupBy("token").agg(
+            F.sum("doc_freq").alias("doc_freq")
+        )
+        postings = self._pruned(self._postings_path, terms)
+        idf = (
+            F.lit(float(n_docs)) - F.col("doc_freq") + 0.5
+        ) / (F.col("doc_freq").cast("double") + 0.5)
+        denom = F.col("tf").cast("double") + BM25_K1 * (
+            (1.0 - BM25_B) + BM25_B * (F.col("dl").cast("double") / F.lit(avgdl))
+        )
+        score = idf * ((F.col("tf").cast("double") * (BM25_K1 + 1.0)) / denom)
+        scored = (
+            postings.join(F.broadcast(dfq), "token")
+            .select("doc_id", score.alias("score"))
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
+        top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+        w = Window.partitionBy(bounded_window_key("doc_id")).orderBy(
+            F.col("score").desc(), F.col("doc_id")
+        )
+        return top.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).select("doc_id", "rank")

@@ -181,6 +181,29 @@ class TestCliCurate:
         assert rep["results"][0]["n_lists"] == 2
         assert rep["n_bm25_candidates"] > 0
 
+    def test_hybrid_search_with_lexical_index(self, tmp_path):
+        """--lexical-index serves the BM25 arm from the materialized
+        inverted index; results must equal the corpus-scan run
+        (bit-identical ranking contract, end-to-end through the CLI)."""
+        scan = run_cli(
+            "search",
+            "--terms", "hash,tree",
+            "--query-id", "0",
+            "--index", str(tmp_path / "idx"),
+            "--k", "10",
+        )
+        served = run_cli(
+            "search",
+            "--terms", "hash,tree",
+            "--query-id", "0",
+            "--index", str(tmp_path / "idx"),
+            "--lexical-index", str(tmp_path / "lex"),
+            "--k", "10",
+        )
+        assert served["results"] == scan["results"]
+        assert served["n_bm25_candidates"] == scan["n_bm25_candidates"]
+        assert served["fused_recall"] == scan["fused_recall"]
+
     def test_search_requires_terms(self, tmp_path):
         rep = run_cli(
             "search",

@@ -1,0 +1,133 @@
+"""Materialized lexical (inverted) index (pipelines/lexical_index.py):
+the BM25 serving twin of AnnIndex. Contracts: bit-identical search vs
+the batch bm25_topk operator, partition-pruned postings reads,
+idempotent batch appends that compose into the full-corpus answer."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from propulsion_spark import load_table
+from propulsion_spark.pipelines.lexical_index import LexicalIndex, _bucket_py
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    return LexicalIndex.build(
+        spark, SF, str(tmp_path_factory.mktemp("lex") / "idx")
+    )
+
+
+class TestLexicalIndex:
+    def test_search_matches_batch_operator_exactly(self, spark, index):
+        """The AnnIndex contract, ported: the materialized index must
+        reproduce bm25_topk's (doc_id, rank) rows over the same corpus
+        bit-for-bit — same rational Robertson idf, same expression
+        tree, stats from exact integer sums. Two query terms: 2-term
+        double sums are order-independent (the repo float rule), so
+        the comparison is exact, not approximate."""
+        from propulsion_spark.operators.textops import bm25_topk
+
+        docs = load_table(spark, SF, "documents")
+        got = sorted(
+            (r["doc_id"], r["rank"])
+            for r in index.search(("hash", "tree"), k=40).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["rank"])
+            for r in bm25_topk(docs, terms=("hash", "tree"), k=40).collect()
+        )
+        assert got == want
+        assert len(got) == 40
+
+    def test_search_reads_only_term_buckets(self, spark, index):
+        """Pruning contract: the postings scan for a query touches only
+        the query terms' bucket partitions — strictly fewer files than
+        the index holds (asserted on the files execution reads)."""
+        terms = ("hash",)
+        pruned = index._pruned(index._postings_path, terms)
+        read_files = {
+            r["f"]
+            for r in pruned.select(
+                F.input_file_name().alias("f")
+            ).distinct().collect()
+        }
+        all_files = set(
+            spark.read.parquet(index._postings_path).inputFiles()
+        )
+        assert read_files
+        assert len(read_files) < len(all_files)
+        want_bucket = f"bucket={_bucket_py('hash')}"
+        assert all(want_bucket in f for f in read_files)
+
+    def test_append_composes_to_full_corpus_answer(self, spark, tmp_path):
+        """build(half A) + append(half B) answers exactly like
+        build(full): df/stats sum across batches, postings union."""
+        from propulsion_spark.operators.textops import bm25_topk
+
+        docs = load_table(spark, SF, "documents")
+        inc = LexicalIndex.build_from(
+            spark, docs.filter("doc_id % 2 = 0"), str(tmp_path / "inc")
+        )
+        inc.append(docs.filter("doc_id % 2 = 1"), batch_id=1)
+        # replay the same batch: dynamic overwrite must not duplicate
+        inc.append(docs.filter("doc_id % 2 = 1"), batch_id=1)
+        got = sorted(
+            (r["doc_id"], r["rank"])
+            for r in inc.search(("hash", "tree"), k=40).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["rank"])
+            for r in bm25_topk(docs, terms=("hash", "tree"), k=40).collect()
+        )
+        assert got == want
+
+    def test_unknown_term_and_empty_results(self, spark, index):
+        assert index.search(("zzz-not-a-token-zzz",), k=5).count() == 0
+        # known + unknown term: the known term still ranks
+        rows = index.search(("hash", "zzz-not-a-token-zzz"), k=5).collect()
+        assert len(rows) == 5
+
+    def test_degenerate_docs_match_scan_path(self, spark, tmp_path):
+        """Empty / whitespace-only / 1-token docs: the index's dl /
+        n_docs bookkeeping must mirror bm25_scores' split-artifact
+        semantics ('' tokens count) — pinned by exact parity on a
+        degenerate corpus."""
+        from propulsion_spark.operators.textops import bm25_topk
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["", "   ", "hash", "hash table hash"],
+            }
+        )
+        docs = spark.createDataFrame(pdf, "doc_id long, text string")
+        idx = LexicalIndex.build_from(spark, docs, str(tmp_path / "deg"))
+        got = sorted(
+            (r["doc_id"], r["rank"])
+            for r in idx.search(("hash",), k=10).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["rank"])
+            for r in bm25_topk(docs, terms=("hash",), k=10).collect()
+        )
+        assert got == want
+
+    def test_plan_is_take_ordered(self, spark, index):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        from plan_audit import _has_global_window
+
+        plan = (
+            index.search(("hash", "tree"), k=40)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert not _has_global_window(plan)

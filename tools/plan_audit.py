@@ -292,6 +292,11 @@ def bench_pipeline_frames(spark, sf_dir: str, tmp: str) -> "dict[str, object]":
     out["media_phash_pairs"] = perceptual_dedup_pairs(
         media_fingerprints(media, type_col="media_type")
     )
+
+    from propulsion_spark.pipelines.lexical_index import LexicalIndex
+
+    lex = LexicalIndex.build(spark, sf_dir, f"{tmp}/auditlex")
+    out["lexical_search"] = lex.search(("hash", "tree"), k=40)
     return out
 
 
