@@ -461,14 +461,19 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         # RAG-shaped consumer; measures the serving path (index built
         # outside the timing: build cost is pipeline_ann_build)
         from propulsion_spark.operators.similarity import rrf_fuse
-        from propulsion_spark.operators.textops import bm25_topk
         from propulsion_spark.pipelines.ann_index import AnnIndex
+        from propulsion_spark.pipelines.lexical_index import LexicalIndex
 
         idx = AnnIndex.build(spark, sf_dir, f"{tmp}/searchidx")
+        hlex = LexicalIndex.build(spark, sf_dir, f"{tmp}/searchlex")
         t0 = time.time()
-        # TakeOrderedAndProject top-k (r11): the r10 global row_number
-        # window funneled every per-doc score through one task
-        bm25 = bm25_topk(full, terms=("hash", "tree"), k=40)
+        # both arms serve from their materialized indexes (builds
+        # outside the timing, same as the ANN arm since r10): the
+        # lexical arm reads the terms' postings buckets (bit-identical
+        # to the bm25_topk corpus scan, pinned by test); the scan path
+        # itself is benched by text_tfidf_keywords + the r11
+        # pipeline_lexical_* rows
+        bm25 = hlex.search(("hash", "tree"), k=40)
         q10 = emb.filter("vec_id < 10").selectExpr(
             "vec_id AS query_id", "embedding"
         )

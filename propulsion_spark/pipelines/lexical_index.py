@@ -104,9 +104,30 @@ class LexicalIndex:
         partitions on replay, never duplicates them)."""
         self._write_batch(docs, batch_id=batch_id, mode="append")
 
+    def stream_into(self, stream_df: DataFrame, checkpoint_location: str, **trigger):
+        """Continuously ingest a ``(doc_id, text)`` document stream into
+        the index — foreachBatch with the micro-batch id as the
+        idempotence key (the AnnIndex.stream_into contract: replayed
+        micro-batches rewrite exactly their own partitions)."""
+        return (
+            stream_df.writeStream.foreachBatch(
+                lambda df, bid: self.append(df, batch_id=bid + 1)
+            )
+            .option("checkpointLocation", checkpoint_location)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
     def _write_batch(self, docs: DataFrame, batch_id: int, mode: str) -> None:
         from propulsion_spark.operators.textops import _toks
 
+        # an empty batch writes NOTHING: a zero-row partitionBy write
+        # produces a file-less (unreadable) dir — the repo's known
+        # Spark pitfall. Readers treat a missing path as an empty index
+        # instead, so streams' empty micro-batches and empty builds are
+        # no-ops, not poison.
+        if docs.isEmpty():
+            return
         # the exact token stream bm25_scores scores — including split
         # artifacts ('' for empty docs), so dl/n_docs/df match the scan
         # path to the row
@@ -169,7 +190,16 @@ class LexicalIndex:
 
     # ---- search ----------------------------------------------------------
     def stats(self) -> "tuple[int, int]":
-        rows = self.spark.read.parquet(self._stats_path).collect()
+        from pyspark.errors import AnalysisException
+
+        try:
+            rows = self.spark.read.parquet(self._stats_path).collect()
+        except AnalysisException as e:
+            # never-written (empty) index — the _load_pq rule: ONLY a
+            # missing path means empty; real read failures re-raise
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return (0, 0)
+            raise
         return (
             sum(r["n_docs"] for r in rows),
             sum(r["total_dl"] for r in rows),
@@ -192,6 +222,8 @@ class LexicalIndex:
         from propulsion_spark.operators import bounded_window_key
 
         n_docs, total_dl = self.stats()
+        if n_docs == 0:  # empty index: nothing can rank
+            return self.spark.createDataFrame([], "doc_id long, rank long")
         avgdl = float(total_dl) / float(n_docs)  # same IEEE division
         dfq = self._pruned(self._df_path, terms).groupBy("token").agg(
             F.sum("doc_freq").alias("doc_freq")

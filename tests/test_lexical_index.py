@@ -117,6 +117,38 @@ class TestLexicalIndex:
         )
         assert got == want
 
+    def test_stream_into_composes_like_batch_appends(self, spark, tmp_path):
+        """Document stream → AvailableNow run → the streamed index
+        answers exactly like the batch build over the same docs."""
+        from propulsion_spark.operators.textops import bm25_topk
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(
+            str(tmp_path / "feed")
+        )
+        docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+            str(tmp_path / "feed")
+        )
+        idx = LexicalIndex.build_from(
+            spark, docs.limit(0), str(tmp_path / "sidx")
+        )
+        q = idx.stream_into(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "feed")),
+            str(tmp_path / "ck"),
+        )
+        q.awaitTermination(300)
+        got = sorted(
+            (r["doc_id"], r["rank"])
+            for r in idx.search(("hash", "tree"), k=40).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["rank"])
+            for r in bm25_topk(docs, terms=("hash", "tree"), k=40).collect()
+        )
+        assert got == want
+
     def test_plan_is_take_ordered(self, spark, index):
         import sys
 
