@@ -211,6 +211,85 @@ class LexicalIndex:
             F.col("bucket").isin(buckets) & F.col("token").isin(list(terms))
         )
 
+    def token_stats(self, top: int = 20) -> DataFrame:
+        """(token, doc_freq, share) for the ``top`` heaviest postings
+        lists — the skew gauge (the lsh_bucket_stats /
+        semdedup_cell_stats pattern): a stopword-class token's postings
+        are O(corpus), so a query containing one reads the whole
+        collection no matter how well everything else prunes. Watch
+        this before serving a new corpus; the production levers are
+        query-side (drop terms with df/N ≈ 1 — their Robertson idf is
+        ≈ 0, they cannot move the ranking) or build-side (a stopword
+        list at ingest). Neither is applied silently here: search()
+        stays bit-identical to the scan-path bm25_topk."""
+        n_docs, _ = self.stats()
+        dfq = self.spark.read.parquet(self._df_path).groupBy("token").agg(
+            F.sum("doc_freq").alias("doc_freq")
+        )
+        return (
+            dfq.orderBy(F.col("doc_freq").desc(), F.col("token"))
+            .limit(top)
+            .withColumn(
+                "share",
+                F.col("doc_freq").cast("double") / F.lit(float(max(n_docs, 1))),
+            )
+        )
+
+    def search_many(
+        self, queries: DataFrame, k: int = 40
+    ) -> DataFrame:
+        """(query_id, doc_id, rank) for a BATCH of queries —
+        ``queries`` is ``(query_id, terms array<string>)``. One pruned
+        postings read covers every query's terms (union of their
+        buckets, still bounded by the distinct-term set); scores fan
+        out per query through a broadcast of the exploded query terms;
+        per-query ranking is a rank-filtered window that Spark pushes
+        to WindowGroupLimit (per-partition top-k heaps before the
+        shuffle — the stratified_sample plan contract). Per-query
+        results equal ``search()`` called per query (pinned by test)."""
+        qt = queries.select(
+            "query_id", F.explode("terms").alias("token")
+        ).distinct()
+        terms = tuple(
+            r["token"] for r in qt.select("token").distinct().collect()
+        )
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "query_id long, doc_id long, rank long"
+            )
+        n_docs, total_dl = self.stats()
+        if n_docs == 0:
+            return self.spark.createDataFrame(
+                [], "query_id long, doc_id long, rank long"
+            )
+        avgdl = float(total_dl) / float(n_docs)
+        dfq = self._pruned(self._df_path, terms).groupBy("token").agg(
+            F.sum("doc_freq").alias("doc_freq")
+        )
+        postings = self._pruned(self._postings_path, terms)
+        idf = (
+            F.lit(float(n_docs)) - F.col("doc_freq") + 0.5
+        ) / (F.col("doc_freq").cast("double") + 0.5)
+        denom = F.col("tf").cast("double") + BM25_K1 * (
+            (1.0 - BM25_B) + BM25_B * (F.col("dl").cast("double") / F.lit(avgdl))
+        )
+        score = idf * ((F.col("tf").cast("double") * (BM25_K1 + 1.0)) / denom)
+        scored = (
+            postings.join(F.broadcast(dfq), "token")
+            .join(F.broadcast(qt), "token")
+            .select("query_id", "doc_id", score.alias("score"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rank")
+        )
+
     def search(
         self, terms: "tuple[str, ...]", k: int = 40
     ) -> DataFrame:

@@ -149,6 +149,40 @@ class TestLexicalIndex:
         )
         assert got == want
 
+    def test_search_many_matches_per_query_search(self, spark, index):
+        """Batched multi-query search: per-query rows equal search()
+        run per query, and the plan carries WindowGroupLimit (the
+        rank<=k filter pushed to per-partition heaps)."""
+        queries = spark.createDataFrame(
+            [(0, ["hash", "tree"]), (1, ["hash"]), (2, ["zzz-non-token"])],
+            "query_id long, terms array<string>",
+        )
+        got = {}
+        for r in index.search_many(queries, k=7).collect():
+            got.setdefault(r["query_id"], []).append((r["doc_id"], r["rank"]))
+        for qid, terms in ((0, ("hash", "tree")), (1, ("hash",))):
+            want = [
+                (r["doc_id"], r["rank"])
+                for r in index.search(terms, k=7).collect()
+            ]
+            assert sorted(got[qid]) == sorted(want), qid
+        assert 2 not in got  # no-hit query yields no rows, no crash
+        plan = (
+            index.search_many(queries, k=7)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan
+
+    def test_token_stats_gauge(self, spark, index):
+        rows = index.token_stats(top=5).collect()
+        assert 0 < len(rows) <= 5
+        # heaviest first, share = df/N in (0, 1]
+        dfs = [r["doc_freq"] for r in rows]
+        assert dfs == sorted(dfs, reverse=True)
+        assert all(0 < r["share"] <= 1.0 for r in rows)
+
     def test_plan_is_take_ordered(self, spark, index):
         import sys
 
