@@ -81,6 +81,10 @@ class LexicalIndex:
     def _stats_path(self) -> str:
         return os.path.join(self.path, "stats")
 
+    @property
+    def _tombstones_path(self) -> str:
+        return os.path.join(self.path, "tombstones")
+
     # ---- build / append --------------------------------------------------
     @classmethod
     def build(cls, spark: SparkSession, sf_dir: str, path: str) -> "LexicalIndex":
@@ -211,6 +215,61 @@ class LexicalIndex:
             F.col("bucket").isin(buckets) & F.col("token").isin(list(terms))
         )
 
+    # ---- deletes ----------------------------------------------------------
+    def delete(self, doc_ids, batch_id: "int | None" = None) -> None:
+        """Tombstone documents out of serving — the AnnIndex.delete
+        contract, ported: a tombstone ``(doc_id, _del_batch_id=B)``
+        kills every posting with ``_batch_id ≤ B``, a LATER re-append
+        of the same id serves again, replayed delete batches rewrite
+        exactly their own partition. O(deletes) writes, never a
+        postings rewrite.
+
+        Corpus statistics (N, avgdl, df) deliberately KEEP counting
+        tombstoned docs until a rebuild — the Lucene deleted-docs
+        model: ranking drifts by the deleted mass, serving never
+        returns a deleted id. Rebuild from the source corpus is the
+        compaction (postings don't retain text, so unlike AnnIndex
+        there is no self-reindex)."""
+        if not isinstance(doc_ids, DataFrame):
+            doc_ids = self.spark.createDataFrame(
+                [(int(v),) for v in doc_ids], "doc_id long"
+            )
+        if batch_id is None:
+            batch_id = (
+                self.spark.read.parquet(self._postings_path)
+                .agg(F.max("_batch_id"))
+                .collect()[0][0]
+                or 0
+            )
+        (
+            doc_ids.select(
+                F.col("doc_id").cast("long"),
+                F.lit(int(batch_id)).cast("long").alias("_del_batch_id"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_del_batch_id")
+            .parquet(self._tombstones_path)
+        )
+
+    def _mask_tombstones(self, rows: DataFrame) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        try:
+            t = self.spark.read.parquet(self._tombstones_path)
+        except AnalysisException as e:
+            # only the missing-path case means "no deletes" — a real
+            # read failure must not silently serve deleted docs
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return rows
+            raise
+        t = t.groupBy("doc_id").agg(F.max("_del_batch_id").alias("_del"))
+        return (
+            rows.join(t, "doc_id", "left")
+            .filter(F.col("_del").isNull() | (F.col("_batch_id") > F.col("_del")))
+            .drop("_del")
+        )
+
     def token_stats(self, top: int = 20) -> DataFrame:
         """(token, doc_freq, share) for the ``top`` heaviest postings
         lists — the skew gauge (the lsh_bucket_stats /
@@ -266,7 +325,9 @@ class LexicalIndex:
         dfq = self._pruned(self._df_path, terms).groupBy("token").agg(
             F.sum("doc_freq").alias("doc_freq")
         )
-        postings = self._pruned(self._postings_path, terms)
+        postings = self._mask_tombstones(
+            self._pruned(self._postings_path, terms)
+        )
         idf = (
             F.lit(float(n_docs)) - F.col("doc_freq") + 0.5
         ) / (F.col("doc_freq").cast("double") + 0.5)
@@ -307,7 +368,9 @@ class LexicalIndex:
         dfq = self._pruned(self._df_path, terms).groupBy("token").agg(
             F.sum("doc_freq").alias("doc_freq")
         )
-        postings = self._pruned(self._postings_path, terms)
+        postings = self._mask_tombstones(
+            self._pruned(self._postings_path, terms)
+        )
         idf = (
             F.lit(float(n_docs)) - F.col("doc_freq") + 0.5
         ) / (F.col("doc_freq").cast("double") + 0.5)

@@ -183,6 +183,31 @@ class TestLexicalIndex:
         assert dfs == sorted(dfs, reverse=True)
         assert all(0 < r["share"] <= 1.0 for r in rows)
 
+    def test_delete_masks_and_reappend_revives(self, spark, tmp_path):
+        """The AnnIndex tombstone lifecycle, ported: a deleted doc
+        never serves; re-appending it under a NEWER batch id revives
+        it; replayed delete batches replace themselves."""
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        idx = LexicalIndex.build_from(spark, docs, str(tmp_path / "didx"))
+        victim = idx.search(("hash",), k=1).collect()[0]["doc_id"]
+        idx.delete([victim])
+        idx.delete([victim])  # replayed delete: idempotent
+        served = {r["doc_id"] for r in idx.search(("hash",), k=40).collect()}
+        assert victim not in served
+        assert len(served) == 40  # the next-ranked doc fills the slot
+        # batch search masks too
+        q = spark.createDataFrame(
+            [(0, ["hash"])], "query_id long, terms array<string>"
+        )
+        assert victim not in {
+            r["doc_id"] for r in idx.search_many(q, k=40).collect()
+        }
+        # re-append under a newer batch id: the doc serves again
+        idx.append(docs.filter(F.col("doc_id") == victim), batch_id=5)
+        assert victim in {
+            r["doc_id"] for r in idx.search(("hash",), k=40).collect()
+        }
+
     def test_plan_is_take_ordered(self, spark, index):
         import sys
 
