@@ -770,6 +770,56 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_lex(args) -> int:
+    """Build or query the materialized lexical (inverted) index
+    (pipelines/lexical_index.py) from the corpus documents table."""
+    from propulsion_spark import get_spark
+    from propulsion_spark.pipelines.lexical_index import LexicalIndex
+
+    spark = get_spark("propulsion-lex")
+    idx = LexicalIndex(spark, args.path)
+    if args.action == "build":
+        idx = LexicalIndex.build(spark, args.sf_dir, args.path)
+        n_docs, total_dl = idx.stats()
+        print(
+            json.dumps(
+                {
+                    "built": args.path,
+                    "n_docs": n_docs,
+                    "total_tokens": total_dl,
+                }
+            )
+        )
+    elif args.action == "stats":
+        n_docs, total_dl = idx.stats()
+        heavy = [
+            r.asDict() for r in idx.token_stats(top=args.top_k).collect()
+        ]
+        print(
+            json.dumps(
+                {
+                    "n_docs": n_docs,
+                    "total_tokens": total_dl,
+                    "heaviest_tokens": heavy,
+                }
+            )
+        )
+    elif args.action == "delete":
+        ids = [int(v) for v in args.ids.split(",") if v.strip()]
+        idx.delete(ids, batch_id=args.del_batch)
+        print(json.dumps({"deleted": len(ids), "path": args.path}))
+    else:  # search
+        terms = tuple(t.strip() for t in args.terms.split(",") if t.strip())
+        if not terms:
+            print(json.dumps({"error": "--terms must name at least one term"}))
+            spark.stop()
+            return 2
+        for r in idx.search(terms, k=args.top_k).collect():
+            print(json.dumps(r.asDict()))
+    spark.stop()
+    return 0
+
+
 def cmd_deltalite(args) -> int:
     """Maintenance for a deltalite table (the engine's native
     Delta-protocol log): describe the log's health, force a parquet
@@ -1349,6 +1399,24 @@ def main(argv=None) -> int:
                     help="re-salt for an independent draw")
     ds.add_argument("--min-count", type=int, default=2)
     ds.set_defaults(fn=cmd_dsir)
+
+    lx = sub.add_parser(
+        "lex",
+        help="build/search the materialized lexical (inverted) index",
+    )
+    lx.add_argument("action", choices=["build", "search", "stats", "delete"])
+    lx.add_argument("--path", required=True)
+    lx.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    lx.add_argument("--terms", default="", help="search: comma-separated terms")
+    lx.add_argument("--top-k", type=int, default=10)
+    lx.add_argument(
+        "--ids", default="", help="delete: comma-separated doc_ids to tombstone"
+    )
+    lx.add_argument(
+        "--del-batch", type=int, default=None,
+        help="delete: tombstone batch id (default: current max _batch_id)",
+    )
+    lx.set_defaults(fn=cmd_lex)
 
     an = sub.add_parser(
         "ann", help="build/search the materialized partition-pruned ANN index"

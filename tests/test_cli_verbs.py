@@ -493,3 +493,37 @@ class TestDeltaVerb:
         assert head["rows"] == 1000
         vac = run_cli("delta", "vacuum", "--path", out, "--grace", "3600")
         assert vac["dropped"] == 0  # everything is live and fresh
+
+
+class TestLexVerb:
+    def _search(self, path, terms, k=10):
+        import json as _json
+        import subprocess
+        import sys
+
+        out = subprocess.run(
+            [sys.executable, "-m", "propulsion_spark.cli", "lex", "search",
+             "--path", path, "--terms", terms, "--top-k", str(k)],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return [_json.loads(l) for l in out.splitlines() if l.startswith("{")]
+
+    def test_build_stats_search_delete(self, tmp_path):
+        path = str(tmp_path / "lex")
+        rep = run_cli(
+            "lex", "build", "--path", path,
+            "--sf-dir", "/root/testdata/sf0.001",
+        )
+        assert rep["n_docs"] > 0 and rep["total_tokens"] > rep["n_docs"]
+        stats = run_cli("lex", "stats", "--path", path, "--top-k", "5")
+        assert stats["n_docs"] == rep["n_docs"]
+        assert len(stats["heaviest_tokens"]) == 5
+        assert stats["heaviest_tokens"][0]["share"] <= 1.0
+        rows = self._search(path, "hash,tree")
+        assert [r["rank"] for r in rows] == list(range(1, 11))
+        victim = rows[0]["doc_id"]
+        rep = run_cli("lex", "delete", "--path", path, "--ids", str(victim))
+        assert rep["deleted"] == 1
+        after = self._search(path, "hash,tree")
+        assert victim not in {r["doc_id"] for r in after}
+        assert len(after) == 10  # next-ranked docs fill the page
