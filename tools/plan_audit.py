@@ -297,6 +297,13 @@ def bench_pipeline_frames(spark, sf_dir: str, tmp: str) -> "dict[str, object]":
 
     lex = LexicalIndex.build(spark, sf_dir, f"{tmp}/auditlex")
     out["lexical_search"] = lex.search(("hash", "tree"), k=40)
+    out["lexical_search_many"] = lex.search_many(
+        spark.createDataFrame(
+            [(0, ["hash", "tree"]), (1, ["hash"])],
+            "query_id long, terms array<string>",
+        ),
+        k=40,
+    )
     return out
 
 
