@@ -739,6 +739,10 @@ def cmd_ann(args) -> int:
     elif args.action == "delete":
         idx = AnnIndex(spark, args.path)
         ids = [int(v) for v in args.ids.split(",") if v.strip()]
+        if not ids:
+            print(json.dumps({"error": "delete requires a non-empty --ids list"}))
+            spark.stop()
+            return 2
         idx.delete(ids, batch_id=args.del_batch)
         t = idx._tombstones()
         print(
@@ -806,6 +810,10 @@ def cmd_lex(args) -> int:
         )
     elif args.action == "delete":
         ids = [int(v) for v in args.ids.split(",") if v.strip()]
+        if not ids:
+            print(json.dumps({"error": "delete requires a non-empty --ids list"}))
+            spark.stop()
+            return 2
         idx.delete(ids, batch_id=args.del_batch)
         print(json.dumps({"deleted": len(ids), "path": args.path}))
     else:  # search

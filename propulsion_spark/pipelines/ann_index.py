@@ -616,14 +616,31 @@ class AnnIndex:
         ``vec_ids`` is a DataFrame with a ``vec_id`` column or a plain
         list of ids. ``batch_id`` defaults to the index's current max
         ``_batch_id`` (partition-column-only read — no vector bytes),
-        i.e. "delete every copy that exists right now". Idempotent per
-        ``batch_id``: a replayed delete batch rewrites exactly its own
-        tombstone partition (dynamic overwrite), the same at-least-once
-        discipline as :meth:`append`."""
+        i.e. "delete every copy that exists right now".
+
+        Idempotence vs accumulation: an EXPLICIT ``batch_id`` is the
+        at-least-once replay handle — a replayed delete batch rewrites
+        exactly its own tombstone partition (dynamic overwrite), the
+        same discipline as :meth:`append`. The DEFAULT path instead
+        ACCUMULATES: the data watermark does not advance on delete, so
+        two independent default-batch deletes resolve to the same
+        ``_del_batch_id`` partition, and a plain overwrite would let
+        the second silently revive the first's ids. The default path
+        therefore unions the new ids with the partition's existing
+        rows before the overwrite (a read-modify-write of ONE bounded
+        tombstone partition — O(deletes), never the vectors), which is
+        also naturally idempotent under replay (union dedups).
+
+        An empty id set is a no-op: a zero-row partitionBy write would
+        leave a file-less, unreadable tombstones dir (the repo's known
+        Spark pitfall)."""
         if not isinstance(vec_ids, DataFrame):
             vec_ids = self.spark.createDataFrame(
                 [(int(v),) for v in vec_ids], "vec_id long"
             )
+        if vec_ids.isEmpty():
+            return
+        accumulate = batch_id is None
         if batch_id is None:
             batch_id = (
                 self.spark.read.parquet(self._vectors_path)
@@ -631,15 +648,40 @@ class AnnIndex:
                 .collect()[0][0]
                 or 0
             )
+        rows = vec_ids.select(
+            F.col("vec_id").cast("long"),
+            F.lit(int(batch_id)).cast("long").alias("_del_batch_id"),
+        )
+        if accumulate:
+            existing = self._tombstone_partition("vec_id", int(batch_id))
+            if existing is not None:
+                # pin to blocks before overwriting the files being read
+                rows = (
+                    rows.unionByName(existing)
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
         (
-            vec_ids.select(
-                F.col("vec_id").cast("long"),
-                F.lit(int(batch_id)).cast("long").alias("_del_batch_id"),
-            )
-            .write.mode("overwrite")
+            rows.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_del_batch_id")
             .parquet(self._tombstones_path)
+        )
+
+    def _tombstone_partition(self, id_col: str, batch_id: int):
+        """Existing rows of ONE tombstone partition (None when the
+        table or the partition doesn't exist) — the bounded read side
+        of the default-batch delete's read-union-rewrite."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            t = self.spark.read.parquet(self._tombstones_path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
+        return t.filter(F.col("_del_batch_id") == batch_id).select(
+            F.col(id_col), F.col("_del_batch_id")
         )
 
     def _tombstones(self) -> "DataFrame | None":

@@ -220,20 +220,34 @@ class LexicalIndex:
         """Tombstone documents out of serving — the AnnIndex.delete
         contract, ported: a tombstone ``(doc_id, _del_batch_id=B)``
         kills every posting with ``_batch_id ≤ B``, a LATER re-append
-        of the same id serves again, replayed delete batches rewrite
-        exactly their own partition. O(deletes) writes, never a
+        of the same id serves again. O(deletes) writes, never a
         postings rewrite.
 
+        Idempotence vs accumulation (the AnnIndex.delete contract): an
+        EXPLICIT ``batch_id`` is the at-least-once replay handle —
+        replaying it rewrites exactly its own tombstone partition. The
+        DEFAULT path ACCUMULATES: the postings watermark doesn't
+        advance on delete, so two independent default-batch deletes
+        hit the same ``_del_batch_id`` partition and a plain overwrite
+        would revive the first delete's docs — the default path unions
+        the new ids with the partition's existing rows first
+        (read-modify-write of one bounded partition).
+
+        An empty id set is a no-op (a zero-row partitionBy write would
+        poison the tombstones dir — the ``_write_batch`` guard,
+        mirrored).
+
         Corpus statistics (N, avgdl, df) deliberately KEEP counting
-        tombstoned docs until a rebuild — the Lucene deleted-docs
+        tombstoned docs until :meth:`compact` — the Lucene deleted-docs
         model: ranking drifts by the deleted mass, serving never
-        returns a deleted id. Rebuild from the source corpus is the
-        compaction (postings don't retain text, so unlike AnnIndex
-        there is no self-reindex)."""
+        returns a deleted id."""
         if not isinstance(doc_ids, DataFrame):
             doc_ids = self.spark.createDataFrame(
                 [(int(v),) for v in doc_ids], "doc_id long"
             )
+        if doc_ids.isEmpty():
+            return
+        accumulate = batch_id is None
         if batch_id is None:
             batch_id = (
                 self.spark.read.parquet(self._postings_path)
@@ -241,15 +255,39 @@ class LexicalIndex:
                 .collect()[0][0]
                 or 0
             )
+        rows = doc_ids.select(
+            F.col("doc_id").cast("long"),
+            F.lit(int(batch_id)).cast("long").alias("_del_batch_id"),
+        )
+        if accumulate:
+            existing = self._tombstone_partition(int(batch_id))
+            if existing is not None:
+                rows = (
+                    rows.unionByName(existing)
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
         (
-            doc_ids.select(
-                F.col("doc_id").cast("long"),
-                F.lit(int(batch_id)).cast("long").alias("_del_batch_id"),
-            )
-            .write.mode("overwrite")
+            rows.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_del_batch_id")
             .parquet(self._tombstones_path)
+        )
+
+    def _tombstone_partition(self, batch_id: int) -> "DataFrame | None":
+        """Existing rows of one tombstone partition (None when absent)
+        — the bounded read side of the default-batch read-union-
+        rewrite."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            t = self.spark.read.parquet(self._tombstones_path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
+        return t.filter(F.col("_del_batch_id") == batch_id).select(
+            "doc_id", "_del_batch_id"
         )
 
     def _mask_tombstones(self, rows: DataFrame) -> DataFrame:

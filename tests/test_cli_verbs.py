@@ -206,12 +206,20 @@ class TestAnnDeleteVerb:
             "ann", "build", "--path", str(tmp_path / "idx3"),
             "--sf-dir", "/root/testdata/sf0.001",
         )
+        # TWO separate default-batch invocations — the r11 lost-delete
+        # hazard's natural CLI trigger: the second must accumulate,
+        # not overwrite the first's tombstones
         rep = run_cli(
             "ann", "delete", "--path", str(tmp_path / "idx3"),
-            "--ids", "20,21",
+            "--ids", "20",
+        )
+        assert rep["deleted"] == 1 and rep["tombstones_live"] == 1
+        rep = run_cli(
+            "ann", "delete", "--path", str(tmp_path / "idx3"),
+            "--ids", "21",
         )
         assert rep == {
-            "deleted": 2,
+            "deleted": 1,
             "tombstones_live": 2,
             "path": str(tmp_path / "idx3"),
         }
@@ -527,3 +535,23 @@ class TestLexVerb:
         after = self._search(path, "hash,tree")
         assert victim not in {r["doc_id"] for r in after}
         assert len(after) == 10  # next-ranked docs fill the page
+        # a SECOND default-batch delete must keep the first masked
+        # (the r11 lost-delete hazard, CLI e2e)
+        victim2 = after[0]["doc_id"]
+        rep = run_cli("lex", "delete", "--path", path, "--ids", str(victim2))
+        assert rep["deleted"] == 1
+        final = {r["doc_id"] for r in self._search(path, "hash,tree")}
+        assert victim not in final and victim2 not in final
+        # empty --ids is rejected, never a zero-row tombstone write
+        import subprocess
+        import sys
+
+        proc = subprocess.run(
+            [sys.executable, "-m", "propulsion_spark.cli", "lex", "delete",
+             "--path", path, "--ids", ""],
+            capture_output=True, text=True, timeout=180, cwd="/root/repo",
+        )
+        assert proc.returncode == 2
+        assert "non-empty" in proc.stdout
+        # index still serves after the rejected call
+        assert len(self._search(path, "hash,tree")) == 10
