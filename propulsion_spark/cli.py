@@ -816,6 +816,27 @@ def cmd_lex(args) -> int:
             return 2
         idx.delete(ids, batch_id=args.del_batch)
         print(json.dumps({"deleted": len(ids), "path": args.path}))
+    elif args.action == "compact":
+        files_before = len(spark.read.parquet(idx._postings_path).inputFiles())
+        out = idx.compact(dest=args.dest)
+        n_docs, total_dl = out.stats()
+        try:
+            files_after = len(
+                spark.read.parquet(out._postings_path).inputFiles()
+            )
+        except Exception:
+            files_after = 0  # all-deleted corpus compacts to nothing
+        print(
+            json.dumps(
+                {
+                    "compacted": out.path,
+                    "n_docs": n_docs,
+                    "total_tokens": total_dl,
+                    "postings_files_before": files_before,
+                    "postings_files_after": files_after,
+                }
+            )
+        )
     else:  # search
         terms = tuple(t.strip() for t in args.terms.split(",") if t.strip())
         if not terms:
@@ -1412,8 +1433,14 @@ def main(argv=None) -> int:
         "lex",
         help="build/search the materialized lexical (inverted) index",
     )
-    lx.add_argument("action", choices=["build", "search", "stats", "delete"])
+    lx.add_argument(
+        "action", choices=["build", "search", "stats", "delete", "compact"]
+    )
     lx.add_argument("--path", required=True)
+    lx.add_argument(
+        "--dest", default=None,
+        help="compact: write the folded index here instead of in place",
+    )
     lx.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     lx.add_argument("--terms", default="", help="search: comma-separated terms")
     lx.add_argument("--top-k", type=int, default=10)

@@ -155,6 +155,9 @@ class LexicalIndex:
             .partitionBy("_batch_id", "bucket")
             .parquet(self._postings_path)
         )
+        self._derive_df_stats(batch_id=batch_id, mode=mode)
+
+    def _derive_df_stats(self, batch_id: int, mode: str) -> None:
         # df per token: postings are unique per (token, doc), so df is a
         # row count — derived from the WRITTEN postings (one pruned
         # columnar read beats re-exploding the corpus)
@@ -289,6 +292,67 @@ class LexicalIndex:
         return t.filter(F.col("_del_batch_id") == batch_id).select(
             "doc_id", "_del_batch_id"
         )
+
+    # ---- compaction --------------------------------------------------------
+    def compact(self, dest: "str | None" = None) -> "LexicalIndex":
+        """Fold every batch into one and drop tombstoned postings —
+        the ``AnnIndex.reindex`` of the lexical side, closing the loop
+        the r11 delete docstring left open ("rebuild from source is
+        the compaction"): postings DO retain everything scoring needs
+        (tf + denormalized dl), so the index can compact itself
+        without the source corpus.
+
+        Three things a long-running ``stream_into`` accumulates are
+        repaired at once: the per-micro-batch partition sets collapse
+        to one ``_batch_id=0`` set (file count back to O(buckets), not
+        O(batches × buckets)), tombstoned postings leave storage, and
+        df/stats are recomputed EXACTLY over the live postings — so
+        ranking stops drifting by the deleted mass (the Lucene
+        deleted-docs drift ends here) and ``search()`` equals
+        ``bm25_topk`` over the LIVE corpus again (pinned by test).
+
+        In place by default (the folded rows are pinned to blocks via
+        localCheckpoint before the static overwrite, since Spark can't
+        overwrite a path it is still reading); pass ``dest`` to build
+        the successor alongside and cut traffic over — SELF keeps
+        serving, tombstones intact, until the cutover. Like
+        ``ann reindex``, in-place compaction is a maintenance op: don't
+        run it concurrently with ``stream_into`` (a replayed micro-batch
+        id would dynamic-overwrite folded partitions)."""
+        import shutil
+
+        live = self._mask_tombstones(
+            self.spark.read.parquet(self._postings_path)
+        ).select(
+            "doc_id", "token", "tf", "dl", "bucket",
+            F.lit(0).cast("long").alias("_batch_id"),
+        )
+        target = LexicalIndex(self.spark, dest) if dest else self
+        if live.isEmpty():
+            # everything was deleted: an empty index is MISSING paths
+            # (the zero-row partitionBy pitfall — never write it);
+            # in-place, that means removing the stores outright
+            if dest is None:
+                for p in (
+                    self._postings_path,
+                    self._df_path,
+                    self._stats_path,
+                    self._tombstones_path,
+                ):
+                    shutil.rmtree(p, ignore_errors=True)
+            return target
+        if dest is None:
+            live = live.localCheckpoint(eager=True)
+        (
+            live.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("_batch_id", "bucket")
+            .parquet(target._postings_path)
+        )
+        target._derive_df_stats(batch_id=0, mode="overwrite")
+        if dest is None:
+            shutil.rmtree(self._tombstones_path, ignore_errors=True)
+        return target
 
     def _mask_tombstones(self, rows: DataFrame) -> DataFrame:
         from pyspark.errors import AnalysisException

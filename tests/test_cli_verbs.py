@@ -555,3 +555,11 @@ class TestLexVerb:
         assert "non-empty" in proc.stdout
         # index still serves after the rejected call
         assert len(self._search(path, "hash,tree")) == 10
+        # compact folds the tombstones away and stats drop to the live
+        # corpus (n_docs - the two deletes)
+        rep2 = run_cli("lex", "compact", "--path", path)
+        assert rep2["n_docs"] == stats["n_docs"] - 2
+        assert rep2["postings_files_after"] <= rep2["postings_files_before"]
+        compacted = {r["doc_id"] for r in self._search(path, "hash,tree")}
+        assert victim not in compacted and victim2 not in compacted
+        assert len(compacted) == 10

@@ -252,6 +252,97 @@ class TestLexicalIndex:
             r["doc_id"] for r in idx.search(("hash",), k=40).collect()
         }
 
+    def test_compact_restores_live_corpus_parity(self, spark, tmp_path):
+        """compact(): batches fold to one, tombstoned postings leave
+        storage, df/stats recompute exactly — post-compact search()
+        equals bm25_topk over the LIVE corpus (the Lucene deleted-docs
+        ranking drift ends), and the file count is back to
+        O(buckets)."""
+        from propulsion_spark.operators.textops import bm25_topk
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        idx = LexicalIndex.build_from(
+            spark, docs.filter("doc_id % 2 = 0"), str(tmp_path / "cidx")
+        )
+        idx.append(docs.filter("doc_id % 2 = 1"), batch_id=1)
+        victims = [
+            r["doc_id"] for r in idx.search(("hash",), k=2).collect()
+        ]
+        idx.delete(victims)
+        files_before = len(
+            spark.read.parquet(idx._postings_path).inputFiles()
+        )
+        idx.compact()
+        import os
+
+        assert not os.path.exists(idx._tombstones_path)
+        stored = spark.read.parquet(idx._postings_path)
+        assert [
+            r["_batch_id"]
+            for r in stored.select("_batch_id").distinct().collect()
+        ] == [0]
+        assert stored.filter(F.col("doc_id").isin(victims)).count() == 0
+        assert len(stored.inputFiles()) <= files_before
+        live = docs.filter(~F.col("doc_id").isin(victims))
+        got = sorted(
+            (r["doc_id"], r["rank"])
+            for r in idx.search(("hash", "tree"), k=40).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["rank"])
+            for r in bm25_topk(live, terms=("hash", "tree"), k=40).collect()
+        )
+        assert got == want
+        # stats are the live corpus's exact sums (ranking drift gone)
+        n_docs, _ = idx.stats()
+        assert n_docs == live.count()
+
+    def test_compact_to_dest_leaves_self_serving(self, spark, tmp_path):
+        """Successor compaction: dest is folded and tombstone-free;
+        SELF keeps its batches, tombstones, and masking — it serves
+        until the cutover (the ann reindex dest contract)."""
+        import os
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        idx = LexicalIndex.build_from(spark, docs, str(tmp_path / "src"))
+        victim = idx.search(("hash",), k=1).collect()[0]["doc_id"]
+        idx.delete([victim])
+        dest = idx.compact(dest=str(tmp_path / "succ"))
+        assert not os.path.exists(dest._tombstones_path)
+        assert (
+            self.spark_read_count(spark, dest._postings_path, victim) == 0
+        )
+        assert victim not in {
+            r["doc_id"] for r in dest.search(("hash",), k=40).collect()
+        }
+        # self: tombstones intact, still masking, postings untouched
+        assert os.path.exists(idx._tombstones_path)
+        assert self.spark_read_count(spark, idx._postings_path, victim) > 0
+        assert victim not in {
+            r["doc_id"] for r in idx.search(("hash",), k=40).collect()
+        }
+
+    @staticmethod
+    def spark_read_count(spark, path, doc_id):
+        return (
+            spark.read.parquet(path).filter(F.col("doc_id") == doc_id).count()
+        )
+
+    def test_compact_all_deleted_empties_index(self, spark, tmp_path):
+        """Everything tombstoned → compact removes the stores outright
+        (an empty index is missing paths, never a zero-row partition
+        write) and search serves the empty answer."""
+        import os
+
+        pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["hash", "hash tree"]})
+        docs = spark.createDataFrame(pdf, "doc_id long, text string")
+        idx = LexicalIndex.build_from(spark, docs, str(tmp_path / "all"))
+        idx.delete([1, 2])
+        idx.compact()
+        assert not os.path.exists(idx._postings_path)
+        assert idx.stats() == (0, 0)
+        assert idx.search(("hash",), k=5).count() == 0
+
     def test_plan_is_take_ordered(self, spark, index):
         import sys
 
