@@ -465,7 +465,12 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         from propulsion_spark.pipelines.lexical_index import LexicalIndex
 
         idx = AnnIndex.build(spark, sf_dir, f"{tmp}/searchidx")
+        # ONE lexical index serves every arm below (r12: the build was
+        # previously duplicated); its one-time cost is the
+        # pipeline_lexical_build row
+        t0 = time.time()
         hlex = LexicalIndex.build(spark, sf_dir, f"{tmp}/searchlex")
+        timings["pipeline_lexical_build"] = round(time.time() - t0, 3)
         t0 = time.time()
         # both arms serve from their materialized indexes (builds
         # outside the timing, same as the ANN arm since r10): the
@@ -489,19 +494,40 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         fused.write.format("noop").mode("overwrite").save()
         timings["pipeline_hybrid_search"] = round(time.time() - t0, 3)
 
-        # materialized lexical index (r11): one-time inverted-index
-        # build, then the steady-state serving cost — the BM25 arm at
-        # O(terms' postings buckets) instead of a corpus scan per query
-        from propulsion_spark.pipelines.lexical_index import LexicalIndex
+        # batched hybrid serving (r12): 8 hybrid queries through ONE
+        # pruned postings scan + ONE ANN pass + per-query RRF — the
+        # amortization the materialized indexes exist for. Compare
+        # per-query cost against pipeline_hybrid_search (single).
+        from propulsion_spark.pipelines.hybrid import hybrid_search_many
 
+        qspecs = [
+            (i, ["hash", "tree"] if i % 2 == 0 else ["hash", "data"])
+            for i in range(8)
+        ]
+        qemb = {
+            r["vec_id"]: r["embedding"]
+            for r in emb.filter("vec_id < 8").collect()
+        }
+        qdf = spark.createDataFrame(
+            [(qid, terms, qemb[qid]) for qid, terms in qspecs],
+            "query_id long, terms array<string>, embedding array<double>",
+        )
+        hybrid_search_many(hlex, idx, qdf, k=10, n_probes=2).write.format(
+            "noop"
+        ).mode("overwrite").save()  # warm
         t0 = time.time()
-        lex = LexicalIndex.build(spark, sf_dir, f"{tmp}/lexidx")
-        timings["pipeline_lexical_build"] = round(time.time() - t0, 3)
-        lex.search(("hash", "tree"), k=40).write.format("noop").mode(
+        hybrid_search_many(hlex, idx, qdf, k=10, n_probes=2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["pipeline_hybrid_search_many"] = round(time.time() - t0, 3)
+
+        # steady-state lexical serving (r11): the BM25 arm at O(terms'
+        # postings buckets) instead of a corpus scan per query
+        hlex.search(("hash", "tree"), k=40).write.format("noop").mode(
             "overwrite"
         ).save()  # warm (parquet footers), like the headline queries
         t0 = time.time()
-        lex.search(("hash", "tree"), k=40).write.format("noop").mode(
+        hlex.search(("hash", "tree"), k=40).write.format("noop").mode(
             "overwrite"
         ).save()
         timings["pipeline_lexical_search"] = round(time.time() - t0, 3)

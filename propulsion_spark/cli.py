@@ -919,9 +919,14 @@ def cmd_search(args) -> int:
     from propulsion_spark.operators.textops import bm25_topk
     from propulsion_spark.pipelines.ann_index import AnnIndex
 
+    if args.queries_file:
+        return _cmd_search_batch(args)
     terms = tuple(t.strip() for t in args.terms.split(",") if t.strip())
     if not terms:
         print(json.dumps({"error": "--terms must name at least one term"}))
+        return 2
+    if args.query_id is None:
+        print(json.dumps({"error": "--query-id is required without --queries-file"}))
         return 2
     spark = get_spark("propulsion-search")
     idx = AnnIndex(spark, args.index)
@@ -995,6 +1000,83 @@ def cmd_search(args) -> int:
             }
         )
     )
+    spark.stop()
+    return 0
+
+
+def _cmd_search_batch(args) -> int:
+    """Batched hybrid serving: every query in --queries-file answered
+    by ONE pruned postings scan + ONE ANN pass + per-query RRF
+    (pipelines/hybrid.py) — the amortized shape a retrieval endpoint
+    runs. Prints one JSON line per query."""
+    import os as _os
+
+    from propulsion_spark import get_spark, load_table
+    from propulsion_spark.pipelines.ann_index import AnnIndex
+    from propulsion_spark.pipelines.hybrid import hybrid_search_many
+    from propulsion_spark.pipelines.lexical_index import LexicalIndex
+
+    if not args.lexical_index:
+        print(json.dumps({"error": "--queries-file requires --lexical-index"}))
+        return 2
+    reqs = []
+    with open(args.queries_file) as fh:
+        for line in fh:
+            if line.strip():
+                reqs.append(json.loads(line))
+    if not reqs:
+        print(json.dumps({"error": "--queries-file holds no queries"}))
+        return 2
+    spark = get_spark("propulsion-search")
+    idx = AnnIndex(spark, args.index)
+    if not _os.path.exists(idx._vectors_path):
+        idx = AnnIndex.build(spark, args.sf_dir, args.index)
+    lex = LexicalIndex(spark, args.lexical_index)
+    if not _os.path.exists(lex._postings_path):
+        lex = LexicalIndex.build(spark, args.sf_dir, args.lexical_index)
+    emb = load_table(spark, args.sf_dir, "embeddings")
+    vec_ids = {int(r["vec_id"]) for r in reqs}
+    emb_by_id = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").isin(list(vec_ids))).collect()
+    }
+    missing = sorted(vec_ids - set(emb_by_id))
+    if missing:
+        print(json.dumps({"error": f"vec_ids not in embeddings: {missing}"}))
+        spark.stop()
+        return 2
+    queries = spark.createDataFrame(
+        [
+            (int(r["query_id"]), [str(t) for t in r["terms"]],
+             emb_by_id[int(r["vec_id"])])
+            for r in reqs
+        ],
+        "query_id long, terms array<string>, embedding array<double>",
+    )
+    fused = hybrid_search_many(
+        lex, idx, queries, k=args.k, n_probes=args.n_probes
+    )
+    by_q: dict = {}
+    for r in fused.orderBy("query_id", "fused_rank").collect():
+        by_q.setdefault(r["query_id"], []).append(
+            {
+                "doc_id": r["doc_id"],
+                "rrf_score": r["rrf_score"],
+                "n_lists": r["n_lists"],
+                "fused_rank": r["fused_rank"],
+            }
+        )
+    for req in reqs:
+        qid = int(req["query_id"])
+        print(
+            json.dumps(
+                {
+                    "query_id": qid,
+                    "k": args.k,
+                    "results": by_q.get(qid, []),
+                }
+            )
+        )
     spark.stop()
     return 0
 
@@ -1510,11 +1592,18 @@ def main(argv=None) -> int:
         "with a recall gauge vs brute force",
     )
     se.add_argument(
-        "--terms", required=True, help="comma-separated lexical query terms"
+        "--terms", default="", help="comma-separated lexical query terms"
     )
     se.add_argument(
-        "--query-id", type=int, required=True,
+        "--query-id", type=int, default=None,
         help="query-by-example: a corpus vec_id (doc_id == vec_id)",
+    )
+    se.add_argument(
+        "--queries-file", default=None,
+        help="batched serving: JSON-lines file of "
+        '{"query_id": N, "terms": [...], "vec_id": N} — one pruned '
+        "postings scan + one ANN pass + per-query RRF for ALL queries "
+        "(requires --lexical-index)",
     )
     se.add_argument(
         "--index", required=True, help="ANN index dir (built here if absent)"

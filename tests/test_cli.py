@@ -204,6 +204,51 @@ class TestCliCurate:
         assert served["n_bm25_candidates"] == scan["n_bm25_candidates"]
         assert served["fused_recall"] == scan["fused_recall"]
 
+    def test_hybrid_search_batched_matches_single(self, tmp_path):
+        """--queries-file: N queries through one pruned postings scan +
+        one ANN pass + per-query RRF; each query's line must equal the
+        single-query CLI run with the same indexes (the amortization
+        must not change a single answer)."""
+        single = run_cli(
+            "search",
+            "--terms", "hash,tree",
+            "--query-id", "0",
+            "--index", str(tmp_path / "idx"),
+            "--lexical-index", str(tmp_path / "lex"),
+            "--k", "10",
+        )
+        qfile = tmp_path / "queries.jsonl"
+        qfile.write_text(
+            json.dumps({"query_id": 0, "terms": ["hash", "tree"], "vec_id": 0})
+            + "\n"
+            + json.dumps({"query_id": 1, "terms": ["hash"], "vec_id": 3})
+            + "\n"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-m", "propulsion_spark.cli", "search",
+             "--queries-file", str(qfile),
+             "--index", str(tmp_path / "idx"),
+             "--lexical-index", str(tmp_path / "lex"),
+             "--k", "10"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        lines = [
+            json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")
+        ]
+        assert [l["query_id"] for l in lines] == [0, 1]
+        assert lines[0]["results"] == single["results"]
+        ranks1 = [r["fused_rank"] for r in lines[1]["results"]]
+        assert ranks1 == list(range(1, 11))
+        # batch mode without a lexical index is a clean JSON error
+        rep = run_cli(
+            "search",
+            "--queries-file", str(qfile),
+            "--index", str(tmp_path / "idx"),
+            expect_rc=2,
+        )
+        assert "lexical-index" in rep["error"]
+
     def test_search_requires_terms(self, tmp_path):
         rep = run_cli(
             "search",

@@ -193,9 +193,18 @@ def audit(spark, sf_dir: str, registry=None) -> "dict[str, list[str]]":
 #:   (tf/df/dl tables, the fuse union's one (query,id) agg) — each is
 #:   corpus-bounded or candidate-sized, never quadratic. The one flag
 #:   that must NEVER appear here is ``global-window`` (the r10 defect).
+#: - hybrid_search_many: the exchange count is the SUM of the two
+#:   index arms' own shuffle-minimal plans (pruned-postings (query,
+#:   doc) agg + per-query rank window on the lexical side; cell-rank +
+#:   candidate window on the ANN side; the fuse's union agg + window)
+#:   — every one postings-/candidate-bounded, and the windows all key
+#:   on query_id (WindowGroupLimit heaps, pinned by
+#:   tests/test_round12_ops.py). More exchanges than a single query,
+#:   but amortized over the whole batch — the point of the pipeline.
 BENCH_EXPECTED_FLAGGED = {
     "hybrid_bm25_topk",
     "hybrid_fused",
+    "hybrid_search_many",
 }
 
 
@@ -303,6 +312,27 @@ def bench_pipeline_frames(spark, sf_dir: str, tmp: str) -> "dict[str, object]":
             "query_id long, terms array<string>",
         ),
         k=40,
+    )
+
+    # batched hybrid serving (r12): bench.py's
+    # pipeline_hybrid_search_many shape — both arms from materialized
+    # indexes, per-query RRF windows (must be WindowGroupLimit, never
+    # a global window)
+    from propulsion_spark.pipelines.hybrid import hybrid_search_many
+
+    qemb = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter("vec_id < 8").collect()
+    }
+    qdf = spark.createDataFrame(
+        [
+            (i, ["hash", "tree"] if i % 2 == 0 else ["hash", "data"], qemb[i])
+            for i in range(8)
+        ],
+        "query_id long, terms array<string>, embedding array<double>",
+    )
+    out["hybrid_search_many"] = hybrid_search_many(
+        lex, idx, qdf, k=10, n_probes=2
     )
     return out
 
