@@ -843,6 +843,20 @@ def cmd_lex(args) -> int:
             print(json.dumps({"error": "--terms must name at least one term"}))
             spark.stop()
             return 2
+        if args.max_df_share is not None:
+            # the common-terms lever is never silent: report what the
+            # threshold dropped before the (kept-terms-exact) results
+            kept, dropped = idx.split_saturated(terms, args.max_df_share)
+            print(
+                json.dumps(
+                    {
+                        "max_df_share": args.max_df_share,
+                        "kept_terms": list(kept),
+                        "dropped_terms": dropped,
+                    }
+                )
+            )
+            terms = kept
         for r in idx.search(terms, k=args.top_k).collect():
             print(json.dumps(r.asDict()))
     spark.stop()
@@ -1532,6 +1546,12 @@ def main(argv=None) -> int:
     lx.add_argument(
         "--del-batch", type=int, default=None,
         help="delete: tombstone batch id (default: current max _batch_id)",
+    )
+    lx.add_argument(
+        "--max-df-share", type=float, default=None,
+        help="search: drop query terms whose doc-freq share exceeds "
+        "this (the Lucene common-terms lever) — dropped terms are "
+        "reported, results are exact over the kept terms",
     )
     lx.set_defaults(fn=cmd_lex)
 

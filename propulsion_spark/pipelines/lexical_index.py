@@ -372,6 +372,48 @@ class LexicalIndex:
             .drop("_del")
         )
 
+    def term_df(self, terms: "tuple[str, ...]") -> "dict[str, int]":
+        """Per-term document frequency — one partition-pruned read of
+        the (small) df table, collected driver-side (bounded by the
+        query's term count). Terms absent from the corpus are absent
+        from the dict."""
+        if not terms:
+            return {}
+        rows = (
+            self._pruned(self._df_path, tuple(terms))
+            .groupBy("token")
+            .agg(F.sum("doc_freq").alias("doc_freq"))
+            .collect()
+        )
+        return {r["token"]: r["doc_freq"] for r in rows}
+
+    def split_saturated(
+        self, terms: "tuple[str, ...]", max_df_share: float
+    ) -> "tuple[tuple[str, ...], dict[str, float]]":
+        """Partition a query's terms into (kept, dropped) by document-
+        frequency share — the Lucene common-terms lever, made EXPLICIT:
+        a stopword-class token's postings are O(corpus), so a query
+        containing one reads the whole collection no matter how well
+        everything else prunes (the token_stats docstring's warning;
+        this is the lever it pointed at). Terms with
+        ``df/N > max_df_share`` are dropped BEFORE their postings are
+        read — their Robertson idf is ≈ 0 at high shares, so they
+        cannot move the ranking much, but their scan cost is the whole
+        index. Returns the kept tuple (original order) and
+        ``{dropped_term: share}`` so callers can surface the decision —
+        never silent."""
+        n_docs, _ = self.stats()
+        if n_docs == 0:
+            return tuple(terms), {}
+        dfs = self.term_df(terms)
+        dropped = {
+            t: dfs[t] / float(n_docs)
+            for t in terms
+            if t in dfs and dfs[t] / float(n_docs) > max_df_share
+        }
+        kept = tuple(t for t in terms if t not in dropped)
+        return kept, dropped
+
     def token_stats(self, top: int = 20) -> DataFrame:
         """(token, doc_freq, share) for the ``top`` heaviest postings
         lists — the skew gauge (the lsh_bucket_stats /
@@ -397,7 +439,10 @@ class LexicalIndex:
         )
 
     def search_many(
-        self, queries: DataFrame, k: int = 40
+        self,
+        queries: DataFrame,
+        k: int = 40,
+        max_df_share: "float | None" = None,
     ) -> DataFrame:
         """(query_id, doc_id, rank) for a BATCH of queries —
         ``queries`` is ``(query_id, terms array<string>)``. One pruned
@@ -414,6 +459,14 @@ class LexicalIndex:
         terms = tuple(
             r["token"] for r in qt.select("token").distinct().collect()
         )
+        if max_df_share is not None and terms:
+            # df shares are a corpus property, so one split covers the
+            # whole batch; a query left with no terms yields no rows
+            # (the existing no-hit contract). Callers surface the
+            # dropped set via split_saturated — the lever is explicit.
+            terms, dropped = self.split_saturated(terms, max_df_share)
+            if dropped:
+                qt = qt.filter(~F.col("token").isin(list(dropped)))
         if not terms:
             return self.spark.createDataFrame(
                 [], "query_id long, doc_id long, rank long"
@@ -454,15 +507,29 @@ class LexicalIndex:
         )
 
     def search(
-        self, terms: "tuple[str, ...]", k: int = 40
+        self,
+        terms: "tuple[str, ...]",
+        k: int = 40,
+        max_df_share: "float | None" = None,
     ) -> DataFrame:
         """(doc_id, rank): top-k docs by summed multi-term BM25 —
         bit-identical to ``bm25_topk(docs, terms, k)`` over the indexed
         corpus (pinned by test), at O(terms' postings) cost: the
         bucket list is derived driver-side, the scan partition-prunes
-        to it, and the token filter pushes into the pruned files."""
+        to it, and the token filter pushes into the pruned files.
+
+        ``max_df_share`` (opt-in) drops saturated terms before their
+        postings are read — BM25 sums independent per-term
+        contributions, so the result is EXACTLY ``search(kept_terms)``
+        (pinned by test), at the kept terms' scan cost instead of
+        O(corpus). Use :meth:`split_saturated` to see what a threshold
+        drops; all terms saturated → the empty answer."""
         from propulsion_spark.operators import bounded_window_key
 
+        if max_df_share is not None and terms:
+            terms, _ = self.split_saturated(terms, max_df_share)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, rank long")
         n_docs, total_dl = self.stats()
         if n_docs == 0:  # empty index: nothing can rank
             return self.spark.createDataFrame([], "doc_id long, rank long")

@@ -80,6 +80,46 @@ class MetricsExporter:
 
         return self.register_gauge("propulsion_ann_index_cells", scrape)
 
+    def register_lexical_index(
+        self, name: str, index, max_df_share: "float | None" = None
+    ) -> "MetricsExporter":
+        """A :class:`~propulsion_spark.pipelines.lexical_index.
+        LexicalIndex`: exports the postings-skew gauges — corpus size,
+        batch-fragmentation (``n_batches``, the ``compact`` signal),
+        the heaviest token's df share (``max_df_share_observed``: a
+        share near 1.0 means a stopword-class token whose postings are
+        O(corpus) — the ``max_df_share`` search lever's target), and,
+        when a serving threshold is given, how many of the top tokens
+        it would drop (``n_saturated`` — the bound made visible, never
+        silent)."""
+
+        def scrape():
+            lbl = {"index": name}
+            n_docs, total_dl = index.stats()
+            top = index.token_stats(top=20).collect()
+            max_share = max((r["share"] for r in top), default=0.0)
+            n_batches = (
+                index.spark.read.parquet(index._stats_path).count()
+                if n_docs
+                else 0
+            )
+            out = [
+                ({**lbl, "stat": "n_docs"}, n_docs),
+                ({**lbl, "stat": "total_tokens"}, total_dl),
+                ({**lbl, "stat": "n_batches"}, n_batches),
+                ({**lbl, "stat": "max_df_share_observed"}, max_share),
+            ]
+            if max_df_share is not None:
+                out.append(
+                    (
+                        {**lbl, "stat": "n_saturated"},
+                        sum(1 for r in top if r["share"] > max_df_share),
+                    )
+                )
+            return out
+
+        return self.register_gauge("propulsion_lex_index", scrape)
+
     def register_media_dedup(self, pipeline) -> "MetricsExporter":
         """A :class:`~propulsion_spark.pipelines.media_dedup.
         MediaDedupStream`: exports its per-stage media counters

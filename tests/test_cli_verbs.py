@@ -563,3 +563,19 @@ class TestLexVerb:
         compacted = {r["doc_id"] for r in self._search(path, "hash,tree")}
         assert victim not in compacted and victim2 not in compacted
         assert len(compacted) == 10
+        # --max-df-share: the lever reports its decision first, then
+        # the (kept-terms-exact) result rows — nothing saturates at
+        # 0.99 on this corpus, so results match the plain search
+        out = subprocess.run(
+            [sys.executable, "-m", "propulsion_spark.cli", "lex", "search",
+             "--path", path, "--terms", "hash,tree", "--top-k", "10",
+             "--max-df-share", "0.99"],
+            capture_output=True, text=True, check=True, cwd="/root/repo",
+        ).stdout
+        lines = [
+            __import__("json").loads(l)
+            for l in out.splitlines() if l.startswith("{")
+        ]
+        assert lines[0]["dropped_terms"] == {}
+        assert lines[0]["kept_terms"] == ["hash", "tree"]
+        assert {r["doc_id"] for r in lines[1:]} == compacted

@@ -343,6 +343,75 @@ class TestLexicalIndex:
         assert idx.stats() == (0, 0)
         assert idx.search(("hash",), k=5).count() == 0
 
+    def test_max_df_share_lever(self, spark, tmp_path):
+        """The common-terms lever: saturated terms drop BEFORE their
+        postings are read, the result is EXACTLY search(kept_terms)
+        (BM25 sums independent per-term contributions), parity holds
+        when nothing saturates, and the decision is never silent
+        (split_saturated reports {term: share})."""
+        import pandas as pd
+
+        rows = [(i, f"the filler{i % 7} " + ("hash " if i % 5 == 0 else "x "))
+                for i in range(50)]
+        docs = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"]),
+            "doc_id long, text string",
+        )
+        idx = LexicalIndex.build_from(spark, docs, str(tmp_path / "lever"))
+        # 'the' is in every doc (share 1.0), 'hash' in 1/5
+        kept, dropped = idx.split_saturated(("the", "hash"), 0.5)
+        assert kept == ("hash",)
+        assert set(dropped) == {"the"} and dropped["the"] == 1.0
+        got = sorted(
+            (r["doc_id"], r["rank"])
+            for r in idx.search(("the", "hash"), k=20, max_df_share=0.5).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["rank"])
+            for r in idx.search(("hash",), k=20).collect()
+        )
+        assert got == want and got
+        # below-threshold queries are untouched (parity with no lever)
+        lo = sorted(
+            (r["doc_id"], r["rank"])
+            for r in idx.search(("hash",), k=20, max_df_share=0.5).collect()
+        )
+        assert lo == want
+        # everything saturated → the empty answer, never a full scan
+        assert idx.search(("the",), k=5, max_df_share=0.5).count() == 0
+        # batch path: the same split covers every query
+        q = spark.createDataFrame(
+            [(0, ["the", "hash"]), (1, ["the"])],
+            "query_id long, terms array<string>",
+        )
+        many = idx.search_many(q, k=20, max_df_share=0.5).collect()
+        assert {r["query_id"] for r in many} == {0}
+        assert sorted((r["doc_id"], r["rank"]) for r in many) == want
+
+    def test_metrics_gauge_shows_postings_skew(self, spark, tmp_path):
+        """register_lexical_index: the skew/fragmentation gauges ride
+        the standard exporter — heaviest-token share and the threshold's
+        saturated count are visible, not hoped about."""
+        import pandas as pd
+
+        from propulsion_spark.streaming.metrics import MetricsExporter
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [1, 2, 3], "text": ["the a", "the b", "the c"]}
+            ),
+            "doc_id long, text string",
+        )
+        idx = LexicalIndex.build_from(spark, docs, str(tmp_path / "gidx"))
+        text = (
+            MetricsExporter(group="td")
+            .register_lexical_index("l", idx, max_df_share=0.5)
+            .render()
+        )
+        assert 'stat="max_df_share_observed"' in text
+        assert 'stat="n_saturated"' in text
+        assert 'stat="n_batches"' in text
+
     def test_plan_is_take_ordered(self, spark, index):
         import sys
 
