@@ -376,6 +376,37 @@ class TestPqSearch:
             per_q[q] = per_q.get(q, 0) + 1
         assert all(v == TOP_K for v in per_q.values())
 
+    def test_refine_recall_measured_at_sf01(self, spark, tmp_path):
+        """The serving default's quality at the bench scale (sf0.1:
+        2000×64d), measured not assumed — r11 pinned ADC recall on the
+        clustered fixture only. The refine ladder must be monotone
+        (more full-precision re-rank candidates → recall up) and the
+        pq_refine=4 default must clear a usable floor vs the
+        full-precision search on the same index (measured 0.76 /
+        0.54 / 0.38 for refine 4/2/1 — deterministic seeded build,
+        pinned with margin)."""
+        sf01 = "/root/testdata/sf0.1"
+        idx = AnnIndex.build(spark, sf01, str(tmp_path / "idx01"))
+        q = (
+            load_table(spark, sf01, "embeddings")
+            .filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        full = {
+            (r["query_id"], r["neighbor_id"])
+            for r in idx.search(q).collect()
+        }
+        recall = {}
+        for refine in (1, 4):
+            pq = {
+                (r["query_id"], r["neighbor_id"])
+                for r in idx.search(q, pq=True, pq_refine=refine).collect()
+            }
+            recall[refine] = len(full & pq) / len(full)
+        assert recall[4] >= 0.65, f"refine=4 recall at sf0.1 = {recall[4]}"
+        assert recall[1] >= 0.3, f"refine=1 recall at sf0.1 = {recall[1]}"
+        assert recall[4] > recall[1]  # the refine knob must buy recall
+
     def test_residual_pq_beats_absolute_on_clustered_data(self, spark, tmp_path):
         """The IVF-PQ/IVFADC claim (Jégou et al. 2011): quantizing the
         RESIDUAL x − coarse[cell] is finer than quantizing x, because
