@@ -1067,8 +1067,24 @@ def _cmd_search_batch(args) -> int:
         ],
         "query_id long, terms array<string>, embedding array<double>",
     )
+    if args.max_df_share is not None:
+        # the lever is never silent: report the batch-wide decision
+        all_terms = tuple(
+            dict.fromkeys(t for r in reqs for t in r["terms"])
+        )
+        kept, dropped = lex.split_saturated(all_terms, args.max_df_share)
+        print(
+            json.dumps(
+                {
+                    "max_df_share": args.max_df_share,
+                    "kept_terms": list(kept),
+                    "dropped_terms": dropped,
+                }
+            )
+        )
     fused = hybrid_search_many(
-        lex, idx, queries, k=args.k, n_probes=args.n_probes
+        lex, idx, queries, k=args.k, n_probes=args.n_probes,
+        max_df_share=args.max_df_share,
     )
     by_q: dict = {}
     for r in fused.orderBy("query_id", "fused_rank").collect():
@@ -1624,6 +1640,12 @@ def main(argv=None) -> int:
         '{"query_id": N, "terms": [...], "vec_id": N} — one pruned '
         "postings scan + one ANN pass + per-query RRF for ALL queries "
         "(requires --lexical-index)",
+    )
+    se.add_argument(
+        "--max-df-share", type=float, default=None,
+        help="batched serving: the lexical arm's common-terms lever — "
+        "drop query terms whose doc-freq share exceeds this before "
+        "their postings are read (dropped terms reported)",
     )
     se.add_argument(
         "--index", required=True, help="ANN index dir (built here if absent)"

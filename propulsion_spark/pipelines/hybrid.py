@@ -36,6 +36,7 @@ def hybrid_search_many(
     k: int = 10,
     n_probes: int = 2,
     cand: "int | None" = None,
+    max_df_share: "float | None" = None,
 ) -> DataFrame:
     """Fused top-k per query for a BATCH of hybrid queries.
 
@@ -53,10 +54,18 @@ def hybrid_search_many(
     Cost shape: O(distinct terms' postings buckets) + O(probed cells)
     regardless of N queries — the whole point vs N single calls, which
     pay N scan setups and N windows for the same bytes.
+
+    ``max_df_share`` rides through to the lexical arm's common-terms
+    lever (saturated terms drop before their postings are read — the
+    batch's distinct-term union makes one stopword-class term
+    everyone's cost); the ANN arm is unaffected, and RRF degrades
+    gracefully to ANN-only rows (n_lists=1) for queries whose terms
+    all dropped.
     """
     cand = cand or max(k * 4, k)
     lex_ranks = lex.search_many(
-        queries.select("query_id", "terms"), k=cand
+        queries.select("query_id", "terms"), k=cand,
+        max_df_share=max_df_share,
     )
     ann_ranks = ann.search(
         queries.select("query_id", "embedding"),

@@ -328,6 +328,38 @@ class TestLexicalIndex:
             spark.read.parquet(path).filter(F.col("doc_id") == doc_id).count()
         )
 
+    def test_append_after_compact_composes(self, spark, tmp_path):
+        """The folded index stays a normal index: appends after an
+        in-place compact (batch ids above the folded 0) compose into
+        the full live-corpus answer, and the default-batch delete
+        watermark tracks the new max."""
+        from propulsion_spark.operators.textops import bm25_topk
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        half_a = docs.filter("doc_id % 2 = 0")
+        half_b = docs.filter("doc_id % 2 = 1")
+        idx = LexicalIndex.build_from(spark, half_a, str(tmp_path / "ac"))
+        victim = idx.search(("hash",), k=1).collect()[0]["doc_id"]
+        idx.delete([victim])
+        idx.compact()
+        idx.append(half_b, batch_id=1)
+        live = docs.filter(F.col("doc_id") != victim)
+        got = sorted(
+            (r["doc_id"], r["rank"])
+            for r in idx.search(("hash", "tree"), k=40).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["rank"])
+            for r in bm25_topk(live, terms=("hash", "tree"), k=40).collect()
+        )
+        assert got == want
+        # post-compact default delete covers the appended batch too
+        v2 = idx.search(("hash",), k=1).collect()[0]["doc_id"]
+        idx.delete([v2])
+        assert v2 not in {
+            r["doc_id"] for r in idx.search(("hash",), k=40).collect()
+        }
+
     def test_compact_all_deleted_empties_index(self, spark, tmp_path):
         """Everything tombstoned → compact removes the stores outright
         (an empty index is missing paths, never a zero-row partition

@@ -100,6 +100,30 @@ class TestHybridSearchMany:
         assert "WindowGroupLimit" in plan
         assert not _has_global_window(plan)
 
+    def test_max_df_share_rides_to_lexical_arm(self, spark, indexes):
+        """The common-terms lever through the batch path: a threshold
+        above every term's share changes nothing; a threshold below
+        everything degrades every query to ANN-only rows (n_lists=1)
+        instead of failing."""
+        lex, ann = indexes
+        q = _queries(spark, self.SPECS)
+        plain = {
+            (r["query_id"], r["doc_id"], r["fused_rank"])
+            for r in hybrid_search_many(lex, ann, q, k=10).collect()
+        }
+        high = {
+            (r["query_id"], r["doc_id"], r["fused_rank"])
+            for r in hybrid_search_many(
+                lex, ann, q, k=10, max_df_share=1.0
+            ).collect()
+        }
+        assert high == plain
+        ann_only = hybrid_search_many(
+            lex, ann, q, k=10, max_df_share=1e-9
+        ).collect()
+        assert {r["query_id"] for r in ann_only} == {0, 1, 2}
+        assert all(r["n_lists"] == 1 for r in ann_only)
+
     def test_unmatched_query_contributes_no_rows(self, spark, indexes):
         """A query whose terms miss the corpus still fuses its ANN arm
         (n_lists=1 rows), and a query id never silently drops."""
