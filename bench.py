@@ -521,6 +521,20 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         ).mode("overwrite").save()
         timings["pipeline_hybrid_search_many"] = round(time.time() - t0, 3)
 
+        # exact repeated-substring dedup (r12, Lee et al. 2021
+        # ExactSubstr as n-gram hashing): find + mask duplicated
+        # passages — one gram-count shuffle, AQE join back, per-doc
+        # span windows
+        from propulsion_spark.operators.substring_dedup import (
+            mask_repeated_ngrams,
+        )
+
+        t0 = time.time()
+        mask_repeated_ngrams(full, n=8, min_dup=2).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["pipeline_substr_dedup"] = round(time.time() - t0, 3)
+
         # steady-state lexical serving (r11): the BM25 arm at O(terms'
         # postings buckets) instead of a corpus scan per query
         hlex.search(("hash", "tree"), k=40).write.format("noop").mode(

@@ -437,6 +437,52 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_substr(args) -> int:
+    """Exact repeated-substring dedup (Lee et al. 2021 ExactSubstr as
+    n-gram hashing, operators/substring_dedup.py): mask duplicated
+    passages out of a document corpus, write the masked corpus, and
+    report the mass removed — one JSON line, the shard/decontam verb
+    convention."""
+    from pyspark.sql import functions as F
+
+    from propulsion_spark import get_spark
+    from propulsion_spark.operators.substring_dedup import (
+        mask_repeated_ngrams,
+    )
+
+    spark = get_spark("propulsion-substr")
+    docs = spark.read.parquet(args.src).select("doc_id", "text")
+    mask_repeated_ngrams(
+        docs, n=args.n, min_dup=args.min_dup, keep_first=args.keep_first
+    ).write.mode("overwrite").parquet(args.out)
+    rep = (
+        spark.read.parquet(args.out)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_masked_tokens").alias("tokens_masked"),
+            F.sum(
+                F.when(F.col("n_masked_tokens") > 0, 1).otherwise(0)
+            ).alias("n_docs_masked"),
+        )
+        .first()
+    )
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "n": args.n,
+                "min_dup": args.min_dup,
+                "keep_first": bool(args.keep_first),
+                "n_docs": rep["n_docs"],
+                "n_docs_masked": rep["n_docs_masked"],
+                "tokens_masked": int(rep["tokens_masked"] or 0),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def cmd_shard(args) -> int:
     """Shuffle-and-shard a packed/curated corpus: deterministic
     hash-order global shuffle, bounded-token shard assignment, the
@@ -1492,6 +1538,25 @@ def main(argv=None) -> int:
         "per source (>10000 up-samples); batch mode only",
     )
     sh.set_defaults(fn=cmd_shard)
+
+    su = sub.add_parser(
+        "substr",
+        help="exact repeated-substring dedup: mask duplicated n-gram "
+        "spans (ExactSubstr) and write the masked corpus",
+    )
+    su.add_argument("--src", required=True, help="corpus parquet dir")
+    su.add_argument("--out", required=True, help="masked output dir")
+    su.add_argument("--n", type=int, default=8, help="gram length (tokens)")
+    su.add_argument(
+        "--min-dup", type=int, default=2,
+        help="mask grams occurring at least this many times corpus-wide",
+    )
+    su.add_argument(
+        "--keep-first", action="store_true",
+        help="exempt each gram's corpus-canonical occurrence "
+        "(one copy of every duplicated passage survives)",
+    )
+    su.set_defaults(fn=cmd_substr)
 
     dc = sub.add_parser(
         "decontam", help="remove benchmark n-grams from a training corpus"

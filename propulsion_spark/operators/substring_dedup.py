@@ -1,0 +1,167 @@
+"""Exact repeated-substring (n-gram span) deduplication — the
+ExactSubstr method of Lee et al. 2021 ("Deduplicating Training Data
+Makes Language Models Better"), re-expressed as DataFrame ops.
+
+This is the third leg of the dedup family, distinct from both
+neighbors: MinHash/SimHash (`operators/dedup.py`) judge WHOLE
+documents near-duplicate; winnowing (`operators/textops.py`)
+fingerprints documents for overlap detection. ExactSubstr instead
+finds the duplicated PASSAGES themselves — boilerplate headers,
+license blocks, templated paragraphs — and masks just those spans,
+keeping the rest of the document. The reference implementation builds
+a corpus-wide suffix array (single-node, O(corpus) RAM); the
+Spark-native shape replaces it with fixed-length n-gram hashing:
+
+1. tokenize (the corpus-standard ``_toks`` split) and hash every
+   n-token window — map-only, one row per window (the tokenize-op
+   row count, same as any text operator);
+2. count occurrences per gram hash — ONE shuffle, map-side combined,
+   O(distinct grams) reduce side;
+3. join windows back to the ≥ ``min_dup`` gram set on the hash — the
+   duplicated-gram side is usually small (broadcast), but the join is
+   left to AQE so a boilerplate-heavy corpus degrades to a shuffle
+   join instead of a driver OOM;
+4. coalesce each document's hit windows into maximal spans — the
+   gaps-and-islands pattern, windows partitioned by doc_id (never
+   global).
+
+A window of n tokens duplicated anywhere in the corpus (including
+within the same document — self-repetition counts, as in the
+reference) marks all its occurrences; overlapping/abutting marked
+windows merge, so a duplicated passage of L ≥ n tokens yields ONE
+span of exactly L tokens. Like the reference tool, the default
+removes EVERY occurrence of a duplicated span ("leaving potentially
+zero copies" — Lee et al. §4.1); ``keep_first=True`` instead protects
+the corpus-canonical occurrence (min (doc_id, start)) of each gram,
+the common production variant.
+
+Spans are token-index intervals (start inclusive, end exclusive) over
+the ``_toks`` token sequence, so they compose with ``chunk_documents``
+and the packing operators, which count the same tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from propulsion_spark.operators.textops import _toks
+
+
+def _gram_hits(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, start, gh): one row per n-token window, gh = xxhash64
+    of the space-joined window. The hash is computed INSIDE the
+    higher-order transform so full window strings never leave the
+    row."""
+    return (
+        docs.select("doc_id", F.expr(_toks("spark")).alias("t"))
+        .filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {n}), "
+                    f"i -> xxhash64(concat_ws(' ', slice(t, i + 1, {n}))))"
+                )
+            ).alias("start", "gh"),
+        )
+    )
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_dup: int = 2,
+    keep_first: bool = False,
+) -> DataFrame:
+    """(doc_id, span_start, span_end): maximal token spans covered by
+    n-gram windows that occur ≥ ``min_dup`` times in the corpus.
+    Spans within a document never overlap (abutting/overlapping hit
+    windows coalesce). ``keep_first=True`` exempts each gram's
+    corpus-canonical occurrence (min (doc_id, start)), so one copy of
+    every duplicated passage survives masking."""
+    grams = _gram_hits(docs, n)
+    per_gram = grams.groupBy("gh").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("doc_id", "start")).alias("first_at"),
+    )
+    dup = per_gram.filter(F.col("cnt") >= min_dup)
+    hits = grams.join(dup, "gh")
+    if keep_first:
+        hits = hits.filter(
+            ~(
+                (F.col("doc_id") == F.col("first_at.doc_id"))
+                & (F.col("start") == F.col("first_at.start"))
+            )
+        )
+    hits = hits.select("doc_id", "start")
+    # gaps-and-islands per document: a hit window starting beyond the
+    # running max end opens a new island; islands become spans
+    w = Window.partitionBy("doc_id").orderBy("start")
+    run_end = F.max(F.col("start") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    island = F.sum(
+        F.when(run_end.isNull() | (F.col("start") > run_end), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        hits.withColumn("_island", island)
+        .groupBy("doc_id", "_island")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + n).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+        )
+    )
+
+
+def mask_repeated_ngrams(
+    docs: DataFrame,
+    n: int = 8,
+    min_dup: int = 2,
+    keep_first: bool = False,
+) -> DataFrame:
+    """(doc_id, text, masked_text, n_masked_tokens): the corpus with
+    duplicated spans removed from ``masked_text`` (tokens outside
+    spans re-joined with single spaces — masking normalizes
+    whitespace, the tokenizer's equivalence class). Documents with no
+    duplicated spans pass through with ``n_masked_tokens = 0`` and
+    ``masked_text`` = the space-normalized token join, so downstream
+    text is uniformly normalized. Map-only except the span
+    computation itself; the span list per document is bounded (spans
+    are disjoint), so the join side stays small."""
+    spans = (
+        repeated_ngram_spans(docs, n=n, min_dup=min_dup, keep_first=keep_first)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+            F.sum(F.col("span_end") - F.col("span_start")).alias(
+                "n_masked_tokens"
+            ),
+        )
+    )
+    kept = (
+        "concat_ws(' ', transform(filter("
+        "  transform(t, (tok, i) -> struct(tok AS tok, CAST(i AS BIGINT) AS i)),"
+        "  s -> NOT exists(_spans, sp -> s.i >= sp.span_start"
+        "                               AND s.i < sp.span_end)"
+        "), x -> x.tok))"
+    )
+    return (
+        docs.select("doc_id", "text", F.expr(_toks("spark")).alias("t"))
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            F.when(F.col("_spans").isNull(), F.expr("concat_ws(' ', t)"))
+            .otherwise(F.expr(kept))
+            .alias("masked_text"),
+            F.coalesce(F.col("n_masked_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_masked_tokens"),
+        )
+    )

@@ -41,6 +41,184 @@ def _queries(spark, specs):
     )
 
 
+def _ref_substr_spans(texts, n, min_dup, keep_first=False):
+    """Pure-Python ExactSubstr reference: same tokenizer equivalence
+    (split(lower(trim)), '' artifacts included), gram counting over
+    ALL occurrences (self-repetition counts), optional canonical-
+    occurrence exemption, interval coalescing."""
+    import re
+    from collections import defaultdict
+
+    toks = {d: re.split(r"\s+", t.strip().lower()) for d, t in texts.items()}
+    occ = defaultdict(list)
+    for d in sorted(toks):
+        ts = toks[d]
+        for i in range(len(ts) - n + 1):
+            occ[tuple(ts[i : i + n])].append((d, i))
+    hits = defaultdict(set)
+    for lst in occ.values():
+        if len(lst) >= min_dup:
+            first = min(lst)
+            for d, i in lst:
+                if keep_first and (d, i) == first:
+                    continue
+                hits[d].add(i)
+    spans = {}
+    for d, starts in hits.items():
+        out = []
+        for s in sorted(starts):
+            if out and s <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], s + n)
+            else:
+                out.append([s, s + n])
+        spans[d] = [tuple(x) for x in out]
+    return spans
+
+
+class TestSubstringDedup:
+    """ExactSubstr spans (operators/substring_dedup.py): duplicated
+    passages found and masked, exact agreement with the pure-Python
+    reference over the same tokenizer."""
+
+    PASSAGE = "the quick brown fox jumps over the lazy dog again"
+
+    def _corpus(self, spark):
+        texts = {
+            1: f"alpha beta {self.PASSAGE} gamma delta",
+            2: f"unrelated opening words here {self.PASSAGE}",
+            3: "completely distinct document with no shared passage",
+            4: "repeat me now please repeat me now please tail",
+        }
+        return texts, spark.createDataFrame(
+            sorted(texts.items()), "doc_id long, text string"
+        )
+
+    def test_planted_passage_spans_exact(self, spark):
+        from propulsion_spark.operators.substring_dedup import (
+            repeated_ngram_spans,
+        )
+
+        texts, docs = self._corpus(spark)
+        got = {}
+        for r in repeated_ngram_spans(docs, n=4, min_dup=2).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"])
+            )
+        want = _ref_substr_spans(texts, n=4, min_dup=2)
+        assert {d: sorted(v) for d, v in got.items()} == want
+        # the 10-token passage coalesces to ONE span of exactly 10
+        assert [e - s for s, e in got[1]] == [10]
+        assert 3 not in got  # clean doc: no spans
+        assert 4 in got  # within-doc self-repetition counts
+
+    def test_random_corpus_matches_reference(self, spark):
+        """Adversarial cross-check: a seeded random corpus over a tiny
+        vocabulary (forcing real gram collisions), both keep_first
+        modes."""
+        import random
+
+        from propulsion_spark.operators.substring_dedup import (
+            repeated_ngram_spans,
+        )
+
+        rng = random.Random(12012)
+        vocab = ["a", "b", "c", "d"]
+        texts = {
+            d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+            for d in range(20)
+        }
+        docs = spark.createDataFrame(
+            sorted(texts.items()), "doc_id long, text string"
+        )
+        for keep_first in (False, True):
+            got = {}
+            for r in repeated_ngram_spans(
+                docs, n=5, min_dup=3, keep_first=keep_first
+            ).collect():
+                got.setdefault(r["doc_id"], []).append(
+                    (r["span_start"], r["span_end"])
+                )
+            want = _ref_substr_spans(texts, n=5, min_dup=3, keep_first=keep_first)
+            assert {d: sorted(v) for d, v in got.items()} == want, keep_first
+
+    def test_mask_removes_exactly_the_spans(self, spark):
+        from propulsion_spark.operators.substring_dedup import (
+            mask_repeated_ngrams,
+        )
+
+        texts, docs = self._corpus(spark)
+        rows = {
+            r["doc_id"]: r
+            for r in mask_repeated_ngrams(docs, n=4, min_dup=2).collect()
+        }
+        spans = _ref_substr_spans(texts, n=4, min_dup=2)
+        import re
+
+        for d, text in texts.items():
+            toks = re.split(r"\s+", text.strip().lower())
+            drop = {
+                i for s, e in spans.get(d, []) for i in range(s, e)
+            }
+            want = " ".join(t for i, t in enumerate(toks) if i not in drop)
+            assert rows[d]["masked_text"] == want, d
+            assert rows[d]["n_masked_tokens"] == len(drop), d
+        assert rows[3]["n_masked_tokens"] == 0
+        # keep_first leaves exactly one copy of the passage serving
+        kept = {
+            r["doc_id"]: r
+            for r in mask_repeated_ngrams(
+                docs, n=4, min_dup=2, keep_first=True
+            ).collect()
+        }
+        survivors = [
+            d for d in (1, 2) if self.PASSAGE in kept[d]["masked_text"]
+        ]
+        assert len(survivors) == 1
+
+    def test_cli_substr_verb(self, spark, tmp_path):
+        """substr verb e2e: masked corpus written, mass reported."""
+        import json as _json
+        import subprocess
+        import sys
+
+        _, docs = self._corpus(spark)
+        docs.write.mode("overwrite").parquet(str(tmp_path / "src"))
+        proc = subprocess.run(
+            [sys.executable, "-m", "propulsion_spark.cli", "substr",
+             "--src", str(tmp_path / "src"), "--out", str(tmp_path / "out"),
+             "--n", "4", "--min-dup", "2"],
+            capture_output=True, text=True, timeout=240, cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        rep = _json.loads(proc.stdout.strip().splitlines()[-1])
+        assert rep["n_docs"] == 4
+        assert rep["n_docs_masked"] == 3  # docs 1, 2 and the self-repeater
+        assert rep["tokens_masked"] >= 20  # two 10-token passages + doc 4
+        out = {r["doc_id"]: r for r in spark.read.parquet(
+            str(tmp_path / "out")).collect()}
+        assert self.PASSAGE not in out[1]["masked_text"]
+        assert out[3]["n_masked_tokens"] == 0
+
+    def test_plan_windows_stay_per_doc(self, spark):
+        import sys
+
+        from propulsion_spark.operators.substring_dedup import (
+            repeated_ngram_spans,
+        )
+
+        sys.path.insert(0, "/root/repo/tools")
+        from plan_audit import _has_global_window
+
+        _, docs = self._corpus(spark)
+        plan = (
+            repeated_ngram_spans(docs, n=4, min_dup=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert not _has_global_window(plan)
+
+
 class TestHybridSearchMany:
     SPECS = [
         (0, ("hash", "tree"), 0),

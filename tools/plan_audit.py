@@ -314,6 +314,14 @@ def bench_pipeline_frames(spark, sf_dir: str, tmp: str) -> "dict[str, object]":
         k=40,
     )
 
+    # exact repeated-substring dedup (r12): gram-count shuffle + AQE
+    # join back + per-doc span windows — never a global window
+    from propulsion_spark.operators.substring_dedup import (
+        mask_repeated_ngrams,
+    )
+
+    out["substr_mask"] = mask_repeated_ngrams(full, n=8, min_dup=2)
+
     # batched hybrid serving (r12): bench.py's
     # pipeline_hybrid_search_many shape — both arms from materialized
     # indexes, per-query RRF windows (must be WindowGroupLimit, never
