@@ -32,7 +32,7 @@ from dataclasses import dataclass, field
 from typing import Callable, Optional
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -608,15 +608,23 @@ class DeclarativeSink:
         pos = self.positions.read().select(
             "stream_name", F.col("pos").alias("_pos"), F.col("malformed").alias("_mal")
         )
+        # redelivery overlap *within* one micro-batch: duplicate
+        # (stream, idx) rows must not double-count in the fold
+        # (semantics identical to StreamsSink). Dedup via a lag window
+        # over stream_name — not dropDuplicates([stream, idx]), whose
+        # (stream, idx) hash partitioning the downstream
+        # groupBy(stream_name) can't reuse — so the fold rides the
+        # window's exchange and the batch shuffles once, not twice
+        # (the event_store append-path rule, applied to the
+        # declarative fast path).
+        dw = Window.partitionBy("stream_name").orderBy("idx")
         live = (
             df.join(pos, "stream_name", "left")
             .filter(~F.coalesce(F.col("_mal"), F.lit(False)))
             .filter(F.col("idx") >= F.coalesce(F.col("_pos"), F.lit(0)))
-            # redelivery overlap *within* one micro-batch: the grouped
-            # handler path drops duplicate (stream, idx) rows before
-            # folding, so the declarative fold must too or it would
-            # double-count (semantics identical to StreamsSink)
-            .dropDuplicates(["stream_name", "idx"])
+            .withColumn("_dup", F.lag("idx").over(dw) == F.col("idx"))
+            .filter(~F.coalesce(F.col("_dup"), F.lit(False)))
+            .drop("_dup")
         )
         outcomes = live.groupBy("stream_name").agg(
             *[c.alias(name) for name, c in self.aggs.items()],
