@@ -709,6 +709,13 @@ def trim_duplicated_spans(
     partitionable form: per-occurrence global ordering would serialize
     on a total order over (doc, pos) pairs for no measurable corpus
     difference.
+
+    For OCCURRENCE-level semantics — self-repetition within one
+    document counted toward the threshold, remove-ALL-copies (the
+    published method's default) or a gram-canonical single survivor —
+    use the sibling ``operators/substring_dedup.py`` (r12); this
+    function stays the cross-document, doc-granularity form the
+    CurationPipeline's streaming span stage needs.
     """
     from propulsion_spark.operators.decontam import _ngram_array_sql
 

@@ -2,15 +2,27 @@
 ExactSubstr method of Lee et al. 2021 ("Deduplicating Training Data
 Makes Language Models Better"), re-expressed as DataFrame ops.
 
-This is the third leg of the dedup family, distinct from both
-neighbors: MinHash/SimHash (`operators/dedup.py`) judge WHOLE
-documents near-duplicate; winnowing (`operators/textops.py`)
-fingerprints documents for overlap detection. ExactSubstr instead
-finds the duplicated PASSAGES themselves — boilerplate headers,
-license blocks, templated paragraphs — and masks just those spans,
-keeping the rest of the document. The reference implementation builds
-a corpus-wide suffix array (single-node, O(corpus) RAM); the
-Spark-native shape replaces it with fixed-length n-gram hashing:
+This is the OCCURRENCE-level half of the engine's ExactSubstr pair —
+its sibling, ``operators/dedup.py::trim_duplicated_spans`` (the
+CurationPipeline's span-dedup stage), is the cross-DOCUMENT half.
+Pick by the question asked:
+
+- ``trim_duplicated_spans``: a span shared by ≥ ``min_docs`` DISTINCT
+  documents survives in exactly one document (doc-granularity keeper,
+  original text bytes preserved for untrimmed docs) — the streaming-
+  curation shape, where "who keeps it" must be decided per document.
+- this module: a window duplicated ≥ ``min_dup`` TIMES anywhere —
+  including within one document (self-repetition, which min_docs
+  counting is blind to) — has all its occurrences masked (the
+  published method's actual semantics, "leaving potentially zero
+  copies"), or all but the gram-canonical one (``keep_first``).
+
+Both find the duplicated PASSAGES themselves — boilerplate headers,
+license blocks, templated paragraphs — where MinHash/SimHash judge
+whole documents and winnowing only fingerprints. The reference
+implementation builds a corpus-wide suffix array (single-node,
+O(corpus) RAM); the Spark-native shape replaces it with fixed-length
+n-gram hashing:
 
 1. tokenize (the corpus-standard ``_toks`` split) and hash every
    n-token window — map-only, one row per window (the tokenize-op
