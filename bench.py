@@ -535,6 +535,31 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         ).save()
         timings["pipeline_substr_dedup"] = round(time.time() - t0, 3)
 
+        # learned quality filter (r12): hashed-ngram LR scoring +
+        # deterministic Pareto acceptance — the map-only serving path
+        # (training is one-time, outside the timing like the index
+        # builds; the negative sample is a keyword-stuffed corruption
+        # of the corpus, the separable-junk shape)
+        from propulsion_spark.operators.quality_classifier import (
+            pareto_filter,
+            score_quality,
+            train as q_train,
+        )
+
+        neg = full.filter("doc_id % 7 = 0").selectExpr(
+            "doc_id + 1000000 AS doc_id",
+            "concat_ws(' ', array_repeat(concat_ws(' ', 'buy', 'now', "
+            "substring(text, 1, 8)), 12)) AS text",
+        )
+        qmodel = q_train(
+            full.filter("doc_id % 7 = 0"), neg, n_features=1 << 16
+        )
+        t0 = time.time()
+        pareto_filter(
+            score_quality(full, qmodel, n_features=1 << 16)
+        ).write.format("noop").mode("overwrite").save()
+        timings["pipeline_quality_score"] = round(time.time() - t0, 3)
+
         # steady-state lexical serving (r11): the BM25 arm at O(terms'
         # postings buckets) instead of a corpus scan per query
         hlex.search(("hash", "tree"), k=40).write.format("noop").mode(

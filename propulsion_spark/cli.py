@@ -483,6 +483,74 @@ def cmd_substr(args) -> int:
     return 0
 
 
+def cmd_quality(args) -> int:
+    """Learned quality filter (operators/quality_classifier.py):
+    train the hashed-ngram linear model on trusted-vs-raw samples,
+    then score / Pareto-filter a corpus with it — one JSON line per
+    invocation (the shard/decontam verb convention)."""
+    from pyspark.sql import functions as F
+
+    from propulsion_spark import get_spark
+    from propulsion_spark.operators.quality_classifier import (
+        PARETO_ALPHA,
+        pareto_filter,
+        score_quality,
+        train,
+    )
+
+    spark = get_spark("propulsion-quality")
+    if args.action == "train":
+        model = train(
+            spark.read.parquet(args.pos).select("doc_id", "text"),
+            spark.read.parquet(args.neg).select("doc_id", "text"),
+            n_features=args.n_features,
+        )
+        model.write().overwrite().save(args.model)
+        print(
+            json.dumps(
+                {
+                    "model": args.model,
+                    "n_features": args.n_features,
+                    "intercept": model.intercept,
+                }
+            )
+        )
+    else:  # score
+        from pyspark.ml.classification import LogisticRegressionModel
+
+        model = LogisticRegressionModel.load(args.model)
+        docs = spark.read.parquet(args.src).select("doc_id", "text")
+        scored = score_quality(docs, model, n_features=args.n_features).join(
+            docs, "doc_id"
+        )
+        if args.filter:
+            scored = pareto_filter(
+                scored, alpha=args.pareto_alpha, salt=args.salt
+            )
+        scored.write.mode("overwrite").parquet(args.out)
+        rep = (
+            spark.read.parquet(args.out)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.avg("quality").alias("mean_quality"),
+            )
+            .first()
+        )
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "filtered": bool(args.filter),
+                    "alpha": args.pareto_alpha if args.filter else None,
+                    "n_docs": rep["n_docs"],
+                    "mean_quality": rep["mean_quality"],
+                }
+            )
+        )
+    spark.stop()
+    return 0
+
+
 def cmd_shard(args) -> int:
     """Shuffle-and-shard a packed/curated corpus: deterministic
     hash-order global shuffle, bounded-token shard assignment, the
@@ -1557,6 +1625,27 @@ def main(argv=None) -> int:
         "(one copy of every duplicated passage survives)",
     )
     su.set_defaults(fn=cmd_substr)
+
+    qu = sub.add_parser(
+        "quality",
+        help="learned quality filter: train a hashed-ngram linear "
+        "model (trusted vs raw), score / Pareto-filter a corpus",
+    )
+    qu.add_argument("action", choices=["train", "score"])
+    qu.add_argument("--pos", help="train: trusted-sample parquet dir")
+    qu.add_argument("--neg", help="train: raw-sample parquet dir")
+    qu.add_argument("--model", required=True, help="model dir")
+    qu.add_argument("--src", help="score: corpus parquet dir")
+    qu.add_argument("--out", help="score: scored/filtered output dir")
+    qu.add_argument("--n-features", type=int, default=1 << 18)
+    qu.add_argument(
+        "--filter", action="store_true",
+        help="score: apply the Pareto acceptance rule (GPT-3's "
+        "quality-shaped sampling) instead of keeping every row",
+    )
+    qu.add_argument("--pareto-alpha", type=float, default=9.0)
+    qu.add_argument("--salt", default="quality-0")
+    qu.set_defaults(fn=cmd_quality)
 
     dc = sub.add_parser(
         "decontam", help="remove benchmark n-grams from a training corpus"

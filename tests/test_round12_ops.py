@@ -219,6 +219,167 @@ class TestSubstringDedup:
         assert not _has_global_window(plan)
 
 
+class TestQualityClassifier:
+    """Learned quality filter (operators/quality_classifier.py):
+    hashed-ngram logistic regression + deterministic Lomax-Pareto
+    acceptance."""
+
+    @staticmethod
+    def _corpora(spark, n=120, seed=7):
+        """Deterministic separable corpora: 'clean' docs draw short
+        sentences from a structured vocab; 'junk' docs keyword-stuff
+        from a disjoint spam vocab with heavy repetition."""
+        import random
+
+        rng = random.Random(seed)
+        clean_vocab = (
+            "the data engine reads ordered event streams and folds them "
+            "into durable positions with exact replay semantics"
+        ).split()
+        junk_vocab = "buy cheap now click deal free winner prize".split()
+        pos, neg = [], []
+        for i in range(n):
+            pos.append(
+                (i, " ".join(rng.choice(clean_vocab) for _ in range(30)))
+            )
+            stuffed = rng.choice(junk_vocab)
+            neg.append(
+                (
+                    10_000 + i,
+                    " ".join(
+                        stuffed if j % 2 == 0 else rng.choice(junk_vocab)
+                        for j in range(30)
+                    ),
+                )
+            )
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, text string"
+        )
+        return mk(pos), mk(neg)
+
+    def test_separates_held_out_docs(self, spark):
+        from propulsion_spark.operators.quality_classifier import (
+            score_quality,
+            train,
+        )
+
+        pos, neg = self._corpora(spark)
+        tr_pos, ho_pos = pos.filter("doc_id % 5 != 0"), pos.filter(
+            "doc_id % 5 = 0"
+        )
+        tr_neg, ho_neg = neg.filter("doc_id % 5 != 0"), neg.filter(
+            "doc_id % 5 = 0"
+        )
+        model = train(tr_pos, tr_neg, n_features=1 << 14)
+        qp = [
+            r["quality"]
+            for r in score_quality(ho_pos, model, n_features=1 << 14).collect()
+        ]
+        qn = [
+            r["quality"]
+            for r in score_quality(ho_neg, model, n_features=1 << 14).collect()
+        ]
+        assert qp and qn
+        # held-out separation: every clean doc above every junk doc
+        # (the corpora are deterministic and linearly separable)
+        assert min(qp) > max(qn)
+        assert sum(q > 0.5 for q in qp) / len(qp) >= 0.95
+        assert sum(q < 0.5 for q in qn) / len(qn) >= 0.95
+
+    def test_model_roundtrips_and_scoring_deterministic(self, spark, tmp_path):
+        from pyspark.ml.classification import LogisticRegressionModel
+
+        from propulsion_spark.operators.quality_classifier import (
+            score_quality,
+            train,
+        )
+
+        pos, neg = self._corpora(spark, n=40)
+        model = train(pos, neg, n_features=1 << 12)
+        model.save(str(tmp_path / "m"))
+        loaded = LogisticRegressionModel.load(str(tmp_path / "m"))
+        a = {
+            r["doc_id"]: r["quality"]
+            for r in score_quality(pos, model, n_features=1 << 12).collect()
+        }
+        b = {
+            r["doc_id"]: r["quality"]
+            for r in score_quality(pos, loaded, n_features=1 << 12).collect()
+        }
+        assert a == b  # bit-identical through persistence
+
+    def test_cli_quality_train_score(self, spark, tmp_path):
+        """quality verb e2e: train on trusted-vs-junk samples, score +
+        Pareto-filter a mixed corpus — junk mass drops."""
+        import json as _json
+        import subprocess
+        import sys
+
+        pos, neg = self._corpora(spark, n=60)
+        pos.write.mode("overwrite").parquet(str(tmp_path / "pos"))
+        neg.write.mode("overwrite").parquet(str(tmp_path / "neg"))
+        pos.unionByName(neg).write.mode("overwrite").parquet(
+            str(tmp_path / "mixed")
+        )
+
+        def run(*a):
+            proc = subprocess.run(
+                [sys.executable, "-m", "propulsion_spark.cli", *a],
+                capture_output=True, text=True, timeout=300, cwd="/root/repo",
+            )
+            assert proc.returncode == 0, proc.stderr[-2000:]
+            return _json.loads(proc.stdout.strip().splitlines()[-1])
+
+        run(
+            "quality", "train", "--pos", str(tmp_path / "pos"),
+            "--neg", str(tmp_path / "neg"), "--model", str(tmp_path / "m"),
+            "--n-features", str(1 << 14),
+        )
+        rep = run(
+            "quality", "score", "--model", str(tmp_path / "m"),
+            "--src", str(tmp_path / "mixed"), "--out", str(tmp_path / "out"),
+            "--n-features", str(1 << 14), "--filter",
+        )
+        assert rep["filtered"] is True
+        # the trusted half survives ~fully, the junk half ~2^-9 of it
+        assert 55 <= rep["n_docs"] <= 75
+        assert rep["mean_quality"] > 0.9
+        kept = spark.read.parquet(str(tmp_path / "out"))
+        assert kept.filter("doc_id < 10000").count() >= 55  # clean docs
+        assert kept.filter("doc_id >= 10000").count() <= 5  # junk docs
+
+    def test_pareto_filter_deterministic_and_shaped(self, spark):
+        from propulsion_spark.operators.quality_classifier import (
+            pareto_filter,
+        )
+
+        n = 4000
+        perfect = spark.range(n).select(
+            F.col("id").alias("doc_id"), F.lit(1.0).alias("quality")
+        )
+        zero = spark.range(n).select(
+            F.col("id").alias("doc_id"), F.lit(0.0).alias("quality")
+        )
+        assert pareto_filter(perfect).count() == n  # q=1 always survives
+        k0 = pareto_filter(zero).count()
+        # q=0 survives with probability 2^-9 ≈ 0.00195: expect ~8/4000
+        assert 0 < k0 < n * 0.02
+        # deterministic: same salt → same set; new salt → a different draw
+        a = {r["doc_id"] for r in pareto_filter(zero).collect()}
+        b = {r["doc_id"] for r in pareto_filter(zero).collect()}
+        assert a == b
+        c = {r["doc_id"] for r in pareto_filter(zero, salt="quality-1").collect()}
+        assert a != c
+        # mid-score keep rate sits between the extremes and matches the
+        # Lomax survival (1/(2-q))^alpha within sampling tolerance
+        half = spark.range(n).select(
+            F.col("id").alias("doc_id"), F.lit(0.5).alias("quality")
+        )
+        kh = pareto_filter(half).count()
+        expect = n * (1.0 / 1.5) ** 9.0
+        assert 0.5 * expect < kh < 2.0 * expect
+
+
 class TestHybridSearchMany:
     SPECS = [
         (0, ("hash", "tree"), 0),

@@ -322,6 +322,23 @@ def bench_pipeline_frames(spark, sf_dir: str, tmp: str) -> "dict[str, object]":
 
     out["substr_mask"] = mask_repeated_ngrams(full, n=8, min_dup=2)
 
+    # learned quality filter (r12): map-only scoring against the
+    # broadcast coefficient vector + deterministic Pareto acceptance
+    from propulsion_spark.operators.quality_classifier import (
+        pareto_filter,
+        score_quality,
+        train as q_train,
+    )
+
+    qneg = full.filter("doc_id % 7 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id",
+        "concat_ws(' ', array_repeat('buy now cheap deal', 8)) AS text",
+    )
+    qmodel = q_train(full.filter("doc_id % 7 = 0"), qneg, n_features=1 << 14)
+    out["quality_score_filter"] = pareto_filter(
+        score_quality(full, qmodel, n_features=1 << 14)
+    )
+
     # batched hybrid serving (r12): bench.py's
     # pipeline_hybrid_search_many shape — both arms from materialized
     # indexes, per-query RRF windows (must be WindowGroupLimit, never
