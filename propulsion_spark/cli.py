@@ -83,6 +83,13 @@ def cmd_sync(args) -> int:
             lm_kwargs["dsir_raw_lm"] = spark.read.parquet(dsir_r) if dsir_r else None
             if getattr(args, "dsir_min_logw", None) is not None:
                 lm_kwargs["dsir_min_logw"] = args.dsir_min_logw
+        qmodel = getattr(args, "quality_model", None)
+        if qmodel:
+            lm_kwargs["quality_model"] = qmodel  # path: pipeline loads it
+            if getattr(args, "quality_min", None) is not None:
+                lm_kwargs["quality_min"] = args.quality_min
+            if getattr(args, "quality_n_features", None) is not None:
+                lm_kwargs["quality_n_features"] = args.quality_n_features
         pipe = CurationPipeline(
             spark,
             dst if kind == "curated" else args.to,
@@ -1512,6 +1519,22 @@ def main(argv=None) -> int:
         type=float,
         help="with the DSIR gate: minimum log importance weight "
         "(default 0.0 — at least as target-like as raw)",
+    )
+    s.add_argument(
+        "--quality-model",
+        help="--curate: saved quality-classifier model dir (train with "
+        "the `quality train` verb); default acceptance is the "
+        "deterministic Pareto rule",
+    )
+    s.add_argument(
+        "--quality-min", type=float,
+        help="with --quality-model: hard score floor instead of the "
+        "Pareto-shaped sampling",
+    )
+    s.add_argument(
+        "--quality-n-features", type=int,
+        help="with --quality-model: feature-space size the model was "
+        "trained with (default 2^18)",
     )
     s.set_defaults(fn=cmd_sync)
 

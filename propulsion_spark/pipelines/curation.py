@@ -19,6 +19,10 @@ query).
                             target vs raw LM pair — the streaming
                             target-domain filter; both LMs broadcast
                             once per pipeline life)
+      → learned quality    (optional: hashed-ngram linear classifier,
+                            hard floor or deterministic Pareto-shaped
+                            acceptance — the GPT-3-style filter; model
+                            fixed per pipeline life, map-only scoring)
       → decontamination    (optional: benchmark n-gram Bloom bitset
                             built once, broadcast, map-only scan —
                             before dedup so a flagged doc never
@@ -281,6 +285,11 @@ class CurationPipeline:
         dsir_raw_lm: DataFrame | None = None,
         dsir_min_logw: float = 0.0,
         dsir_alpha: float = 0.1,
+        quality_model=None,
+        quality_min: float | None = None,
+        quality_pareto_alpha: float | None = None,
+        quality_n_features: int | None = None,
+        quality_salt: str = "quality-0",
     ):
         self.spark = spark
         self.out_path = out_path
@@ -361,6 +370,40 @@ class CurationPipeline:
             )
         else:
             self._dsir_bcs = None
+        # learned quality gate (operators/quality_classifier.py): the
+        # fitted linear model is fixed for the pipeline's life (pass a
+        # model object or a saved-model path); per batch, scoring is
+        # map-only against the broadcast coefficient vector. Two
+        # acceptance modes, mutually exclusive: a hard floor
+        # (quality_min) or the published Pareto-shaped sampling
+        # (quality_pareto_alpha; the default when neither is given) —
+        # the Pareto draw is deterministic per doc_id, so replays gate
+        # identically.
+        if quality_model is not None:
+            if quality_min is not None and quality_pareto_alpha is not None:
+                raise ValueError(
+                    "pick ONE of quality_min / quality_pareto_alpha"
+                )
+            from propulsion_spark.operators.quality_classifier import (
+                N_FEATURES,
+                PARETO_ALPHA,
+            )
+
+            if isinstance(quality_model, str):
+                from pyspark.ml.classification import LogisticRegressionModel
+
+                quality_model = LogisticRegressionModel.load(quality_model)
+            self._quality_model = quality_model
+            self.quality_min = quality_min
+            self.quality_pareto_alpha = (
+                quality_pareto_alpha
+                if quality_pareto_alpha is not None or quality_min is not None
+                else PARETO_ALPHA
+            )
+            self.quality_n_features = quality_n_features or N_FEATURES
+            self.quality_salt = quality_salt
+        else:
+            self._quality_model = None
         # SemDeDup stage (Abbas et al. 2023): like the Bloom and the LM,
         # the embedding side input is fixed for the pipeline's life, so
         # the corpus-wide drop set is computed ONCE here (k-means cell
@@ -402,6 +445,7 @@ class CurationPipeline:
             "rejected_benchmark": 0,
             "rejected_lm": 0,
             "rejected_dsir": 0,
+            "rejected_lowquality": 0,
             "pii_redacted": 0,
             "span_trimmed": 0,
             "deduped": 0,
@@ -571,6 +615,33 @@ class CurationPipeline:
             )
         else:
             passed_d = passed_l
+        if self._quality_model is not None:
+            # learned quality gate: map-only scoring, then the hard
+            # floor or the deterministic Pareto acceptance — BEFORE
+            # dedup for the same reason as decontam (a low-quality doc
+            # must never become the keeper that suppresses a clean
+            # near-dup of itself later)
+            from propulsion_spark.operators.quality_classifier import (
+                pareto_filter,
+                score_quality,
+            )
+
+            q = score_quality(
+                passed_d.select("doc_id", "text"),
+                self._quality_model,
+                n_features=self.quality_n_features,
+            )
+            if self.quality_min is not None:
+                q = q.filter(F.col("quality") >= self.quality_min)
+            else:
+                q = pareto_filter(
+                    q,
+                    alpha=self.quality_pareto_alpha,
+                    salt=self.quality_salt,
+                )
+            passed_m = passed_d.join(q.select("doc_id"), "doc_id")
+        else:
+            passed_m = passed_d
         if self._bloom is not None:
             # decontaminate BEFORE dedup: a flagged doc must never
             # become a fingerprint/band keeper (it would then suppress
@@ -580,13 +651,13 @@ class CurationPipeline:
             )
 
             flagged = contamination_scores(
-                passed_d.select("doc_id", "text"), self._bloom_bc
+                passed_m.select("doc_id", "text"), self._bloom_bc
             ).filter(
                 F.col("contaminated_frac") > self.decontam_threshold
             ).select("doc_id")
-            passed = passed_d.join(flagged, "doc_id", "left_anti")
+            passed = passed_m.join(flagged, "doc_id", "left_anti")
         else:
-            passed = passed_d
+            passed = passed_m
         # intra-batch keeper, then cross-batch anti-join vs seen fps
         keeper = passed.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
         fresh = keeper.join(self.fingerprints.read(), "fp", "left_anti").select(
@@ -620,8 +691,13 @@ class CurationPipeline:
             n_passed_d = (
                 passed_d.count() if self._dsir_bcs is not None else n_passed_l
             )
+            n_passed_m = (
+                passed_m.count()
+                if self._quality_model is not None
+                else n_passed_d
+            )
             n_passed = (
-                passed.count() if self._bloom is not None else n_passed_d
+                passed.count() if self._bloom is not None else n_passed_m
             )
             n_exact = exact_kept.count()
             n_sem = (
@@ -676,7 +752,8 @@ class CurationPipeline:
                 self.stats["rejected_repetition"] += n_passed_q - n_passed_r
                 self.stats["rejected_lm"] += n_passed_r - n_passed_l
                 self.stats["rejected_dsir"] += n_passed_l - n_passed_d
-                self.stats["rejected_benchmark"] += n_passed_d - n_passed
+                self.stats["rejected_lowquality"] += n_passed_d - n_passed_m
+                self.stats["rejected_benchmark"] += n_passed_m - n_passed
                 self.stats["pii_redacted"] += n_pii_docs
                 self.stats["span_trimmed"] += n_span_trimmed
                 self.stats["deduped"] += n_passed - n_exact
