@@ -505,6 +505,12 @@ def cmd_quality(args) -> int:
         train,
     )
 
+    if args.action == "train" and not (args.pos and args.neg):
+        print(json.dumps({"error": "quality train requires --pos and --neg"}))
+        return 2
+    if args.action == "score" and not (args.src and args.out):
+        print(json.dumps({"error": "quality score requires --src and --out"}))
+        return 2
     spark = get_spark("propulsion-quality")
     if args.action == "train":
         model = train(
@@ -1180,18 +1186,14 @@ def _cmd_search_batch(args) -> int:
         print(json.dumps({"error": f"vec_ids not in embeddings: {missing}"}))
         spark.stop()
         return 2
-    queries = spark.createDataFrame(
-        [
-            (int(r["query_id"]), [str(t) for t in r["terms"]],
-             emb_by_id[int(r["vec_id"])])
-            for r in reqs
-        ],
-        "query_id long, terms array<string>, embedding array<double>",
-    )
+    term_lists = [[str(t) for t in r["terms"]] for r in reqs]
     if args.max_df_share is not None:
-        # the lever is never silent: report the batch-wide decision
+        # the lever is never silent: report the batch-wide decision,
+        # then apply the already-computed split locally instead of
+        # having search_many recompute it (one stats() + one pruned
+        # df-table read, not two of each)
         all_terms = tuple(
-            dict.fromkeys(t for r in reqs for t in r["terms"])
+            dict.fromkeys(t for ts in term_lists for t in ts)
         )
         kept, dropped = lex.split_saturated(all_terms, args.max_df_share)
         print(
@@ -1203,9 +1205,20 @@ def _cmd_search_batch(args) -> int:
                 }
             )
         )
+        term_lists = [
+            [t for t in ts if t not in dropped] for ts in term_lists
+        ]
+    queries = spark.createDataFrame(
+        [
+            (int(r["query_id"]), ts, emb_by_id[int(r["vec_id"])],
+             int(r["vec_id"]))
+            for r, ts in zip(reqs, term_lists)
+        ],
+        "query_id long, terms array<string>, embedding array<double>,"
+        " vec_id long",
+    )
     fused = hybrid_search_many(
-        lex, idx, queries, k=args.k, n_probes=args.n_probes,
-        max_df_share=args.max_df_share,
+        lex, idx, queries, k=args.k, n_probes=args.n_probes
     )
     by_q: dict = {}
     for r in fused.orderBy("query_id", "fused_rank").collect():

@@ -634,54 +634,17 @@ class AnnIndex:
         An empty id set is a no-op: a zero-row partitionBy write would
         leave a file-less, unreadable tombstones dir (the repo's known
         Spark pitfall)."""
-        if not isinstance(vec_ids, DataFrame):
-            vec_ids = self.spark.createDataFrame(
-                [(int(v),) for v in vec_ids], "vec_id long"
-            )
-        if vec_ids.isEmpty():
-            return
-        accumulate = batch_id is None
-        if batch_id is None:
-            batch_id = (
-                self.spark.read.parquet(self._vectors_path)
-                .agg(F.max("_batch_id"))
-                .collect()[0][0]
-                or 0
-            )
-        rows = vec_ids.select(
-            F.col("vec_id").cast("long"),
-            F.lit(int(batch_id)).cast("long").alias("_del_batch_id"),
-        )
-        if accumulate:
-            existing = self._tombstone_partition("vec_id", int(batch_id))
-            if existing is not None:
-                # pin to blocks before overwriting the files being read
-                rows = (
-                    rows.unionByName(existing)
-                    .distinct()
-                    .localCheckpoint(eager=True)
-                )
-        (
-            rows.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_del_batch_id")
-            .parquet(self._tombstones_path)
-        )
+        from propulsion_spark.pipelines.tombstones import tombstone_delete
 
-    def _tombstone_partition(self, id_col: str, batch_id: int):
-        """Existing rows of ONE tombstone partition (None when the
-        table or the partition doesn't exist) — the bounded read side
-        of the default-batch delete's read-union-rewrite."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            t = self.spark.read.parquet(self._tombstones_path)
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return None
-            raise
-        return t.filter(F.col("_del_batch_id") == batch_id).select(
-            F.col(id_col), F.col("_del_batch_id")
+        tombstone_delete(
+            self.spark,
+            self._tombstones_path,
+            "vec_id",
+            vec_ids,
+            batch_id,
+            lambda: self.spark.read.parquet(self._vectors_path)
+            .agg(F.max("_batch_id"))
+            .collect()[0][0],
         )
 
     def _tombstones(self) -> "DataFrame | None":

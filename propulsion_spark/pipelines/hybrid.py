@@ -41,8 +41,11 @@ def hybrid_search_many(
     """Fused top-k per query for a BATCH of hybrid queries.
 
     ``queries`` is ``(query_id long, terms array<string>, embedding
-    array<double>)`` — free-text terms feed the BM25 arm, the
-    embedding feeds query-by-example ANN. Returns
+    array<double>[, vec_id long])`` — free-text terms feed the BM25
+    arm, the embedding feeds query-by-example ANN. Include ``vec_id``
+    (the example vector's corpus id) whenever ``query_id`` is a
+    request id rather than the corpus id: the ANN arm's
+    never-your-own-neighbor exclusion keys on it. Returns
     ``(query_id, doc_id, rrf_score, n_lists, fused_rank)`` with
     ``fused_rank <= k``.
 
@@ -67,11 +70,35 @@ def hybrid_search_many(
         queries.select("query_id", "terms"), k=cand,
         max_df_share=max_df_share,
     )
-    ann_ranks = ann.search(
-        queries.select("query_id", "embedding"),
-        top_k=cand,
-        n_probes=n_probes,
-    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    # AnnIndex.search's "a vector is never its own neighbor" rule keys
+    # on the query column it is given. query_id is a REQUEST id here —
+    # when the query-by-example vector's corpus id rides along (a
+    # ``vec_id`` column), the ANN arm must key on THAT id, or the
+    # probe document returns as its own rank-1 neighbor while the
+    # innocent doc whose id equals the request id is silently excluded
+    # (the r12 review's finding). Without ``vec_id``, query_id is
+    # assumed to BE the corpus id (the doc_id == vec_id convention).
+    if "vec_id" in queries.columns:
+        ann_ranks = (
+            ann.search(
+                queries.select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                ).distinct(),
+                top_k=cand,
+                n_probes=n_probes,
+            )
+            .withColumnRenamed("query_id", "vec_id")
+            .join(
+                F.broadcast(queries.select("query_id", "vec_id")), "vec_id"
+            )
+            .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+        )
+    else:
+        ann_ranks = ann.search(
+            queries.select("query_id", "embedding"),
+            top_k=cand,
+            n_probes=n_probes,
+        ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse(
         [lex_ranks, ann_ranks], id_col="doc_id", by=["query_id"]
     ).filter(F.col("fused_rank") <= k)

@@ -244,53 +244,17 @@ class LexicalIndex:
         tombstoned docs until :meth:`compact` — the Lucene deleted-docs
         model: ranking drifts by the deleted mass, serving never
         returns a deleted id."""
-        if not isinstance(doc_ids, DataFrame):
-            doc_ids = self.spark.createDataFrame(
-                [(int(v),) for v in doc_ids], "doc_id long"
-            )
-        if doc_ids.isEmpty():
-            return
-        accumulate = batch_id is None
-        if batch_id is None:
-            batch_id = (
-                self.spark.read.parquet(self._postings_path)
-                .agg(F.max("_batch_id"))
-                .collect()[0][0]
-                or 0
-            )
-        rows = doc_ids.select(
-            F.col("doc_id").cast("long"),
-            F.lit(int(batch_id)).cast("long").alias("_del_batch_id"),
-        )
-        if accumulate:
-            existing = self._tombstone_partition(int(batch_id))
-            if existing is not None:
-                rows = (
-                    rows.unionByName(existing)
-                    .distinct()
-                    .localCheckpoint(eager=True)
-                )
-        (
-            rows.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_del_batch_id")
-            .parquet(self._tombstones_path)
-        )
+        from propulsion_spark.pipelines.tombstones import tombstone_delete
 
-    def _tombstone_partition(self, batch_id: int) -> "DataFrame | None":
-        """Existing rows of one tombstone partition (None when absent)
-        — the bounded read side of the default-batch read-union-
-        rewrite."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            t = self.spark.read.parquet(self._tombstones_path)
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return None
-            raise
-        return t.filter(F.col("_del_batch_id") == batch_id).select(
-            "doc_id", "_del_batch_id"
+        tombstone_delete(
+            self.spark,
+            self._tombstones_path,
+            "doc_id",
+            doc_ids,
+            batch_id,
+            lambda: self.spark.read.parquet(self._postings_path)
+            .agg(F.max("_batch_id"))
+            .collect()[0][0],
         )
 
     # ---- compaction --------------------------------------------------------
@@ -346,6 +310,13 @@ class LexicalIndex:
         (
             live.repartition("bucket")
             .write.mode("overwrite")
+            # explicit STATIC overwrite: on a session configured with
+            # dynamic partition overwrite, a bare overwrite would
+            # replace only the folded _batch_id=0 partitions and leave
+            # the old batches serving alongside — double-counted tf
+            # with no error (the r12 review's finding; every other
+            # partitioned overwrite in this class sets the mode too)
+            .option("partitionOverwriteMode", "static")
             .partitionBy("_batch_id", "bucket")
             .parquet(target._postings_path)
         )

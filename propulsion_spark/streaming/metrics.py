@@ -96,7 +96,11 @@ class MetricsExporter:
         def scrape():
             lbl = {"index": name}
             n_docs, total_dl = index.stats()
-            top = index.token_stats(top=20).collect()
+            # an empty / never-built / all-deleted-then-compacted index
+            # has NO df path (missing, not empty — the zero-row
+            # partitionBy rule): skip the token read entirely or the
+            # whole metrics render dies on one gauge
+            top = index.token_stats(top=20).collect() if n_docs else []
             max_share = max((r["share"] for r in top), default=0.0)
             n_batches = (
                 index.spark.read.parquet(index._stats_path).count()

@@ -443,6 +443,16 @@ class TestLexicalIndex:
         assert 'stat="max_df_share_observed"' in text
         assert 'stat="n_saturated"' in text
         assert 'stat="n_batches"' in text
+        # an unbuilt (or all-deleted-then-compacted) index must scrape
+        # as zeros, not kill the whole metrics render (r12 review)
+        empty = LexicalIndex(spark, str(tmp_path / "never-built"))
+        text2 = (
+            MetricsExporter(group="td2")
+            .register_lexical_index("e", empty, max_df_share=0.5)
+            .render()
+        )
+        assert 'stat="n_docs"} 0' in text2
+        assert 'stat="max_df_share_observed"} 0.0' in text2
 
     def test_plan_is_take_ordered(self, spark, index):
         import sys

@@ -463,6 +463,39 @@ class TestHybridSearchMany:
         assert {r["query_id"] for r in ann_only} == {0, 1, 2}
         assert all(r["n_lists"] == 1 for r in ann_only)
 
+    def test_request_id_decoupled_from_corpus_id(self, spark, indexes):
+        """The r12 review's finding, pinned: when query_id is a request
+        id (≠ the example's corpus vec_id), the ANN arm's
+        never-your-own-neighbor rule must key on vec_id — the probe doc
+        must NOT return as its own neighbor, and the innocent doc whose
+        id equals the request id must stay eligible."""
+        lex, ann = indexes
+        emb = load_table(spark, SF, "embeddings")
+        by_id = {
+            r["vec_id"]: r["embedding"]
+            for r in emb.filter(F.col("vec_id") == 3).collect()
+        }
+        q = spark.createDataFrame(
+            [(777, ["zzz-non-token"], by_id[3], 3)],
+            "query_id long, terms array<string>, embedding array<double>,"
+            " vec_id long",
+        )
+        rows = hybrid_search_many(lex, ann, q, k=10, n_probes=2).collect()
+        got = {r["doc_id"] for r in rows}
+        assert 3 not in got  # the probe's own corpus doc is excluded
+        # and the result equals the single path keyed on the corpus id
+        q_single = spark.createDataFrame(
+            [(3, ["zzz-non-token"], by_id[3])],
+            "query_id long, terms array<string>, embedding array<double>",
+        )
+        want = {
+            r["doc_id"]
+            for r in hybrid_search_many(
+                lex, ann, q_single, k=10, n_probes=2
+            ).collect()
+        }
+        assert got == want
+
     def test_unmatched_query_contributes_no_rows(self, spark, indexes):
         """A query whose terms miss the corpus still fuses its ANN arm
         (n_lists=1 rows), and a query id never silently drops."""
