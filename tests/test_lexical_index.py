@@ -454,6 +454,97 @@ class TestLexicalIndex:
         assert 'stat="n_docs"} 0' in text2
         assert 'stat="max_df_share_observed"} 0.0' in text2
 
+    def test_lifecycle_model_conformance(self, spark, tmp_path):
+        """Model-based check of the whole serving lifecycle (the
+        test_deltalite discipline applied to the index): random
+        interleavings of append / default-batch delete / revive-append
+        / compact must always serve exactly the model-visible doc set,
+        and immediately after a compact, ranking must equal bm25_topk
+        over the live corpus. Generators respect the documented
+        single-copy contract (a doc re-appends only while masked — the
+        revive path; unconstrained re-ingest is a rebuild concern)."""
+        import random
+
+        from propulsion_spark.operators.textops import bm25_topk
+
+        VOCAB = ["hash", "tree", "graph", "node", "leaf", "root"]
+
+        def text_of(d):
+            rng = random.Random(d)
+            return " ".join(rng.choice(VOCAB) for _ in range(12))
+
+        universe = {d: text_of(d) for d in range(30)}
+
+        def docs_df(ids, spark=spark):
+            return spark.createDataFrame(
+                sorted((d, universe[d]) for d in ids),
+                "doc_id long, text string",
+            )
+
+        for seed in (1, 2):
+            rng = random.Random(seed)
+            idx = LexicalIndex.build_from(
+                spark, docs_df(range(10)), str(tmp_path / f"m{seed}")
+            )
+            live = {d: 0 for d in range(10)}     # doc -> batch of its copy
+            deleted = {}                          # doc -> del batch
+            next_batch, unseen = 1, set(range(10, 30))
+
+            def visible():
+                return {
+                    d for d, b in live.items() if b > deleted.get(d, -1)
+                }
+
+            for _ in range(7):
+                op = rng.choice(["append", "delete", "compact"])
+                if op == "append":
+                    masked = [d for d in live if d not in visible()]
+                    pick = sorted(
+                        rng.sample(sorted(unseen), min(3, len(unseen)))
+                        + ([rng.choice(masked)] if masked else [])
+                    )
+                    if not pick:
+                        continue
+                    idx.append(docs_df(pick), batch_id=next_batch)
+                    for d in pick:
+                        live[d] = next_batch
+                    unseen -= set(pick)
+                    next_batch += 1
+                elif op == "delete":
+                    vis = sorted(visible())
+                    if not vis:
+                        continue
+                    pick = rng.sample(vis, min(2, len(vis)))
+                    idx.delete(pick)
+                    b = max(live.values())
+                    for d in pick:
+                        deleted[d] = b
+                else:
+                    idx.compact()
+                    live = {d: 0 for d in visible()}
+                    deleted = {}
+                    next_batch = 1
+                    if live:
+                        # post-compact: exact rank parity on the LIVE corpus
+                        got = sorted(
+                            (r["doc_id"], r["rank"])
+                            for r in idx.search(("hash", "tree"), k=50).collect()
+                        )
+                        want = sorted(
+                            (r["doc_id"], r["rank"])
+                            for r in bm25_topk(
+                                docs_df(live), terms=("hash", "tree"), k=50
+                            ).collect()
+                        )
+                        assert got == want, (seed, "compact parity")
+                # invariant after EVERY op: the served doc set is the
+                # model-visible set (k > corpus, so ranking can't clip)
+                served = {
+                    r["doc_id"]
+                    for r in idx.search(tuple(VOCAB), k=100).collect()
+                }
+                assert served == visible(), (seed, op)
+
     def test_plan_is_take_ordered(self, spark, index):
         import sys
 
