@@ -218,6 +218,84 @@ class TestDeletes:
         assert {r["vec_id"] for r in small._tombstones().collect()} == {100}
         assert 100 not in self._neighbors_of(spark, small)
 
+    def test_lifecycle_model_conformance(self, spark, tmp_path):
+        """Model-based check of the serving lifecycle (the lexical
+        index's r12 discipline, ported): random interleavings of
+        append / default-batch delete / revive-append / reindex must
+        always serve exactly the model-visible vector set under a
+        full-probe search (every cell probed, k ≥ corpus — so IVF
+        pruning can't hide a serving bug, and codebook changes across
+        reindex can't move the SET)."""
+        import random
+
+        all_vecs = self._vectors(spark, n=24)
+        emb = {r["vec_id"]: r["embedding"] for r in all_vecs.collect()}
+
+        def vec_df(ids):
+            return spark.createDataFrame(
+                sorted((d, emb[d]) for d in ids),
+                "vec_id long, embedding array<double>",
+            )
+
+        def served(idx):
+            q = spark.createDataFrame(
+                [(900_000, emb[0])], "query_id long, embedding array<double>"
+            )
+            n_cells = (
+                spark.read.parquet(idx._vectors_path)
+                .select("cell").distinct().count()
+            )
+            return {
+                r["neighbor_id"]
+                for r in idx.search(q, top_k=50, n_probes=n_cells).collect()
+            }
+
+        for seed in (3, 4):
+            rng = random.Random(seed)
+            idx = AnnIndex.build_from(
+                spark, vec_df(range(12)), str(tmp_path / f"am{seed}"),
+                n_cells=4,
+            )
+            live = {d: 0 for d in range(12)}
+            deleted = {}
+            next_batch, unseen = 1, set(range(12, 24))
+
+            def visible():
+                return {d for d, b in live.items() if b > deleted.get(d, -1)}
+
+            for _ in range(6):
+                op = rng.choice(["append", "delete", "reindex"])
+                if op == "append":
+                    masked = [d for d in live if d not in visible()]
+                    pick = sorted(
+                        rng.sample(sorted(unseen), min(3, len(unseen)))
+                        + ([rng.choice(masked)] if masked else [])
+                    )
+                    if not pick:
+                        continue
+                    idx.append(vec_df(pick), batch_id=next_batch)
+                    for d in pick:
+                        live[d] = next_batch
+                    unseen -= set(pick)
+                    next_batch += 1
+                elif op == "delete":
+                    vis = sorted(visible())
+                    if len(vis) <= 1:
+                        continue
+                    pick = rng.sample(vis, min(2, len(vis) - 1))
+                    idx.delete(pick)
+                    b = max(live.values())
+                    for d in pick:
+                        deleted[d] = b
+                else:
+                    if not visible():
+                        continue
+                    idx.reindex()
+                    live = {d: 0 for d in visible()}
+                    deleted = {}
+                    next_batch = 1
+                assert served(idx) == visible(), (seed, op)
+
     def test_reindex_compacts_tombstones(self, spark, small):
         import os
 
