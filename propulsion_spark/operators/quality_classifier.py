@@ -116,6 +116,26 @@ def score_quality(
     )
 
 
+def threshold_for_keep_rate(
+    scored: DataFrame,
+    keep_rate: float,
+    quality_col: str = "quality",
+    rel_err: float = 0.001,
+) -> float:
+    """The hard-floor threshold that keeps approximately ``keep_rate``
+    of the scored corpus — the budget-first way to pick
+    ``quality_min`` (production often fixes the kept-token budget and
+    derives the cut, rather than trusting absolute probabilities from
+    an uncalibrated linear model). One distributed approxQuantile pass
+    (Greenwald-Khanna, driver gets one float); apply with
+    ``scored.filter(col >= threshold)``."""
+    if not 0.0 < keep_rate <= 1.0:
+        raise ValueError("keep_rate must be in (0, 1]")
+    return scored.approxQuantile(
+        quality_col, [1.0 - keep_rate], rel_err
+    )[0]
+
+
 def pareto_filter(
     scored: DataFrame,
     alpha: float = PARETO_ALPHA,

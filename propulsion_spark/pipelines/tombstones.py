@@ -29,7 +29,14 @@ def tombstone_delete(
     plain id list). ``watermark`` is a zero-arg callable returning the
     data's current max ``_batch_id`` (consulted only on the default
     path). An empty id set is a no-op — a zero-row partitionBy write
-    would leave a file-less, unreadable tombstones dir."""
+    would leave a file-less, unreadable tombstones dir.
+
+    Don't MIX the two disciplines on one partition: an explicit
+    ``batch_id`` that happens to equal the current default watermark
+    replay-REPLACES that partition, discarding ids the default path
+    accumulated there. Explicit ids are for at-least-once replay of a
+    driven pipeline (which never also issues default deletes);
+    interactive/CLI deletes should stay on the default path."""
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame(
             [(int(v),) for v in ids], f"{id_col} long"

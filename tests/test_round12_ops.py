@@ -348,6 +348,24 @@ class TestQualityClassifier:
         assert kept.filter("doc_id < 10000").count() >= 55  # clean docs
         assert kept.filter("doc_id >= 10000").count() <= 5  # junk docs
 
+    def test_threshold_for_keep_rate(self, spark):
+        from propulsion_spark.operators.quality_classifier import (
+            threshold_for_keep_rate,
+        )
+
+        n = 2000
+        scored = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") / float(n)).alias("quality"),
+        )
+        thr = threshold_for_keep_rate(scored, 0.25)
+        kept = scored.filter(F.col("quality") >= thr).count()
+        assert abs(kept - n * 0.25) <= n * 0.02  # approxQuantile tolerance
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            threshold_for_keep_rate(scored, 0.0)
+
     def test_pareto_filter_deterministic_and_shaped(self, spark):
         from propulsion_spark.operators.quality_classifier import (
             pareto_filter,
