@@ -922,8 +922,6 @@ def cmd_lex(args) -> int:
             )
         )
     elif args.action == "stats":
-        import os as _os
-
         n_docs, total_dl = idx.stats()
         heavy = (
             [r.asDict() for r in idx.token_stats(top=args.top_k).collect()]
@@ -933,15 +931,9 @@ def cmd_lex(args) -> int:
         # lifecycle gauges alongside the skew report: batch
         # fragmentation is the `compact` signal, live tombstones are
         # the deleted mass still riding ranking stats until then
-        n_batches = (
-            spark.read.parquet(idx._stats_path).count() if n_docs else 0
-        )
-        n_tombstones = (
-            spark.read.parquet(idx._tombstones_path)
-            .select("doc_id").distinct().count()
-            if _os.path.exists(idx._tombstones_path)
-            else 0
-        )
+        n_batches = idx.n_batches()
+        t = idx.tombstones()
+        n_tombstones = t.count() if t is not None else 0
         print(
             json.dumps(
                 {

@@ -131,9 +131,13 @@ def threshold_for_keep_rate(
     ``scored.filter(col >= threshold)``."""
     if not 0.0 < keep_rate <= 1.0:
         raise ValueError("keep_rate must be in (0, 1]")
-    return scored.approxQuantile(
-        quality_col, [1.0 - keep_rate], rel_err
-    )[0]
+    q = scored.approxQuantile(quality_col, [1.0 - keep_rate], rel_err)
+    if not q:  # empty frame / all-null column: no quantile exists
+        raise ValueError(
+            "threshold_for_keep_rate needs at least one non-null "
+            f"'{quality_col}' row to derive a threshold from"
+        )
+    return q[0]
 
 
 def pareto_filter(

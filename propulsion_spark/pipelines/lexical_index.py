@@ -325,18 +325,39 @@ class LexicalIndex:
             shutil.rmtree(self._tombstones_path, ignore_errors=True)
         return target
 
-    def _mask_tombstones(self, rows: DataFrame) -> DataFrame:
+    def tombstones(self) -> "DataFrame | None":
+        """``(doc_id, _del)`` with _del = the newest tombstone per doc,
+        or None when nothing was ever deleted — the
+        ``AnnIndex._tombstones`` contract. Only the missing-path case
+        maps to None (fs-agnostic — never an ``os.path`` probe, which
+        lies about remote URIs); a genuine read failure propagates."""
         from pyspark.errors import AnalysisException
 
         try:
             t = self.spark.read.parquet(self._tombstones_path)
         except AnalysisException as e:
-            # only the missing-path case means "no deletes" — a real
-            # read failure must not silently serve deleted docs
             if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return rows
+                return None
             raise
-        t = t.groupBy("doc_id").agg(F.max("_del_batch_id").alias("_del"))
+        return t.groupBy("doc_id").agg(F.max("_del_batch_id").alias("_del"))
+
+    def n_batches(self) -> int:
+        """How many ingest batches the index currently holds — the
+        fragmentation gauge ``compact`` exists to fold (0 for an
+        empty/never-built index)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self._stats_path).count()
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return 0
+            raise
+
+    def _mask_tombstones(self, rows: DataFrame) -> DataFrame:
+        t = self.tombstones()
+        if t is None:
+            return rows
         return (
             rows.join(t, "doc_id", "left")
             .filter(F.col("_del").isNull() | (F.col("_batch_id") > F.col("_del")))

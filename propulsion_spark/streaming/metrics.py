@@ -102,11 +102,7 @@ class MetricsExporter:
             # whole metrics render dies on one gauge
             top = index.token_stats(top=20).collect() if n_docs else []
             max_share = max((r["share"] for r in top), default=0.0)
-            n_batches = (
-                index.spark.read.parquet(index._stats_path).count()
-                if n_docs
-                else 0
-            )
+            n_batches = index.n_batches()
             out = [
                 ({**lbl, "stat": "n_docs"}, n_docs),
                 ({**lbl, "stat": "total_tokens"}, total_dl),

@@ -527,6 +527,9 @@ class TestLexVerb:
         assert stats["n_docs"] == rep["n_docs"]
         assert len(stats["heaviest_tokens"]) == 5
         assert stats["heaviest_tokens"][0]["share"] <= 1.0
+        # lifecycle gauges: one build batch, nothing deleted yet
+        assert stats["n_batches"] == 1
+        assert stats["n_tombstones"] == 0
         rows = self._search(path, "hash,tree")
         assert [r["rank"] for r in rows] == list(range(1, 11))
         victim = rows[0]["doc_id"]
@@ -555,6 +558,10 @@ class TestLexVerb:
         assert "non-empty" in proc.stdout
         # index still serves after the rejected call
         assert len(self._search(path, "hash,tree")) == 10
+        # after two deletes the gauges show the live tombstoned mass…
+        mid = run_cli("lex", "stats", "--path", path, "--top-k", "1")
+        assert mid["n_tombstones"] == 2
+        assert mid["n_batches"] == 1
         # compact folds the tombstones away and stats drop to the live
         # corpus (n_docs - the two deletes)
         rep2 = run_cli("lex", "compact", "--path", path)
@@ -563,6 +570,8 @@ class TestLexVerb:
         compacted = {r["doc_id"] for r in self._search(path, "hash,tree")}
         assert victim not in compacted and victim2 not in compacted
         assert len(compacted) == 10
+        post = run_cli("lex", "stats", "--path", path, "--top-k", "1")
+        assert post["n_batches"] == 1 and post["n_tombstones"] == 0
         # --max-df-share: the lever reports its decision first, then
         # the (kept-terms-exact) result rows — nothing saturates at
         # 0.99 on this corpus, so results match the plain search

@@ -365,6 +365,9 @@ class TestQualityClassifier:
 
         with _pt.raises(ValueError):
             threshold_for_keep_rate(scored, 0.0)
+        # an empty scored frame is a clear error, not an IndexError
+        with _pt.raises(ValueError, match="non-null"):
+            threshold_for_keep_rate(scored.filter("quality > 2"), 0.5)
 
     def test_pareto_filter_deterministic_and_shaped(self, spark):
         from propulsion_spark.operators.quality_classifier import (
