@@ -101,14 +101,27 @@ def train(
 
 
 def score_quality(
-    docs: DataFrame, model, n_features: int = N_FEATURES
+    docs: DataFrame, model, n_features: "int | None" = None
 ) -> DataFrame:
     """(doc_id, quality): P(trusted | text) under the fitted model —
-    map-only scoring against the broadcast coefficient vector."""
+    map-only scoring against the broadcast coefficient vector.
+
+    The feature-space size is DERIVED from the fitted model
+    (``model.numFeatures``) — scoring in any other space is silently
+    meaningless (same-size: wrong buckets; different-size: an opaque
+    BLAS dimension error — the r12 ADVICE finding). ``n_features`` is
+    accepted only as a cross-check and must match the model."""
     from pyspark.ml.functions import vector_to_array
 
+    model_n = int(model.numFeatures)
+    if n_features is not None and int(n_features) != model_n:
+        raise ValueError(
+            f"n_features={n_features} does not match the fitted model's "
+            f"feature space (model.numFeatures={model_n}); the model "
+            "decides — drop the override or retrain"
+        )
     scored = model.transform(
-        _featurize(docs.select("doc_id", "text"), n_features)
+        _featurize(docs.select("doc_id", "text"), model_n)
     )
     return scored.select(
         "doc_id",

@@ -385,7 +385,6 @@ class CurationPipeline:
                     "pick ONE of quality_min / quality_pareto_alpha"
                 )
             from propulsion_spark.operators.quality_classifier import (
-                N_FEATURES,
                 PARETO_ALPHA,
             )
 
@@ -400,7 +399,9 @@ class CurationPipeline:
                 if quality_pareto_alpha is not None or quality_min is not None
                 else PARETO_ALPHA
             )
-            self.quality_n_features = quality_n_features or N_FEATURES
+            # None → score_quality derives the space from the fitted
+            # model (model.numFeatures); a value is a cross-check only
+            self.quality_n_features = quality_n_features
             self.quality_salt = quality_salt
         else:
             self._quality_model = None

@@ -308,6 +308,33 @@ class TestQualityClassifier:
         }
         assert a == b  # bit-identical through persistence
 
+    def test_feature_space_derived_from_model(self, spark, tmp_path):
+        """r13 (ADVICE r12): scoring derives the feature space from
+        the fitted model (model.numFeatures) — no flag to re-supply;
+        an explicit override is only a cross-check and a MISMATCH
+        raises a clear error instead of an opaque BLAS dimension
+        failure (or silently wrong buckets at equal sizes)."""
+        import pytest
+
+        from propulsion_spark.operators.quality_classifier import (
+            score_quality,
+            train,
+        )
+
+        pos, neg = self._corpora(spark, n=40)
+        model = train(pos, neg, n_features=1 << 12)
+        derived = {
+            r["doc_id"]: r["quality"]
+            for r in score_quality(pos, model).collect()
+        }
+        explicit = {
+            r["doc_id"]: r["quality"]
+            for r in score_quality(pos, model, n_features=1 << 12).collect()
+        }
+        assert derived == explicit
+        with pytest.raises(ValueError, match="numFeatures"):
+            score_quality(pos, model, n_features=1 << 14)
+
     def test_cli_quality_train_score(self, spark, tmp_path):
         """quality verb e2e: train on trusted-vs-junk samples, score +
         Pareto-filter a mixed corpus — junk mass drops."""
