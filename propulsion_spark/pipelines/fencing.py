@@ -1,0 +1,81 @@
+"""Lease fencing for the serving indexes' mutation paths.
+
+``EventStoreTable`` fences every commit with the store's on-disk
+:class:`~propulsion_spark.streaming.mvcc.FileLease`; until r13 the
+serving indexes (:class:`~propulsion_spark.pipelines.ann_index.AnnIndex`,
+:class:`~propulsion_spark.pipelines.lexical_index.LexicalIndex`) did
+not — in-place maintenance vs concurrent ingest was guarded only by a
+docstring ("don't run compact concurrently with stream_into"), the
+last unfenced mutation path in the tree (r12 verdict #1). The hazard
+is real and silent in both directions:
+
+- ``compact()``'s static overwrite deletes a concurrently-written
+  micro-batch's partitions → lost appends;
+- a replayed micro-batch id dynamic-overwrites folded partitions →
+  double-counted tf (lexical) / resurrected stale vectors (ANN).
+
+Every index mutation (append / delete / compact / reindex / build)
+now runs inside the index root's lease: a concurrent mutator BLOCKS
+until the holder finishes, and one that cannot acquire within
+``timeout_s`` fails LOUDLY (``TimeoutError``) instead of silently
+interleaving. The lease heartbeats while held, so a long compaction
+is never mistaken for a crashed holder; a crashed holder's lease goes
+stale after ``ttl_s`` and is broken by the next acquirer (the mvcc.py
+steal-with-restore discipline, reused — not reimplemented).
+
+Scope: ``FileLease`` needs POSIX atomic create-if-absent, so fencing
+engages on local-filesystem index roots (incl. NFSv4 / FUSE mounts —
+the test and single-host deployment shape). On object-store URIs the
+helper degrades to an UNFENCED no-op with a logged warning — the
+honest fallback; ``streaming/mvcc.py``'s module docstring names the
+drop-in substitutes (S3 conditional PUT, DynamoDB lock table, Delta
+OCC) a 100 TB deployment would wire behind the same ``with`` surface.
+"""
+
+from __future__ import annotations
+
+import logging
+from contextlib import contextmanager
+from urllib.parse import urlparse
+
+_log = logging.getLogger(__name__)
+_warned_schemes: set[str] = set()
+
+
+@contextmanager
+def index_lease(
+    path: str,
+    counters: dict,
+    ttl_s: float = 30.0,
+    timeout_s: float = 60.0,
+):
+    """Context manager fencing a mutation of the index rooted at
+    ``path``. ``counters`` is the owning index's lease-liveness dict
+    (``{"heartbeats": 0, "steals": 0, "lost": 0}``), exported by
+    :meth:`MetricsExporter.register_ann_index` /
+    ``register_lexical_index`` like ``propulsion_lease_events_total``.
+
+    Raises :class:`TimeoutError` when another mutator holds the lease
+    past ``timeout_s`` — loud, never a silent interleave."""
+    import os
+
+    from propulsion_spark.streaming.mvcc import FileLease
+
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        if scheme not in _warned_schemes:
+            _warned_schemes.add(scheme)
+            _log.warning(
+                "index mutations on %s:// are NOT lease-fenced (no POSIX "
+                "create-if-absent); serialize maintenance externally — "
+                "see streaming/mvcc.py for object-store substitutes",
+                scheme,
+            )
+        yield None
+        return
+    local = path[7:] if scheme == "file" else path
+    os.makedirs(local, exist_ok=True)
+    with FileLease(
+        local, ttl_s=ttl_s, timeout_s=timeout_s, counters=counters
+    ) as lease:
+        yield lease

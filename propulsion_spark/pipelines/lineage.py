@@ -1,0 +1,80 @@
+"""Folded-batch watermark for the serving indexes.
+
+Compaction (``LexicalIndex.compact`` / ``AnnIndex.reindex``) folds
+every ingested batch into one ``_batch_id=0`` partition set. The
+ingest side's replay idempotence, however, is per-BATCH (a replayed
+micro-batch dynamic-overwrites its own partitions) — and after a fold
+those partitions no longer exist, so an at-least-once replay of the
+stream's last uncommitted micro-batch (Spark replays it on any
+unclean restart) would re-append rows that already live inside the
+fold: double-counted tf / duplicate serving vectors, silently.
+
+The fix is a one-row marker at the index root recording the highest
+batch id the fold absorbed: an append whose ``batch_id`` is at or
+below it is a REPLAY OF FOLDED DATA and becomes a no-op (logged).
+This leans on the indexes' existing single-lineage contract — batch
+ids come from ONE stream checkpoint and only grow; a fresh build
+resets the marker along with everything else. (Mirrors what Delta's
+``txn`` appIds do for idempotent writers across OPTIMIZE.)
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from pyspark.sql import SparkSession
+
+_log = logging.getLogger(__name__)
+
+
+def _marker_path(index_path: str) -> str:
+    return os.path.join(index_path, "folded")
+
+
+def folded_through(spark: SparkSession, index_path: str) -> int:
+    """Highest batch id absorbed by a fold (0 = never compacted)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(_marker_path(index_path)).collect()
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return 0
+        raise
+    return max((r["folded_through"] for r in rows), default=0)
+
+
+def record_fold(spark: SparkSession, index_path: str, through: int) -> None:
+    """Persist the fold watermark (monotone: keeps the max of the old
+    and new values, so a dest-compaction chain can't regress it)."""
+    through = max(int(through), folded_through(spark, index_path))
+    (
+        spark.createDataFrame([(through,)], "folded_through long")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_marker_path(index_path))
+    )
+
+
+def reset_fold(spark: SparkSession, index_path: str) -> None:
+    """A full rebuild starts a new lineage — drop the marker."""
+    from propulsion_spark.fsio import fs_delete
+
+    fs_delete(spark, _marker_path(index_path))
+
+
+def is_stale_replay(spark: SparkSession, index_path: str, batch_id: int) -> bool:
+    """True when ``batch_id`` was already absorbed by a fold — the
+    append must no-op instead of resurrecting it next to the fold."""
+    through = folded_through(spark, index_path)
+    if batch_id <= through:
+        _log.info(
+            "index %s: append batch %d is at/below the fold watermark %d "
+            "(an at-least-once replay of folded data) — no-op",
+            index_path,
+            batch_id,
+            through,
+        )
+        return True
+    return False

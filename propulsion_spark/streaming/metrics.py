@@ -78,7 +78,23 @@ class MetricsExporter:
                 ({**lbl, "stat": "tombstones"}, n_tomb),
             ]
 
+        self._register_index_lease(name, index)
         return self.register_gauge("propulsion_ann_index_cells", scrape)
+
+    def _register_index_lease(self, name: str, index) -> None:
+        """Lease-liveness totals for a serving index's mutation fence
+        (``propulsion_index_lease_events{kind=heartbeats|steals|lost}``
+        — the ``propulsion_lease_events_total`` analog): a rising
+        ``lost`` means fenced mutators are aborting mid-commit (a peer
+        judged them stale), ``steals`` count broken crashed-holder
+        leases. O(1) per scrape."""
+        self.register_gauge(
+            "propulsion_index_lease_events",
+            lambda: [
+                ({"index": name, "kind": k}, v)
+                for k, v in sorted(index.lease_counters.items())
+            ],
+        )
 
     def register_lexical_index(
         self, name: str, index, max_df_share: "float | None" = None
@@ -118,6 +134,7 @@ class MetricsExporter:
                 )
             return out
 
+        self._register_index_lease(name, index)
         return self.register_gauge("propulsion_lex_index", scrape)
 
     def register_media_dedup(self, pipeline) -> "MetricsExporter":

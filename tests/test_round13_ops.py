@@ -1,0 +1,236 @@
+"""Round-13 lifecycle operators: auto-maintenance policies for the
+serving indexes (auto_compact), the fold-watermark replay guard
+(pipelines/lineage.py), and their stream_into wiring."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from propulsion_spark import load_table
+from propulsion_spark.pipelines.ann_index import AnnIndex
+from propulsion_spark.pipelines.lexical_index import LexicalIndex
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, lo=0, hi=50):
+    return (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    )
+
+
+def _vecs(spark, lo=0, hi=50):
+    return (
+        load_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+    )
+
+
+class TestLexAutoCompact:
+    def test_triggers_exactly_at_batch_threshold(self, spark, tmp_path):
+        """The EventStoreTable.auto_compact discipline, ported: AT the
+        threshold the policy is a no-op; one past it, ONE compact runs
+        and the gauges drop."""
+        idx = LexicalIndex.build_from(
+            spark, _docs(spark, 0, 30), str(tmp_path / "lex")
+        )
+        idx.append(_docs(spark, 30, 40), batch_id=1)
+        idx.append(_docs(spark, 40, 50), batch_id=2)
+        assert idx.n_batches() == 3
+        assert idx.auto_compact(max_batches=3) is None  # at threshold
+        assert idx.n_batches() == 3
+        idx.append(_docs(spark, 50, 60), batch_id=3)
+        rep = idx.auto_compact(max_batches=3)  # one past: triggers
+        assert rep is not None and rep["n_batches_before"] == 4
+        assert idx.n_batches() == 1 == rep["n_batches_after"]
+        # ranking unchanged by the fold (the compact contract)
+        from propulsion_spark.operators.textops import bm25_topk
+
+        got = sorted(
+            (r["doc_id"], r["rank"])
+            for r in idx.search(("hash",), k=20).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["rank"])
+            for r in bm25_topk(
+                _docs(spark, 0, 60), terms=("hash",), k=20
+            ).collect()
+        )
+        assert got == want
+
+    def test_triggers_on_tombstone_share(self, spark, tmp_path):
+        idx = LexicalIndex.build_from(
+            spark, _docs(spark, 0, 20), str(tmp_path / "ts")
+        )
+        idx.delete([r["doc_id"] for r in _docs(spark, 0, 5).collect()])
+        # 5/20 deleted = 0.25 share: above 0.2 → triggers; at 0.25 → no-op
+        assert idx.auto_compact(max_batches=99, max_tombstone_share=0.25) is None
+        rep = idx.auto_compact(max_batches=99, max_tombstone_share=0.2)
+        assert rep is not None and rep["tombstone_share_before"] == 0.25
+        assert idx.tombstones() is None  # folded away
+        n_docs, _ = idx.stats()
+        assert n_docs == 15
+
+    def test_empty_index_is_noop(self, spark, tmp_path):
+        idx = LexicalIndex(spark, str(tmp_path / "empty"))
+        assert idx.auto_compact(max_batches=0) is None
+
+
+class TestFoldReplayGuard:
+    def test_lex_replayed_batch_after_compact_noops(self, spark, tmp_path):
+        """The at-least-once hazard auto-compaction makes routine:
+        Spark replays the last uncommitted micro-batch on unclean
+        restart; if compact() folded it already, the replay must NOT
+        re-append next to the fold (double-counted tf). Pinned:
+        replayed-batch append after a fold is a no-op, a genuinely new
+        batch still lands, and ranking equals the batch operator over
+        the union corpus throughout."""
+        from propulsion_spark.operators.textops import bm25_topk
+
+        idx = LexicalIndex.build_from(
+            spark, _docs(spark, 0, 30), str(tmp_path / "g")
+        )
+        idx.append(_docs(spark, 30, 40), batch_id=1)
+        idx.compact()
+        idx.append(_docs(spark, 30, 40), batch_id=1)  # the replay
+        assert idx.n_batches() == 1  # nothing re-appended
+        got = sorted(
+            (r["doc_id"], r["rank"])
+            for r in idx.search(("hash", "tree"), k=40).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["rank"])
+            for r in bm25_topk(
+                _docs(spark, 0, 40), terms=("hash", "tree"), k=40
+            ).collect()
+        )
+        assert got == want
+        idx.append(_docs(spark, 40, 50), batch_id=2)  # a NEW batch lands
+        assert idx.n_batches() == 2
+        n_docs, _ = idx.stats()
+        assert n_docs == 50
+
+    def test_lex_rebuild_resets_lineage(self, spark, tmp_path):
+        path = str(tmp_path / "rb")
+        idx = LexicalIndex.build_from(spark, _docs(spark, 0, 20), path)
+        idx.append(_docs(spark, 20, 30), batch_id=1)
+        idx.compact()
+        # a FULL rebuild starts a new lineage: batch 1 is valid again
+        idx = LexicalIndex.build_from(spark, _docs(spark, 0, 20), path)
+        idx.append(_docs(spark, 20, 30), batch_id=1)
+        assert idx.n_batches() == 2
+        n_docs, _ = idx.stats()
+        assert n_docs == 30
+
+    def test_lex_all_deleted_compact_still_refuses_replay(
+        self, spark, tmp_path
+    ):
+        """Compacting an all-deleted corpus removes the stores — but a
+        replay of a deleted batch must not RESURRECT the docs."""
+        idx = LexicalIndex.build_from(
+            spark, _docs(spark, 0, 10), str(tmp_path / "ad")
+        )
+        idx.append(_docs(spark, 10, 20), batch_id=1)
+        idx.delete([r["doc_id"] for r in _docs(spark, 0, 20).collect()])
+        idx.compact()
+        assert idx.stats() == (0, 0)
+        idx.append(_docs(spark, 10, 20), batch_id=1)  # replay of deleted
+        assert idx.stats() == (0, 0)  # stays deleted
+        idx.append(_docs(spark, 10, 20), batch_id=2)  # new batch: serves
+        n_docs, _ = idx.stats()
+        assert n_docs == 10
+
+    def test_ann_replayed_batch_after_reindex_noops(self, spark, tmp_path):
+        idx = AnnIndex.build_from(spark, _vecs(spark, 0, 40), str(tmp_path / "a"))
+        idx.append(_vecs(spark, 40, 50), batch_id=1)
+        idx.reindex()
+        idx.append(_vecs(spark, 40, 50), batch_id=1)  # the replay
+        stored = spark.read.parquet(idx._vectors_path)
+        assert stored.count() == 50  # no duplicate generation
+        assert stored.select("vec_id").distinct().count() == 50
+        idx.append(_vecs(spark, 50, 60), batch_id=2)  # new batch lands
+        assert spark.read.parquet(idx._vectors_path).count() == 60
+
+
+class TestAnnAutoCompact:
+    def test_policy_thresholds(self, spark, tmp_path):
+        idx = AnnIndex.build_from(spark, _vecs(spark, 0, 40), str(tmp_path / "p"))
+        idx.append(_vecs(spark, 40, 50), batch_id=1)
+        assert idx.n_batches() == 2
+        assert idx.auto_compact(max_batches=2) is None  # at threshold
+        idx.append(_vecs(spark, 50, 60), batch_id=2)
+        rep = idx.auto_compact(max_batches=2)
+        assert rep is not None and rep["n_batches_before"] == 3
+        assert idx.n_batches() == 1
+        # tombstone-share arm: 15/60 = 0.25
+        idx.delete(list(range(15)))
+        assert idx.auto_compact(max_tombstone_share=0.25) is None
+        rep = idx.auto_compact(max_tombstone_share=0.2)
+        assert rep is not None
+        assert idx._tombstones() is None
+        assert (
+            spark.read.parquet(idx._vectors_path)
+            .select("vec_id").distinct().count() == 45
+        )
+
+    def test_never_built_is_noop(self, spark, tmp_path):
+        assert (
+            AnnIndex(spark, str(tmp_path / "nb")).auto_compact(max_batches=0)
+            is None
+        )
+
+
+class TestStreamIntoAutoCompact:
+    def test_lex_stream_folds_and_matches_batch_build(self, spark, tmp_path):
+        """stream_into(auto_compact=...) keeps the index folded while
+        ingesting — and the folded, streamed index answers exactly
+        like the batch operator over the full corpus (the stream_into
+        parity contract, now with maintenance in the loop)."""
+        from propulsion_spark.operators.textops import bm25_topk
+
+        docs = _docs(spark, 0, 60)
+        for m in (0, 1, 2):
+            docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(tmp_path / "feed"))
+        idx = LexicalIndex.build_from(
+            spark, docs.limit(0), str(tmp_path / "sidx")
+        )
+        q = idx.stream_into(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "feed")),
+            str(tmp_path / "ck"),
+            auto_compact={"max_batches": 1},
+        )
+        q.awaitTermination(300)
+        assert idx.n_batches() == 1  # the policy kept folding
+        got = sorted(
+            (r["doc_id"], r["rank"])
+            for r in idx.search(("hash", "tree"), k=40).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["rank"])
+            for r in bm25_topk(docs, terms=("hash", "tree"), k=40).collect()
+        )
+        assert got == want
+
+
+class TestCliPolicyMode:
+    def test_lex_compact_policy_flag(self, spark, tmp_path):
+        from test_cli import run_cli
+
+        path = str(tmp_path / "lexcli")
+        run_cli("lex", "build", "--path", path, "--sf-dir", SF)
+        rep = run_cli(
+            "lex", "compact", "--path", path, "--max-batches", "5"
+        )
+        assert rep["triggered"] is False
+        rep = run_cli(
+            "lex", "compact", "--path", path, "--max-batches", "0"
+        )
+        assert rep["triggered"] is True and rep["n_batches_after"] == 1
