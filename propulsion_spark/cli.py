@@ -499,6 +499,7 @@ def cmd_quality(args) -> int:
 
     from propulsion_spark import get_spark
     from propulsion_spark.operators.quality_classifier import (
+        N_FEATURES,
         PARETO_ALPHA,
         pareto_filter,
         score_quality,
@@ -513,17 +514,18 @@ def cmd_quality(args) -> int:
         return 2
     spark = get_spark("propulsion-quality")
     if args.action == "train":
+        n_features = args.n_features or N_FEATURES
         model = train(
             spark.read.parquet(args.pos).select("doc_id", "text"),
             spark.read.parquet(args.neg).select("doc_id", "text"),
-            n_features=args.n_features,
+            n_features=n_features,
         )
         model.write().overwrite().save(args.model)
         print(
             json.dumps(
                 {
                     "model": args.model,
-                    "n_features": args.n_features,
+                    "n_features": n_features,
                     "intercept": model.intercept,
                 }
             )
@@ -533,6 +535,9 @@ def cmd_quality(args) -> int:
 
         model = LogisticRegressionModel.load(args.model)
         docs = spark.read.parquet(args.src).select("doc_id", "text")
+        # the feature space comes from the model; --n-features is only
+        # a consistency check (mismatch raises in score_quality before
+        # it could become an opaque BLAS error or silently wrong buckets)
         scored = score_quality(docs, model, n_features=args.n_features).join(
             docs, "doc_id"
         )
@@ -851,7 +856,41 @@ def cmd_ann(args) -> int:
         idx = AnnIndex(spark, args.path)
         print(json.dumps(idx.cell_skew()))
     elif args.action == "reindex":
+        from propulsion_spark.fsio import fs_exists
+
         idx = AnnIndex(spark, args.path)
+        if not fs_exists(spark, idx._vectors_path):
+            # same JSON-error contract as `lex compact` (r13): a
+            # never-built index is an operator error, not a traceback
+            print(
+                json.dumps(
+                    {
+                        "error": "no ANN index at --path "
+                        f"(missing {idx._vectors_path}); build first"
+                    }
+                )
+            )
+            spark.stop()
+            return 2
+        if args.max_batches is not None or args.max_tombstone_share is not None:
+            kw = {}
+            if args.max_batches is not None:
+                kw["max_batches"] = args.max_batches
+            if args.max_tombstone_share is not None:
+                kw["max_tombstone_share"] = args.max_tombstone_share
+            rep = idx.auto_compact(**kw)
+            print(
+                json.dumps(
+                    {
+                        "path": args.path,
+                        "policy": kw,
+                        "triggered": rep is not None,
+                        **(rep or {}),
+                    }
+                )
+            )
+            spark.stop()
+            return 0
         before = idx.cell_skew()
         out = idx.reindex(dest=args.dest)
         print(
@@ -954,6 +993,43 @@ def cmd_lex(args) -> int:
         idx.delete(ids, batch_id=args.del_batch)
         print(json.dumps({"deleted": len(ids), "path": args.path}))
     elif args.action == "compact":
+        # a missing / never-built index is an operator error, not a
+        # raw AnalysisException traceback — the JSON-line contract the
+        # other verbs follow (the r12 ADVICE finding)
+        from propulsion_spark.fsio import fs_exists
+
+        if not fs_exists(spark, idx._postings_path):
+            print(
+                json.dumps(
+                    {
+                        "error": "no lexical index at --path "
+                        f"(missing {idx._postings_path}); build or "
+                        "ingest first"
+                    }
+                )
+            )
+            spark.stop()
+            return 2
+        if args.max_batches is not None or args.max_tombstone_share is not None:
+            # policy mode: fold only when a lifecycle gauge trips
+            kw = {}
+            if args.max_batches is not None:
+                kw["max_batches"] = args.max_batches
+            if args.max_tombstone_share is not None:
+                kw["max_tombstone_share"] = args.max_tombstone_share
+            rep = idx.auto_compact(**kw)
+            print(
+                json.dumps(
+                    {
+                        "path": args.path,
+                        "policy": kw,
+                        "triggered": rep is not None,
+                        **(rep or {}),
+                    }
+                )
+            )
+            spark.stop()
+            return 0
         files_before = len(spark.read.parquet(idx._postings_path).inputFiles())
         out = idx.compact(dest=args.dest)
         n_docs, total_dl = out.stats()
@@ -1063,8 +1139,6 @@ def cmd_search(args) -> int:
     Reports the fused top-k and a recall gauge of both the ANN arm and
     the fused list against the brute-force cosine ground truth — the
     honest number a hybrid deployment watches."""
-    import os as _os
-
     from propulsion_spark import get_spark, load_table
     from propulsion_spark.operators.similarity import _spark_dot, rrf_fuse
     from propulsion_spark.operators.textops import bm25_topk
@@ -1080,8 +1154,10 @@ def cmd_search(args) -> int:
         print(json.dumps({"error": "--query-id is required without --queries-file"}))
         return 2
     spark = get_spark("propulsion-search")
+    from propulsion_spark.fsio import fs_exists
+
     idx = AnnIndex(spark, args.index)
-    if not _os.path.exists(idx._vectors_path):
+    if not fs_exists(spark, idx._vectors_path):
         idx = AnnIndex.build(spark, args.sf_dir, args.index)
     docs = load_table(spark, args.sf_dir, "documents")
     cand = max(args.k * 4, args.k)  # per-arm candidate depth
@@ -1095,7 +1171,7 @@ def cmd_search(args) -> int:
     if args.lexical_index:
         from propulsion_spark.pipelines.lexical_index import LexicalIndex
 
-        if _os.path.exists(LexicalIndex(spark, args.lexical_index)._postings_path):
+        if fs_exists(spark, LexicalIndex(spark, args.lexical_index)._postings_path):
             lex = LexicalIndex(spark, args.lexical_index)
         else:
             lex = LexicalIndex.build(spark, args.sf_dir, args.lexical_index)
@@ -1160,8 +1236,6 @@ def _cmd_search_batch(args) -> int:
     by ONE pruned postings scan + ONE ANN pass + per-query RRF
     (pipelines/hybrid.py) — the amortized shape a retrieval endpoint
     runs. Prints one JSON line per query."""
-    import os as _os
-
     from propulsion_spark import get_spark, load_table
     from propulsion_spark.pipelines.ann_index import AnnIndex
     from propulsion_spark.pipelines.hybrid import hybrid_search_many
@@ -1179,11 +1253,13 @@ def _cmd_search_batch(args) -> int:
         print(json.dumps({"error": "--queries-file holds no queries"}))
         return 2
     spark = get_spark("propulsion-search")
+    from propulsion_spark.fsio import fs_exists
+
     idx = AnnIndex(spark, args.index)
-    if not _os.path.exists(idx._vectors_path):
+    if not fs_exists(spark, idx._vectors_path):
         idx = AnnIndex.build(spark, args.sf_dir, args.index)
     lex = LexicalIndex(spark, args.lexical_index)
-    if not _os.path.exists(lex._postings_path):
+    if not fs_exists(spark, lex._postings_path):
         lex = LexicalIndex.build(spark, args.sf_dir, args.lexical_index)
     emb = load_table(spark, args.sf_dir, "embeddings")
     vec_ids = {int(r["vec_id"]) for r in reqs}
@@ -1683,7 +1759,12 @@ def main(argv=None) -> int:
     qu.add_argument("--model", required=True, help="model dir")
     qu.add_argument("--src", help="score: corpus parquet dir")
     qu.add_argument("--out", help="score: scored/filtered output dir")
-    qu.add_argument("--n-features", type=int, default=1 << 18)
+    qu.add_argument(
+        "--n-features", type=int, default=None,
+        help="train: feature-space size (default 2^18). score: the "
+        "space is DERIVED from the fitted model (model.numFeatures); "
+        "a value here is only a consistency check against it",
+    )
     qu.add_argument(
         "--filter", action="store_true",
         help="score: apply the Pareto acceptance rule (GPT-3's "
@@ -1769,6 +1850,17 @@ def main(argv=None) -> int:
         "this (the Lucene common-terms lever) — dropped terms are "
         "reported, results are exact over the kept terms",
     )
+    lx.add_argument(
+        "--max-batches", type=int, default=None,
+        help="compact: only fold when the policy trips (n_batches > "
+        "this or tombstone share > --max-tombstone-share) — the "
+        "auto_compact maintenance mode",
+    )
+    lx.add_argument(
+        "--max-tombstone-share", type=float, default=None,
+        help="compact: tombstoned-docs share threshold for the policy "
+        "mode (default 0.2 when --max-batches is given)",
+    )
     lx.set_defaults(fn=cmd_lex)
 
     an = sub.add_parser(
@@ -1806,6 +1898,17 @@ def main(argv=None) -> int:
     an.add_argument(
         "--quantized", action="store_true",
         help="rank candidates by their stored int8 quantization",
+    )
+    an.add_argument(
+        "--max-batches", type=int, default=None,
+        help="reindex: only rebuild when the policy trips (n_batches "
+        "> this or tombstone share > --max-tombstone-share) — the "
+        "auto_compact maintenance mode",
+    )
+    an.add_argument(
+        "--max-tombstone-share", type=float, default=None,
+        help="reindex: tombstoned share threshold for the policy mode "
+        "(default 0.2 when --max-batches is given)",
     )
     an.set_defaults(fn=cmd_ann)
 

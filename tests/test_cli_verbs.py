@@ -504,6 +504,27 @@ class TestDeltaVerb:
 
 
 class TestLexVerb:
+    def test_compact_missing_index_json_error(self, tmp_path):
+        """r13 (ADVICE r12): maintenance verbs against a never-built
+        index follow the JSON-line error contract (rc 2), not a raw
+        AnalysisException traceback — for BOTH serving indexes."""
+        import subprocess
+        import sys
+
+        for verb in (
+            ["lex", "compact", "--path", str(tmp_path / "nope")],
+            ["ann", "reindex", "--path", str(tmp_path / "nada")],
+        ):
+            proc = subprocess.run(
+                [sys.executable, "-m", "propulsion_spark.cli", *verb],
+                capture_output=True, text=True, timeout=180, cwd="/root/repo",
+            )
+            assert proc.returncode == 2, proc.stderr[-1500:]
+            import json as _json
+
+            rep = _json.loads(proc.stdout.strip().splitlines()[-1])
+            assert "error" in rep and "missing" in rep["error"]
+
     def _search(self, path, terms, k=10):
         import json as _json
         import subprocess
