@@ -25,11 +25,14 @@ O(corpus) RAM); the Spark-native shape replaces it with fixed-length
 n-gram hashing:
 
 1. tokenize (the corpus-standard ``_toks`` split) and hash every
-   n-token window — map-only, one row per window (the tokenize-op
-   row count, same as any text operator);
-2. count occurrences per gram hash — ONE shuffle, map-side combined,
-   O(distinct grams) reduce side;
-3. join windows back to the ≥ ``min_dup`` gram set on the hash — the
+   n-token window under TWO independent hash functions (96 key bits —
+   "exact" here means exact-modulo-hash; see ``_gram_hits`` for the
+   collision math that makes the residual risk negligible at 100 TB,
+   the r12 ADVICE finding) — map-only, one row per window (the
+   tokenize-op row count, same as any text operator);
+2. count occurrences per gram hash pair — ONE shuffle, map-side
+   combined, O(distinct grams) reduce side;
+3. join windows back to the ≥ ``min_dup`` gram set on the pair — the
    duplicated-gram side is usually small (broadcast), but the join is
    left to AQE so a boilerplate-heavy corpus degrades to a shuffle
    join instead of a driver OOM;
@@ -61,10 +64,22 @@ from propulsion_spark.operators.textops import _toks
 
 
 def _gram_hits(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, start, gh): one row per n-token window, gh = xxhash64
-    of the space-joined window. The hash is computed INSIDE the
-    higher-order transform so full window strings never leave the
-    row."""
+    """(doc_id, start, gh, gh2): one row per n-token window, keyed by
+    TWO independent hashes of the space-joined window — gh = xxhash64
+    (64-bit), gh2 = hash (murmur3, 32-bit) — 96 key bits total. Both
+    are computed INSIDE the higher-order transform so full window
+    strings never leave the row.
+
+    Why two: every downstream count/join groups on the pair, so a
+    false duplicate needs a simultaneous collision in both functions.
+    One 64-bit hash is "exact-modulo-hash" with a real false-positive
+    channel at scale (the r12 ADVICE finding): at 10¹² distinct grams
+    (the 100 TB corpus) the birthday bound gives ~2.7% odds of SOME
+    xxhash64 collision (≈n²/2⁶⁵) — innocent text masked with no error.
+    At 96 bits the same bound is ~6×10⁻⁷ (≈n²/2⁹⁷), negligible. The
+    window string itself can't be carried to verification without
+    shuffling O(corpus × n) token bytes — the pair is the published
+    method's semantics at an extra murmur3 per window."""
     return (
         docs.select("doc_id", F.expr(_toks("spark")).alias("t"))
         .filter(F.size("t") >= n)
@@ -73,10 +88,13 @@ def _gram_hits(docs: DataFrame, n: int) -> DataFrame:
             F.posexplode(
                 F.expr(
                     f"transform(sequence(0, size(t) - {n}), "
-                    f"i -> xxhash64(concat_ws(' ', slice(t, i + 1, {n}))))"
+                    f"i -> struct("
+                    f"xxhash64(concat_ws(' ', slice(t, i + 1, {n}))) AS gh, "
+                    f"hash(concat_ws(' ', slice(t, i + 1, {n}))) AS gh2))"
                 )
-            ).alias("start", "gh"),
+            ).alias("start", "g"),
         )
+        .select("doc_id", "start", "g.gh", "g.gh2")
     )
 
 
@@ -93,12 +111,12 @@ def repeated_ngram_spans(
     corpus-canonical occurrence (min (doc_id, start)), so one copy of
     every duplicated passage survives masking."""
     grams = _gram_hits(docs, n)
-    per_gram = grams.groupBy("gh").agg(
+    per_gram = grams.groupBy("gh", "gh2").agg(
         F.count("*").alias("cnt"),
         F.min(F.struct("doc_id", "start")).alias("first_at"),
     )
     dup = per_gram.filter(F.col("cnt") >= min_dup)
-    hits = grams.join(dup, "gh")
+    hits = grams.join(dup, ["gh", "gh2"])
     if keep_first:
         hits = hits.filter(
             ~(
