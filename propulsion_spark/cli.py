@@ -458,6 +458,42 @@ def cmd_substr(args) -> int:
     )
 
     spark = get_spark("propulsion-substr")
+    if getattr(args, "follow", False):
+        # streaming twin: cross-batch gram registry at {out}_state,
+        # replay-idempotent masked output partitioned by _batch_id.
+        # Streaming semantics are ALWAYS keep_first (already-emitted
+        # batches can't be retro-masked) — see
+        # streaming/substring_dedup.py for the equivalence contract.
+        from propulsion_spark.streaming.substring_dedup import (
+            SubstrDedupStream,
+        )
+
+        base = args.out.rstrip("/")
+        pipe = SubstrDedupStream(
+            spark,
+            base + "_state",
+            n=args.n,
+            min_dup=args.min_dup,
+            auto_compact={"max_batches": 16},
+        )
+        stream = spark.readStream.schema(
+            spark.read.parquet(args.src).schema
+        ).parquet(args.src)
+        q = pipe.stream_into(stream, args.out, base + "_ckpt")
+        q.awaitTermination()
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "n": args.n,
+                    "min_dup": args.min_dup,
+                    "semantics": "keep_first (streaming)",
+                    **pipe.stats,
+                }
+            )
+        )
+        spark.stop()
+        return 0
     docs = spark.read.parquet(args.src).select("doc_id", "text")
     mask_repeated_ngrams(
         docs, n=args.n, min_dup=args.min_dup, keep_first=args.keep_first
@@ -1745,6 +1781,12 @@ def main(argv=None) -> int:
         "--keep-first", action="store_true",
         help="exempt each gram's corpus-canonical occurrence "
         "(one copy of every duplicated passage survives)",
+    )
+    su.add_argument(
+        "--follow", action="store_true",
+        help="streaming twin: ingest --src incrementally, masking "
+        "against the durable cross-batch gram registry at "
+        "{out}_state (keep_first semantics; replay-idempotent)",
     )
     su.set_defaults(fn=cmd_substr)
 

@@ -124,9 +124,15 @@ def repeated_ngram_spans(
                 & (F.col("start") == F.col("first_at.start"))
             )
         )
-    hits = hits.select("doc_id", "start")
-    # gaps-and-islands per document: a hit window starting beyond the
-    # running max end opens a new island; islands become spans
+    return coalesce_spans(hits.select("doc_id", "start"), n)
+
+
+def coalesce_spans(hits: DataFrame, n: int) -> DataFrame:
+    """(doc_id, span_start, span_end) from (doc_id, start) hit
+    windows: the gaps-and-islands kernel shared by the batch operator
+    and the streaming twin — a hit window starting beyond the running
+    max end opens a new island; islands become maximal spans. Windows
+    partition by doc_id (never global)."""
     w = Window.partitionBy("doc_id").orderBy("start")
     run_end = F.max(F.col("start") + n).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -164,15 +170,26 @@ def mask_repeated_ngrams(
     text is uniformly normalized. Map-only except the span
     computation itself; the span list per document is bounded (spans
     are disjoint), so the join side stays small."""
-    spans = (
-        repeated_ngram_spans(docs, n=n, min_dup=min_dup, keep_first=keep_first)
-        .groupBy("doc_id")
-        .agg(
-            F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
-            F.sum(F.col("span_end") - F.col("span_start")).alias(
-                "n_masked_tokens"
-            ),
-        )
+    return mask_spans(
+        docs,
+        repeated_ngram_spans(docs, n=n, min_dup=min_dup, keep_first=keep_first),
+    )
+
+
+def mask_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Apply (doc_id, span_start, span_end) spans to the corpus — the
+    masking kernel shared by the batch operator and the streaming
+    twin. Tokens outside spans re-join with single spaces (masking
+    normalizes whitespace, the tokenizer's equivalence class);
+    documents with no spans pass through with ``n_masked_tokens = 0``
+    and the space-normalized token join, so downstream text is
+    uniformly normalized. Map-only; the per-doc span list is bounded
+    (spans are disjoint), so the join side stays small."""
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias(
+            "n_masked_tokens"
+        ),
     )
     kept = (
         "concat_ws(' ', transform(filter("
@@ -183,7 +200,7 @@ def mask_repeated_ngrams(
     )
     return (
         docs.select("doc_id", "text", F.expr(_toks("spark")).alias("t"))
-        .join(spans, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "text",

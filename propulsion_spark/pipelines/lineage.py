@@ -33,16 +33,18 @@ def _marker_path(index_path: str) -> str:
 
 
 def folded_through(spark: SparkSession, index_path: str) -> int:
-    """Highest batch id absorbed by a fold (0 = never compacted)."""
+    """Highest batch id absorbed by a fold; -1 when never compacted
+    (NOT 0 — batch id 0 is a legitimate first batch for registries
+    that pass raw foreachBatch ids, and the stale check is ≤)."""
     from pyspark.errors import AnalysisException
 
     try:
         rows = spark.read.parquet(_marker_path(index_path)).collect()
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return 0
+            return -1
         raise
-    return max((r["folded_through"] for r in rows), default=0)
+    return max((r["folded_through"] for r in rows), default=-1)
 
 
 def record_fold(spark: SparkSession, index_path: str, through: int) -> None:

@@ -159,6 +159,24 @@ class MetricsExporter:
             lambda: [({"stage": k}, v) for k, v in sorted(pipeline.stats.items())],
         )
 
+    def register_substr_dedup(self, pipeline) -> "MetricsExporter":
+        """A :class:`~propulsion_spark.streaming.substring_dedup.
+        SubstrDedupStream`: exports its per-stage counters
+        (``propulsion_substr_dedup_total{stage=...}`` — seen,
+        masked_docs, masked_tokens) plus the gram registry's
+        batch-fragmentation gauge (the ``auto_compact`` signal) and
+        its lease-liveness totals — O(1) counters, one
+        partition-column read per scrape for the gauge."""
+        self.register_gauge(
+            "propulsion_substr_dedup_total",
+            lambda: [({"stage": k}, v) for k, v in sorted(pipeline.stats.items())],
+        )
+        self._register_index_lease("gram_registry", pipeline.registry)
+        return self.register_gauge(
+            "propulsion_substr_registry_batches",
+            lambda: [({}, pipeline.registry.n_batches())],
+        )
+
     def register_deltalite(self, name: str, log) -> "MetricsExporter":
         """A :class:`~propulsion_spark.streaming.deltalite.DeltaliteLog`:
         exports the log-health gauges an operator watches —
