@@ -1422,6 +1422,119 @@ GROUP BY bf.query_id
 """
 
 
+# Hybrid-SERVING recall (r13, the r12 verdict's #8): the recall@k of
+# the batched serving path itself — hybrid_search_many over the
+# MATERIALIZED indexes (LexicalIndex BM25 arm + AnnIndex probed-cell
+# arm + RRF) — against brute force, so serving-quality regressions
+# (PQ defaults, max_df_share, index layout bugs) surface in the
+# oracle GATE, not only in unit tests. The oracle recomputes both
+# arms from first principles: the indexes' pinned bit-identity
+# contracts (search_many ≡ bm25_topk, AnnIndex.search ≡ the seeded
+# multiprobe operator) are what make the serving path SQL-expressible.
+# Two query terms by design: 2-term BM25 double sums are
+# order-independent (the repo float rule), and exactly two RRF input
+# lists keep the fused sum a single commutative add.
+from propulsion_spark.operators.textops import _bm25_duck, _toks  # noqa: E402
+
+HYBRID_QUERY_TERMS = ("hash", "tree")
+HYBRID_CAND = 4 * TOP_K  # per-arm candidate depth (the cmd_search rule)
+
+_DUCK_HYBRID_RECALL = f"""
+WITH {_DUCK_NORMED},
+{_DUCK_IVF_CELLS.strip()},
+qcells AS (
+  SELECT vec_id, label AS cell FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+    FROM dist
+  ) WHERE rn <= {NPROBE}
+),
+bf AS ({_BF_SUBQUERY}),
+toks AS (
+  SELECT doc_id, unnest({_toks('duck')}) AS token FROM documents
+),
+{_bm25_duck(HYBRID_QUERY_TERMS).strip()},
+bm_top AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM (SELECT doc_id, sum(score) AS score FROM bm GROUP BY doc_id)
+  ) WHERE rank <= {HYBRID_CAND}
+),
+lex_arm AS (
+  SELECT q.vec_id AS query_id, bm_top.doc_id AS neighbor_id, bm_top.rank
+  FROM (SELECT vec_id FROM normed WHERE vec_id < {N_QUERIES}) q
+  CROSS JOIN bm_top
+),
+ivf_arm AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC,
+                        c.vec_id) AS BIGINT) AS rank
+    FROM (SELECT n.*, qc.cell FROM normed n JOIN qcells qc USING (vec_id)) q
+    JOIN (SELECT n.*, cl.cell FROM normed n JOIN cells cl USING (vec_id)) c
+      ON c.vec_id != q.vec_id AND c.cell = q.cell
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {HYBRID_CAND}
+),
+fused AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf_score DESC, neighbor_id) AS frank
+    FROM (
+      SELECT query_id, neighbor_id,
+             sum(1.0 / ({float(RRF_K)} + CAST(rank AS DOUBLE))) AS rrf_score
+      FROM (SELECT query_id, neighbor_id, rank FROM lex_arm
+            UNION ALL
+            SELECT query_id, neighbor_id, rank FROM ivf_arm)
+      GROUP BY query_id, neighbor_id
+    )
+  ) WHERE frank <= {TOP_K}
+)
+SELECT bf.query_id,
+       CAST(count(fused.neighbor_id) AS BIGINT) AS n_hit,
+       count(fused.neighbor_id) / {TOP_K} AS recall
+FROM bf LEFT JOIN fused USING (query_id, neighbor_id)
+GROUP BY bf.query_id
+"""
+
+
+def _hybrid_serving_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving path under measurement: build both materialized
+    indexes (seeded codebook — the oracle's twin), run the batched
+    hybrid for the standard query set, return (query_id, neighbor_id)
+    of the fused top-K."""
+    import os as _os
+    import tempfile
+
+    from propulsion_spark.pipelines.ann_index import AnnIndex
+    from propulsion_spark.pipelines.hybrid import hybrid_search_many
+    from propulsion_spark.pipelines.lexical_index import LexicalIndex
+
+    tmp = tempfile.mkdtemp(prefix="propulsion_hybrid_recall_")
+    lex = LexicalIndex.build(spark, sf_dir, _os.path.join(tmp, "lex"))
+    # pq=False: the hybrid exact arm never touches PQ codes, and PQ
+    # training is the measured hot spot of the build
+    ann = AnnIndex.build(spark, sf_dir, _os.path.join(tmp, "ann"), pq=False)
+    qdf = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.array(*[F.lit(t) for t in HYBRID_QUERY_TERMS]).alias("terms"),
+            "embedding",
+        )
+    )
+    fused = hybrid_search_many(
+        lex, ann, qdf, k=TOP_K, n_probes=NPROBE, cand=HYBRID_CAND
+    )
+    return fused.select("query_id", F.col("doc_id").alias("neighbor_id"))
+
+
 @register(
     "similarity_recall",
     f"""
@@ -1432,6 +1545,8 @@ UNION ALL
 SELECT 'ivf_learned', s.* FROM ({_DUCK_IVF_LEARNED_RECALL.strip()}) s
 UNION ALL
 SELECT 'rrf_lsh_ivf', s.* FROM ({_DUCK_RRF_RECALL.strip()}) s
+UNION ALL
+SELECT 'hybrid_serving', s.* FROM ({_DUCK_HYBRID_RECALL.strip()}) s
 """,
     doc=f"ANN quality gauge, both index families in one report: "
     f"recall@{TOP_K} per query of the multi-table hyperplane-LSH search "
@@ -1444,7 +1559,13 @@ SELECT 'rrf_lsh_ivf', s.* FROM ({_DUCK_RRF_RECALL.strip()}) s
     "list (rrf_fuse over the LSH and multi-probe-IVF top-k lists, "
     "per-query) — attests the hybrid-retrieval combiner end-to-end: "
     "rank-only 1/(k+rank) contributions, two lists so the fused score "
-    "is one commutative double add, fused top-k re-ranked per query.",
+    "is one commutative double add, fused top-k re-ranked per query. "
+    "method='hybrid_serving' (r13): recall of the BATCHED SERVING path "
+    "itself — hybrid_search_many over the materialized LexicalIndex + "
+    "AnnIndex (BM25 arm + probed-cell ANN arm + RRF) — so "
+    "serving-quality regressions surface in the oracle gate; the "
+    "oracle recomputes both arms from first principles, which the "
+    "indexes' pinned bit-identity contracts make possible.",
 )
 def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # share the expensive common inputs across the three recall
@@ -1483,8 +1604,16 @@ def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rrf = _recall_vs_bruteforce(bf, fused_ann).select(
         F.lit("rrf_lsh_ivf").alias("method"), "query_id", "n_hit", "recall"
     )
+    hybrid = _recall_vs_bruteforce(
+        bf, _hybrid_serving_fused(spark, sf_dir)
+    ).select(
+        F.lit("hybrid_serving").alias("method"), "query_id", "n_hit", "recall"
+    )
     return finalize(
-        lsh.unionByName(ivf).unionByName(learned).unionByName(rrf),
+        lsh.unionByName(ivf)
+        .unionByName(learned)
+        .unionByName(rrf)
+        .unionByName(hybrid),
         bf,
         dist0,
         lsh_ann,

@@ -369,8 +369,13 @@ class AnnIndex:
         sf_dir: str,
         path: str,
         learned: bool = False,
+        pq: bool = True,
     ) -> "AnnIndex":
-        """Materialize the index from the corpus ``embeddings`` table."""
+        """Materialize the index from the corpus ``embeddings`` table.
+        ``pq=False`` skips PQ-codebook training (the measured hot spot
+        of the build) for consumers that only run the exact or int8
+        arms — ``search(pq=True)`` on such an index raises its missing-
+        codebook error."""
         from propulsion_spark import load_table
 
         if learned:
@@ -382,7 +387,7 @@ class AnnIndex:
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"
         )
-        return cls._materialize(spark, emb, codebook, path)
+        return cls._materialize(spark, emb, codebook, path, train_pq=pq)
 
     @classmethod
     def build_from(
@@ -425,6 +430,7 @@ class AnnIndex:
         vectors: DataFrame,
         codebook: DataFrame,
         path: str,
+        train_pq: bool = True,
     ) -> "AnnIndex":
         codebook = codebook.persist()
         idx = cls(spark, path)
@@ -435,7 +441,8 @@ class AnnIndex:
             codebook.write.mode("overwrite").parquet(idx._codebook_path)
             # PQ codebooks freeze at build, like IVF's (residual-anchored
             # on the coarse codebook just written)
-            idx._train_pq(vectors, codebook)
+            if train_pq:
+                idx._train_pq(vectors, codebook)
             idx._assign_and_write(vectors, codebook, mode="overwrite")
         codebook.unpersist()
         return idx
