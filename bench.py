@@ -575,6 +575,39 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def host_calibration(spark) -> float:
+    """Host-speed calibration row (r13, the r12 verdict's #2): a FIXED
+    pure-Spark workload — deterministic generate → hash → shuffle-agg
+    → reduce, zero engine code — timed min-of-2 in every bench run.
+    Round-over-round driver totals drifted +21% over r10→r12 with
+    every step attributed to ambient host variance by per-query A/Bs;
+    this row lets BENCH_HISTORY normalize that drift out
+    (TOTAL / calib) instead of re-litigating it with a worktree A/B
+    each round. Changing this workload invalidates the normalization
+    baseline — don't."""
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        df = spark.range(0, 20_000_000, 1, 32).selectExpr(
+            "id",
+            "id % 9973 AS k",
+            "xxhash64(id) AS h",
+            "cast(id % 1000 as double) / 7.0 AS x",
+        )
+        (
+            df.groupBy("k")
+            .agg(
+                {"h": "max", "x": "sum", "id": "count"}
+            )
+            .agg({"max(h)": "max", "sum(x)": "sum", "count(id)": "sum"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        runs.append(time.time() - t0)
+    return round(min(runs), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -617,11 +650,19 @@ def main() -> None:
     except Exception as exc:
         errors["pipelines"] = f"{type(exc).__name__}: {exc}"[:500]
     total = round(sum(timings.values()), 3)
+    try:
+        calib = host_calibration(spark)
+    except Exception as exc:
+        calib = None
+        errors["calibration"] = f"{type(exc).__name__}: {exc}"[:500]
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # host-speed gauge, NOT part of the total: engine-seconds
+        # divide by this to compare rounds across ambient host drift
+        "calibration": calib,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -35,6 +35,8 @@ def _recover(doc: dict) -> "dict[str, float]":
     if parsed and parsed.get("queries"):
         out = dict(parsed["queries"])
         out["TOTAL"] = parsed.get("value")
+        if parsed.get("calibration"):
+            out["_host_calib"] = parsed["calibration"]
         return out
     tail = doc.get("tail", "")
     # keep only the metric line's fragment: cut at the closing
@@ -48,6 +50,16 @@ def _recover(doc: dict) -> "dict[str, float]":
                 out["TOTAL"] = float(v)
             continue
         out[k] = float(v)
+    if "calibration" in out:
+        out["_host_calib"] = out.pop("calibration")
+    # backfill (r13): rounds whose tail truncated before the trailing
+    # `"value":` still carry every per-query timing — the TOTAL is
+    # their sum by construction, so recover it instead of leaving the
+    # r6/r11-style holes the r12 verdict flagged
+    if "TOTAL" not in out and out:
+        out["TOTAL"] = round(
+            sum(v for k, v in out.items() if k != "_host_calib"), 3
+        )
     return out
 
 
@@ -70,12 +82,24 @@ def main() -> None:
         if rec:
             rounds[int(m.group(1))] = rec
 
-    names = sorted({q for rec in rounds.values() for q in rec} - {"TOTAL"})
+    names = sorted(
+        {q for rec in rounds.values() for q in rec}
+        - {"TOTAL", "_host_calib"}
+    )
     cols = sorted(rounds)
+    # normalized view (r13): TOTAL divided by the round's host-speed
+    # calibration row — engine work per unit of host speed, so ambient
+    # drift (the +21% r10→r12 trend every A/B exonerated the code for)
+    # divides out. Blank for rounds before the calib row existed.
+    for c in cols:
+        rec = rounds[c]
+        calib, total = rec.get("_host_calib"), rec.get("TOTAL")
+        if calib and total:
+            rec["TOTAL_PER_CALIB"] = round(total / calib, 3)
     with open(os.path.join(args.dir, args.out), "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["query"] + [f"r{c}" for c in cols])
-        for q in names + ["TOTAL"]:
+        for q in names + ["_host_calib", "TOTAL", "TOTAL_PER_CALIB"]:
             w.writerow([q] + [rounds[c].get(q, "") for c in cols])
     print(f"wrote {args.out}: {len(names)} queries x {len(cols)} rounds")
 
