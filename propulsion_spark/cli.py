@@ -83,6 +83,13 @@ def cmd_sync(args) -> int:
             lm_kwargs["dsir_raw_lm"] = spark.read.parquet(dsir_r) if dsir_r else None
             if getattr(args, "dsir_min_logw", None) is not None:
                 lm_kwargs["dsir_min_logw"] = args.dsir_min_logw
+        substr_reg = getattr(args, "substr_registry", None)
+        if substr_reg:
+            lm_kwargs["substr_registry"] = substr_reg
+            if getattr(args, "substr_n", None) is not None:
+                lm_kwargs["substr_n"] = args.substr_n
+            if getattr(args, "substr_min_dup", None) is not None:
+                lm_kwargs["substr_min_dup"] = args.substr_min_dup
         qmodel = getattr(args, "quality_model", None)
         if qmodel:
             lm_kwargs["quality_model"] = qmodel  # path: pipeline loads it
@@ -1626,6 +1633,15 @@ def main(argv=None) -> int:
         "spans before the gates (Lee et al. 2021 ExactSubstr; intra-"
         "batch span table — run single-batch for corpus-wide spans)",
     )
+    s.add_argument(
+        "--substr-registry",
+        help="with --curate: durable gram-count registry dir enabling "
+        "CROSS-batch repeated-passage masking before the gates "
+        "(streaming ExactSubstr, keep_first semantics, "
+        "replay-idempotent, auto-compacted)",
+    )
+    s.add_argument("--substr-n", type=int, default=None)
+    s.add_argument("--substr-min-dup", type=int, default=None)
     s.add_argument(
         "--semdedup-embeddings",
         help="with --curate: parquet dir of (vec_id, embedding, label) "

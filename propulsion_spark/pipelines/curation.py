@@ -6,6 +6,9 @@ query).
       → PII redaction      (optional: email/SSN/phone/IPv4 → typed
                             placeholders, map-only, FIRST — nothing
                             downstream ever sees raw PII)
+      → substr mask        (optional, r13: cross-BATCH repeated-passage
+                            masking against the durable gram registry —
+                            streaming ExactSubstr, keep_first)
       → span dedup         (optional: cut cross-document duplicated
                             k-token spans before the gates judge the
                             post-trim text)
@@ -272,6 +275,9 @@ class CurationPipeline:
         span_dedup: bool = False,
         span_k: int = None,
         span_min_docs: int = 2,
+        substr_registry: "str | None" = None,
+        substr_n: int = 8,
+        substr_min_dup: int = 2,
         benchmark: DataFrame | None = None,
         decontam_ngram: int = 8,
         decontam_threshold: float = 0.0,
@@ -309,6 +315,29 @@ class CurationPipeline:
         # band tables). Run the pipeline single-batch (or over a
         # consolidated store) for corpus-wide span semantics.
         self.span_dedup = span_dedup
+        # r13: the CROSS-batch occurrence-level variant the intra-batch
+        # caveat above pointed at — a durable gram-count registry
+        # (streaming/substring_dedup.py) makes the state bounded and
+        # replay-idempotent (O(distinct grams) rows, auto-compacted),
+        # so a passage first seen last week is masked when it reappears
+        # this week. keep_first semantics (emitted batches can't be
+        # retro-masked). Composes with span_dedup: this masks repeated
+        # PASSAGES (incl. self-repetition), span_dedup trims
+        # cross-DOCUMENT spans within the batch.
+        if substr_registry is not None:
+            from propulsion_spark.streaming.substring_dedup import (
+                SubstrDedupStream,
+            )
+
+            self._substr = SubstrDedupStream(
+                spark,
+                substr_registry,
+                n=substr_n,
+                min_dup=substr_min_dup,
+                auto_compact={"max_batches": 16},
+            )
+        else:
+            self._substr = None
         if span_k is None:
             from propulsion_spark.operators.dedup import SPAN_K
 
@@ -448,6 +477,7 @@ class CurationPipeline:
             "rejected_dsir": 0,
             "rejected_lowquality": 0,
             "pii_redacted": 0,
+            "substr_masked": 0,
             "span_trimmed": 0,
             "deduped": 0,
             "sem_deduped": 0,
@@ -527,6 +557,26 @@ class CurationPipeline:
             scrubbed = redact_pii(df)
             n_pii_docs = scrubbed.filter(F.col("pii_hits") > 0).count()
             df = scrubbed.drop("pii_hits")
+            if "n_chars" in df.columns:
+                # the stored char count must describe the stored text
+                df = df.withColumn("n_chars", F.length("text").cast("long"))
+        if self._substr is not None:
+            # cross-batch repeated-passage masking BEFORE the gates
+            # (same rationale as the span trim below: a doc that is
+            # boilerplate + thin content must face the token floor
+            # after the boilerplate is cut). The masked frame is
+            # already pinned (localCheckpoint inside process_batch),
+            # so the count and the join re-read blocks, not lineage.
+            masked = self._substr.process_batch(
+                df.select("doc_id", "text"), batch_id
+            )
+            self.stats["substr_masked"] += masked.filter(
+                F.col("n_masked_tokens") > 0
+            ).count()
+            df = df.drop("text").join(
+                masked.select("doc_id", F.col("masked_text").alias("text")),
+                "doc_id",
+            )
             if "n_chars" in df.columns:
                 # the stored char count must describe the stored text
                 df = df.withColumn("n_chars", F.length("text").cast("long"))

@@ -277,6 +277,12 @@ class SubstrDedupStream:
             self.stats["seen"] += agg["n"]
             self.stats["masked_docs"] += agg["m"] or 0
             self.stats["masked_tokens"] += agg["tok"] or 0
+            if self.auto_compact is not None:
+                # safe here: `out` is already pinned to blocks, so the
+                # registry fold can't invalidate its lineage; every
+                # consumer (run_batch, CurationPipeline) inherits the
+                # maintenance policy
+                self.registry.auto_compact(**self.auto_compact)
             return out
         finally:
             grams.unpersist()
@@ -290,8 +296,6 @@ class SubstrDedupStream:
             .partitionBy("_batch_id")
             .parquet(out_path)
         )
-        if self.auto_compact is not None:
-            self.registry.auto_compact(**self.auto_compact)
 
     def stream_into(
         self,

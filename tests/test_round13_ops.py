@@ -393,6 +393,85 @@ class TestSubstrDedupStream:
         assert 'propulsion_index_lease_events{group="default",index="gram_registry"' in out
 
 
+class TestCurationSubstrStage:
+    """CurationPipeline(substr_registry=...): cross-batch
+    repeated-passage masking inside the curation flow — the consumer
+    the streaming twin exists for (VERDICT r12 #4)."""
+
+    def test_cross_batch_passage_masked_before_gates(
+        self, spark, tmp_path
+    ):
+        from propulsion_spark.pipelines import CurationPipeline
+
+        boiler = "alpha beta gamma delta epsilon zeta eta theta"
+        body1 = (
+            "the quick brown fox jumps over the lazy dog and keeps "
+            "running far beyond the quiet riverbank every single day"
+        )
+        body2 = (
+            "meanwhile the patient owl watches silver fish swim past "
+            "mossy stones under the old wooden bridge at dusk today"
+        )
+        pipe = CurationPipeline(
+            spark,
+            str(tmp_path / "out"),
+            substr_registry=str(tmp_path / "reg"),
+            substr_n=4,
+        )
+        mkdf = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        pipe.process_batch(
+            mkdf([(1, f"{boiler} {body1}", "en", "s")]), batch_id=0
+        )
+        # a LATER batch reuses the boilerplate: the registry masks it
+        pipe.process_batch(
+            mkdf([(2, f"{boiler} {body2}", "en", "s")]), batch_id=1
+        )
+        kept = {r["doc_id"]: r["text"] for r in pipe.curated().collect()}
+        assert set(kept) == {1, 2}
+        assert boiler in kept[1]  # canonical copy survives
+        assert boiler not in kept[2]  # cross-batch occurrence masked
+        assert body2.split()[0] in kept[2]  # the unique content stays
+        assert pipe.stats["substr_masked"] == 1
+
+    def test_masked_to_thin_doc_fails_token_floor(self, spark, tmp_path):
+        """A doc that is boilerplate + thin content must face the
+        token floor AFTER the mask (the span-trim rationale)."""
+        from propulsion_spark.pipelines import CurationPipeline
+
+        boiler = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        pipe = CurationPipeline(
+            spark,
+            str(tmp_path / "out"),
+            substr_registry=str(tmp_path / "reg"),
+            substr_n=4,
+            token_bounds=(10, 5000),
+        )
+        mkdf = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        long_body = (
+            "the quick brown fox jumps over the lazy dog and keeps "
+            "running far beyond the quiet riverbank every single day"
+        )
+        pipe.process_batch(
+            mkdf([(1, f"{boiler} {long_body}", "en", "s")]), batch_id=0
+        )
+        # doc 2 = boilerplate + 3 words: post-mask it is 3 tokens,
+        # below the floor -> quality reject, never a keeper
+        pipe.process_batch(
+            mkdf([(2, f"{boiler} just three words", "en", "s")]),
+            batch_id=1,
+        )
+        kept = {r["doc_id"] for r in pipe.curated().collect()}
+        assert kept == {1}
+        assert pipe.stats["rejected_quality"] >= 1
+
+
 class TestCliPolicyMode:
     def test_lex_compact_policy_flag(self, spark, tmp_path):
         from test_cli import run_cli
