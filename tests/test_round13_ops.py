@@ -393,6 +393,71 @@ class TestSubstrDedupStream:
         assert 'propulsion_index_lease_events{group="default",index="gram_registry"' in out
 
 
+class TestGramRegistryModelConformance:
+    def test_random_interleavings_match_dict_model(self, spark, tmp_path):
+        """The r12 lifecycle discipline applied to the gram registry:
+        random interleavings of append / exact replay / compact must
+        always resolve to the dict model's (cnt, first) per gram —
+        counts SUM once per logical batch (replays and folded replays
+        never double), canonical occurrences MIN-fold."""
+        import random
+
+        from propulsion_spark.streaming.substring_dedup import GramRegistry
+
+        for seed in (3, 4):
+            rng = random.Random(seed)
+            reg = GramRegistry(spark, str(tmp_path / f"g{seed}"))
+            model: dict = {}  # gh -> [cnt, (first_doc, first_start)]
+            appended: dict = {}  # batch_id -> rows
+            next_batch = 0
+            for _ in range(8):
+                op = rng.choice(["append", "append", "replay", "compact"])
+                if op == "append":
+                    rows = [
+                        (
+                            gh,
+                            gh % 7,
+                            rng.randint(1, 5),
+                            rng.randint(0, 50),
+                            rng.randint(0, 20),
+                        )
+                        for gh in rng.sample(range(40), rng.randint(1, 8))
+                    ]
+                    reg.append_counts(
+                        spark.createDataFrame(
+                            rows,
+                            "gh long, gh2 int, cnt long, "
+                            "first_doc long, first_start long",
+                        ),
+                        next_batch,
+                    )
+                    appended[next_batch] = rows
+                    for gh, _, c, fd, fs in rows:
+                        cur = model.setdefault(gh, [0, (fd, fs)])
+                        cur[0] += c
+                        cur[1] = min(cur[1], (fd, fs))
+                    next_batch += 1
+                elif op == "replay":
+                    if not appended:
+                        continue
+                    bid = rng.choice(sorted(appended))
+                    reg.append_counts(
+                        spark.createDataFrame(
+                            appended[bid],
+                            "gh long, gh2 int, cnt long, "
+                            "first_doc long, first_start long",
+                        ),
+                        bid,
+                    )  # model unchanged: replays never double-count
+                else:
+                    reg.compact()
+                got = {
+                    r["gh"]: [r["cnt"], (r["first_doc"], r["first_start"])]
+                    for r in reg.totals().collect()
+                }
+                assert got == model, f"seed {seed} diverged after {op}"
+
+
 class TestCurationSubstrStage:
     """CurationPipeline(substr_registry=...): cross-batch
     repeated-passage masking inside the curation flow — the consumer
