@@ -533,6 +533,51 @@ def cmd_substr(args) -> int:
     return 0
 
 
+def _index_policy_mode(args, idx, spark) -> "int | None":
+    """Shared --max-batches/--max-tombstone-share handling for the
+    `lex compact` / `ann reindex` maintenance verbs (one
+    implementation so the policy/report contract cannot drift — the
+    tombstones.py rationale). Returns an exit code when policy mode
+    handled the invocation, None when the verb should run its plain
+    in-place/successor path. Policy mode is IN-PLACE maintenance by
+    definition; combining it with --dest would silently rebuild the
+    live index in place while never creating the successor (the r13
+    review's finding) — rejected loudly instead."""
+    if args.max_batches is None and args.max_tombstone_share is None:
+        return None
+    if getattr(args, "dest", None):
+        print(
+            json.dumps(
+                {
+                    "error": "policy mode (--max-batches/"
+                    "--max-tombstone-share) is in-place maintenance "
+                    "and cannot target --dest; run the verb without "
+                    "thresholds for a successor build"
+                }
+            )
+        )
+        spark.stop()
+        return 2
+    kw = {}
+    if args.max_batches is not None:
+        kw["max_batches"] = args.max_batches
+    if args.max_tombstone_share is not None:
+        kw["max_tombstone_share"] = args.max_tombstone_share
+    rep = idx.auto_compact(**kw)
+    print(
+        json.dumps(
+            {
+                "path": args.path,
+                "policy": kw,
+                "triggered": rep is not None,
+                **(rep or {}),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def cmd_quality(args) -> int:
     """Learned quality filter (operators/quality_classifier.py):
     train the hashed-ngram linear model on trusted-vs-raw samples,
@@ -915,25 +960,9 @@ def cmd_ann(args) -> int:
             )
             spark.stop()
             return 2
-        if args.max_batches is not None or args.max_tombstone_share is not None:
-            kw = {}
-            if args.max_batches is not None:
-                kw["max_batches"] = args.max_batches
-            if args.max_tombstone_share is not None:
-                kw["max_tombstone_share"] = args.max_tombstone_share
-            rep = idx.auto_compact(**kw)
-            print(
-                json.dumps(
-                    {
-                        "path": args.path,
-                        "policy": kw,
-                        "triggered": rep is not None,
-                        **(rep or {}),
-                    }
-                )
-            )
-            spark.stop()
-            return 0
+        rc = _index_policy_mode(args, idx, spark)
+        if rc is not None:
+            return rc
         before = idx.cell_skew()
         out = idx.reindex(dest=args.dest)
         print(
@@ -1053,26 +1082,9 @@ def cmd_lex(args) -> int:
             )
             spark.stop()
             return 2
-        if args.max_batches is not None or args.max_tombstone_share is not None:
-            # policy mode: fold only when a lifecycle gauge trips
-            kw = {}
-            if args.max_batches is not None:
-                kw["max_batches"] = args.max_batches
-            if args.max_tombstone_share is not None:
-                kw["max_tombstone_share"] = args.max_tombstone_share
-            rep = idx.auto_compact(**kw)
-            print(
-                json.dumps(
-                    {
-                        "path": args.path,
-                        "policy": kw,
-                        "triggered": rep is not None,
-                        **(rep or {}),
-                    }
-                )
-            )
-            spark.stop()
-            return 0
+        rc = _index_policy_mode(args, idx, spark)
+        if rc is not None:
+            return rc
         files_before = len(spark.read.parquet(idx._postings_path).inputFiles())
         out = idx.compact(dest=args.dest)
         n_docs, total_dl = out.stats()

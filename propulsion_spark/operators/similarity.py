@@ -1515,24 +1515,39 @@ def _hybrid_serving_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     from propulsion_spark.pipelines.hybrid import hybrid_search_many
     from propulsion_spark.pipelines.lexical_index import LexicalIndex
 
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="propulsion_hybrid_recall_")
-    lex = LexicalIndex.build(spark, sf_dir, _os.path.join(tmp, "lex"))
-    # pq=False: the hybrid exact arm never touches PQ codes, and PQ
-    # training is the measured hot spot of the build
-    ann = AnnIndex.build(spark, sf_dir, _os.path.join(tmp, "ann"), pq=False)
-    qdf = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.array(*[F.lit(t) for t in HYBRID_QUERY_TERMS]).alias("terms"),
-            "embedding",
+    try:
+        lex = LexicalIndex.build(spark, sf_dir, _os.path.join(tmp, "lex"))
+        # pq=False: the hybrid exact arm never touches PQ codes, and PQ
+        # training is the measured hot spot of the build
+        ann = AnnIndex.build(
+            spark, sf_dir, _os.path.join(tmp, "ann"), pq=False
         )
-    )
-    fused = hybrid_search_many(
-        lex, ann, qdf, k=TOP_K, n_probes=NPROBE, cand=HYBRID_CAND
-    )
-    return fused.select("query_id", F.col("doc_id").alias("neighbor_id"))
+        qdf = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < N_QUERIES)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.array(*[F.lit(t) for t in HYBRID_QUERY_TERMS]).alias(
+                    "terms"
+                ),
+                "embedding",
+            )
+        )
+        fused = hybrid_search_many(
+            lex, ann, qdf, k=TOP_K, n_probes=NPROBE, cand=HYBRID_CAND
+        )
+        # pin to blocks BEFORE removing the indexes the plan reads —
+        # the result is N_QUERIES × TOP_K rows; leaving two
+        # materialized indexes per invocation in /tmp was the r13
+        # review's disk-leak finding
+        return fused.select(
+            "query_id", F.col("doc_id").alias("neighbor_id")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(

@@ -617,6 +617,12 @@ class AnnIndex:
         re-appending next to the fold (pipelines/lineage.py)."""
         from propulsion_spark.pipelines.lineage import is_stale_replay
 
+        # an empty batch writes NOTHING (the zero-row partitionBy
+        # pitfall: a stream's empty first micro-batch would otherwise
+        # leave a file-less vectors dir that poisons every later read
+        # and crashes auto_compact's n_batches — the r13 review)
+        if vectors.isEmpty():
+            return
         with self._fenced():
             if is_stale_replay(self.spark, self.path, batch_id):
                 return

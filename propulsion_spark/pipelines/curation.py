@@ -564,15 +564,31 @@ class CurationPipeline:
             # cross-batch repeated-passage masking BEFORE the gates
             # (same rationale as the span trim below: a doc that is
             # boilerplate + thin content must face the token floor
-            # after the boilerplate is cut). The masked frame is
-            # already pinned (localCheckpoint inside process_batch),
-            # so the count and the join re-read blocks, not lineage.
-            masked = self._substr.process_batch(
-                df.select("doc_id", "text"), batch_id
+            # after the boilerplate is cut). The registry's batch id is
+            # derived from the batch CONTENT, not the delivery counter:
+            # feed pumps restart their in-memory batch sequence every
+            # process, so a second `sync --curate` run would reuse id 1
+            # and dynamic-overwrite (or, post-fold, be refused as) the
+            # first run's gram counts — the r13 review's finding. A
+            # commutative hash-sum is replay-stable (same docs -> same
+            # id, so at-least-once redelivery stays idempotent) and
+            # distinct batches collide with probability ~2^-62.
+            h = (
+                df.agg(F.sum(F.xxhash64("doc_id", "text")).alias("h"))
+                .collect()[0]["h"]
+                or 0
             )
-            self.stats["substr_masked"] += masked.filter(
-                F.col("n_masked_tokens") > 0
-            ).count()
+            eff_batch = (int(h) & ((1 << 62) - 1)) + 1
+            before_masked = self._substr.stats["masked_docs"]
+            masked = self._substr.process_batch(
+                df.select("doc_id", "text"), eff_batch
+            )
+            # the stream already counted masked docs for its own stats
+            # — read the delta instead of a second count job (r13
+            # review)
+            self.stats["substr_masked"] += (
+                self._substr.stats["masked_docs"] - before_masked
+            )
             df = df.drop("text").join(
                 masked.select("doc_id", F.col("masked_text").alias("text")),
                 "doc_id",

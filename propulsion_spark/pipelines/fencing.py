@@ -61,19 +61,33 @@ def index_lease(
 
     from propulsion_spark.streaming.mvcc import FileLease
 
-    scheme = urlparse(path).scheme
-    if scheme not in ("", "file"):
-        if scheme not in _warned_schemes:
-            _warned_schemes.add(scheme)
+    parsed = urlparse(path)
+    if parsed.scheme not in ("", "file"):
+        if parsed.scheme not in _warned_schemes:
+            _warned_schemes.add(parsed.scheme)
             _log.warning(
                 "index mutations on %s:// are NOT lease-fenced (no POSIX "
                 "create-if-absent); serialize maintenance externally — "
                 "see streaming/mvcc.py for object-store substitutes",
-                scheme,
+                parsed.scheme,
             )
         yield None
         return
-    local = path[7:] if scheme == "file" else path
+    if parsed.scheme == "file":
+        # urlparse, not a fixed slice: Hadoop's canonical single-slash
+        # form 'file:/srv/idx' parses with the path intact, where
+        # path[7:] would lock a stray RELATIVE dir and two mutators
+        # addressing the same index under different spellings would
+        # never contend — silently voiding the fence (the r13 review's
+        # finding)
+        if parsed.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"file:// URI with a remote authority is not a local "
+                f"path: {path}"
+            )
+        local = parsed.path
+    else:
+        local = path
     os.makedirs(local, exist_ok=True)
     with FileLease(
         local, ttl_s=ttl_s, timeout_s=timeout_s, counters=counters

@@ -24,6 +24,7 @@ import logging
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 _log = logging.getLogger(__name__)
 
@@ -80,3 +81,65 @@ def is_stale_replay(spark: SparkSession, index_path: str, batch_id: int) -> bool
         )
         return True
     return False
+
+
+# ---- fold LEDGER (set-based) -------------------------------------------
+# The watermark above assumes MONOTONE batch ids (one stream lineage —
+# the serving indexes' contract). Registries whose callers derive batch
+# ids from CONTENT (the curation path: a feed pump's in-memory batch
+# counter resets every process, so durable ids must come from the
+# batch itself — the r13 review's finding) get a SET ledger instead:
+# compaction records exactly the ids it folded, and an append replaying
+# any of them no-ops, while a NEW batch with a numerically smaller id
+# (hashes aren't ordered) still lands — a watermark would wrongly
+# refuse it. Ledger size is one long per batch ever folded (tiny), and
+# the membership probe is one bounded read of the marker parquet.
+
+
+def _ledger_path(index_path: str) -> str:
+    return os.path.join(index_path, "folded_ids")
+
+
+def record_folded_ids(spark: SparkSession, index_path: str, batch_ids) -> None:
+    """Add ``batch_ids`` to the fold ledger (read-union-rewrite of the
+    one marker table — the tombstone discipline)."""
+    ids = sorted({int(b) for b in batch_ids})
+    if not ids:
+        return
+    rows = spark.createDataFrame([(b,) for b in ids], "batch_id long")
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = spark.read.parquet(_ledger_path(index_path))
+        rows = rows.unionByName(existing).distinct().localCheckpoint(
+            eager=True
+        )
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+    rows.coalesce(1).write.mode("overwrite").parquet(_ledger_path(index_path))
+
+
+def is_folded_id(spark: SparkSession, index_path: str, batch_id: int) -> bool:
+    """True when ``batch_id`` was absorbed by a fold — the set-ledger
+    twin of :func:`is_stale_replay`."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        hit = (
+            spark.read.parquet(_ledger_path(index_path))
+            .filter(F.col("batch_id") == int(batch_id))
+            .count()
+        )
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return False
+        raise
+    if hit:
+        _log.info(
+            "registry %s: append batch %d is in the fold ledger (an "
+            "at-least-once replay of folded data) — no-op",
+            index_path,
+            batch_id,
+        )
+    return bool(hit)

@@ -41,8 +41,11 @@ Scale shape:
   lease-fenced dynamic partition overwrites (a replay rewrites its own
   partitions with identical counts), ``compact()`` folds batches into
   one aggregated ``_batch_id=0`` generation under the
-  ``pipelines/lineage.py`` fold watermark, so a replay of a folded
-  batch no-ops instead of double-counting.
+  ``pipelines/lineage.py`` fold LEDGER (a set, not a watermark:
+  callers may derive batch ids from batch CONTENT — see
+  CurationPipeline — and content hashes aren't monotone), so a replay
+  of a folded batch no-ops instead of double-counting. Batch ids are
+  ≥ 1; generation 0 is the fold's own.
 """
 
 from __future__ import annotations
@@ -88,13 +91,22 @@ class GramRegistry:
         """Add one batch's per-gram aggregates
         ``(gh, gh2, cnt, first_doc, first_start)``. Idempotent per
         ``batch_id`` (dynamic partition overwrite); a replay of a batch
-        ``compact()`` already folded no-ops (pipelines/lineage.py)."""
-        from propulsion_spark.pipelines.lineage import is_stale_replay
+        ``compact()`` already folded no-ops via the fold LEDGER
+        (pipelines/lineage.py — a set, not a watermark, because
+        content-derived batch ids aren't monotone). ``batch_id`` must
+        be ≥ 1: generation 0 is the fold's own, and an append landing
+        there would dynamic-overwrite folded partitions."""
+        from propulsion_spark.pipelines.lineage import is_folded_id
 
+        if batch_id < 1:
+            raise ValueError(
+                f"batch_id must be >= 1 (got {batch_id}); generation 0 "
+                "is reserved for compacted folds"
+            )
         if counts.isEmpty():
             return  # zero-row partitionBy writes poison the dir
         with self._fenced():
-            if is_stale_replay(self.spark, self.path, batch_id):
+            if is_folded_id(self.spark, self.path, batch_id):
                 return
             (
                 counts.select(
@@ -156,15 +168,22 @@ class GramRegistry:
 
     def compact(self) -> None:
         """Fold every batch partition into one aggregated
-        ``_batch_id=0`` generation (fenced; the fold watermark refuses
+        ``_batch_id=0`` generation (fenced; the fold LEDGER refuses
         later replays of the folded batches)."""
-        from propulsion_spark.pipelines.lineage import record_fold
+        from propulsion_spark.pipelines.lineage import record_folded_ids
 
         with self._fenced():
             raw = self._read()
             if raw is None:
                 return
-            fold_wm = raw.agg(F.max("_batch_id")).collect()[0][0] or 0
+            # exactly the ids this fold absorbs (bounded by the
+            # compaction cadence; generation 0 is the previous fold,
+            # refreshed in place, never a replayable batch)
+            folded_ids = [
+                r["_batch_id"]
+                for r in raw.select("_batch_id").distinct().collect()
+                if r["_batch_id"] != 0
+            ]
             folded = (
                 self.totals()
                 .withColumn("_batch_id", F.lit(0).cast("long"))
@@ -178,7 +197,7 @@ class GramRegistry:
                 .partitionBy("_batch_id", "_bkt")
                 .parquet(self._counts_path)
             )
-            record_fold(self.spark, self.path, fold_wm)
+            record_folded_ids(self.spark, self.path, folded_ids)
 
     def auto_compact(self, max_batches: int = 16) -> "dict | None":
         """The serving-index maintenance policy: no-op at or below
@@ -212,7 +231,7 @@ class SubstrDedupStream:
         self.auto_compact = auto_compact
         self.stats = {"seen": 0, "masked_docs": 0, "masked_tokens": 0}
 
-    def process_batch(self, df: DataFrame, batch_id: int = 0) -> DataFrame:
+    def process_batch(self, df: DataFrame, batch_id: int = 1) -> DataFrame:
         """One micro-batch: gram pass → register this batch's counts →
         score the batch against the post-registration totals → mask.
 
@@ -288,6 +307,11 @@ class SubstrDedupStream:
             grams.unpersist()
 
     def run_batch(self, df: DataFrame, batch_id: int, out_path: str) -> None:
+        # an empty micro-batch writes NOTHING (the repo's zero-row
+        # partitionBy pitfall: a fresh out_path would become a
+        # file-less, unreadable dir — the r13 review's finding)
+        if df.isEmpty():
+            return
         (
             self.process_batch(df, batch_id)
             .withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
@@ -308,7 +332,7 @@ class SubstrDedupStream:
         as the idempotence key (the SemDedupStream shape)."""
         return (
             stream_df.writeStream.foreachBatch(
-                lambda df, bid: self.run_batch(df, bid, out_path)
+                lambda df, bid: self.run_batch(df, bid + 1, out_path)
             )
             .option("checkpointLocation", checkpoint_location)
             .trigger(**(trigger or {"availableNow": True}))

@@ -272,7 +272,7 @@ class TestSubstrDedupStream:
         )
         streamed = {}
         for i, b in enumerate(batches):
-            for r in pipe.process_batch(b, batch_id=i).collect():
+            for r in pipe.process_batch(b, batch_id=i + 1).collect():
                 streamed[r["doc_id"]] = (
                     r["masked_text"], r["n_masked_tokens"]
                 )
@@ -298,10 +298,10 @@ class TestSubstrDedupStream:
         pipe = SubstrDedupStream(
             spark, str(tmp_path / "reg"), n=self.N, min_dup=2
         )
-        pipe.process_batch(b0, batch_id=0)
+        pipe.process_batch(b0, batch_id=1)
         first = {
             r["doc_id"]: r["masked_text"]
-            for r in pipe.process_batch(b1, batch_id=1).collect()
+            for r in pipe.process_batch(b1, batch_id=2).collect()
         }
         totals_before = {
             (r["gh"], r["gh2"]): r["cnt"]
@@ -309,7 +309,7 @@ class TestSubstrDedupStream:
         }
         replay = {
             r["doc_id"]: r["masked_text"]
-            for r in pipe.process_batch(b1, batch_id=1).collect()
+            for r in pipe.process_batch(b1, batch_id=2).collect()
         }
         assert replay == first
         totals_after = {
@@ -329,8 +329,8 @@ class TestSubstrDedupStream:
         pipe = SubstrDedupStream(
             spark, str(tmp_path / "reg"), n=self.N, min_dup=2
         )
-        pipe.process_batch(b0, batch_id=0)
-        pipe.process_batch(b1, batch_id=1)
+        pipe.process_batch(b0, batch_id=1)
+        pipe.process_batch(b1, batch_id=2)
         before = {
             (r["gh"], r["gh2"]): r["cnt"]
             for r in pipe.registry.totals().collect()
@@ -343,13 +343,13 @@ class TestSubstrDedupStream:
         }
         assert after == before
         # a replay of a folded batch must not double-count
-        pipe.process_batch(b1, batch_id=1)
+        pipe.process_batch(b1, batch_id=2)
         assert {
             (r["gh"], r["gh2"]): r["cnt"]
             for r in pipe.registry.totals().collect()
         } == before
         # and a genuinely new batch still lands
-        out = pipe.process_batch(b2, batch_id=2)
+        out = pipe.process_batch(b2, batch_id=3)
         assert out.count() == 30
         assert pipe.registry.n_batches() == 2
 
@@ -386,7 +386,7 @@ class TestSubstrDedupStream:
 
         (b0,) = self._corpus(spark, [(0, 30)])
         pipe = SubstrDedupStream(spark, str(tmp_path / "reg"), n=self.N)
-        pipe.process_batch(b0, batch_id=0)
+        pipe.process_batch(b0, batch_id=1)
         out = MetricsExporter().register_substr_dedup(pipe).render()
         assert 'propulsion_substr_dedup_total{group="default",stage="seen"} 30' in out
         assert "propulsion_substr_registry_batches" in out
@@ -409,7 +409,7 @@ class TestGramRegistryModelConformance:
             reg = GramRegistry(spark, str(tmp_path / f"g{seed}"))
             model: dict = {}  # gh -> [cnt, (first_doc, first_start)]
             appended: dict = {}  # batch_id -> rows
-            next_batch = 0
+            next_batch = 1
             for _ in range(8):
                 op = rng.choice(["append", "append", "replay", "compact"])
                 if op == "append":
@@ -551,3 +551,113 @@ class TestCliPolicyMode:
             "lex", "compact", "--path", path, "--max-batches", "0"
         )
         assert rep["triggered"] is True and rep["n_batches_after"] == 1
+        # policy mode is in-place by definition: combining it with
+        # --dest must error loudly, never silently rebuild the live
+        # index in place while skipping the successor (r13 review)
+        rep = run_cli(
+            "lex", "compact", "--path", path, "--max-batches", "0",
+            "--dest", str(tmp_path / "succ"),
+            expect_rc=2,
+        )
+        assert "in-place" in rep["error"]
+
+
+class TestReviewFixes:
+    def test_fencing_file_uri_contends_with_plain_path(self, tmp_path):
+        """file:/x, file:///x and /x must all lock the SAME _LOCK —
+        the fixed-slice parse locked a stray relative dir, silently
+        voiding the fence for Hadoop's canonical single-slash URI
+        (r13 review)."""
+        from propulsion_spark.pipelines.fencing import index_lease
+        from propulsion_spark.streaming.mvcc import FileLease
+
+        import os
+
+        root = str(tmp_path / "idx")
+        os.makedirs(root, exist_ok=True)
+        for spelling in (f"file:{root}", f"file://{root}", root):
+            with FileLease(root, ttl_s=30.0):
+                import pytest as _pytest
+
+                with _pytest.raises(TimeoutError):
+                    with index_lease(spelling, {}, timeout_s=1.5):
+                        pass  # must contend, not lock elsewhere
+
+    def test_run_batch_empty_first_microbatch_no_poison(
+        self, spark, tmp_path
+    ):
+        from propulsion_spark.streaming.substring_dedup import (
+            SubstrDedupStream,
+        )
+
+        pipe = SubstrDedupStream(spark, str(tmp_path / "reg"), n=4)
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        pipe.run_batch(empty, 1, str(tmp_path / "out"))
+        import os
+
+        assert not os.path.exists(str(tmp_path / "out"))
+        pipe.run_batch(
+            spark.createDataFrame(
+                [(1, "a b c d e f")], "doc_id long, text string"
+            ),
+            2,
+            str(tmp_path / "out"),
+        )
+        assert spark.read.parquet(str(tmp_path / "out")).count() == 1
+
+    def test_ann_append_empty_batch_is_noop(self, spark, tmp_path):
+        idx = AnnIndex.build_from(
+            spark, _vecs(spark, 0, 20), str(tmp_path / "a")
+        )
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        idx.append(empty, batch_id=1)
+        assert idx.n_batches() == 1  # nothing written, nothing poisoned
+        assert idx.auto_compact(max_batches=99) is None
+
+    def test_curation_registry_survives_process_restart_ids(
+        self, spark, tmp_path
+    ):
+        """The review's headline: a second `sync --curate` process
+        restarts the feed pump's batch counter, so registry ids must
+        come from batch CONTENT — two pipelines sharing one registry
+        and both delivering bid=0 must ACCUMULATE, and the second
+        run's repeat of a first-run passage must be masked."""
+        from propulsion_spark.pipelines import CurationPipeline
+
+        boiler = "alpha beta gamma delta epsilon zeta eta theta"
+        body1 = (
+            "the quick brown fox jumps over the lazy dog and keeps "
+            "running far beyond the quiet riverbank every single day"
+        )
+        body2 = (
+            "meanwhile the patient owl watches silver fish swim past "
+            "mossy stones under the old wooden bridge at dusk today"
+        )
+        mkdf = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        reg = str(tmp_path / "reg")
+        # run 1 (its own process in production): delivery bid 0
+        p1 = CurationPipeline(
+            spark, str(tmp_path / "out1"),
+            substr_registry=reg, substr_n=4,
+        )
+        p1.process_batch(mkdf([(1, f"{boiler} {body1}", "en", "s")]), 0)
+        # run 2 (fresh process, counter reset): delivery bid 0 again
+        p2 = CurationPipeline(
+            spark, str(tmp_path / "out2"),
+            substr_registry=reg, substr_n=4,
+        )
+        p2.process_batch(mkdf([(2, f"{boiler} {body2}", "en", "s")]), 0)
+        kept2 = {r["doc_id"]: r["text"] for r in p2.curated().collect()}
+        assert boiler not in kept2[2]  # cross-RUN occurrence masked
+        # and an at-least-once redelivery of run 2's batch (same
+        # content, same reset bid) stays idempotent
+        p2.process_batch(mkdf([(2, f"{boiler} {body2}", "en", "s")]), 0)
+        from propulsion_spark.streaming.substring_dedup import GramRegistry
+
+        totals = {
+            (r["gh"], r["gh2"]): r["cnt"]
+            for r in GramRegistry(spark, reg).totals().collect()
+        }
+        assert max(totals.values()) == 2  # boiler grams: once per run

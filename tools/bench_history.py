@@ -55,8 +55,11 @@ def _recover(doc: dict) -> "dict[str, float]":
     # backfill (r13): rounds whose tail truncated before the trailing
     # `"value":` still carry every per-query timing — the TOTAL is
     # their sum by construction, so recover it instead of leaving the
-    # r6/r11-style holes the r12 verdict flagged
-    if "TOTAL" not in out and out:
+    # r6/r11-style holes the r12 verdict flagged. ONLY when the
+    # queries dict provably closed (the `"sf":` cut marker was found):
+    # a tail cut mid-list would otherwise present a partial sum as the
+    # round's total — a fake regression with no marker (r13 review)
+    if "TOTAL" not in out and out and cut >= 0:
         out["TOTAL"] = round(
             sum(v for k, v in out.items() if k != "_host_calib"), 3
         )
