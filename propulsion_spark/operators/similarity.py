@@ -1517,6 +1517,16 @@ def _hybrid_serving_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import shutil
 
+    queries = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < N_QUERIES
+    )
+    if queries.isEmpty():
+        # empty corpus: no queries, no recall rows — and building an
+        # ANN index over zero vectors would zero-row-partitionBy
+        # poison its vectors dir (the empty-tables gate's finding)
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long"
+        )
     tmp = tempfile.mkdtemp(prefix="propulsion_hybrid_recall_")
     try:
         lex = LexicalIndex.build(spark, sf_dir, _os.path.join(tmp, "lex"))
@@ -1525,16 +1535,10 @@ def _hybrid_serving_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann = AnnIndex.build(
             spark, sf_dir, _os.path.join(tmp, "ann"), pq=False
         )
-        qdf = (
-            load_table(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") < N_QUERIES)
-            .select(
-                F.col("vec_id").alias("query_id"),
-                F.array(*[F.lit(t) for t in HYBRID_QUERY_TERMS]).alias(
-                    "terms"
-                ),
-                "embedding",
-            )
+        qdf = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.array(*[F.lit(t) for t in HYBRID_QUERY_TERMS]).alias("terms"),
+            "embedding",
         )
         fused = hybrid_search_many(
             lex, ann, qdf, k=TOP_K, n_probes=NPROBE, cand=HYBRID_CAND

@@ -315,7 +315,10 @@ class TestDeletes:
                     idx.reindex()
                     live = {d: 0 for d in visible()}
                     deleted = {}
-                    next_batch = 1
+                    # batch ids CONTINUE across reindex (r13 fold
+                    # watermark: an id at/below the fold is a replay
+                    # of folded data and no-ops — the lexical model's
+                    # contract, mirrored)
                 assert served(idx) == visible(), (seed, op)
 
     def test_reindex_compacts_tombstones(self, spark, small):

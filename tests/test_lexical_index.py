@@ -541,7 +541,13 @@ class TestLexicalIndex:
                     idx.compact()
                     live = {d: 0 for d in visible()}
                     deleted = {}
-                    next_batch = 1
+                    # batch ids CONTINUE across compacts (r13, the fold
+                    # watermark / single-lineage contract: stream bids
+                    # are monotone forever; an id at or below the fold
+                    # is by definition an at-least-once replay of
+                    # folded data and no-ops). The model's pre-r13
+                    # id reset is exactly the replay the watermark
+                    # exists to refuse.
                     if live:
                         # post-compact: exact rank parity on the LIVE corpus
                         got = sorted(
