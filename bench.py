@@ -535,6 +535,24 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         ).save()
         timings["pipeline_substr_dedup"] = round(time.time() - t0, 3)
 
+        # streaming twin (r13): two half-corpus micro-batches through
+        # the durable gram registry — per batch one gram pass + one
+        # count shuffle + O(batch-grams) delta write + bucket-pruned
+        # totals join; the cross-batch masking path sync --curate runs
+        from propulsion_spark.streaming.substring_dedup import (
+            SubstrDedupStream,
+        )
+
+        t0 = time.time()
+        sub = SubstrDedupStream(spark, f"{tmp}/substr_reg", n=8, min_dup=2)
+        sub.process_batch(full.filter("doc_id % 2 = 0"), 1).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        sub.process_batch(full.filter("doc_id % 2 = 1"), 2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["pipeline_substr_stream"] = round(time.time() - t0, 3)
+
         # learned quality filter (r12): hashed-ngram LR scoring +
         # deterministic Pareto acceptance — the map-only serving path
         # (training is one-time, outside the timing like the index
