@@ -964,6 +964,54 @@ def priority_sample(
 
 
 
+# per-SOURCE cap (RefinedWeb/Gopher-style domain-share bound): a
+# boilerplate-heavy domain must not dominate the mixture. Exact top-N
+# per source needs a per-source window (one mega-domain = one skewed
+# sort partition at 100 TB), so the scalable form is deterministic
+# RATE thinning: keep a doc iff an independent salted hash lands under
+# its source's keep rate, rate_bp = min(10000, (10000·cap) div count)
+# — ONE count aggregate + a broadcast join + a map-only filter, all
+# integer arithmetic (bit-exact across engines). Expected kept ≈ cap
+# per source. Unlike the split assignment, the keep flag is
+# corpus-state-dependent BY DESIGN (the cap exists to bound a
+# source's SHARE, so rates move as sources grow); within one corpus
+# state it is a pure function of doc_id.
+SRC_CAP = 10
+
+
+def _src_rate_bp(dialect: str, cap: int) -> str:
+    if dialect == "spark":
+        return f"least(10000L, CAST(10000 * {cap} AS BIGINT) div src_cnt)"
+    return f"least(10000, (10000 * {cap}) // src_cnt)"
+
+
+def cap_per_source(
+    docs: DataFrame,
+    max_per_source: int = SRC_CAP,
+    salt: str = "-srccap",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus thinned so each source keeps ≈ ``max_per_source``
+    docs (deterministic hash-rate thinning — see the block comment).
+    Sources at or under the cap pass through whole."""
+    cnts = docs.groupBy(source_col).agg(F.count("*").alias("src_cnt"))
+    keep = (
+        F.expr(
+            SPARK_H64.format(
+                x=f"concat(cast({id_col} as string), '{salt}')"
+            )
+        )
+        % 10000
+        < F.expr(_src_rate_bp("spark", int(max_per_source)))
+    )
+    return (
+        docs.join(F.broadcast(cnts), source_col)
+        .filter(keep)
+        .drop("src_cnt")
+    )
+
+
 # benchmark-decontamination facet of corpus_split_assign: the
 # pseudo-benchmark is the doc_id % BENCH_MOD == 0 slice (both engines
 # derive it identically); a doc is bench-hit when it shares ≥1 word
@@ -979,19 +1027,24 @@ DECONTAM_N = 8
 @register(
     "corpus_split_assign",
     f"""
-WITH base AS (
+WITH srccnt AS (
+  SELECT source, count(*) AS src_cnt FROM documents GROUP BY source
+),
+base AS (
   SELECT doc_id, source, n_chars,
          CASE WHEN b < {TRAIN_PCT} THEN 'train'
               WHEN b < {TRAIN_PCT + VAL_PCT} THEN 'val'
               ELSE 'test' END AS split,
-         fp, sampled
+         fp, sampled, src_keep
   FROM (
     SELECT doc_id, source, n_chars,
            {DUCK_H64.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS b,
            md5({normalized('duck')}) AS fp,
            ({DUCK_H64.format(x="concat(CAST(doc_id AS VARCHAR), '-mix')")} % 10000
-              < {_mixture_case()}) AS sampled
-    FROM documents
+              < {_mixture_case()}) AS sampled,
+           ({DUCK_H64.format(x="concat(CAST(doc_id AS VARCHAR), '-srccap')")} % 10000
+              < {_src_rate_bp('duck', SRC_CAP)}) AS src_keep
+    FROM documents JOIN srccnt USING (source)
   )
 ),
 fps AS (
@@ -1033,7 +1086,11 @@ SELECT source, split,
        CAST(sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_psample,
        CAST(sum(CASE WHEN p.doc_id IS NOT NULL THEN n_chars ELSE 0 END) AS BIGINT)
-           AS psample_chars
+           AS psample_chars,
+       CAST(sum(CASE WHEN src_keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_src_capped,
+       CAST(sum(CASE WHEN src_keep THEN n_chars ELSE 0 END) AS BIGINT)
+           AS src_capped_chars
 FROM (SELECT *, {{EPOCH_COPIES_DUCK}} AS epoch_copies FROM base) base
 JOIN fps USING (fp)
 LEFT JOIN bench_hits h USING (doc_id)
@@ -1071,7 +1128,13 @@ GROUP BY source, split
     f"global top-{PSAMPLE_K} size-weighted priority sample "
     "(Duffield-Lund-Thorup w/u priorities; TakeOrderedAndProject, no "
     "global sort) per cell — the weighted inspection/eval draw whose "
-    "subset-sum estimators are unbiased.",
+    "subset-sum estimators are unbiased — PLUS per-source caps (r13): "
+    f"n_src_capped/src_capped_chars count the docs a {SRC_CAP}-per-"
+    "source cap (RefinedWeb/Gopher domain-share bound) keeps under "
+    "deterministic hash-rate thinning — one count aggregate + "
+    "broadcast join + map filter, integer arithmetic, never a "
+    "per-source window (one mega-domain would be one skewed sort "
+    "partition at 100 TB).",
 )
 def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from propulsion_spark.operators.decontam import (
@@ -1090,13 +1153,20 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(SPARK_H64.format(x="concat(cast(doc_id as string), '-mix')")) % 10000
         < F.expr(_mixture_case())
     )
-    base = docs.select(
+    srccnt = docs.groupBy("source").agg(F.count("*").alias("src_cnt"))
+    src_keep = (
+        F.expr(SPARK_H64.format(x="concat(cast(doc_id as string), '-srccap')"))
+        % 10000
+        < F.expr(_src_rate_bp("spark", SRC_CAP))
+    )
+    base = docs.join(F.broadcast(srccnt), "source").select(
         "doc_id",
         "source",
         "n_chars",
         split.alias("split"),
         F.expr(f"md5({normalized('spark')})").alias("fp"),
         sampled.alias("sampled"),
+        src_keep.alias("src_keep"),
         F.expr(_epoch_copies_sql("spark")).cast("long").alias("epoch_copies"),
     )
     fps = base.groupBy("fp").agg(F.countDistinct("split").alias("n_splits"))
@@ -1131,6 +1201,10 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("in_ps"), F.col("n_chars")).otherwise(0)).alias(
                 "psample_chars"
             ),
+            F.sum(F.col("src_keep").cast("long")).alias("n_src_capped"),
+            F.sum(
+                F.when(F.col("src_keep"), F.col("n_chars")).otherwise(0)
+            ).alias("src_capped_chars"),
         )
     )
 

@@ -537,6 +537,39 @@ class TestCurationSubstrStage:
         assert pipe.stats["rejected_quality"] >= 1
 
 
+class TestCapPerSource:
+    def test_rate_thinning_deterministic_and_near_cap(self, spark):
+        """RefinedWeb/Gopher domain-share bound as deterministic
+        hash-rate thinning: kept count per source ≈ cap (binomial
+        around the integer rate), sources at/under the cap pass
+        through whole, and the keep set is a pure function of
+        (doc_id, corpus state) — two runs agree row for row."""
+        from propulsion_spark.operators.textops import cap_per_source
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+        a = sorted(
+            r["doc_id"] for r in cap_per_source(docs, 10).collect()
+        )
+        b = sorted(
+            r["doc_id"] for r in cap_per_source(docs, 10).collect()
+        )
+        assert a == b  # deterministic
+        per_src = [
+            r["count"]
+            for r in cap_per_source(docs, 10).groupBy("source").count().collect()
+        ]
+        mean = sum(per_src) / len(per_src)
+        assert 7.0 <= mean <= 13.0  # ≈ cap under binomial noise
+        # a cap above every source's size keeps everything
+        assert cap_per_source(docs, 10_000).count() == docs.count()
+        # changing the salt re-draws the sample (the repo convention)
+        c = sorted(
+            r["doc_id"]
+            for r in cap_per_source(docs, 10, salt="-srccap2").collect()
+        )
+        assert c != a
+
+
 class TestCliPolicyMode:
     def test_lex_compact_policy_flag(self, spark, tmp_path):
         from test_cli import run_cli
