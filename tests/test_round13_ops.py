@@ -353,6 +353,57 @@ class TestSubstrDedupStream:
         assert out.count() == 30
         assert pipe.registry.n_batches() == 2
 
+    def test_stream_into_restart_resumes(self, spark, tmp_path):
+        """Checkpointed restart-resume: a second stream_into run over
+        the same checkpoint processes ONLY the new files, the registry
+        keeps accumulating (cross-run masking works), and nothing is
+        double-counted."""
+        from propulsion_spark.streaming.substring_dedup import (
+            SubstrDedupStream,
+        )
+
+        b0, b1 = self._corpus(spark, [(0, 30), (30, 60)])
+        b0.coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+        pipe = SubstrDedupStream(spark, str(tmp_path / "reg"), n=self.N)
+
+        def run():
+            q = pipe.stream_into(
+                spark.readStream.schema("doc_id long, text string").parquet(
+                    str(tmp_path / "src")
+                ),
+                str(tmp_path / "out"),
+                str(tmp_path / "ck"),
+            )
+            q.awaitTermination(300)
+
+        run()
+        first_batches = pipe.registry.n_batches()
+        totals_1 = {
+            (r["gh"], r["gh2"]): r["cnt"]
+            for r in pipe.registry.totals().collect()
+        }
+        b1.coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+        run()  # the restart: only the new file is processed
+        out = spark.read.parquet(str(tmp_path / "out"))
+        assert out.count() == 60
+        assert out.select("doc_id").distinct().count() == 60
+        assert pipe.registry.n_batches() > first_batches
+        totals_2 = {
+            (r["gh"], r["gh2"]): r["cnt"]
+            for r in pipe.registry.totals().collect()
+        }
+        # run 1's grams unchanged or grown — never doubled by a replay
+        planted = [k for k, v in totals_1.items() if v >= 4]
+        assert planted  # the planted passage's gram (5 copies in b0)
+        for k in planted:
+            assert totals_2[k] == totals_1[k] + (totals_2[k] - totals_1[k])
+            assert totals_2[k] <= 2 * totals_1[k]  # grew by b1's copies only
+        # cross-RUN masking: b1's copies of the planted passage masked
+        masked_b1 = out.filter(
+            (F.col("doc_id") >= 30) & (F.col("n_masked_tokens") > 0)
+        ).count()
+        assert masked_b1 >= 4  # docs 35,42,49,56 carry the passage
+
     def test_cli_follow_streams_and_reports(self, spark, tmp_path):
         from test_cli import run_cli
 
