@@ -42,6 +42,12 @@ stays a subset of ``EXPECTED_FLAGGED``):
   (lang, prefix, gram)). Each arm is individually shuffle-minimal
   (the LM arm is one corpus scan — see operators/lm.py); the join of
   three per-language one-row-per-group tables is broadcast-sized.
+- corpus_split_assign (r13): 5 exchanges by construction — the
+  per-source-cap facet adds ONE count aggregate keyed by source
+  (broadcast back into the scan) next to the fp-keyed contamination
+  aggregate, the bench-bloom arm and the priority-sample heap; each
+  arm is individually shuffle-minimal, and the alternative (a window
+  partitioned by source) was rejected as the mega-domain skew hazard.
 - corpus_curation (r11): >4 exchanges by construction — the DSIR
   selection facet adds its own shuffle-minimal arms to the curation
   rollup: per-(doc, gram) counts (one corpus shuffle with map-side
@@ -100,6 +106,7 @@ def _audit_mode():
 #: member is annotated in the module docstring; anything OUTSIDE this
 #: set that flags is a regression (pinned by tests/test_plan_audit.py)
 EXPECTED_FLAGGED = {
+    "corpus_split_assign",
     "corpus_curation",
     "similarity_topk_bruteforce",
     "embedding_knn_classify",
