@@ -968,21 +968,32 @@ def priority_sample(
 # boilerplate-heavy domain must not dominate the mixture. Exact top-N
 # per source needs a per-source window (one mega-domain = one skewed
 # sort partition at 100 TB), so the scalable form is deterministic
-# RATE thinning: keep a doc iff an independent salted hash lands under
-# its source's keep rate, rate_bp = min(10000, (10000·cap) div count)
-# — ONE count aggregate + a broadcast join + a map-only filter, all
-# integer arithmetic (bit-exact across engines). Expected kept ≈ cap
-# per source. Unlike the split assignment, the keep flag is
-# corpus-state-dependent BY DESIGN (the cap exists to bound a
-# source's SHARE, so rates move as sources grow); within one corpus
-# state it is a pure function of doc_id.
+# RATE thinning: keep a doc iff an independent salted hash lands in
+# the bottom `cap` residues mod its source's count —
+# H64(id·salt) % src_cnt < cap. Resolution-free by construction
+# (the earlier basis-points rate, (10000·cap) div src_cnt, floored to
+# ZERO once src_cnt > 10000·cap, silently dropping exactly the
+# mega-domains the cap exists to thin): keep probability is
+# cap/src_cnt at EVERY source size, expected kept = cap, and a
+# source at or under the cap passes whole (residue < src_cnt ≤ cap).
+# ONE count aggregate + a broadcast join + a map-only filter, all
+# integer arithmetic (bit-exact across engines). Unlike the split
+# assignment, the keep flag is corpus-state-dependent BY DESIGN (the
+# cap exists to bound a source's SHARE, so rates move as sources
+# grow); within one corpus state it is a pure function of doc_id.
 SRC_CAP = 10
 
 
-def _src_rate_bp(dialect: str, cap: int) -> str:
+def _src_keep_sql(
+    dialect: str, cap: int, id_col: str = "doc_id", salt: str = "-srccap"
+) -> str:
+    """keep-predicate over a row that carries ``src_cnt``: salted H64
+    of the id mod the source count lands under ``cap``."""
     if dialect == "spark":
-        return f"least(10000L, CAST(10000 * {cap} AS BIGINT) div src_cnt)"
-    return f"least(10000, (10000 * {cap}) // src_cnt)"
+        h = SPARK_H64.format(x=f"concat(cast({id_col} as string), '{salt}')")
+    else:
+        h = DUCK_H64.format(x=f"concat(CAST({id_col} AS VARCHAR), '{salt}')")
+    return f"(({h}) % src_cnt) < {cap}"
 
 
 def cap_per_source(
@@ -993,17 +1004,12 @@ def cap_per_source(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """The corpus thinned so each source keeps ≈ ``max_per_source``
-    docs (deterministic hash-rate thinning — see the block comment).
-    Sources at or under the cap pass through whole."""
+    docs (deterministic hash-residue thinning — see the block
+    comment). Sources at or under the cap pass through whole; no
+    source size can floor the rate to zero."""
     cnts = docs.groupBy(source_col).agg(F.count("*").alias("src_cnt"))
-    keep = (
-        F.expr(
-            SPARK_H64.format(
-                x=f"concat(cast({id_col} as string), '{salt}')"
-            )
-        )
-        % 10000
-        < F.expr(_src_rate_bp("spark", int(max_per_source)))
+    keep = F.expr(
+        _src_keep_sql("spark", int(max_per_source), id_col=id_col, salt=salt)
     )
     return (
         docs.join(F.broadcast(cnts), source_col)
@@ -1042,8 +1048,7 @@ base AS (
            md5({normalized('duck')}) AS fp,
            ({DUCK_H64.format(x="concat(CAST(doc_id AS VARCHAR), '-mix')")} % 10000
               < {_mixture_case()}) AS sampled,
-           ({DUCK_H64.format(x="concat(CAST(doc_id AS VARCHAR), '-srccap')")} % 10000
-              < {_src_rate_bp('duck', SRC_CAP)}) AS src_keep
+           ({_src_keep_sql('duck', SRC_CAP)}) AS src_keep
     FROM documents JOIN srccnt USING (source)
   )
 ),
@@ -1154,11 +1159,7 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         < F.expr(_mixture_case())
     )
     srccnt = docs.groupBy("source").agg(F.count("*").alias("src_cnt"))
-    src_keep = (
-        F.expr(SPARK_H64.format(x="concat(cast(doc_id as string), '-srccap')"))
-        % 10000
-        < F.expr(_src_rate_bp("spark", SRC_CAP))
-    )
+    src_keep = F.expr(_src_keep_sql("spark", SRC_CAP))
     base = docs.join(F.broadcast(srccnt), "source").select(
         "doc_id",
         "source",
