@@ -545,6 +545,19 @@ def _index_policy_mode(args, idx, spark) -> "int | None":
     review's finding) — rejected loudly instead."""
     if args.max_batches is None and args.max_tombstone_share is None:
         return None
+    if getattr(args, "n_buckets", None) is not None:
+        print(
+            json.dumps(
+                {
+                    "error": "policy mode (--max-batches/"
+                    "--max-tombstone-share) never re-buckets; run the "
+                    "verb with --n-buckets and no thresholds for an "
+                    "explicit re-bucketing fold"
+                }
+            )
+        )
+        spark.stop()
+        return 2
     if getattr(args, "dest", None):
         print(
             json.dumps(
@@ -1021,7 +1034,9 @@ def cmd_lex(args) -> int:
     spark = get_spark("propulsion-lex")
     idx = LexicalIndex(spark, args.path)
     if args.action == "build":
-        idx = LexicalIndex.build(spark, args.sf_dir, args.path)
+        idx = LexicalIndex.build(
+            spark, args.sf_dir, args.path, n_buckets=args.n_buckets
+        )
         n_docs, total_dl = idx.stats()
         print(
             json.dumps(
@@ -1086,7 +1101,7 @@ def cmd_lex(args) -> int:
         if rc is not None:
             return rc
         files_before = len(spark.read.parquet(idx._postings_path).inputFiles())
-        out = idx.compact(dest=args.dest)
+        out = idx.compact(dest=args.dest, n_buckets=args.n_buckets)
         n_docs, total_dl = out.stats()
         try:
             files_after = len(
@@ -1930,6 +1945,12 @@ def main(argv=None) -> int:
         "--max-tombstone-share", type=float, default=None,
         help="compact: tombstoned-docs share threshold for the policy "
         "mode (default 0.2 when --max-batches is given)",
+    )
+    lx.add_argument(
+        "--n-buckets", type=int, default=None,
+        help="build: token-bucket fan-out for the new index; compact: "
+        "re-bucket the fold to this fan-out (the persisted layout_meta "
+        "flips with it — the SCALE.md raise-with-corpus-size knob)",
     )
     lx.set_defaults(fn=cmd_lex)
 

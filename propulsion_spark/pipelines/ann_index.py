@@ -32,6 +32,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from propulsion_spark.pipelines.registry import FencedStoreLifecycle
+
 from propulsion_spark.operators.similarity import (
     NPROBE,
     TOP_K,
@@ -120,28 +122,15 @@ def _explode_dims(vectors: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
-class AnnIndex:
-    def __init__(self, spark: SparkSession, path: str):
-        self.spark = spark
-        self.path = path
-        #: lease-liveness totals (exported by register_ann_index like
-        #: ``propulsion_lease_events_total``); the lease itself fences
-        #: every mutation — see :meth:`_fenced`
-        self.lease_counters = {"heartbeats": 0, "steals": 0, "lost": 0}
-        self.lease_timeout_s = 60.0
+class AnnIndex(FencedStoreLifecycle):
+    """Control plane (the mutation fence over every write path —
+    append / delete / reindex / build — lease counters, timeout) rides
+    :class:`~propulsion_spark.pipelines.registry.FencedStoreLifecycle`
+    (r14): in-place maintenance and concurrent ingest SERIALIZE (or
+    fail loudly on timeout) instead of silently losing appends /
+    resurrecting stale generations."""
 
-    def _fenced(self):
-        """Mutation fence (r13, the r12 verdict's headline): every
-        write path — append / delete / reindex / build — runs under
-        the index root's :class:`FileLease`, so in-place maintenance
-        and concurrent ingest SERIALIZE (or fail loudly on timeout)
-        instead of silently losing appends / resurrecting stale
-        generations. See ``pipelines/fencing.py`` for scope."""
-        from propulsion_spark.pipelines.fencing import index_lease
-
-        return index_lease(
-            self.path, self.lease_counters, timeout_s=self.lease_timeout_s
-        )
+    LABEL = "ann index"
 
     @property
     def _vectors_path(self) -> str:
@@ -812,7 +801,17 @@ class AnnIndex:
             return None
         t = self._tombstones()
         n_tomb = t.count() if t is not None else 0
-        n_rows = self.spark.read.parquet(self._vectors_path).count()
+        # denominator = LIVE ids (latest version per vec_id), not stored
+        # row versions: re-appended ids leave superseded copies across
+        # batches, and counting those inflates the denominator —
+        # understating the share and delaying the trigger exactly on
+        # the frequently-updated indexes that need it (r13 advice)
+        n_rows = (
+            self.spark.read.parquet(self._vectors_path)
+            .select("vec_id")
+            .distinct()
+            .count()
+        )
         share = n_tomb / n_rows if n_rows else 0.0
         if n_batches <= max_batches and share <= max_tombstone_share:
             return None
@@ -843,9 +842,21 @@ class AnnIndex:
         lost to the static overwrite."""
         from propulsion_spark.operators.similarity import _CENTROID_SCALE
 
+        from propulsion_spark.pipelines.fencing import index_lease_pair
         from propulsion_spark.pipelines.lineage import record_fold
 
-        with self._fenced():
+        target = AnnIndex(self.spark, dest) if dest else self
+        # successor builds (dest=) hold BOTH roots' leases (sorted-path
+        # order — r13 advice): the dest's codebook/vectors/fold marker
+        # are written here, so concurrent mutators of the dest path
+        # serialize against the build instead of interleaving with it
+        with index_lease_pair(
+            self.path,
+            self.lease_counters,
+            target.path,
+            target.lease_counters,
+            timeout_s=self.lease_timeout_s,
+        ):
             stored = self.spark.read.parquet(self._vectors_path)
             # the rebuild absorbs every batch up to this watermark;
             # recorded so an at-least-once replay of one of them
@@ -873,12 +884,19 @@ class AnnIndex:
                 )
                 .withColumnRenamed("cell", "label")
             )
-            target = AnnIndex(self.spark, dest) if dest else self
             if dest is None:
                 # in-place: pin both reads to blocks before the overwrite
                 codebook = codebook.localCheckpoint(eager=True)
                 cur = cur.localCheckpoint(eager=True)
             codebook = codebook.persist()
+            # MARKER BEFORE the rebuild's overwrites (r13 advice): a
+            # crash between marker and overwrite leaves the batch
+            # partitions intact but already watermarked — replays
+            # no-op (their dynamic rewrite would be a content no-op
+            # anyway) and the next reindex redoes the fold. The
+            # reverse order left a window where folded vectors had no
+            # replay guard → duplicate serving rows.
+            record_fold(self.spark, target.path, fold_wm)
             codebook.write.mode("overwrite").parquet(target._codebook_path)
             target._assign_and_write(
                 cur.select("vec_id", "embedding"), codebook, mode="overwrite"
@@ -893,7 +911,6 @@ class AnnIndex:
             # clean because its path never had tombstones — but SELF keeps
             # both its vectors and its tombstones untouched: it serves
             # until the cutover, and masking must keep working there.
-            record_fold(self.spark, target.path, fold_wm)
             if dest is None:
                 from propulsion_spark.fsio import fs_delete
 

@@ -70,19 +70,24 @@ from propulsion_spark.operators.dedup import (
     BAND_DEFS,
 )
 from propulsion_spark.operators.textops import REP_THRESHOLD, TRAIN_PCT, VAL_PCT, _toks
+from propulsion_spark.pipelines.registry import FencedStoreLifecycle
 
 
-class _DeltaRegistry:
+class _DeltaRegistry(FencedStoreLifecycle):
     """Append-then-compact keyed registry — the PositionsTable shape
     (SURVEY §2.4 W8 store mapping) for curation state: each register()
     writes ONLY the batch's rows as a delta segment (O(batch) — a full
     rewrite per batch would make ingest cost grow with everything ever
     seen), reads resolve base+deltas with the subclass's fold, and the
     segment log folds into one base every ``compact_after`` registers
-    (amortized O(table / compact_after)). Manifest flips are atomic and
-    lease-fenced (FileLease) so two drivers sharing a curated store
-    cannot interleave commits."""
+    (amortized O(table / compact_after)). Manifest flips are atomic
+    and fenced; the fence itself (r14) is the shared
+    :meth:`FencedStoreLifecycle._fenced` — POSIX FileLease locally,
+    HadoopLease on hdfs-class roots, with lease-liveness counters —
+    so two drivers sharing a curated store cannot interleave commits
+    and the lock discipline cannot drift from the other registries'."""
 
+    LABEL = "delta registry"
     #: subclasses set: DDL schema string and column list
     SCHEMA = ""
     COLS: list[str] = []
@@ -99,14 +104,18 @@ class _DeltaRegistry:
     #: resolve across segments
     RESOLVE_DELTAS = True
 
-    def __init__(self, spark: SparkSession, path: str, compact_after: int = 8):
-        from propulsion_spark.streaming.mvcc import FileLease, JsonManifest
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        compact_after: int = 8,
+        n_buckets: "int | None" = None,
+    ):
+        from propulsion_spark.streaming.mvcc import JsonManifest
 
-        self.spark = spark
-        self.path = path
+        super().__init__(spark, path, n_buckets=n_buckets)
         self.compact_after = compact_after
         self.manifest = JsonManifest(path)
-        self._FileLease = FileLease
         self._write_lock = threading.Lock()
         os.makedirs(path, exist_ok=True)
 
@@ -171,10 +180,16 @@ class _DeltaRegistry:
         ):
             out.write.mode("overwrite").parquet(dest)
 
+    def _persist_layout(self) -> None:
+        """Hook: runs inside the register lease before the delta write.
+        Subclasses with a persisted partition layout (the bucketed
+        keeper registry) record the fan-out that shapes it here."""
+
     def register(self, novel: DataFrame) -> None:
-        with self._write_lock, self._FileLease(self.path) as lease:
+        with self._write_lock, self._fenced() as lease:
             self.manifest.fence = lease
             try:
+                self._persist_layout()
                 segs = self.manifest.load([])
                 delta = f"d-{uuid.uuid4().hex}"
                 self._write_segment(

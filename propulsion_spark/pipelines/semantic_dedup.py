@@ -61,19 +61,56 @@ class _SemVecTable(_DeltaRegistry):
     SCHEMA = "cell long, keeper long, embedding array<float>, nrm double"
     COLS = ["cell", "keeper", "embedding", "nrm"]
     PARTITION_BY = ["_bkt"]
-    N_BUCKETS = 16
+    #: DEFAULT fan-out for NEW registries; an existing registry's value
+    #: is persisted in its root (store_meta — r13 verdict #1: a changed
+    #: constant over an existing layout silently skips keeper rows on
+    #: the pruned scan) and validated on open (the
+    #: FencedStoreLifecycle fan-out machinery — N_BUCKETS kept as the
+    #: historical alias)
+    DEFAULT_BUCKETS = N_BUCKETS = 16
+    LABEL = "semdedup keeper registry"
     # register() inputs are one row per SURVIVING keeper (unique by
     # construction — survivors carry distinct vec_ids), so the delta
     # write skips the defensive dedup shuffle; replays still resolve
     # away at read/compaction time via dropDuplicates across segments
     RESOLVE_DELTAS = False
 
+    def _persist_layout(self) -> None:
+        self._ensure_fanout()
+
+    def rebucket(self, n_buckets: int) -> None:
+        """Rewrite the registry under a new fan-out — the sanctioned
+        fan-out change (SCALE.md's knob), fenced like every other
+        manifest flip: read-all → flip meta → one new base segment in
+        the new layout → manifest flip. The meta/flip pair is not
+        atomic: a crash between them is repaired by re-running, and a
+        concurrent PRUNED read inside that window routes its bucket
+        list by the new meta over the old segments — run rebucket in
+        a maintenance window, like the other stores' in-place
+        compaction (UNPRUNED reads resolve correctly throughout)."""
+        import uuid as _uuid
+
+        with self._write_lock, self._fenced() as lease:
+            self.manifest.fence = lease
+            try:
+                segs = self.manifest.load([])
+                self._set_fanout(int(n_buckets))
+                if not segs:
+                    return
+                base = f"v-{_uuid.uuid4().hex}"
+                self._write_segment(
+                    self._read_segments(segs).drop(*self.PARTITION_BY), base
+                )
+                self.manifest.flip([base])
+            finally:
+                self.manifest.fence = None
+
     def _resolve(self, df: DataFrame) -> DataFrame:
         return df.dropDuplicates(["cell", "keeper"])
 
     def _with_partitions(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
-            "_bkt", (F.col("cell") % self.N_BUCKETS).cast("int")
+            "_bkt", (F.col("cell") % self.n_buckets()).cast("int")
         )
 
     def read_buckets(self, buckets: "list[int]") -> DataFrame:
@@ -123,6 +160,7 @@ class SemDedupStream:
         emb_col: str = "embedding",
         compact_after: int = 8,
         int8_registry: bool = False,
+        n_buckets: "int | None" = None,
     ):
         from propulsion_spark.operators.similarity import SEMDEDUP_COS
 
@@ -130,7 +168,8 @@ class SemDedupStream:
         self.int8_registry = bool(int8_registry)
         table_cls = _SemVecInt8Table if int8_registry else _SemVecTable
         self.registry = table_cls(
-            spark, registry_path, compact_after=compact_after
+            spark, registry_path, compact_after=compact_after,
+            n_buckets=n_buckets,
         )
         # freeze the codebook for the stream's life: small (cells×dims),
         # lineage cut so no batch re-runs the seed aggregation
@@ -187,10 +226,13 @@ class SemDedupStream:
             # class as the codebook read): a batch touching one cell
             # reads one bucket subdir per segment, never the registry.
             if self.registry.manifest.load([]):
+                # route by the registry's PERSISTED fan-out (store_meta)
+                # — a module constant here would mis-prune an existing
+                # registry built at a different fan-out
                 batch_buckets = [
                     r[0]
                     for r in framed.select(
-                        (F.col("cell") % _SemVecTable.N_BUCKETS)
+                        (F.col("cell") % self.registry.n_buckets())
                         .cast("int")
                         .alias("b")
                     )

@@ -1,0 +1,136 @@
+"""Persisted layout parameters for the bucketed stores.
+
+The gram registry (``streaming/substring_dedup.py``), the lexical
+postings (``pipelines/lexical_index.py``) and the SemDedup keeper
+registry (``pipelines/semantic_dedup.py``) all partition by a hash
+bucket ``h % n_buckets`` and PRUNE every read to the buckets a batch
+or query touches. Until r14 the fan-out lived in a module constant
+baked into both the write path and the pruned read path — and
+docs/SCALE.md explicitly tells operators to RAISE it with corpus
+size. Re-opening an existing store with a changed constant silently
+mis-prunes: query terms route to the wrong postings partition
+(missing results), gram totals under-count (missed masks), keeper
+scans miss registry rows — wrong answers, no error anywhere (the r13
+verdict's #1).
+
+So the fan-out is now data, not code: written into the store root at
+build/first-append time, read back on open, and every bucket
+expression routes through the STORED value. Changing the fan-out is
+a REBUCKET, which only the fenced ``compact()`` / ``rebucket()`` may
+perform (it rewrites every partition anyway); opening with a
+conflicting explicit value raises instead of mis-pruning. A legacy
+store with no meta file resolves to the module default it was built
+with — the defaults are frozen.
+
+Storage: one tiny JSON file (``layout_meta.json``) written through
+the Hadoop ``FileSystem`` API (``fsio``) — control-plane reads and
+writes are DRIVER-side filesystem calls (~ms), never Spark jobs
+(the first cut used a one-row parquet; at one validating read per
+micro-batch the fixed job overhead showed up as whole seconds per
+stream pipeline in bench). All writes happen under the store's
+mutation lease; the 30-byte single-block write makes torn files a
+non-concern in practice, and a torn/unparseable file raises rather
+than silently defaulting.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession
+
+_META = "layout_meta.json"
+
+
+def _meta_path(store_path: str) -> str:
+    return store_path.rstrip("/") + "/" + _META
+
+
+def read_fanout(spark: SparkSession, store_path: str) -> "int | None":
+    """The persisted bucket fan-out, or None when the store predates
+    the meta file (legacy) or was never written. Only a MISSING file
+    maps to None — an unparseable one raises (silently defaulting on
+    a corrupt meta would mis-prune)."""
+    from propulsion_spark.fsio import fs_read_small
+
+    line = fs_read_small(spark, _meta_path(store_path))
+    if line is None:
+        return None
+    return int(json.loads(line)["n_buckets"])
+
+
+def write_fanout(spark: SparkSession, store_path: str, n_buckets: int) -> None:
+    """Persist the fan-out (one JSON line at the store root; a
+    driver-side Hadoop FS write, no Spark job). Caller holds the
+    store's mutation lease — this rides inside the same fenced write
+    paths that create the bucketed data."""
+    from propulsion_spark.fsio import _fs_and_path
+
+    fs, jpath = _fs_and_path(spark, _meta_path(store_path))
+    out = fs.create(jpath, True)
+    try:
+        out.write(
+            bytearray(
+                (json.dumps({"n_buckets": int(n_buckets)}) + "\n").encode()
+            )
+        )
+    finally:
+        out.close()
+
+
+def resolve_fanout(
+    spark: SparkSession,
+    store_path: str,
+    requested: "int | None",
+    default: int,
+    store_label: str,
+) -> int:
+    """The fan-out this open must use: the STORED value when the store
+    exists (the write path shaped the partitions with it), else the
+    caller's ``requested`` (or the module default). An explicit
+    ``requested`` that CONFLICTS with the stored value raises — the
+    silent alternative is routing reads to the wrong partitions; the
+    sanctioned way to change fan-out is the fenced rebucketing
+    ``compact(n_buckets=...)`` / ``rebucket()``."""
+    stored = read_fanout(spark, store_path)
+    if stored is None:
+        return int(requested) if requested is not None else int(default)
+    if requested is not None and int(requested) != stored:
+        raise ValueError(
+            f"{store_label} at {store_path} was built with "
+            f"n_buckets={stored} but opened with n_buckets={requested}; "
+            f"a changed fan-out re-routes every pruned read to the "
+            f"wrong partitions. Re-bucket via the fenced compact/"
+            f"rebucket instead."
+        )
+    return stored
+
+
+def ensure_fanout(
+    spark: SparkSession,
+    store_path: str,
+    requested: "int | None",
+    default: int,
+    store_label: str,
+) -> int:
+    """:func:`resolve_fanout` + persist-on-first-write: called from the
+    fenced write paths, so the first batch that shapes the partition
+    layout also records the fan-out that shaped it (and every later
+    mutation re-validates against the stored value — a ~ms driver-side
+    read). A legacy store (data but no meta) gets the frozen module
+    default written — the value its partitions were in fact built
+    with."""
+    stored = read_fanout(spark, store_path)
+    if stored is None:
+        n = int(requested) if requested is not None else int(default)
+        write_fanout(spark, store_path, n)
+        return n
+    if requested is not None and int(requested) != stored:
+        raise ValueError(
+            f"{store_label} at {store_path} was built with "
+            f"n_buckets={stored} but opened with n_buckets={requested}; "
+            f"a changed fan-out re-routes every pruned read to the "
+            f"wrong partitions. Re-bucket via the fenced compact/"
+            f"rebucket instead."
+        )
+    return stored

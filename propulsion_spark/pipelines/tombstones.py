@@ -50,6 +50,8 @@ def tombstone_delete(
     already there — the r12 judge's mixed-discipline hazard, closed
     by construction. Replays stay idempotent: the union of a
     partition with its own ids is itself."""
+    from propulsion_spark.pipelines.registry import fold_in
+
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame(
             [(int(v),) for v in ids], f"{id_col} long"
@@ -62,39 +64,16 @@ def tombstone_delete(
         F.col(id_col).cast("long"),
         F.lit(int(batch_id)).cast("long").alias("_del_batch_id"),
     )
-    existing = tombstone_partition(
-        spark, tombstones_path, id_col, int(batch_id)
-    )
-    if existing is not None:
-        # pin to blocks before overwriting the files being read
-        rows = (
-            rows.unionByName(existing)
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-    (
-        rows.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_del_batch_id")
-        .parquet(tombstones_path)
+    # union-fold of the one target partition via the shared kernel
+    # (pipelines/registry.py): existing rows union in, distinct folds
+    # replays away, the result pins to blocks before the dynamic
+    # overwrite of the partition it was read from
+    fold_in(
+        spark,
+        tombstones_path,
+        rows,
+        partition_by="_del_batch_id",
+        partition_value=int(batch_id),
     )
 
 
-def tombstone_partition(
-    spark: SparkSession, tombstones_path: str, id_col: str, batch_id: int
-) -> "DataFrame | None":
-    """Existing rows of ONE tombstone partition (None when the table or
-    the partition doesn't exist) — the bounded read side of the
-    default-batch read-union-rewrite. Only the missing-path case maps
-    to None; a genuine read failure propagates (the `_load_pq` rule)."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        t = spark.read.parquet(tombstones_path)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return None
-        raise
-    return t.filter(F.col("_del_batch_id") == batch_id).select(
-        F.col(id_col), F.col("_del_batch_id")
-    )

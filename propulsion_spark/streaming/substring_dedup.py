@@ -55,37 +55,36 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: gram-hash buckets: the registry's partition fan-out (a small batch
+from propulsion_spark.pipelines.registry import FencedStoreLifecycle
+
+#: DEFAULT gram-hash bucket fan-out for NEW registries (a small batch
 #: touching few buckets prunes its totals read; compaction and the
-#: totals aggregation shuffle on a bounded key space)
+#: totals aggregation shuffle on a bounded key space). The value an
+#: EXISTING registry uses is persisted in its root (store_meta — the
+#: r13 verdict's #1: a changed constant over an existing layout
+#: silently mis-prunes); raise it per-registry at build time or via
+#: the fenced ``compact(n_buckets=...)`` rebucket.
 N_BUCKETS = 16
 
 
-class GramRegistry:
+class GramRegistry(FencedStoreLifecycle):
     """Durable cross-batch gram-count table with the serving-index
-    lifecycle: fenced mutations, per-batch idempotent appends, fold
-    watermark, ``auto_compact`` policy."""
+    lifecycle (fenced mutations, per-batch idempotent appends, fold
+    ledger, ``auto_compact`` policy, persisted fan-out) — the control
+    plane rides :class:`~propulsion_spark.pipelines.registry.
+    FencedStoreLifecycle` (r14, single-sourced); this class owns the
+    sum-fold storage discipline only."""
 
-    def __init__(self, spark: SparkSession, path: str):
-        self.spark = spark
-        self.path = path
-        self.lease_counters = {"heartbeats": 0, "steals": 0, "lost": 0}
-        self.lease_timeout_s = 60.0
-
-    def _fenced(self):
-        from propulsion_spark.pipelines.fencing import index_lease
-
-        return index_lease(
-            self.path, self.lease_counters, timeout_s=self.lease_timeout_s
-        )
+    LABEL = "gram registry"
+    DEFAULT_BUCKETS = N_BUCKETS
 
     @property
     def _counts_path(self) -> str:
         return os.path.join(self.path, "gram_counts")
 
     @staticmethod
-    def _bkt():
-        return F.pmod(F.col("gh"), F.lit(N_BUCKETS)).cast("int")
+    def _bkt(n: int):
+        return F.pmod(F.col("gh"), F.lit(int(n))).cast("int")
 
     def append_counts(self, counts: DataFrame, batch_id: int) -> None:
         """Add one batch's per-gram aggregates
@@ -108,12 +107,15 @@ class GramRegistry:
         with self._fenced():
             if is_folded_id(self.spark, self.path, batch_id):
                 return
+            # first write persists the fan-out that shapes the layout;
+            # later opens validate against it (store_meta)
+            n = self._ensure_fanout()
             (
                 counts.select(
                     "gh", "gh2", "cnt", "first_doc", "first_start"
                 )
                 .withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
-                .withColumn("_bkt", self._bkt())
+                .withColumn("_bkt", self._bkt(n))
                 .repartition("_bkt")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -166,16 +168,25 @@ class GramRegistry:
             return 0
         return raw.select("_batch_id").distinct().count()
 
-    def compact(self) -> None:
+    def compact(self, n_buckets: "int | None" = None) -> None:
         """Fold every batch partition into one aggregated
         ``_batch_id=0`` generation (fenced; the fold LEDGER refuses
-        later replays of the folded batches)."""
+        later replays of the folded batches). ``n_buckets`` REBUCKETS
+        the fold — the only sanctioned way to change the fan-out
+        (SCALE.md's "raise N_BUCKETS with corpus size" knob): the fold
+        rewrites every partition anyway, and the persisted layout meta
+        flips with it, so later opens route reads correctly. The
+        meta-then-overwrite pair is not atomic (neither is the static
+        overwrite itself); a compact that crashed between them is
+        repaired by re-running compact — unpruned totals stay correct
+        throughout."""
         from propulsion_spark.pipelines.lineage import record_folded_ids
 
         with self._fenced():
             raw = self._read()
             if raw is None:
                 return
+            n = int(n_buckets) if n_buckets is not None else self.n_buckets()
             # exactly the ids this fold absorbs (bounded by the
             # compaction cadence; generation 0 is the previous fold,
             # refreshed in place, never a replayable batch)
@@ -187,9 +198,17 @@ class GramRegistry:
             folded = (
                 self.totals()
                 .withColumn("_batch_id", F.lit(0).cast("long"))
-                .withColumn("_bkt", self._bkt())
+                .withColumn("_bkt", self._bkt(n))
                 .localCheckpoint(eager=True)  # pin before the overwrite
             )
+            # LEDGER FIRST, overwrite second (r13 advice): a crash
+            # between the two leaves the batch partitions intact but
+            # already ledgered — a replay no-ops (its rewrite would be
+            # a content no-op anyway) and the NEXT compact simply
+            # redoes the fold. The reverse order left a window where
+            # folded data had no replay guard → double-counted grams.
+            record_folded_ids(self.spark, self.path, folded_ids)
+            self._set_fanout(n)
             (
                 folded.repartition("_bkt")
                 .write.mode("overwrite")
@@ -197,16 +216,8 @@ class GramRegistry:
                 .partitionBy("_batch_id", "_bkt")
                 .parquet(self._counts_path)
             )
-            record_folded_ids(self.spark, self.path, folded_ids)
 
-    def auto_compact(self, max_batches: int = 16) -> "dict | None":
-        """The serving-index maintenance policy: no-op at or below
-        ``max_batches``, one fenced fold past it."""
-        n = self.n_batches()
-        if n == 0 or n <= max_batches:
-            return None
-        self.compact()
-        return {"n_batches_before": n, "n_batches_after": self.n_batches()}
+    # auto_compact: the FencedStoreLifecycle template (no extra gauges)
 
 
 class SubstrDedupStream:
@@ -223,22 +234,46 @@ class SubstrDedupStream:
         n: int = 8,
         min_dup: int = 2,
         auto_compact: "dict | None" = None,
+        n_buckets: "int | None" = None,
     ):
         self.spark = spark
-        self.registry = GramRegistry(spark, registry_path)
+        self.registry = GramRegistry(spark, registry_path, n_buckets=n_buckets)
         self.n = int(n)
         self.min_dup = int(min_dup)
         self.auto_compact = auto_compact
-        self.stats = {"seen": 0, "masked_docs": 0, "masked_tokens": 0}
+        #: ``mask_debt`` gauges the greedy prefix's divergence from the
+        #: batch operator (r13 verdict #3): occurrences EMITTED
+        #: UNMASKED in earlier batches whose gram only later crossed
+        #: ``min_dup`` — batch semantics would have masked them.
+        #: Accrued exactly at each gram's crossing batch (pre-batch
+        #: cnt < min_dup ≤ post-batch cnt): every earlier occurrence
+        #: is debt except the corpus-canonical one when it lies in an
+        #: earlier batch. In-memory monitoring counters (exported by
+        #: ``register_substr_dedup``), not durable state — a replayed
+        #: batch re-counts, like the other stages. Nonzero debt is the
+        #: signal to schedule :meth:`retro_mask`.
+        self.stats = {
+            "seen": 0,
+            "masked_docs": 0,
+            "masked_tokens": 0,
+            "mask_debt": 0,
+        }
 
     def process_batch(self, df: DataFrame, batch_id: int = 1) -> DataFrame:
         """One micro-batch: gram pass → register this batch's counts →
         score the batch against the post-registration totals → mask.
 
-        Register-then-read makes replays exactly deterministic: a
-        replayed batch's registration no-ops (same partition rewrite,
-        or the fold watermark), so it scores against the SAME totals
-        and emits the SAME masked rows."""
+        Register-then-read makes the STREAM-REPLAY case exactly
+        deterministic: foreachBatch only ever replays the last
+        uncommitted micro-batch, whose registration no-ops (same
+        partition rewrite, or the fold ledger), so it scores against
+        the SAME totals and emits the SAME masked rows. A
+        content-derived batch id REDELIVERED after later batches have
+        appended (the CurationPipeline case) also no-ops on
+        registration but reads GROWN totals — it may mask MORE rows
+        than the original run: the greedy keep_first drift
+        (semantically safe — masking more duplicates never
+        resurrects one — but not bit-identical)."""
         from propulsion_spark.operators.substring_dedup import (
             _gram_hits,
             coalesce_spans,
@@ -260,20 +295,76 @@ class SubstrDedupStream:
             )
             self.registry.append_counts(counts, batch_id)
             # totals read the WRITTEN registry (this batch included),
-            # pruned to the batch's gram buckets — ≤ N_BUCKETS ints of
-            # driver control plane
+            # pruned to the batch's gram buckets — ≤ n_buckets ints of
+            # driver control plane. The fan-out comes from the
+            # registry's PERSISTED layout (store_meta), never a module
+            # constant: a mismatch would route the pruned read to the
+            # wrong partitions (missed masks, no error).
+            nb = self.registry.n_buckets()
             buckets = [
                 r["b"]
                 for r in grams.select(
-                    F.pmod(F.col("gh"), F.lit(N_BUCKETS))
+                    F.pmod(F.col("gh"), F.lit(nb))
                     .cast("int")
                     .alias("b")
                 )
                 .distinct()
                 .collect()
             ]
-            dup = self.registry.totals(buckets).filter(
-                F.col("cnt") >= self.min_dup
+            tot = self.registry.totals(buckets)
+            # mask-debt delta (r13 verdict #3): for this batch's
+            # grams, pre-batch count = post-fold count − batch count,
+            # and the post-fold canonical equals the batch's own first
+            # iff the canonical lies IN this batch. Two debt sources:
+            # (1) a gram CROSSING min_dup here has pre_cnt earlier
+            #     occurrences emitted unmasked — all debt except the
+            #     corpus-canonical one when it stayed in an earlier
+            #     batch (post-fold first < the batch's first);
+            # (2) a gram already past min_dup whose canonical MOVES
+            #     into this batch (a smaller (doc_id, start) arrived
+            #     late): the previously-kept canonical is now
+            #     non-canonical yet unmasked — one more debt.
+            # One extra small agg over the batch's gram set — the
+            # totals read is already in hand.
+            # persisted: the DUPLICATED-gram subset feeds BOTH the
+            # debt gauge and the masking join — without the cache the
+            # registry scan+agg would run twice per batch. dup, not
+            # tot: caching the full unfiltered totals materializes
+            # O(batch distinct grams) rows no consumer needs
+            dup = tot.filter(F.col("cnt") >= self.min_dup).persist()
+            pre = F.col("cnt") - F.col("_bcnt")
+            post_first = F.struct("first_doc", "first_start")
+            # joined against DUP, not the full totals: every
+            # debt-contributing gram has post-fold cnt ≥ min_dup
+            # (crossing by definition; a moved canonical implies
+            # pre ≥ min_dup ≤ post), so the join side is the small
+            # duplicated-gram set, not O(batch distinct grams)
+            debt_df = (
+                counts.select(
+                    "gh",
+                    "gh2",
+                    F.col("cnt").alias("_bcnt"),
+                    F.struct("first_doc", "first_start").alias("_bfirst"),
+                )
+                .join(dup, ["gh", "gh2"])
+                .select(
+                    F.sum(
+                        F.when(
+                            (F.col("cnt") >= self.min_dup)
+                            & (pre < self.min_dup),
+                            pre
+                            - F.when(
+                                post_first < F.col("_bfirst"), F.lit(1)
+                            ).otherwise(F.lit(0)),
+                        )
+                        .when(
+                            (pre >= self.min_dup)
+                            & (post_first == F.col("_bfirst")),
+                            F.lit(1),
+                        )
+                        .otherwise(F.lit(0))
+                    ).alias("debt")
+                )
             )
             hits = (
                 grams.join(dup, ["gh", "gh2"])
@@ -288,14 +379,25 @@ class SubstrDedupStream:
             out = mask_spans(
                 docs, coalesce_spans(hits, self.n)
             ).localCheckpoint(eager=True)
-            agg = out.agg(
-                F.count("*").alias("n"),
-                F.count_if(F.col("n_masked_tokens") > 0).alias("m"),
-                F.sum("n_masked_tokens").alias("tok"),
-            ).collect()[0]
+            # ONE action for all per-batch gauges: the doc-level stats
+            # over the pinned output crossJoin the 1-row debt aggregate
+            # (a broadcast-scalar crossJoin, the repo's documented
+            # shape) — a separate debt collect was one extra Spark job
+            # per micro-batch, measurable at bench scale
+            agg = (
+                out.agg(
+                    F.count("*").alias("n"),
+                    F.count_if(F.col("n_masked_tokens") > 0).alias("m"),
+                    F.sum("n_masked_tokens").alias("tok"),
+                )
+                .crossJoin(debt_df)
+                .collect()[0]
+            )
             self.stats["seen"] += agg["n"]
             self.stats["masked_docs"] += agg["m"] or 0
             self.stats["masked_tokens"] += agg["tok"] or 0
+            self.stats["mask_debt"] += int(agg["debt"] or 0)
+            dup.unpersist()  # out is pinned; the small cache can go
             if self.auto_compact is not None:
                 # safe here: `out` is already pinned to blocks, so the
                 # registry fold can't invalidate its lineage; every
@@ -305,6 +407,68 @@ class SubstrDedupStream:
             return out
         finally:
             grams.unpersist()
+
+    def retro_mask(self, out_path: str) -> "dict":
+        """Repair pass for the greedy prefix's mask debt (r13 verdict
+        #3): re-mask the ALREADY-EMITTED output at ``out_path``
+        against the FINAL registry, in place. The registry's min-folded
+        totals are exactly the batch operator's per-gram aggregate
+        over everything ever processed, so the rewritten output is
+        ``mask_repeated_ngrams(union, keep_first=True, n, min_dup)``
+        row for row REGARDLESS of arrival order or ``min_dup`` (pinned
+        by test on a shuffled-arrival corpus) — the occurrences the
+        stream emitted before their gram crossed the threshold get
+        their mask here. One bounded batch job: a gram pass over the
+        emitted docs + one join against the registry totals + the
+        shared span/mask kernels; cost is the batch operator's, not
+        the stream's. Returns the masked-token delta."""
+        from propulsion_spark.operators.substring_dedup import (
+            _gram_hits,
+            coalesce_spans,
+            mask_spans,
+        )
+
+        emitted = self.spark.read.parquet(out_path)
+        docs = emitted.select("doc_id", "text")
+        grams = _gram_hits(docs, self.n)
+        dup = self.registry.totals().filter(F.col("cnt") >= self.min_dup)
+        hits = (
+            grams.join(dup, ["gh", "gh2"])
+            .filter(
+                ~(
+                    (F.col("doc_id") == F.col("first_doc"))
+                    & (F.col("start") == F.col("first_start"))
+                )
+            )
+            .select("doc_id", "start")
+        )
+        out = (
+            mask_spans(docs, coalesce_spans(hits, self.n))
+            .join(emitted.select("doc_id", "_batch_id"), "doc_id")
+            # pin to blocks: the rewrite overwrites the path it reads
+            .localCheckpoint(eager=True)
+        )
+        delta = out.join(
+            emitted.select(
+                "doc_id", F.col("n_masked_tokens").alias("_was")
+            ),
+            "doc_id",
+        ).agg(
+            F.sum(F.col("n_masked_tokens") - F.col("_was")).alias("d"),
+            F.count_if(
+                F.col("n_masked_tokens") > F.col("_was")
+            ).alias("docs"),
+        ).collect()[0]
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+        return {
+            "repaired_docs": int(delta["docs"] or 0),
+            "masked_token_delta": int(delta["d"] or 0),
+        }
 
     def run_batch(self, df: DataFrame, batch_id: int, out_path: str) -> None:
         # an empty micro-batch writes NOTHING (the repo's zero-row
