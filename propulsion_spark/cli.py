@@ -464,7 +464,39 @@ def cmd_substr(args) -> int:
         mask_repeated_ngrams,
     )
 
+    if not getattr(args, "repair", False) and not args.src:
+        print(json.dumps({"error": "--src is required (except with --repair)"}))
+        return 2
     spark = get_spark("propulsion-substr")
+    if getattr(args, "repair", False):
+        # retro-mask a --follow run's emitted output against the FINAL
+        # gram registry ({out}_state): pays back the streaming greedy
+        # prefix's mask debt — occurrences emitted before their gram
+        # crossed --min-dup, and canonicals dethroned by late smaller
+        # doc ids — converging the output to the batch operator's
+        # keep_first answer exactly (pinned by test). Bounded batch
+        # job; idempotent.
+        from propulsion_spark.streaming.substring_dedup import (
+            SubstrDedupStream,
+        )
+
+        base = args.out.rstrip("/")
+        pipe = SubstrDedupStream(
+            spark, base + "_state", n=args.n, min_dup=args.min_dup
+        )
+        rep = pipe.retro_mask(args.out)
+        print(
+            json.dumps(
+                {
+                    "repaired": args.out,
+                    "n": args.n,
+                    "min_dup": args.min_dup,
+                    **rep,
+                }
+            )
+        )
+        spark.stop()
+        return 0
     if getattr(args, "follow", False):
         # streaming twin: cross-batch gram registry at {out}_state,
         # replay-idempotent masked output partitioned by _batch_id.
@@ -1813,7 +1845,10 @@ def main(argv=None) -> int:
         help="exact repeated-substring dedup: mask duplicated n-gram "
         "spans (ExactSubstr) and write the masked corpus",
     )
-    su.add_argument("--src", required=True, help="corpus parquet dir")
+    su.add_argument(
+        "--src", default=None,
+        help="corpus parquet dir (required except with --repair)",
+    )
     su.add_argument("--out", required=True, help="masked output dir")
     su.add_argument("--n", type=int, default=8, help="gram length (tokens)")
     su.add_argument(
@@ -1830,6 +1865,13 @@ def main(argv=None) -> int:
         help="streaming twin: ingest --src incrementally, masking "
         "against the durable cross-batch gram registry at "
         "{out}_state (keep_first semantics; replay-idempotent)",
+    )
+    su.add_argument(
+        "--repair", action="store_true",
+        help="retro-mask a --follow run's output at --out against its "
+        "final gram registry: pays back the streaming mask debt "
+        "(the mask_debt gauge), converging to the batch keep_first "
+        "answer; bounded and idempotent",
     )
     su.set_defaults(fn=cmd_substr)
 

@@ -624,3 +624,44 @@ class TestHadoopLease:
         assert sum(
             "NOT lease-fenced" in r.message for r in caplog.records
         ) == 3
+
+
+class TestCliSubstrRepair:
+    def test_repair_verb_pays_back_mask_debt(self, spark, tmp_path):
+        """`substr --repair` drives retro_mask over a --follow-shaped
+        output dir + {out}_state registry — the operational path for
+        the mask_debt gauge."""
+        from test_cli import run_cli
+
+        from propulsion_spark.operators.substring_dedup import (
+            mask_repeated_ngrams,
+        )
+        from propulsion_spark.streaming.substring_dedup import (
+            SubstrDedupStream,
+        )
+
+        helper = TestMaskDebtAndRetroMask()
+        batches = helper._corpus(spark, [(30, 60), (0, 30)])
+        out = str(tmp_path / "masked")
+        pipe = SubstrDedupStream(spark, out + "_state", n=4)
+        for i, b in enumerate(batches):
+            pipe.run_batch(b, i + 1, out)
+        rep = run_cli("substr", "--repair", "--out", out, "--n", "4")
+        assert rep["repaired_docs"] >= 1
+        union = batches[0].unionByName(batches[1])
+        want = {
+            r["doc_id"]: r["masked_text"]
+            for r in mask_repeated_ngrams(
+                union, n=4, min_dup=2, keep_first=True
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: r["masked_text"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == want
+        # missing --src without --repair errors loudly
+        rep = run_cli(
+            "substr", "--out", out, expect_rc=2
+        )
+        assert "required" in rep["error"]
