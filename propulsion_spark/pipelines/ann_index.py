@@ -795,32 +795,31 @@ class AnnIndex(FencedStoreLifecycle):
         share of stored rows past ``max_tombstone_share`` (dead rows
         re-filtered on every probe). At-or-below both it is a NO-OP
         returning None; past either it runs ONE fenced in-place
-        reindex and returns the triggering gauges."""
-        n_batches = self.n_batches()
-        if n_batches == 0:
-            return None
-        t = self._tombstones()
-        n_tomb = t.count() if t is not None else 0
+        reindex and returns the triggering gauges. Rides the lifecycle
+        base's two-gauge template (r14) so the policy/report contract
+        cannot drift from the lexical index's."""
+
+        def n_tomb():
+            t = self._tombstones()
+            return t.count() if t is not None else 0
+
         # denominator = LIVE ids (latest version per vec_id), not stored
         # row versions: re-appended ids leave superseded copies across
         # batches, and counting those inflates the denominator —
         # understating the share and delaying the trigger exactly on
         # the frequently-updated indexes that need it (r13 advice)
-        n_rows = (
-            self.spark.read.parquet(self._vectors_path)
-            .select("vec_id")
-            .distinct()
-            .count()
+        return self._auto_compact_tombstoned(
+            max_batches,
+            max_tombstone_share,
+            n_tombstones=n_tomb,
+            n_live=lambda: (
+                self.spark.read.parquet(self._vectors_path)
+                .select("vec_id")
+                .distinct()
+                .count()
+            ),
+            fold=self.reindex,
         )
-        share = n_tomb / n_rows if n_rows else 0.0
-        if n_batches <= max_batches and share <= max_tombstone_share:
-            return None
-        self.reindex()
-        return {
-            "n_batches_before": n_batches,
-            "tombstone_share_before": share,
-            "n_batches_after": self.n_batches(),
-        }
 
     def reindex(self, dest: "str | None" = None) -> "AnnIndex":
         """Re-learn the codebook from the CURRENT stored vectors and

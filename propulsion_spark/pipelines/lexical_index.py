@@ -499,22 +499,23 @@ class LexicalIndex(FencedStoreLifecycle):
         safely with live ``stream_into`` appends) and returns the
         triggering gauges. Wired into ``stream_into`` via
         ``auto_compact=`` and the CLI's ``lex compact --max-batches /
-        --max-tombstone-share`` flags."""
-        n_batches = self.n_batches()
-        if n_batches == 0:
-            return None
-        t = self.tombstones()
-        n_tomb = t.count() if t is not None else 0
-        n_docs, _ = self.stats()  # still counts tombstoned docs
-        share = n_tomb / n_docs if n_docs else 0.0
-        if n_batches <= max_batches and share <= max_tombstone_share:
-            return None
-        self.compact()
-        return {
-            "n_batches_before": n_batches,
-            "tombstone_share_before": share,
-            "n_batches_after": self.n_batches(),
-        }
+        --max-tombstone-share`` flags. Rides the lifecycle base's
+        two-gauge template (r14) so the policy/report contract cannot
+        drift from the ANN index's."""
+
+        def n_tomb():
+            t = self.tombstones()
+            return t.count() if t is not None else 0
+
+        return self._auto_compact_tombstoned(
+            max_batches,
+            max_tombstone_share,
+            n_tombstones=n_tomb,
+            # stats() still counts tombstoned docs until compact —
+            # the Lucene deleted-docs model the delete docstring pins
+            n_live=lambda: self.stats()[0],
+            fold=self.compact,
+        )
 
     def tombstones(self) -> "DataFrame | None":
         """``(doc_id, _del)`` with _del = the newest tombstone per doc,

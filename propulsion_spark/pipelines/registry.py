@@ -142,6 +142,40 @@ class FencedStoreLifecycle:
         self.compact()
         return {"n_batches_before": n, "n_batches_after": self.n_batches()}
 
+    def _auto_compact_tombstoned(
+        self,
+        max_batches: int,
+        max_tombstone_share: float,
+        n_tombstones,
+        n_live,
+        fold,
+    ) -> "dict | None":
+        """Two-gauge variant of the template for the tombstoned
+        serving indexes (one implementation so the policy/report
+        contract cannot drift between them — the tombstones.py
+        rationale): fold when ``n_batches > max_batches``
+        (fragmentation / read amplification) OR tombstoned share of
+        live rows exceeds ``max_tombstone_share`` (the Lucene
+        deleted-docs drift). At-or-below both thresholds it is a NO-OP
+        returning None; past either it runs ONE fenced fold (the
+        ``fold`` callable — compact or reindex) and returns the
+        triggering gauges. ``n_tombstones``/``n_live`` are zero-arg
+        callables, so an empty index pays no counting jobs."""
+        n_batches = self.n_batches()
+        if n_batches == 0:
+            return None
+        n_tomb = n_tombstones()
+        live = n_live()
+        share = n_tomb / live if live else 0.0
+        if n_batches <= max_batches and share <= max_tombstone_share:
+            return None
+        fold()
+        return {
+            "n_batches_before": n_batches,
+            "tombstone_share_before": share,
+            "n_batches_after": self.n_batches(),
+        }
+
 
 def fold_in(
     spark: SparkSession,

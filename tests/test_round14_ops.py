@@ -665,3 +665,27 @@ class TestCliSubstrRepair:
             "substr", "--out", out, expect_rc=2
         )
         assert "required" in rep["error"]
+
+
+class TestHadoopLeaseHeartbeat:
+    def test_heartbeat_refreshes_mtime_and_blocks_steal(
+        self, spark, tmp_path
+    ):
+        """The setTimes heartbeat path: a live holder past ttl_s is
+        NEVER stolen (its mtime keeps moving), while the counter
+        proves the beat ran — the FileLease liveness contract over
+        the Hadoop API."""
+        import time
+
+        from propulsion_spark.fsio import HadoopLease
+
+        root = "file:" + str(tmp_path / "idx")
+        c = {"heartbeats": 0, "steals": 0, "lost": 0}
+        with HadoopLease(spark, root, ttl_s=0.8, counters=c) as held:
+            time.sleep(1.3)  # > ttl, > one tick (ttl/4 = 0.2s)
+            assert c["heartbeats"] >= 1
+            thief = HadoopLease(spark, root, ttl_s=0.8, timeout_s=1.2)
+            with pytest.raises(TimeoutError):
+                thief.__enter__()
+            assert held.owns()  # the live holder was never displaced
+        assert c["lost"] == 0
