@@ -451,6 +451,64 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_srccap(args) -> int:
+    """Per-source cap (RefinedWeb/Gopher domain-share bound): thin a
+    corpus so no source keeps more than ≈--cap docs — batch one-shot
+    (the oracle-attested residue rule), --follow (streaming over a
+    durable per-source count registry at {out}_state; monotone
+    threshold rule so later repair only DROPS), or --repair (converge
+    a finished --follow run's output to the batch answer under the
+    final counts). One JSON line, the shard/substr verb convention."""
+    from propulsion_spark import get_spark
+
+    if not getattr(args, "repair", False) and not args.src:
+        print(json.dumps({"error": "--src is required (except with --repair)"}))
+        return 2
+    spark = get_spark("propulsion-srccap")
+    base = args.out.rstrip("/")
+    if getattr(args, "repair", False):
+        from propulsion_spark.streaming.source_cap import CapPerSourceStream
+
+        pipe = CapPerSourceStream(spark, base + "_state", args.cap)
+        rep = pipe.retro_thin(args.out)
+        print(json.dumps({"repaired": args.out, "cap": args.cap, **rep}))
+        spark.stop()
+        return 0
+    if getattr(args, "follow", False):
+        from propulsion_spark.streaming.source_cap import CapPerSourceStream
+
+        pipe = CapPerSourceStream(
+            spark, base + "_state", args.cap,
+            auto_compact={"max_batches": 16},
+        )
+        stream = spark.readStream.schema(
+            spark.read.parquet(args.src).schema
+        ).parquet(args.src)
+        q = pipe.stream_into(stream, args.out, base + "_ckpt")
+        q.awaitTermination()
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "cap": args.cap,
+                    "semantics": "monotone threshold (run --repair to "
+                    "converge to the batch answer)",
+                    **pipe.stats,
+                }
+            )
+        )
+        spark.stop()
+        return 0
+    from propulsion_spark.operators.textops import cap_per_source
+
+    docs = spark.read.parquet(args.src)
+    cap_per_source(docs, args.cap).write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"out": args.out, "cap": args.cap, "kept": n}))
+    spark.stop()
+    return 0
+
+
 def cmd_substr(args) -> int:
     """Exact repeated-substring dedup (Lee et al. 2021 ExactSubstr as
     n-gram hashing, operators/substring_dedup.py): mask duplicated
@@ -1874,6 +1932,30 @@ def main(argv=None) -> int:
         "answer; bounded and idempotent",
     )
     su.set_defaults(fn=cmd_substr)
+
+    sc = sub.add_parser(
+        "srccap",
+        help="per-source cap: thin a corpus so no source keeps more "
+        "than ~N docs (RefinedWeb/Gopher domain-share bound)",
+    )
+    sc.add_argument(
+        "--src", default=None,
+        help="corpus parquet dir (required except with --repair)",
+    )
+    sc.add_argument("--out", required=True, help="thinned output dir")
+    sc.add_argument("--cap", type=int, default=10, help="docs kept per source")
+    sc.add_argument(
+        "--follow", action="store_true",
+        help="streaming twin: ingest --src incrementally against the "
+        "durable per-source count registry at {out}_state (monotone "
+        "threshold rule; early batches over-admit, --repair converges)",
+    )
+    sc.add_argument(
+        "--repair", action="store_true",
+        help="re-evaluate a --follow run's output under the FINAL "
+        "source counts and drop the early over-admissions; idempotent",
+    )
+    sc.set_defaults(fn=cmd_srccap)
 
     qu = sub.add_parser(
         "quality",

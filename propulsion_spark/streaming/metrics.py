@@ -177,6 +177,23 @@ class MetricsExporter:
             lambda: [({}, pipeline.registry.n_batches())],
         )
 
+    def register_source_cap(self, pipeline) -> "MetricsExporter":
+        """A :class:`~propulsion_spark.streaming.source_cap.
+        CapPerSourceStream`: per-stage counters
+        (``propulsion_source_cap_total{stage=...}`` — seen, admitted;
+        the over-admission debt is exact only at ``retro_thin`` time,
+        which reports it) plus the count registry's fragmentation
+        gauge and lease-liveness totals."""
+        self.register_gauge(
+            "propulsion_source_cap_total",
+            lambda: [({"stage": k}, v) for k, v in sorted(pipeline.stats.items())],
+        )
+        self._register_index_lease("source_count_registry", pipeline.registry)
+        return self.register_gauge(
+            "propulsion_source_cap_registry_batches",
+            lambda: [({}, pipeline.registry.n_batches())],
+        )
+
     def register_deltalite(self, name: str, log) -> "MetricsExporter":
         """A :class:`~propulsion_spark.streaming.deltalite.DeltaliteLog`:
         exports the log-health gauges an operator watches —

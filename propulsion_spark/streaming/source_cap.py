@@ -1,0 +1,338 @@
+"""Streaming (cross-batch) per-source cap — the micro-batch twin of
+``operators/textops.py::cap_per_source`` (the RefinedWeb/Gopher
+domain-share bound), completing the curation family's streaming-twin
+set: splits/mixture/epochs are pure per-doc functions and stream for
+free, but the cap is corpus-STATE-dependent by design (the keep rate
+for a source tightens as the source grows), so a continuous ingest
+needs a durable per-source count registry — this module.
+
+Rule — why the stream cannot reuse the batch operator's residue rule:
+``h % src_cnt < cap`` selects a DIFFERENT residue set at every count,
+so the admitted sets at successive counts are not nested — a doc
+rejected at N=1000 could be admitted under the final N=5000 rule, and
+a stream cannot resurrect a doc it already dropped. The streaming
+rule is the MONOTONE threshold form of the same bound:
+
+    admit(D)  ⟺  (h64(D) % 2^30) · N  <  cap · 2^30
+              ⟺  u(D) < cap / N    with u a 30-bit uniform in [0,1)
+
+As N grows the threshold cap/N only shrinks, so admitted sets are
+NESTED: everything the final rule admits was admitted on arrival, and
+the stream's divergence is pure OVER-admission (docs admitted while
+their source was still small). Expected kept = cap at every source
+size; a source at or under the cap passes whole (u < 1 ≤ cap/N);
+integer arithmetic throughout (r·N < 2^30·2^33 stays inside BIGINT;
+the 2^-30 resolution floor engages only past ~10^9·cap docs in ONE
+source — documented, and far beyond the residue rule's old 10^4·cap
+cliff). ``cap_per_source_monotone`` is the batch reference of this
+exact rule; ``retro_thin`` converges a finished stream's output to it
+EXACTLY (pinned by test) because of the nesting.
+
+Greedy semantics + repair (the SubstrDedupStream mask-debt shape):
+per batch, docs are admitted against the POST-registration totals —
+replay-deterministic for foreachBatch's last-uncommitted-batch replay
+(same no-op registration, same totals). Early batches over-admit
+(cap/N was looser); ``retro_thin(out_path)`` is the bounded batch
+repair that re-evaluates every emitted doc under the FINAL counts and
+drops the excess — idempotent, and ≡ the batch reference over the
+full input union.
+
+Scale shape: per batch ONE map-side-combined count aggregate over the
+batch + an O(batch sources) registry delta write + a bucket-pruned
+totals read + one broadcast join back (source counts are tiny — the
+key space is the source/domain set, not the corpus). Registry state
+is O(distinct sources) rows of (source, cnt); the lifecycle (fencing,
+persisted fan-out, fold ledger, auto_compact) is
+``pipelines/registry.py::FencedStoreLifecycle`` — this registry is
+the first written natively against the r14 base.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from propulsion_spark.operators.dedup import SPARK_H64
+from propulsion_spark.pipelines.registry import FencedStoreLifecycle
+
+#: resolution of the uniform u(D): 30 bits keeps r·N inside BIGINT for
+#: sources up to 2^33 docs while floor effects stay unreachable
+_RES_BITS = 30
+_RES = 1 << _RES_BITS
+
+
+def _admit_expr(cap: int, salt: str, id_col: str = "doc_id"):
+    """admit ⟺ (h % 2^30) · src_cnt < cap · 2^30 (see module doc)."""
+    h = F.expr(SPARK_H64.format(x=f"concat(cast({id_col} as string), '{salt}')"))
+    r = F.pmod(h, F.lit(_RES)).cast("long")
+    return (r * F.col("src_cnt")) < F.lit(int(cap) * _RES)
+
+
+def cap_per_source_monotone(
+    docs: DataFrame,
+    max_per_source: int = 10,
+    salt: str = "-srccap",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch reference of the stream's monotone-threshold rule: the
+    corpus thinned to ≈``max_per_source`` docs per source under
+    ``u(D) < cap/src_cnt``. Same guarantees as
+    ``textops.cap_per_source`` (expected kept = cap at every source
+    size, at/under-cap sources pass whole, deterministic), different
+    tie-breaking set — use THIS one when a streaming ingest must
+    later converge to the batch answer (``retro_thin``), the residue
+    rule otherwise."""
+    cnts = docs.groupBy(source_col).agg(F.count("*").alias("src_cnt"))
+    return (
+        docs.join(F.broadcast(cnts), source_col)
+        .filter(_admit_expr(int(max_per_source), salt, id_col=id_col))
+        .drop("src_cnt")
+    )
+
+
+class SourceCountRegistry(FencedStoreLifecycle):
+    """Durable per-source document counts with the shared store
+    lifecycle: fenced mutations, per-batch idempotent appends (dynamic
+    partition overwrite), fold LEDGER (content-derived batch ids need
+    the set, not a watermark — the GramRegistry rationale), persisted
+    bucket fan-out, ``auto_compact``. Rows: ``(source, cnt)`` summed
+    across batches at read time."""
+
+    LABEL = "source-count registry"
+    DEFAULT_BUCKETS = 16
+
+    @property
+    def _counts_path(self) -> str:
+        return os.path.join(self.path, "source_counts")
+
+    @staticmethod
+    def _bkt(n: int):
+        return F.pmod(
+            F.expr(SPARK_H64.format(x="source")), F.lit(int(n))
+        ).cast("int")
+
+    def append_counts(self, counts: DataFrame, batch_id: int) -> None:
+        """Add one batch's ``(source, cnt)`` aggregate. Idempotent per
+        ``batch_id``; a replay of a folded batch no-ops via the fold
+        ledger. ``batch_id`` must be ≥ 1 (generation 0 is the fold's)."""
+        from propulsion_spark.pipelines.lineage import is_folded_id
+
+        if batch_id < 1:
+            raise ValueError(
+                f"batch_id must be >= 1 (got {batch_id}); generation 0 "
+                "is reserved for compacted folds"
+            )
+        if counts.isEmpty():
+            return  # zero-row partitionBy writes poison the dir
+        with self._fenced():
+            if is_folded_id(self.spark, self.path, batch_id):
+                return
+            n = self._ensure_fanout()
+            (
+                counts.select("source", "cnt")
+                .withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
+                .withColumn("_bkt", self._bkt(n))
+                .repartition("_bkt")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id", "_bkt")
+                .parquet(self._counts_path)
+            )
+
+    def _read(self) -> "DataFrame | None":
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self._counts_path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
+
+    def totals(self, buckets: "list[int] | None" = None) -> DataFrame:
+        """(source, src_cnt) summed across batches; ``buckets`` prunes
+        the scan to the touched ``_bkt`` partitions."""
+        raw = self._read()
+        if raw is None:
+            return self.spark.createDataFrame([], "source string, src_cnt long")
+        if buckets is not None:
+            raw = raw.filter(F.col("_bkt").isin([int(b) for b in buckets]))
+        return raw.groupBy("source").agg(F.sum("cnt").alias("src_cnt"))
+
+    def n_batches(self) -> int:
+        raw = self._read()
+        if raw is None:
+            return 0
+        return raw.select("_batch_id").distinct().count()
+
+    def compact(self, n_buckets: "int | None" = None) -> None:
+        """Fold every batch into one ``_batch_id=0`` generation —
+        ledger FIRST, then the persisted fan-out (rebucket knob), then
+        the overwrite: the r14 marker-first discipline."""
+        from propulsion_spark.pipelines.lineage import record_folded_ids
+
+        with self._fenced():
+            raw = self._read()
+            if raw is None:
+                return
+            n = int(n_buckets) if n_buckets is not None else self.n_buckets()
+            folded_ids = [
+                r["_batch_id"]
+                for r in raw.select("_batch_id").distinct().collect()
+                if r["_batch_id"] != 0
+            ]
+            folded = (
+                self.totals()
+                .select("source", F.col("src_cnt").alias("cnt"))
+                .withColumn("_batch_id", F.lit(0).cast("long"))
+                .withColumn("_bkt", self._bkt(n))
+                .localCheckpoint(eager=True)  # pin before the overwrite
+            )
+            record_folded_ids(self.spark, self.path, folded_ids)
+            self._set_fanout(n)
+            (
+                folded.repartition("_bkt")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("_batch_id", "_bkt")
+                .parquet(self._counts_path)
+            )
+
+
+class CapPerSourceStream:
+    """Cross-batch per-source cap over a durable count registry.
+    ``process_batch`` returns the batch's ADMITTED rows;
+    ``run_batch`` writes them idempotently (dynamic overwrite keyed by
+    batch id); ``stream_into`` wires foreachBatch; ``retro_thin``
+    converges finished output to the batch reference exactly."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry_path: str,
+        max_per_source: int = 10,
+        salt: str = "-srccap",
+        source_col: str = "source",
+        id_col: str = "doc_id",
+        auto_compact: "dict | None" = None,
+        n_buckets: "int | None" = None,
+    ):
+        self.spark = spark
+        self.registry = SourceCountRegistry(
+            spark, registry_path, n_buckets=n_buckets
+        )
+        self.cap = int(max_per_source)
+        self.salt = salt
+        self.source_col = source_col
+        self.id_col = id_col
+        self.auto_compact = auto_compact
+        self.stats = {"seen": 0, "admitted": 0}
+
+    def process_batch(self, df: DataFrame, batch_id: int = 1) -> DataFrame:
+        """One micro-batch: register the batch's per-source counts →
+        admit each doc against the POST-registration totals
+        (register-then-read: a foreachBatch replay's registration
+        no-ops and scores against the same totals). Early batches
+        over-admit by design (the threshold cap/N was looser when N
+        was smaller) — the nested-set rule guarantees the excess is
+        exactly what :meth:`retro_thin` later drops, never the other
+        way around."""
+        src = F.col(self.source_col)
+        counts = df.groupBy(src.alias("source")).agg(
+            F.count("*").alias("cnt")
+        )
+        self.registry.append_counts(counts, batch_id)
+        nb = self.registry.n_buckets()
+        buckets = [
+            r["b"]
+            for r in df.select(
+                F.pmod(
+                    F.expr(SPARK_H64.format(x=self.source_col)), F.lit(nb)
+                )
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        tot = self.registry.totals(buckets)
+        flagged = df.join(
+            F.broadcast(tot.withColumnRenamed("source", self.source_col)),
+            self.source_col,
+        ).withColumn(
+            "_admit", _admit_expr(self.cap, self.salt, id_col=self.id_col)
+        )
+        agg = flagged.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("_admit").cast("long")).alias("a"),
+        ).collect()[0]
+        self.stats["seen"] += agg["n"]
+        self.stats["admitted"] += int(agg["a"] or 0)
+        out = flagged.filter("_admit").drop("_admit", "src_cnt")
+        if self.auto_compact is not None:
+            out = out.localCheckpoint(eager=True)  # pin before any fold
+            self.registry.auto_compact(**self.auto_compact)
+        return out
+
+    def run_batch(self, df: DataFrame, batch_id: int, out_path: str) -> None:
+        if df.isEmpty():
+            return  # the zero-row partitionBy pitfall
+        (
+            self.process_batch(df, batch_id)
+            .withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+
+    def stream_into(
+        self,
+        stream_df: DataFrame,
+        out_path: str,
+        checkpoint_location: str,
+        **trigger,
+    ):
+        return (
+            stream_df.writeStream.foreachBatch(
+                lambda df, bid: self.run_batch(df, bid + 1, out_path)
+            )
+            .option("checkpointLocation", checkpoint_location)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
+    def retro_thin(self, out_path: str) -> "dict":
+        """Repair pass: re-evaluate every EMITTED doc under the FINAL
+        registry counts and drop the early over-admissions — after
+        which the output is ``cap_per_source_monotone(input union)``
+        row for row (pinned by test; the nested-set rule makes the
+        final admitted set a subset of every batch's, so dropping is
+        sufficient — nothing ever needs resurrecting). Bounded batch
+        job over the emitted rows + the tiny source-count table;
+        idempotent."""
+        emitted = self.spark.read.parquet(out_path)
+        tot = self.registry.totals()
+        kept = (
+            emitted.join(
+                F.broadcast(
+                    tot.withColumnRenamed("source", self.source_col)
+                ),
+                self.source_col,
+            )
+            .filter(_admit_expr(self.cap, self.salt, id_col=self.id_col))
+            .drop("src_cnt")
+            .localCheckpoint(eager=True)  # pin: rewrites the path it reads
+        )
+        n_before = emitted.count()
+        n_after = kept.count()
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+        return {"dropped": int(n_before - n_after), "kept": int(n_after)}

@@ -689,3 +689,211 @@ class TestHadoopLeaseHeartbeat:
                 thief.__enter__()
             assert held.owns()  # the live holder was never displaced
         assert c["lost"] == 0
+
+
+class TestCapPerSourceStream:
+    """Streaming twin of the per-source cap (r14): durable per-source
+    count registry + the monotone-threshold admit rule (nested
+    admitted sets), retro_thin pinned ≡ the batch reference."""
+
+    def _docs(self, spark, lo, hi, srcs=4):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % srcs).cast("string").alias("source"),
+            F.concat(F.lit("text-"), F.col("id")).alias("text"),
+        )
+
+    def test_single_batch_equals_batch_reference(self, spark, tmp_path):
+        from propulsion_spark.streaming.source_cap import (
+            CapPerSourceStream,
+            cap_per_source_monotone,
+        )
+
+        docs = self._docs(spark, 0, 2000)
+        pipe = CapPerSourceStream(spark, str(tmp_path / "reg"), 10)
+        got = sorted(
+            r["doc_id"] for r in pipe.process_batch(docs, 1).collect()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in cap_per_source_monotone(docs, 10).collect()
+        )
+        assert got == want and 1 <= len(want) <= 120
+
+    def test_multi_batch_nested_then_retro_thin_converges(
+        self, spark, tmp_path
+    ):
+        """Early batches over-admit (looser cap/N); the final rule's
+        set is a SUBSET of the emitted union, and retro_thin drops
+        exactly the excess — equal to the batch reference over the
+        full input union, and idempotent."""
+        from propulsion_spark.streaming.source_cap import (
+            CapPerSourceStream,
+            cap_per_source_monotone,
+        )
+
+        batches = [
+            self._docs(spark, 0, 500),
+            self._docs(spark, 500, 2000),
+            self._docs(spark, 2000, 6000),
+        ]
+        out = str(tmp_path / "out")
+        pipe = CapPerSourceStream(spark, str(tmp_path / "reg"), 8)
+        for i, b in enumerate(batches):
+            pipe.run_batch(b, i + 1, out)
+        union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+        want = sorted(
+            r["doc_id"] for r in cap_per_source_monotone(union, 8).collect()
+        )
+        emitted = sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        )
+        assert set(want) <= set(emitted)  # nesting: never under-admits
+        rep = pipe.retro_thin(out)
+        assert rep["dropped"] == len(emitted) - len(want)
+        got = sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        )
+        assert got == want
+        rep2 = pipe.retro_thin(out)  # idempotent
+        assert rep2["dropped"] == 0
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from propulsion_spark.streaming.source_cap import CapPerSourceStream
+
+        b1 = self._docs(spark, 0, 1000)
+        pipe = CapPerSourceStream(spark, str(tmp_path / "reg"), 10)
+        a = sorted(r["doc_id"] for r in pipe.process_batch(b1, 1).collect())
+        # at-least-once replay: registration no-ops (dynamic rewrite of
+        # its own partitions), totals unchanged, same admitted rows
+        b = sorted(r["doc_id"] for r in pipe.process_batch(b1, 1).collect())
+        assert a == b
+        tot = {
+            r["source"]: r["src_cnt"]
+            for r in pipe.registry.totals().collect()
+        }
+        assert all(v == 250 for v in tot.values())
+
+    def test_mega_source_and_under_cap_source(self, spark, tmp_path):
+        """No resolution cliff: a 60k-doc source thins to ≈cap; an
+        under-cap source passes whole — across TWO batches."""
+        from propulsion_spark.streaming.source_cap import CapPerSourceStream
+
+        mega = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+            F.col("id").alias("doc_id"), F.lit("mega").alias("source")
+        )
+        tiny = spark.range(5).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.lit("tiny").alias("source"),
+        )
+        out = str(tmp_path / "out")
+        pipe = CapPerSourceStream(spark, str(tmp_path / "reg"), 5)
+        pipe.run_batch(mega(0, 30_000).unionByName(tiny), 1, out)
+        pipe.run_batch(mega(30_000, 60_000), 2, out)
+        pipe.retro_thin(out)
+        per_src = {
+            r["source"]: r["count"]
+            for r in spark.read.parquet(out)
+            .groupBy("source")
+            .count()
+            .collect()
+        }
+        assert per_src.get("tiny") == 5  # under-cap: intact
+        assert 1 <= per_src.get("mega", 0) <= 15  # ≈cap, never zero
+
+    def test_registry_lifecycle_fold_and_fanout(self, spark, tmp_path):
+        """The new registry rides the shared lifecycle: compact folds
+        to one generation with summed counts (ledger-guarded replay),
+        fan-out persists and validates."""
+        from propulsion_spark.streaming.source_cap import (
+            SourceCountRegistry,
+        )
+
+        reg = SourceCountRegistry(spark, str(tmp_path / "reg"), n_buckets=4)
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "source string, cnt long"
+        )
+        reg.append_counts(mk([("a", 3), ("b", 1)]), 1)
+        reg.append_counts(mk([("a", 2)]), 2)
+        reg.compact()
+        assert reg.n_batches() == 1
+        # folded-batch replay no-ops (the ledger)
+        reg.append_counts(mk([("a", 3), ("b", 1)]), 1)
+        tot = {r["source"]: r["src_cnt"] for r in reg.totals().collect()}
+        assert tot == {"a": 5, "b": 1}
+        assert SourceCountRegistry(spark, str(tmp_path / "reg")).n_buckets() == 4
+        bad = SourceCountRegistry(spark, str(tmp_path / "reg"), n_buckets=8)
+        with pytest.raises(ValueError, match="n_buckets=4"):
+            bad.append_counts(mk([("c", 1)]), 3)
+
+    def test_stream_into_restart_resumes(self, spark, tmp_path):
+        """Checkpointed restart-resume: a second stream_into run over
+        the same checkpoint processes ONLY the new files; the count
+        registry keeps accumulating, never doubled by a replay."""
+        from propulsion_spark.streaming.source_cap import CapPerSourceStream
+
+        src = str(tmp_path / "src")
+        self._docs(spark, 0, 1000).coalesce(1).write.mode("append").parquet(src)
+        pipe = CapPerSourceStream(spark, str(tmp_path / "reg"), 10)
+
+        def run():
+            q = pipe.stream_into(
+                spark.readStream.schema(
+                    "doc_id long, source string, text string"
+                ).parquet(src),
+                str(tmp_path / "out"),
+                str(tmp_path / "ck"),
+            )
+            q.awaitTermination(300)
+
+        run()
+        tot1 = {
+            r["source"]: r["src_cnt"]
+            for r in pipe.registry.totals().collect()
+        }
+        assert sum(tot1.values()) == 1000
+        self._docs(spark, 1000, 3000).coalesce(1).write.mode("append").parquet(src)
+        run()  # restart: only the new file lands
+        tot2 = {
+            r["source"]: r["src_cnt"]
+            for r in pipe.registry.totals().collect()
+        }
+        assert sum(tot2.values()) == 3000  # grew by exactly the new docs
+        out = spark.read.parquet(str(tmp_path / "out"))
+        assert out.select("doc_id").distinct().count() == out.count()
+
+    def test_cli_srccap_batch_follow_repair(self, spark, tmp_path):
+        from test_cli import run_cli
+
+        from propulsion_spark.streaming.source_cap import (
+            cap_per_source_monotone,
+        )
+
+        src = str(tmp_path / "src")
+        docs = self._docs(spark, 0, 3000)
+        docs.coalesce(2).write.parquet(src)
+        # batch one-shot: the residue-rule operator
+        rep = run_cli(
+            "srccap", "--src", src, "--out", str(tmp_path / "b"),
+            "--cap", "10",
+        )
+        assert 10 <= rep["kept"] <= 80  # 4 sources x ~10
+        # streaming + repair converges to the monotone batch answer
+        out = str(tmp_path / "f")
+        rep = run_cli(
+            "srccap", "--src", src, "--out", out, "--cap", "10",
+            "--follow",
+        )
+        assert rep["seen"] == 3000
+        rep = run_cli(
+            "srccap", "--out", out, "--cap", "10", "--repair"
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in cap_per_source_monotone(docs, 10).collect()
+        )
+        got = sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        )
+        assert got == want
+        assert rep["kept"] == len(want)
