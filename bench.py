@@ -553,6 +553,27 @@ def _bench_pipelines_once(spark, sf_dir: str) -> dict[str, float]:
         ).mode("overwrite").save()
         timings["pipeline_substr_stream"] = round(time.time() - t0, 3)
 
+        # streaming per-source cap (r14): two half-corpus micro-batches
+        # through the durable count registry + the retro_thin repair —
+        # per batch one count aggregate + a bucket-pruned totals read +
+        # one broadcast join; repair is a bounded re-filter of the
+        # emitted rows against the tiny final count table
+        from propulsion_spark.streaming.source_cap import CapPerSourceStream
+
+        full_src = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        t0 = time.time()
+        scap = CapPerSourceStream(spark, f"{tmp}/srccap_reg", 64)
+        scap.run_batch(
+            full_src.filter("doc_id % 2 = 0"), 1, f"{tmp}/srccap_out"
+        )
+        scap.run_batch(
+            full_src.filter("doc_id % 2 = 1"), 2, f"{tmp}/srccap_out"
+        )
+        scap.retro_thin(f"{tmp}/srccap_out")
+        timings["pipeline_srccap_stream"] = round(time.time() - t0, 3)
+
         # learned quality filter (r12): hashed-ngram LR scoring +
         # deterministic Pareto acceptance — the map-only serving path
         # (training is one-time, outside the timing like the index
