@@ -45,6 +45,22 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def read_parquet_if_exists(spark: SparkSession, path: str):
+    """``spark.read.parquet(path)``, or None when the path does not
+    exist — probed through the path's OWN FileSystem rather than
+    sniffing the AnalysisException message (``"PATH_NOT_FOUND" in
+    str(e)`` is brittle across Spark versions and error locales, and
+    by r14 that string match was the single kernel under every
+    tombstone/ledger fold: one reworded error would silently convert
+    "missing table" into a raised AnalysisException on every first
+    fold — the r14 verdict's #6). Only the missing-path case maps to
+    None; a genuine read failure (corrupt footer, permission) still
+    raises loudly."""
+    if not fs_exists(spark, path):
+        return None
+    return spark.read.parquet(path)
+
+
 def fs_read_small(spark: SparkSession, path: str) -> "str | None":
     """First line of a small control file (lease tokens, markers) via
     the path's own filesystem — None when missing."""

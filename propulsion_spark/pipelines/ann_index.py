@@ -245,14 +245,13 @@ class AnnIndex(FencedStoreLifecycle):
         not silently write rows without pq columns (mixed per-partition
         schemas would poison later reads)."""
         import numpy as np
-        from pyspark.errors import AnalysisException
 
-        try:
-            rows = self.spark.read.parquet(self._pq_path).collect()
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return None
-            raise
+        from propulsion_spark.fsio import read_parquet_if_exists
+
+        pq = read_parquet_if_exists(self.spark, self._pq_path)
+        if pq is None:
+            return None
+        rows = pq.collect()
         if not rows:  # present-but-empty dir: treat as legacy, not crash
             return None
         m = max(r["sub"] for r in rows) + 1
@@ -701,14 +700,11 @@ class AnnIndex(FencedStoreLifecycle):
         case maps to None — a genuine read failure propagates (the
         `_load_pq` rule: swallowing it would silently serve deleted
         rows)."""
-        from pyspark.errors import AnalysisException
+        from propulsion_spark.fsio import read_parquet_if_exists
 
-        try:
-            t = self.spark.read.parquet(self._tombstones_path)
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return None
-            raise
+        t = read_parquet_if_exists(self.spark, self._tombstones_path)
+        if t is None:
+            return None
         return t.groupBy("vec_id").agg(F.max("_del_batch_id").alias("_del"))
 
     def _mask_tombstones(self, rows: DataFrame) -> DataFrame:
@@ -769,19 +765,12 @@ class AnnIndex(FencedStoreLifecycle):
         """How many ingest batches the index currently holds — the
         fragmentation gauge ``reindex`` folds away (0 for a
         never-built index). Partition-column-only read."""
-        from pyspark.errors import AnalysisException
+        from propulsion_spark.fsio import read_parquet_if_exists
 
-        try:
-            return (
-                self.spark.read.parquet(self._vectors_path)
-                .select("_batch_id")
-                .distinct()
-                .count()
-            )
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return 0
-            raise
+        vecs = read_parquet_if_exists(self.spark, self._vectors_path)
+        if vecs is None:
+            return 0
+        return vecs.select("_batch_id").distinct().count()
 
     def auto_compact(
         self,

@@ -295,16 +295,14 @@ class LexicalIndex(FencedStoreLifecycle):
 
     # ---- search ----------------------------------------------------------
     def stats(self) -> "tuple[int, int]":
-        from pyspark.errors import AnalysisException
+        from propulsion_spark.fsio import read_parquet_if_exists
 
-        try:
-            rows = self.spark.read.parquet(self._stats_path).collect()
-        except AnalysisException as e:
-            # never-written (empty) index — the _load_pq rule: ONLY a
-            # missing path means empty; real read failures re-raise
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return (0, 0)
-            raise
+        # never-written (empty) index — the _load_pq rule: ONLY a
+        # missing path means empty; real read failures re-raise
+        st = read_parquet_if_exists(self.spark, self._stats_path)
+        if st is None:
+            return (0, 0)
+        rows = st.collect()
         return (
             sum(r["n_docs"] for r in rows),
             sum(r["total_dl"] for r in rows),
@@ -523,28 +521,21 @@ class LexicalIndex(FencedStoreLifecycle):
         ``AnnIndex._tombstones`` contract. Only the missing-path case
         maps to None (fs-agnostic — never an ``os.path`` probe, which
         lies about remote URIs); a genuine read failure propagates."""
-        from pyspark.errors import AnalysisException
+        from propulsion_spark.fsio import read_parquet_if_exists
 
-        try:
-            t = self.spark.read.parquet(self._tombstones_path)
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return None
-            raise
+        t = read_parquet_if_exists(self.spark, self._tombstones_path)
+        if t is None:
+            return None
         return t.groupBy("doc_id").agg(F.max("_del_batch_id").alias("_del"))
 
     def n_batches(self) -> int:
         """How many ingest batches the index currently holds — the
         fragmentation gauge ``compact`` exists to fold (0 for an
         empty/never-built index)."""
-        from pyspark.errors import AnalysisException
+        from propulsion_spark.fsio import read_parquet_if_exists
 
-        try:
-            return self.spark.read.parquet(self._stats_path).count()
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return 0
-            raise
+        st = read_parquet_if_exists(self.spark, self._stats_path)
+        return 0 if st is None else st.count()
 
     def _mask_tombstones(self, rows: DataFrame) -> DataFrame:
         t = self.tombstones()

@@ -37,14 +37,12 @@ def folded_through(spark: SparkSession, index_path: str) -> int:
     """Highest batch id absorbed by a fold; -1 when never compacted
     (NOT 0 — batch id 0 is a legitimate first batch for registries
     that pass raw foreachBatch ids, and the stale check is ≤)."""
-    from pyspark.errors import AnalysisException
+    from propulsion_spark.fsio import read_parquet_if_exists
 
-    try:
-        rows = spark.read.parquet(_marker_path(index_path)).collect()
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return -1
-        raise
+    marker = read_parquet_if_exists(spark, _marker_path(index_path))
+    if marker is None:
+        return -1
+    rows = marker.collect()
     return max((r["folded_through"] for r in rows), default=-1)
 
 
@@ -117,18 +115,12 @@ def record_folded_ids(spark: SparkSession, index_path: str, batch_ids) -> None:
 def is_folded_id(spark: SparkSession, index_path: str, batch_id: int) -> bool:
     """True when ``batch_id`` was absorbed by a fold — the set-ledger
     twin of :func:`is_stale_replay`."""
-    from pyspark.errors import AnalysisException
+    from propulsion_spark.fsio import read_parquet_if_exists
 
-    try:
-        hit = (
-            spark.read.parquet(_ledger_path(index_path))
-            .filter(F.col("batch_id") == int(batch_id))
-            .count()
-        )
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return False
-        raise
+    ledger = read_parquet_if_exists(spark, _ledger_path(index_path))
+    if ledger is None:
+        return False
+    hit = ledger.filter(F.col("batch_id") == int(batch_id)).count()
     if hit:
         _log.info(
             "registry %s: append batch %d is in the fold ledger (an "

@@ -197,12 +197,18 @@ def fold_in(
     Control-plane only: the stored side is read into the plan each
     call, so this is for tables bounded by compaction cadence /
     delete volume — never corpus-scaled data."""
-    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
-    out = rows
-    try:
-        existing = spark.read.parquet(path)
+    from propulsion_spark.fsio import read_parquet_if_exists
+
+    # missing-table detection is an fsio existence probe, never an
+    # exception-string sniff: this is the single kernel under every
+    # tombstone/ledger fold, so a Spark version rewording the error
+    # would otherwise break every first fold at once
+    existing = read_parquet_if_exists(spark, path)
+    if existing is None:
+        out = rows.distinct()
+    else:
         if partition_by is not None:
             existing = existing.filter(
                 F.col(partition_by) == int(partition_value)
@@ -212,10 +218,6 @@ def fold_in(
             .distinct()
             .localCheckpoint(eager=True)
         )
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
-        out = rows.distinct()
     w = out.coalesce(1).write.mode("overwrite")
     if partition_by is not None:
         (

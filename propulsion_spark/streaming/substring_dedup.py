@@ -124,14 +124,9 @@ class GramRegistry(FencedStoreLifecycle):
             )
 
     def _read(self) -> "DataFrame | None":
-        from pyspark.errors import AnalysisException
+        from propulsion_spark.fsio import read_parquet_if_exists
 
-        try:
-            return self.spark.read.parquet(self._counts_path)
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return None
-            raise
+        return read_parquet_if_exists(self.spark, self._counts_path)
 
     def totals(self, buckets: "list[int] | None" = None) -> DataFrame:
         """Resolved corpus-wide view: ``(gh, gh2, cnt, first_doc,
