@@ -976,7 +976,7 @@ def priority_sample(
 # mega-domains the cap exists to thin): keep probability is
 # cap/src_cnt at EVERY source size, expected kept = cap, and a
 # source at or under the cap passes whole (residue < src_cnt ≤ cap).
-# ONE count aggregate + a broadcast join + a map-only filter, all
+# ONE count aggregate + an AQE-sized join + a map-only filter, all
 # integer arithmetic (bit-exact across engines). Unlike the split
 # assignment, the keep flag is corpus-state-dependent BY DESIGN (the
 # cap exists to bound a source's SHARE, so rates move as sources
@@ -1006,16 +1006,21 @@ def cap_per_source(
     """The corpus thinned so each source keeps ≈ ``max_per_source``
     docs (deterministic hash-residue thinning — see the block
     comment). Sources at or under the cap pass through whole; no
-    source size can floor the rate to zero."""
+    source size can floor the rate to zero.
+
+    The count-table join carries NO broadcast hint: the hint would
+    BYPASS spark.sql.autoBroadcastJoinThreshold, and the exact regime
+    this operator exists for — domain capping over a raw web crawl —
+    is the one where distinct sources run 10^7–10^8 and the forced
+    broadcast OOMs the executors. AQE still broadcasts when the
+    aggregated table's RUNTIME size is under the threshold (every
+    curated corpus; plan-pinned by test), and degrades to a shuffle
+    join past it instead of dying (SCALE.md 'per-source cap')."""
     cnts = docs.groupBy(source_col).agg(F.count("*").alias("src_cnt"))
     keep = F.expr(
         _src_keep_sql("spark", int(max_per_source), id_col=id_col, salt=salt)
     )
-    return (
-        docs.join(F.broadcast(cnts), source_col)
-        .filter(keep)
-        .drop("src_cnt")
-    )
+    return docs.join(cnts, source_col).filter(keep).drop("src_cnt")
 
 
 # benchmark-decontamination facet of corpus_split_assign: the
@@ -1160,7 +1165,10 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     srccnt = docs.groupBy("source").agg(F.count("*").alias("src_cnt"))
     src_keep = F.expr(_src_keep_sql("spark", SRC_CAP))
-    base = docs.join(F.broadcast(srccnt), "source").select(
+    # unhinted (the cap_per_source rationale): AQE broadcasts the
+    # source-count aggregate while it is small, shuffles past the
+    # threshold instead of OOMing on a 10^7-domain crawl
+    base = docs.join(srccnt, "source").select(
         "doc_id",
         "source",
         "n_chars",

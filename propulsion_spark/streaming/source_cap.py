@@ -39,9 +39,14 @@ full input union.
 
 Scale shape: per batch ONE map-side-combined count aggregate over the
 batch + an O(batch sources) registry delta write + a bucket-pruned
-totals read + one broadcast join back (source counts are tiny — the
-key space is the source/domain set, not the corpus). Registry state
-is O(distinct sources) rows of (source, cnt); the lifecycle (fencing,
+totals read + one join back. The totals join carries NO broadcast
+hint: the key space is the source/domain set, tiny for curated
+corpora (AQE broadcasts it by runtime size) but 10^7–10^8 rows for
+raw-web domain capping — the exact workload the cap exists for —
+where a forced broadcast would bypass autoBroadcastJoinThreshold and
+OOM the executors instead of degrading to a shuffle join. Registry
+state is O(distinct sources) rows of (source, cnt); the lifecycle
+(fencing,
 persisted fan-out, fold ledger, auto_compact) is
 ``pipelines/registry.py::FencedStoreLifecycle`` — this registry is
 the first written natively against the r14 base.
@@ -84,10 +89,16 @@ def cap_per_source_monotone(
     size, at/under-cap sources pass whole, deterministic), different
     tie-breaking set — use THIS one when a streaming ingest must
     later converge to the batch answer (``retro_thin``), the residue
-    rule otherwise."""
+    rule otherwise.
+
+    No broadcast hint on the count join (the ``cap_per_source``
+    rationale): AQE broadcasts by the table's RUNTIME size, so a
+    curated corpus's source table still broadcasts while a raw-web
+    crawl's 10^7–10^8 distinct domains degrade to a shuffle join
+    instead of OOMing — the crawl is the workload the cap is FOR."""
     cnts = docs.groupBy(source_col).agg(F.count("*").alias("src_cnt"))
     return (
-        docs.join(F.broadcast(cnts), source_col)
+        docs.join(cnts, source_col)
         .filter(_admit_expr(int(max_per_source), salt, id_col=id_col))
         .drop("src_cnt")
     )
@@ -253,9 +264,13 @@ class CapPerSourceStream:
             .distinct()
             .collect()
         ]
+        # no broadcast hint: the totals table is O(distinct sources in
+        # this batch's buckets) — tiny for curated corpora (AQE still
+        # broadcasts it), 10^7+ rows for raw-web domain capping, where
+        # a forced broadcast would OOM exactly the target workload
         tot = self.registry.totals(buckets)
         flagged = df.join(
-            F.broadcast(tot.withColumnRenamed("source", self.source_col)),
+            tot.withColumnRenamed("source", self.source_col),
             self.source_col,
         ).withColumn(
             "_admit", _admit_expr(self.cap, self.salt, id_col=self.id_col)
@@ -313,9 +328,7 @@ class CapPerSourceStream:
         tot = self.registry.totals()
         kept = (
             emitted.join(
-                F.broadcast(
-                    tot.withColumnRenamed("source", self.source_col)
-                ),
+                tot.withColumnRenamed("source", self.source_col),
                 self.source_col,
             )
             .filter(_admit_expr(self.cap, self.salt, id_col=self.id_col))
