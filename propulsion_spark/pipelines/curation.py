@@ -311,6 +311,8 @@ class CurationPipeline:
         quality_pareto_alpha: float | None = None,
         quality_n_features: int | None = None,
         quality_salt: str = "quality-0",
+        max_per_source: "int | None" = None,
+        srccap_registry: "str | None" = None,
     ):
         self.spark = spark
         self.out_path = out_path
@@ -477,6 +479,37 @@ class CurationPipeline:
             )
         else:
             self._sem_drops = None
+        # per-source (domain) cap — the RefinedWeb/Gopher share bound,
+        # the one curation stage that was still outside the flagship
+        # story (r14 verdict #2). Runs LAST, after every dedup
+        # registration: dedup state must cover everything seen (a
+        # capped-out doc's fingerprint still suppresses later exact
+        # copies — the content exists, the corpus just bounds its
+        # share), the cap only thins what is WRITTEN. Cross-batch by
+        # construction: the same durable SourceCountRegistry +
+        # monotone admit rule as the standalone CapPerSourceStream,
+        # so a source that grows across micro-batches tightens its
+        # keep rate instead of resetting per batch. Greedy like every
+        # registry stream (early batches over-admit while cap/N is
+        # loose); the curated store is an APPEND table without
+        # _batch_id partitions, so the partitioned retro_thin does
+        # not apply — converge offline by re-filtering the store
+        # with the admit rule against the registry's final totals
+        # (one bounded job; the nested-set rule guarantees drop-only
+        # suffices).
+        if max_per_source is not None:
+            from propulsion_spark.streaming.source_cap import (
+                CapPerSourceStream,
+            )
+
+            self._srccap = CapPerSourceStream(
+                spark,
+                srccap_registry or f"{out_path}/_src_counts",
+                max_per_source=int(max_per_source),
+                auto_compact={"max_batches": 16},
+            )
+        else:
+            self._srccap = None
         self.fingerprints = _FingerprintTable(spark, f"{out_path}/_fingerprints")
         self.token_hist = _TokenHistogram(spark, f"{out_path}/_token_hist")
         self.bands = (
@@ -497,6 +530,7 @@ class CurationPipeline:
             "deduped": 0,
             "sem_deduped": 0,
             "near_deduped": 0,
+            "rejected_srccap": 0,
             "kept": 0,
         }
         self._lock = threading.Lock()
@@ -588,12 +622,12 @@ class CurationPipeline:
             # commutative hash-sum is replay-stable (same docs -> same
             # id, so at-least-once redelivery stays idempotent) and
             # distinct batches collide with probability ~2^-62.
-            h = (
-                df.agg(F.sum(F.xxhash64("doc_id", "text")).alias("h"))
-                .collect()[0]["h"]
-                or 0
-            )
-            eff_batch = (int(h) & ((1 << 62) - 1)) + 1
+            # (Single-sourced in r15: the scheme this pipeline
+            # introduced now also guards the srccap/substr stream_into
+            # paths via lineage.content_batch_id.)
+            from propulsion_spark.pipelines.lineage import content_batch_id
+
+            eff_batch = content_batch_id(df, "doc_id", "text")
             before_masked = self._substr.stats["masked_docs"]
             masked = self._substr.process_batch(
                 df.select("doc_id", "text"), eff_batch
@@ -787,6 +821,25 @@ class CurationPipeline:
             )
             n_kept = kept_docs.count()
             out = kept_docs.drop("fp")
+            n_src_capped = 0
+            if self._srccap is not None:
+                # domain-share bound over the SURVIVORS, cross-batch
+                # via the durable count registry (its batch id derives
+                # from the batch's doc-id content — replay-stable, the
+                # substr/eff_batch scheme); rejected counts read off
+                # the stream's own stats delta, no extra count job
+                from propulsion_spark.pipelines.lineage import (
+                    content_batch_id,
+                )
+
+                seen0 = self._srccap.stats["seen"]
+                adm0 = self._srccap.stats["admitted"]
+                out = self._srccap.process_batch(
+                    out, content_batch_id(kept_docs, "doc_id")
+                )
+                n_src_capped = (
+                    self._srccap.stats["seen"] - seen0
+                ) - (self._srccap.stats["admitted"] - adm0)
             if self.assign_splits:
                 # reproducible split label: pure function of doc_id
                 # (same rule as corpus_split_assign), so replays and
@@ -798,7 +851,11 @@ class CurationPipeline:
                     .when(b < TRAIN_PCT + VAL_PCT, "val")
                     .otherwise("test"),
                 )
-            out.write.mode("append").parquet(self.curated_path)
+            if self._srccap is None or n_kept - n_src_capped > 0:
+                # cap mode knows the written-row count up front (the
+                # stats delta): an all-capped (or empty) batch skips
+                # the append instead of writing a row-less file set
+                out.write.mode("append").parquet(self.curated_path)
             if n_kept:
                 # accumulate the per-language token-length histogram of
                 # what was KEPT (drift gauge; O(batch) register), keyed
@@ -841,7 +898,8 @@ class CurationPipeline:
                 self.stats["deduped"] += n_passed - n_exact
                 self.stats["sem_deduped"] += n_exact - n_sem
                 self.stats["near_deduped"] += n_sem - n_kept
-                self.stats["kept"] += n_kept
+                self.stats["rejected_srccap"] += n_src_capped
+                self.stats["kept"] += n_kept - n_src_capped
         finally:
             exact_kept.unpersist()
             if kept_docs is not exact_kept:

@@ -51,6 +51,20 @@ OBJECT_STORE_SCHEMES = frozenset(
      "oss", "swift", "cos", "cosn"}
 )
 
+#: schemes whose ``FileSystem.create(path, overwrite=false)`` is a
+#: REAL atomic namenode/metadata-server check-and-create — the
+#: allowlist for presenting HadoopLease as a true fence. Everything
+#: not local, not here, and not a known object store gets the lease
+#: best-effort WITH a logged caveat: on a filesystem whose
+#: create-if-absent is a client-side check-then-act (some FUSE
+#: mounts, exotic connectors) the lease still serializes cooperative
+#: processes in the common case but is not a guaranteed mutual
+#: exclusion, and presenting it silently as one would be a false
+#: fence (r14 advice).
+HDFS_SCHEMES = frozenset(
+    {"hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs", "alluxio"}
+)
+
 
 @contextmanager
 def index_lease(
@@ -95,11 +109,31 @@ def index_lease(
         return
     if parsed.scheme not in ("", "file"):
         # HDFS-semantics scheme: fence through the Hadoop FileSystem
-        # API on the path's own filesystem
+        # API on the path's own filesystem. ALLOWLIST dispatch, not
+        # denylist: only schemes known to implement atomic
+        # create-if-absent get the lease presented silently as a real
+        # fence; an unrecognized scheme (dbfs, juicefs, a FUSE
+        # mount…) still gets the lease — strictly better than
+        # unfenced, it serializes cooperative mutators — but with a
+        # one-time logged caveat instead of an implied guarantee.
         from pyspark.sql import SparkSession
 
         from propulsion_spark.fsio import HadoopLease
 
+        if (
+            parsed.scheme not in HDFS_SCHEMES
+            and parsed.scheme not in _warned_schemes
+        ):
+            _warned_schemes.add(parsed.scheme)
+            _log.warning(
+                "fencing index mutations on %s:// ASSUMES the scheme's "
+                "FileSystem.create(overwrite=false) is atomic; if this "
+                "filesystem implements it as client-side check-then-act "
+                "the lease is best-effort, not mutual exclusion — "
+                "serialize maintenance externally or use a scheme in "
+                "fencing.HDFS_SCHEMES",
+                parsed.scheme,
+            )
         spark = SparkSession.getActiveSession()
         if spark is None:
             raise RuntimeError(

@@ -87,7 +87,7 @@ class LexicalIndex(FencedStoreLifecycle):
     LABEL = "lexical index"
     DEFAULT_BUCKETS = N_BUCKETS
 
-    def n_buckets_layout(self) -> int:
+    def n_buckets_layout(self, refresh: bool = False) -> int:
         """Effective token-bucket fan-out: the PERSISTED layout value
         (store_meta, via the lifecycle base), validated against any
         explicit request. Both the write path's bucket column and the
@@ -95,8 +95,10 @@ class LexicalIndex(FencedStoreLifecycle):
         THIS value, never the module constant — a mismatch between
         the two is the silent mis-prune the r13 verdict flagged.
         (Named apart from :meth:`n_batches`, the fragmentation
-        gauge.)"""
-        return self.n_buckets()
+        gauge.) The QUERY path passes ``refresh=True``: serving is
+        live while another process may run a fenced rebucket, and a
+        cached modulus would route terms to the wrong partitions."""
+        return self.n_buckets(refresh=refresh)
 
     @property
     def _postings_path(self) -> str:
@@ -309,10 +311,13 @@ class LexicalIndex(FencedStoreLifecycle):
         )
 
     def _pruned(self, path: str, terms: "tuple[str, ...]") -> DataFrame:
-        # driver-side routing MUST use the index's persisted fan-out:
-        # under a different modulus the terms' buckets point at the
-        # wrong partitions and the scan silently misses postings
-        nb = self.n_buckets_layout()
+        # driver-side routing MUST use the index's persisted fan-out,
+        # RE-READ per query (refresh=True, a ~ms meta read): under a
+        # different modulus the terms' buckets point at the wrong
+        # partitions and the scan silently misses postings — and a
+        # long-lived serving instance must pick up another process's
+        # fenced rebucket, not keep its construction-time cache
+        nb = self.n_buckets_layout(refresh=True)
         buckets = sorted({_bucket_py(t, nb) for t in terms})
         return self.spark.read.parquet(path).filter(
             F.col("bucket").isin(buckets) & F.col("token").isin(list(terms))
@@ -390,7 +395,20 @@ class LexicalIndex(FencedStoreLifecycle):
         maintenance invocation) serializes behind it — or fails
         loudly on lease timeout — instead of silently losing its
         partitions to the static overwrite / double-counting tf on a
-        replayed micro-batch id."""
+        replayed micro-batch id.
+
+        REBUCKET caveat (the ``_SemVecTable.rebucket`` window, stated
+        here because search() is a LIVE serving path): when
+        ``n_buckets`` changes the fan-out, the persisted meta flips
+        before the postings rewrite completes, and queries are NOT
+        fenced — a concurrent ``search()`` inside that window routes
+        its term buckets by the new modulus over the old layout and
+        can miss postings (the per-query ``refresh=True`` meta read
+        narrows the window to the rewrite itself, it cannot close
+        it). Run a fan-out change in a maintenance window or via
+        ``dest=`` cutover; a same-fan-out compact has no such window
+        (the layout is unchanged and the overwrite lands atomically
+        enough for pruned reads to see old-or-new, both correct)."""
         from propulsion_spark.fsio import fs_delete
 
         from propulsion_spark.pipelines.fencing import index_lease_pair
@@ -421,7 +439,10 @@ class LexicalIndex(FencedStoreLifecycle):
             n = (
                 int(n_buckets)
                 if n_buckets is not None
-                else self.n_buckets_layout()
+                # refresh under the fence: another process's completed
+                # rebucket must not be silently reverted by a compact
+                # running off this instance's construction-time cache
+                else self.n_buckets_layout(refresh=True)
             )
             live = self._mask_tombstones(stored).select(
                 "doc_id",

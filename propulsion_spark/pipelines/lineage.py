@@ -29,6 +29,38 @@ from pyspark.sql import functions as F
 _log = logging.getLogger(__name__)
 
 
+def content_batch_id(df, *cols: str) -> int:
+    """Batch id derived from the batch's CONTENT, not the checkpoint's
+    delivery counter — the CurationPipeline discipline, shared (r14
+    advice): a registry keyed by ``foreachBatch`` ids is silently
+    bound to one checkpoint lineage, because restarting ingestion with
+    a FRESH checkpoint against the same registry restarts ids at 0/1
+    and the per-batch dynamic partition overwrite then REPLACES the
+    prior run's rows for those ids instead of accumulating —
+    undercounted state, no error. A commutative xxhash64-sum over
+    ``cols`` is replay-stable (same rows → same id regardless of
+    partitioning/order, so at-least-once redelivery stays idempotent)
+    while distinct batches collide with probability ~2^-62 (the
+    ledger would then no-op a genuinely new batch — accepted and
+    documented where CurationPipeline introduced the scheme). Always
+    ≥ 1 (generation 0 stays the fold's). One tiny agg job per batch.
+
+    The sum runs in decimal(38,0), not long: under ANSI mode (Spark 4
+    default) a long sum of 64-bit hashes overflows loudly once the
+    batch is big enough (~hundreds of rows can do it), which would
+    crash the stream mid-ingest. Decimal is exact to 10^19 rows, and
+    for every batch the long sum could handle the value — and
+    therefore the derived id — is identical, so registries built
+    under the original CurationPipeline scheme keep their ids."""
+    h = (
+        df.agg(
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h")
+        ).collect()[0]["h"]
+        or 0
+    )
+    return (int(h) & ((1 << 62) - 1)) + 1
+
+
 def _marker_path(index_path: str) -> str:
     return os.path.join(index_path, "folded")
 

@@ -78,12 +78,20 @@ class FencedStoreLifecycle:
         )
 
     # ---- persisted bucket fan-out (store_meta) ------------------------------
-    def n_buckets(self) -> int:
+    def n_buckets(self, refresh: bool = False) -> int:
         """Effective bucket fan-out: the PERSISTED layout value,
         validated against any explicit request. Cached per instance;
-        the fenced mutation paths refresh the cache."""
+        the fenced mutation paths refresh the cache, and UNFENCED
+        serving/read paths must pass ``refresh=True`` (a ~ms
+        driver-side JSON read, the store_meta trade) — a long-lived
+        reader instance would otherwise keep routing pruned reads
+        with a stale modulus after another process runs a fenced
+        ``compact(n_buckets=…)``/``rebucket``, silently missing rows
+        (r14 advice)."""
         if self.DEFAULT_BUCKETS is None:
             raise TypeError(f"{self.LABEL} has no bucketed layout")
+        if refresh:
+            self._fanout_cache = None
         if self._fanout_cache is None:
             from propulsion_spark.pipelines.store_meta import resolve_fanout
 

@@ -228,11 +228,13 @@ class SemDedupStream:
             if self.registry.manifest.load([]):
                 # route by the registry's PERSISTED fan-out (store_meta)
                 # — a module constant here would mis-prune an existing
-                # registry built at a different fan-out
+                # registry built at a different fan-out; refresh=True so
+                # a long-lived stream picks up another process's fenced
+                # rebucket instead of routing with a stale modulus
                 batch_buckets = [
                     r[0]
                     for r in framed.select(
-                        (F.col("cell") % self.registry.n_buckets())
+                        (F.col("cell") % self.registry.n_buckets(refresh=True))
                         .cast("int")
                         .alias("b")
                     )

@@ -290,9 +290,18 @@ class CapPerSourceStream:
     def run_batch(self, df: DataFrame, batch_id: int, out_path: str) -> None:
         if df.isEmpty():
             return  # the zero-row partitionBy pitfall
+        admitted_before = self.stats["admitted"]
+        out = self.process_batch(df, batch_id)
+        if self.stats["admitted"] == admitted_before:
+            # all-dropped batch (tiny cap over huge sources): the
+            # registry registered the counts, but a zero-row
+            # partitionBy write on a fresh out_path would poison the
+            # dir (r14 advice — the same pitfall as empty input). The
+            # admit rule is deterministic, so a replay skips the write
+            # identically; nothing to overwrite, nothing lost.
+            return
         (
-            self.process_batch(df, batch_id)
-            .withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
+            out.withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")
@@ -306,10 +315,37 @@ class CapPerSourceStream:
         checkpoint_location: str,
         **trigger,
     ):
-        return (
-            stream_df.writeStream.foreachBatch(
-                lambda df, bid: self.run_batch(df, bid + 1, out_path)
+        """Continuous ingestion. Registry/output batch ids are derived
+        from batch CONTENT (``lineage.content_batch_id``), not the
+        checkpoint's micro-batch counter: a later re-ingest with a
+        FRESH checkpoint against the same registry would otherwise
+        restart ids at 1 and dynamic-overwrite the first run's count
+        rows instead of accumulating — undercounted totals and silent
+        over-admission (r14 advice). Content ids make the registry
+        checkpoint-lineage-free: the same BATCH re-delivered → same
+        id (replay no-op), new docs → new id (accumulate). The
+        guarantee is per batch content, so a fresh-checkpoint
+        re-ingest of old data is idempotent only when the batch
+        boundaries reproduce — run file sources with
+        ``maxFilesPerTrigger=1`` (file-granular, reproducible
+        batches; pinned by test) or point the fresh ingest at new
+        data only. Differently-bounded overlapping deliveries
+        accumulate as new batches: counts inflate, which errs toward
+        OVER-thinning (the conservative direction for a cap) and is
+        repaired exactly by clearing+rebuilding the registry, never
+        silently under-counted as the old counter-keyed scheme did."""
+        from propulsion_spark.pipelines.lineage import content_batch_id
+
+        def _run(df: DataFrame, _bid: int) -> None:
+            if df.isEmpty():
+                return
+            self.run_batch(
+                df, content_batch_id(df, self.id_col, self.source_col),
+                out_path,
             )
+
+        return (
+            stream_df.writeStream.foreachBatch(_run)
             .option("checkpointLocation", checkpoint_location)
             .trigger(**(trigger or {"availableNow": True}))
             .start()
@@ -321,26 +357,40 @@ class CapPerSourceStream:
         which the output is ``cap_per_source_monotone(input union)``
         row for row (pinned by test; the nested-set rule makes the
         final admitted set a subset of every batch's, so dropping is
-        sufficient — nothing ever needs resurrecting). Bounded batch
-        job over the emitted rows + the tiny source-count table;
-        idempotent."""
-        emitted = self.spark.read.parquet(out_path)
-        tot = self.registry.totals()
-        kept = (
-            emitted.join(
-                tot.withColumnRenamed("source", self.source_col),
-                self.source_col,
+        sufficient — nothing ever needs resurrecting). Idempotent.
+
+        PARTITION-INCREMENTAL (r14 verdict #4): the admit verdict is
+        per-row against the final counts, so each ``_batch_id``
+        partition repairs independently under dynamic overwrite,
+        resumable from the marker — a crash mid-repair re-does at
+        most one partition, never the 100 TB output. An all-dropped
+        partition is deleted outright; an all-dropped OUTPUT removes
+        the dir (r14 advice — never a file-less husk). ``dropped`` /
+        ``kept`` cover the partitions repaired THIS run."""
+        from propulsion_spark.streaming.repair import (
+            registry_fingerprint,
+            repair_partitions,
+        )
+
+        tot = (
+            self.registry.totals()
+            .withColumnRenamed("source", self.source_col)
+            .localCheckpoint(eager=True)  # one registry scan, reused
+        )
+        fp = registry_fingerprint(tot, self.source_col, "src_cnt")
+
+        def _thin(part: DataFrame) -> DataFrame:
+            return (
+                part.join(tot, self.source_col)
+                .filter(
+                    _admit_expr(self.cap, self.salt, id_col=self.id_col)
+                )
+                .drop("src_cnt")
             )
-            .filter(_admit_expr(self.cap, self.salt, id_col=self.id_col))
-            .drop("src_cnt")
-            .localCheckpoint(eager=True)  # pin: rewrites the path it reads
-        )
-        n_before = emitted.count()
-        n_after = kept.count()
-        (
-            kept.write.mode("overwrite")
-            .option("partitionOverwriteMode", "static")
-            .partitionBy("_batch_id")
-            .parquet(out_path)
-        )
-        return {"dropped": int(n_before - n_after), "kept": int(n_after)}
+
+        rep = repair_partitions(self.spark, out_path, "srccap", fp, _thin)
+        return {
+            "dropped": rep["rows_before"] - rep["rows_after"],
+            "kept": rep["rows_after"],
+            **rep,
+        }

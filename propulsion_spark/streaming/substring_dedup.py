@@ -416,53 +416,77 @@ class SubstrDedupStream:
         their mask here. One bounded batch job: a gram pass over the
         emitted docs + one join against the registry totals + the
         shared span/mask kernels; cost is the batch operator's, not
-        the stream's. Returns the masked-token delta."""
+        the stream's. Returns the masked-token delta.
+
+        PARTITION-INCREMENTAL (r14 verdict #4): a doc's final mask
+        depends only on (its own text, the registry's final totals) —
+        never on other docs' masks — so each ``_batch_id`` partition
+        repairs independently under dynamic overwrite, resumable from
+        the marker keyed by the registry's content fingerprint: a
+        crash mid-repair re-does at most one partition, never the
+        100 TB output. Stats cover the partitions repaired THIS
+        run."""
         from propulsion_spark.operators.substring_dedup import (
             _gram_hits,
             coalesce_spans,
             mask_spans,
         )
-
-        emitted = self.spark.read.parquet(out_path)
-        docs = emitted.select("doc_id", "text")
-        grams = _gram_hits(docs, self.n)
-        dup = self.registry.totals().filter(F.col("cnt") >= self.min_dup)
-        hits = (
-            grams.join(dup, ["gh", "gh2"])
-            .filter(
-                ~(
-                    (F.col("doc_id") == F.col("first_doc"))
-                    & (F.col("start") == F.col("first_start"))
-                )
-            )
-            .select("doc_id", "start")
+        from propulsion_spark.streaming.repair import (
+            registry_fingerprint,
+            repair_partitions,
         )
-        out = (
-            mask_spans(docs, coalesce_spans(hits, self.n))
-            .join(emitted.select("doc_id", "_batch_id"), "doc_id")
-            # pin to blocks: the rewrite overwrites the path it reads
+
+        # ONE registry scan, pinned and reused by every partition's
+        # join (the totals read is the repair's only registry cost)
+        dup = (
+            self.registry.totals()
+            .filter(F.col("cnt") >= self.min_dup)
             .localCheckpoint(eager=True)
         )
-        delta = out.join(
-            emitted.select(
-                "doc_id", F.col("n_masked_tokens").alias("_was")
-            ),
-            "doc_id",
-        ).agg(
-            F.sum(F.col("n_masked_tokens") - F.col("_was")).alias("d"),
-            F.count_if(
-                F.col("n_masked_tokens") > F.col("_was")
-            ).alias("docs"),
-        ).collect()[0]
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "static")
-            .partitionBy("_batch_id")
-            .parquet(out_path)
+        fp = registry_fingerprint(
+            dup, "gh", "gh2", "cnt", "first_doc", "first_start"
+        )
+        stats = {"docs": 0, "delta": 0}
+
+        def _mask(part: DataFrame) -> DataFrame:
+            docs = part.select("doc_id", "text")
+            hits = (
+                _gram_hits(docs, self.n)
+                .join(dup, ["gh", "gh2"])
+                .filter(
+                    ~(
+                        (F.col("doc_id") == F.col("first_doc"))
+                        & (F.col("start") == F.col("first_start"))
+                    )
+                )
+                .select("doc_id", "start")
+            )
+            return mask_spans(docs, coalesce_spans(hits, self.n)).join(
+                part.select("doc_id", "_batch_id"), "doc_id"
+            )
+
+        def _delta(part: DataFrame, pinned: DataFrame) -> None:
+            d = pinned.join(
+                part.select(
+                    "doc_id", F.col("n_masked_tokens").alias("_was")
+                ),
+                "doc_id",
+            ).agg(
+                F.sum(F.col("n_masked_tokens") - F.col("_was")).alias("d"),
+                F.count_if(
+                    F.col("n_masked_tokens") > F.col("_was")
+                ).alias("docs"),
+            ).collect()[0]
+            stats["docs"] += int(d["docs"] or 0)
+            stats["delta"] += int(d["d"] or 0)
+
+        rep = repair_partitions(
+            self.spark, out_path, "substr", fp, _mask, on_repaired=_delta
         )
         return {
-            "repaired_docs": int(delta["docs"] or 0),
-            "masked_token_delta": int(delta["d"] or 0),
+            "repaired_docs": stats["docs"],
+            "masked_token_delta": stats["delta"],
+            **rep,
         }
 
     def run_batch(self, df: DataFrame, batch_id: int, out_path: str) -> None:
@@ -487,12 +511,28 @@ class SubstrDedupStream:
         checkpoint_location: str,
         **trigger,
     ):
-        """Continuous ingestion: foreachBatch with the micro-batch id
-        as the idempotence key (the SemDedupStream shape)."""
+        """Continuous ingestion. Registry/output batch ids derive from
+        batch CONTENT (``lineage.content_batch_id`` over (doc_id,
+        text) — the CurationPipeline scheme), not the checkpoint's
+        counter: re-ingesting through a fresh checkpoint against the
+        same gram registry would otherwise reuse id 1.. and
+        dynamic-overwrite (or, post-fold, be ledger-refused as) the
+        first run's gram counts (r14 advice — the source-cap twin of
+        the r13 curation finding). Idempotence is per batch CONTENT:
+        a fresh-checkpoint re-ingest of old data no-ops only when the
+        batch boundaries reproduce (file sources:
+        ``maxFilesPerTrigger=1``); differently-bounded overlapping
+        deliveries inflate gram counts, erring toward OVER-masking —
+        conservative, and repaired by rebuilding the registry."""
+        from propulsion_spark.pipelines.lineage import content_batch_id
+
+        def _run(df: DataFrame, _bid: int) -> None:
+            if df.isEmpty():
+                return
+            self.run_batch(df, content_batch_id(df, "doc_id", "text"), out_path)
+
         return (
-            stream_df.writeStream.foreachBatch(
-                lambda df, bid: self.run_batch(df, bid + 1, out_path)
-            )
+            stream_df.writeStream.foreachBatch(_run)
             .option("checkpointLocation", checkpoint_location)
             .trigger(**(trigger or {"availableNow": True}))
             .start()
