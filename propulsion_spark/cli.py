@@ -97,6 +97,10 @@ def cmd_sync(args) -> int:
                 lm_kwargs["quality_min"] = args.quality_min
             if getattr(args, "quality_n_features", None) is not None:
                 lm_kwargs["quality_n_features"] = args.quality_n_features
+        if getattr(args, "max_per_source", None) is not None:
+            lm_kwargs["max_per_source"] = args.max_per_source
+            if getattr(args, "srccap_registry", None):
+                lm_kwargs["srccap_registry"] = args.srccap_registry
         pipe = CurationPipeline(
             spark,
             dst if kind == "curated" else args.to,
@@ -1803,6 +1807,19 @@ def main(argv=None) -> int:
         "--quality-n-features", type=int,
         help="with --quality-model: feature-space size the model was "
         "trained with (default 2^18)",
+    )
+    s.add_argument(
+        "--max-per-source", type=int,
+        help="with --curate: cross-batch per-source (domain) cap — "
+        "survivors of a source beyond this expected count are thinned "
+        "by the monotone admit rule over a durable count registry "
+        "(default registry: <out>/_src_counts; converge exactly with "
+        "`srccap --repair`)",
+    )
+    s.add_argument(
+        "--srccap-registry",
+        help="with --max-per-source: explicit count-registry dir "
+        "(shareable with a standalone srccap stream)",
     )
     s.set_defaults(fn=cmd_sync)
 

@@ -45,6 +45,20 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def fs_write_small(spark: SparkSession, path: str, line: str) -> None:
+    """Overwrite a small control file (layout meta, repair markers)
+    through the path's own filesystem — a driver-side Hadoop FS call
+    (~ms), never a Spark job. Single-block writes make torn files a
+    non-concern in practice; callers hold the owning store's mutation
+    lease where one exists."""
+    fs, jpath = _fs_and_path(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(line.encode()))
+    finally:
+        out.close()
+
+
 def read_parquet_if_exists(spark: SparkSession, path: str):
     """``spark.read.parquet(path)``, or None when the path does not
     exist — probed through the path's OWN FileSystem rather than

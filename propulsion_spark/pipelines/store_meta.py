@@ -64,18 +64,13 @@ def write_fanout(spark: SparkSession, store_path: str, n_buckets: int) -> None:
     driver-side Hadoop FS write, no Spark job). Caller holds the
     store's mutation lease — this rides inside the same fenced write
     paths that create the bucketed data."""
-    from propulsion_spark.fsio import _fs_and_path
+    from propulsion_spark.fsio import fs_write_small
 
-    fs, jpath = _fs_and_path(spark, _meta_path(store_path))
-    out = fs.create(jpath, True)
-    try:
-        out.write(
-            bytearray(
-                (json.dumps({"n_buckets": int(n_buckets)}) + "\n").encode()
-            )
-        )
-    finally:
-        out.close()
+    fs_write_small(
+        spark,
+        _meta_path(store_path),
+        json.dumps({"n_buckets": int(n_buckets)}) + "\n",
+    )
 
 
 def resolve_fanout(

@@ -482,3 +482,88 @@ class TestLearnedQualityGate:
                 quality_min=0.5,
                 quality_pareto_alpha=9.0,
             )
+
+
+class TestCurationPerSourceCap:
+    """r14 verdict #2: the domain-share bound (RefinedWeb's core
+    balancing stage) as a first-class CurationPipeline stage — the
+    same durable SourceCountRegistry + monotone admit rule as the
+    standalone CapPerSourceStream, run LAST so dedup state still
+    covers everything seen and the cap only thins what is written."""
+
+    def _batches(self, spark):
+        def rows(rng, source):
+            return [
+                {**doc(i, GOOD + f" unique tail piece number {i} here"),
+                 "source": source}
+                for i in rng
+            ]
+
+        b1 = mk(spark, rows(range(0, 30), "big") + rows(range(100, 103), "small"))
+        b2 = mk(spark, rows(range(30, 60), "big") + rows(range(103, 105), "small"))
+        return b1, b2
+
+    def test_capped_source_thinned_small_passes_whole(self, spark, tmp_path):
+        b1, b2 = self._batches(spark)
+        pipe = CurationPipeline(
+            spark, str(tmp_path / "out"), max_per_source=10
+        )
+        pipe.process_batch(b1, 1)
+        pipe.process_batch(b2, 2)
+        per_src = {
+            r["source"]: r["count"]
+            for r in pipe.curated().groupBy("source").count().collect()
+        }
+        # at/under-cap source passes whole (u < 1 <= cap/N)
+        assert per_src.get("small") == 5
+        # the 60-doc source is provably thinned (expected ≈ cap plus
+        # the greedy early-batch over-admission; far below 60)
+        assert 1 <= per_src.get("big", 0) <= 30
+        assert pipe.stats["rejected_srccap"] == 65 - per_src["small"] - per_src["big"]
+        assert pipe.stats["kept"] == pipe.curated().count()
+        # registry accumulated the post-gate counts cross-batch
+        tot = {
+            r["source"]: r["src_cnt"]
+            for r in pipe._srccap.registry.totals().collect()
+        }
+        assert tot == {"big": 60, "small": 5}
+
+    def test_replay_is_idempotent_with_cap(self, spark, tmp_path):
+        b1, _ = self._batches(spark)
+        pipe = CurationPipeline(
+            spark, str(tmp_path / "out"), max_per_source=10
+        )
+        pipe.process_batch(b1, 1)
+        kept1 = sorted(r.doc_id for r in pipe.curated().collect())
+        n_rej1 = pipe.stats["rejected_srccap"]
+        pipe.process_batch(b1, 1)  # at-least-once redelivery
+        kept2 = sorted(r.doc_id for r in pipe.curated().collect())
+        # the replay's survivors dedup away BEFORE the cap stage, so
+        # nothing new is written and the registry count is unchanged
+        # (content-derived batch id -> append no-ops)
+        assert kept2 == kept1
+        tot = {
+            r["source"]: r["src_cnt"]
+            for r in pipe._srccap.registry.totals().collect()
+        }
+        assert tot["big"] == 30
+        assert pipe.stats["rejected_srccap"] == n_rej1
+
+    def test_cli_max_per_source(self, tmp_path):
+        from test_cli import run_cli
+
+        rep = run_cli(
+            "sync",
+            "--from", "documents:/root/testdata/sf0.001",
+            "--to", f"curated:{tmp_path / 'corpus'}",
+            "--curate", "--max-per-source", "5",
+            "--checkpoints", str(tmp_path / "ck"),
+        )
+        assert rep["caught_up"] is True
+        s = rep["stats"]
+        assert s["rejected_srccap"] > 0
+        assert s["kept"] > 0
+        assert s["seen"] == (
+            s["kept"] + s["rejected_quality"] + s["rejected_repetition"]
+            + s["deduped"] + s["rejected_srccap"]
+        )

@@ -81,6 +81,65 @@ class TestSourceCapJoinSizing:
         )
         assert cap_per_source(docs, 5).count() == 200_000
 
+    def test_fresh_checkpoint_does_not_clobber_registry(
+        self, spark, tmp_path
+    ):
+        """r14 advice: stream_into used to key registry appends by the
+        checkpoint-relative micro-batch id, so re-ingesting through a
+        FRESH checkpoint restarted ids at 1 and the dynamic partition
+        overwrite REPLACED the first run's count rows — undercounted
+        totals, silent over-admission. Content-derived ids
+        (lineage.content_batch_id): same batch replayed → same id →
+        idempotent no-op; new docs → new id → accumulate. Idempotence
+        is per batch CONTENT, so the test pins file-granular triggers
+        (maxFilesPerTrigger=1) — the reproducible-boundary shape the
+        docstring prescribes for re-ingest."""
+        from propulsion_spark.streaming.source_cap import CapPerSourceStream
+
+        src = str(tmp_path / "src")
+        docs = spark.range(1_000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("string").alias("source"),
+        )
+        docs.coalesce(1).write.mode("append").parquet(src)
+        pipe = CapPerSourceStream(spark, str(tmp_path / "reg"), 10)
+
+        def run(ck: str) -> None:
+            q = pipe.stream_into(
+                spark.readStream.schema("doc_id long, source string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                str(tmp_path / "out"),
+                str(tmp_path / ck),
+            )
+            q.awaitTermination(300)
+
+        run("ck1")
+        tot = {
+            r["source"]: r["src_cnt"]
+            for r in pipe.registry.totals().collect()
+        }
+        assert sum(tot.values()) == 1_000
+        # FRESH checkpoint, same files: the old id scheme would reuse
+        # _batch_id=1 and overwrite; content ids make it a replay no-op
+        run("ck2")
+        tot = {
+            r["source"]: r["src_cnt"]
+            for r in pipe.registry.totals().collect()
+        }
+        assert sum(tot.values()) == 1_000, "re-ingest must not clobber"
+        # fresh checkpoint + NEW data: accumulates exactly the delta
+        spark.range(1_000, 3_000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("string").alias("source"),
+        ).coalesce(1).write.mode("append").parquet(src)
+        run("ck3")
+        tot = {
+            r["source"]: r["src_cnt"]
+            for r in pipe.registry.totals().collect()
+        }
+        assert sum(tot.values()) == 3_000
+
     def test_stream_admit_join_unhinted(self, spark, tmp_path):
         """The streaming admit join and retro_thin carry no hint
         either: under a forbidden-broadcast conf both still run and
@@ -115,3 +174,265 @@ class TestSourceCapJoinSizing:
             assert got == want
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+class TestSubstrStreamContentIds:
+    def test_fresh_checkpoint_gram_registry_idempotent(
+        self, spark, tmp_path
+    ):
+        """The substring stream's twin of the source-cap lineage fix:
+        a fresh-checkpoint re-ingest of the same docs must leave the
+        gram registry's totals unchanged (content ids → replay
+        no-op), never undercounted or refused."""
+        from propulsion_spark.streaming.substring_dedup import (
+            SubstrDedupStream,
+        )
+
+        src = str(tmp_path / "src")
+        docs = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog wins")
+             for i in range(40)],
+            "doc_id long, text string",
+        )
+        docs.coalesce(1).write.mode("append").parquet(src)
+        pipe = SubstrDedupStream(spark, str(tmp_path / "reg"), n=8)
+
+        def run(ck: str) -> None:
+            q = pipe.stream_into(
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(src),
+                str(tmp_path / "out"),
+                str(tmp_path / ck),
+            )
+            q.awaitTermination(300)
+
+        run("ck1")
+        tot1 = sorted(
+            (r["gh"], r["cnt"]) for r in pipe.registry.totals().collect()
+        )
+        assert tot1  # the repeated sentence produced gram counts
+        run("ck2")  # fresh checkpoint, same file
+        tot2 = sorted(
+            (r["gh"], r["cnt"]) for r in pipe.registry.totals().collect()
+        )
+        assert tot2 == tot1
+
+
+class TestFanoutRefreshOnReadPaths:
+    def test_serving_instance_picks_up_rebucket(self, spark, tmp_path):
+        """r14 advice: a long-lived LexicalIndex serving queries must
+        not keep routing with its construction-time fan-out after
+        ANOTHER process runs a fenced compact(n_buckets=…) — the
+        stale modulus silently misses postings. The query path now
+        re-reads the persisted meta per query."""
+        from propulsion_spark.pipelines.lexical_index import LexicalIndex
+
+        path = str(tmp_path / "idx")
+        serving = LexicalIndex.build(
+            spark, "/root/testdata/sf0.001", path
+        )
+        before = sorted(
+            (r["doc_id"], r["rank"])
+            for r in serving.search(("hash", "tree"), k=20).collect()
+        )
+        assert len(before) == 20
+        # another process rebuckets (fresh instance, same path)
+        other = LexicalIndex(spark, path)
+        old_nb = other.n_buckets_layout()
+        other.compact(n_buckets=old_nb * 2)
+        # the long-lived instance must serve identical results through
+        # the NEW layout (stale cache → wrong buckets → missing rows)
+        after = sorted(
+            (r["doc_id"], r["rank"])
+            for r in serving.search(("hash", "tree"), k=20).collect()
+        )
+        assert after == before
+        assert serving.n_buckets_layout(refresh=True) == old_nb * 2
+
+
+class TestFencingSchemeDispatch:
+    def test_unknown_scheme_logs_caveat(self, caplog):
+        """r14 advice: scheme dispatch was a denylist — any scheme not
+        local and not a known object store was silently presented a
+        HadoopLease as a REAL fence, including filesystems whose
+        create-if-absent is client-side check-then-act. Unrecognized
+        schemes now get a loud one-time caveat (the lease is still
+        taken best-effort — strictly better than unfenced)."""
+        import logging
+
+        from propulsion_spark.pipelines import fencing
+
+        fencing._warned_schemes.discard("dbfs")
+        with caplog.at_level(logging.WARNING, logger=fencing.__name__):
+            try:
+                with fencing.index_lease("dbfs://root/idx", {}):
+                    pass  # pragma: no cover - no dbfs fs in this env
+            except Exception:
+                pass  # the lease itself cannot resolve dbfs here
+        assert any(
+            "ASSUMES" in r.message and "dbfs" in r.message
+            for r in caplog.records
+        )
+
+    def test_hdfs_allowlist_stays_silent(self):
+        from propulsion_spark.pipelines import fencing
+
+        assert "hdfs" in fencing.HDFS_SCHEMES
+        assert "viewfs" in fencing.HDFS_SCHEMES
+        # object stores keep the unfenced warning path, not the lease
+        assert "s3a" in fencing.OBJECT_STORE_SCHEMES
+
+
+class TestIncrementalRepair:
+    """r14 verdict #4: retro_mask/retro_thin rewrote the whole emitted
+    output in one static overwrite — at a 100 TB output the blast
+    radius of one failed job was the entire corpus rewrite. The shared
+    kernel (streaming/repair.py) iterates _batch_id partitions with
+    dynamic overwrite, resumable from a marker keyed by the registry's
+    content fingerprint."""
+
+    def _docs(self, spark, lo, hi, n_src=3):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % n_src).cast("string").alias("source"),
+        )
+
+    def _pipe(self, spark, tmp_path, cap=8):
+        from propulsion_spark.streaming.source_cap import CapPerSourceStream
+
+        return CapPerSourceStream(spark, str(tmp_path / "reg"), cap)
+
+    def test_crash_mid_repair_resumes_without_rewriting(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Crash injected while repairing the second partition: the
+        first partition's marker survives, resume skips it (its files
+        untouched — asserted by mtime), and the final output still
+        equals the batch reference."""
+        import glob
+        import os
+
+        from propulsion_spark.streaming import repair
+        from propulsion_spark.streaming.source_cap import (
+            cap_per_source_monotone,
+        )
+
+        out = str(tmp_path / "out")
+        b1, b2, b3 = (
+            self._docs(spark, 0, 400),
+            self._docs(spark, 400, 1200),
+            self._docs(spark, 1200, 2400),
+        )
+        pipe = self._pipe(spark, tmp_path)
+        for i, b in enumerate((b1, b2, b3)):
+            pipe.run_batch(b, i + 1, out)
+
+        real_write = repair._write_marker
+        calls = {"n": 0}
+
+        def crash_on_second(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected crash mid-repair")
+            return real_write(*a, **k)
+
+        monkeypatch.setattr(repair, "_write_marker", crash_on_second)
+        with pytest.raises(RuntimeError, match="injected"):
+            pipe.retro_thin(out)
+        monkeypatch.undo()
+        # partition 1 was repaired and marked; record its file mtimes
+        p1 = sorted(glob.glob(os.path.join(out, "_batch_id=1", "*")))
+        assert p1
+        mtimes = {f: os.path.getmtime(f) for f in p1}
+        rep = pipe.retro_thin(out)  # resume
+        assert rep["skipped"] == 1  # partition 1 not re-repaired
+        assert rep["repaired"] == 2
+        assert {f: os.path.getmtime(f) for f in p1} == mtimes
+        union = b1.unionByName(b2).unionByName(b3)
+        want = sorted(
+            r["doc_id"]
+            for r in cap_per_source_monotone(union, pipe.cap).collect()
+        )
+        got = sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        )
+        assert got == want
+
+    def test_registry_growth_invalidates_marker(self, spark, tmp_path):
+        """A registry that ingested more batches after a completed
+        repair changes the fingerprint: the next repair must re-visit
+        every partition (skipping would freeze verdicts made under
+        stale counts)."""
+        out = str(tmp_path / "out")
+        pipe = self._pipe(spark, tmp_path)
+        pipe.run_batch(self._docs(spark, 0, 600), 1, out)
+        rep1 = pipe.retro_thin(out)
+        assert rep1["repaired"] == 1
+        rep_again = pipe.retro_thin(out)
+        assert rep_again["skipped"] == 1 and rep_again["repaired"] == 0
+        # counts grow → fp changes → full re-repair
+        pipe.run_batch(self._docs(spark, 600, 1800), 2, out)
+        rep2 = pipe.retro_thin(out)
+        assert rep2["skipped"] == 0 and rep2["repaired"] == 2
+
+    def test_all_dropped_output_is_removed_not_poisoned(
+        self, spark, tmp_path
+    ):
+        """r14 advice: retro_thin with a tiny cap can drop EVERY
+        emitted row; the old static overwrite then left a file-less
+        partitioned dir (unreadable). The all-dropped repair now
+        deletes the output path outright — absent is honestly
+        empty."""
+        import os
+
+        from propulsion_spark.streaming.source_cap import (
+            SourceCountRegistry,
+        )
+
+        out = str(tmp_path / "out")
+        pipe = self._pipe(spark, tmp_path, cap=1)
+        pipe.run_batch(self._docs(spark, 0, 300, n_src=1), 1, out)
+        assert os.path.exists(out)
+        # inflate the source's count so cap/N ~ 3e-9: the final rule
+        # admits (essentially) nothing the stream emitted
+        reg = SourceCountRegistry(spark, str(tmp_path / "reg"))
+        reg.append_counts(
+            spark.createDataFrame(
+                [("0", 300_000_000)], "source string, cnt long"
+            ),
+            99,
+        )
+        rep = pipe.retro_thin(out)
+        assert rep["rows_after"] == 0
+        assert rep["deleted_partitions"] == 1
+        assert not os.path.exists(out)
+
+    def test_run_batch_all_dropped_skips_write(self, spark, tmp_path):
+        """The ingest-side twin (r14 advice): a batch whose admitted
+        set is empty (cap=1 against an already-huge source) must not
+        zero-row-partitionBy-poison a fresh out_path — no dir, no
+        crash, registry still counted the batch."""
+        import os
+
+        from propulsion_spark.streaming.source_cap import (
+            SourceCountRegistry,
+        )
+
+        reg = SourceCountRegistry(spark, str(tmp_path / "reg"))
+        reg.append_counts(
+            spark.createDataFrame(
+                [("0", 300_000_000)], "source string, cnt long"
+            ),
+            99,
+        )
+        out = str(tmp_path / "out")
+        pipe = self._pipe(spark, tmp_path, cap=1)
+        pipe.run_batch(self._docs(spark, 0, 200, n_src=1), 1, out)
+        assert not os.path.exists(out)
+        assert pipe.stats["seen"] == 200
+        assert pipe.stats["admitted"] == 0
+        tot = {
+            r["source"]: r["src_cnt"]
+            for r in pipe.registry.totals().collect()
+        }
+        assert tot["0"] == 300_000_200
