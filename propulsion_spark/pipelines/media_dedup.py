@@ -24,7 +24,20 @@ Scale shape (the curation discipline, applied to media):
   keeper's full fingerprint — exact recall within the ball against
   everything ever registered, greedy across batches (clusters never
   merge retroactively — first-writer-wins, the streaming trade the text
-  pipeline documents).
+  pipeline documents). NO drop-only repair can converge this output to
+  the batch answer (`hamming_pairs64` + connected components over the
+  input union) — the semantic_dedup module doc carries the full
+  impossibility argument; the media instance of its chain
+  counterexample is fps X, Y, Z (ids ascending) with hamming(X,Y) ≤ r,
+  hamming(Y,Z) ≤ r, hamming(X,Z) > r arriving Z, Y, X: the stream
+  admits {Z, X} (Y dropped near Z) while batch CC merges all three and
+  keeps {X} — Y's fingerprint is in no registry (only keepers
+  register), so nothing can detect that Z belongs to X's component.
+  The `keeper_inversions` stat is the same lower-bound divergence
+  gauge: cross-batch drops whose id undercuts every keeper they
+  matched (the batch rule would have kept them); near-zero certifies
+  arrival ≈ id order, growing says re-run the batch operator at the
+  next epoch boundary.
 - Replay-idempotent end to end: a keeper re-processing its own batch
   matches only its OWN registry rows (self-joins are excluded), so it
   survives again and re-registers identical rows (the registry resolve
@@ -101,6 +114,7 @@ class MediaDedupStream:
             "unfingerprintable": 0,
             "deduped_in_batch": 0,
             "deduped_cross_batch": 0,
+            "keeper_inversions": 0,
             "kept": 0,
         }
 
@@ -175,7 +189,10 @@ class MediaDedupStream:
             # keeper == own id is a replay seeing its own registration
             chunks = self._chunks(canon).persist()
             table = self.registry.read()
-            hits = (
+            # (doc_id, min matched keeper): ids drive the anti-join,
+            # the min-keeper rides along for the keeper_inversions
+            # gauge (see module doc) at zero extra join cost
+            hit_pairs = (
                 chunks.alias("n")
                 .join(table.alias("t"), ["chunk_idx", "chunk_val", "media_type"])
                 .filter(
@@ -185,9 +202,11 @@ class MediaDedupStream:
                         <= self.max_hamming
                     )
                 )
-                .select(F.col("n.doc_id").alias("doc_id"))
-                .distinct()
+                .groupBy(F.col("n.doc_id").alias("doc_id"))
+                .agg(F.min("t.keeper").alias("_k_min"))
+                .localCheckpoint(eager=True)  # ids-only, batch-bounded
             )
+            hits = hit_pairs.select("doc_id")
             survivors_fp = canon.join(hits, "doc_id", "left_anti")
             new_rows = self._chunks(survivors_fp).select(
                 "chunk_idx",
@@ -220,6 +239,12 @@ class MediaDedupStream:
             self.stats["unfingerprintable"] += n_nofp
             self.stats["deduped_in_batch"] += (n_seen - n_nofp) - n_canon
             self.stats["deduped_cross_batch"] += n_canon - n_surv
+            # divergence lower bound vs the batch operator (module
+            # doc): a drop whose id undercuts every matched keeper is
+            # a representative the batch rule would have kept
+            self.stats["keeper_inversions"] += hit_pairs.filter(
+                F.col("doc_id") < F.col("_k_min")
+            ).count()
             self.stats["kept"] += n_surv + n_nofp
             return out
         finally:

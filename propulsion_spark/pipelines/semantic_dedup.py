@@ -26,7 +26,40 @@ Scale shape (the media-dedup discipline, applied to embeddings):
   delta rows, segments fold every ``compact_after`` batches.
 - Greedy across batches: clusters never merge retroactively
   (first-writer-wins — the same streaming trade the text and media
-  pipelines document).
+  pipelines document). Unlike the substring stream's ``retro_mask``
+  and the source-cap stream's ``retro_thin``, NO drop-only repair
+  pass can converge this output to the batch operator
+  (``semdedup_verdicts`` over the input union), and r15 ships the
+  impossibility argument plus a divergence gauge instead of a false
+  repair:
+
+  * The batch rule drops x whenever ANY lower-id y in its cell has
+    cos(x,y) ≥ τ — including a y that was itself dropped. Witnesses
+    the stream discarded (their vectors are in no registry and no
+    output) can therefore decide batch verdicts. 3-doc chain
+    counterexample with ids X<Y<Z, cos(X,Y) ≥ τ, cos(Y,Z) ≥ τ,
+    cos(X,Z) < τ, arriving Z then Y then X: the stream admits Z,
+    drops Y (near Z), admits X (far from Z) → output {Z, X}; the
+    batch keeps only {X} (Y dropped via X; Z dropped via the
+    DROPPED witness Y). The emitted output is pairwise non-dup —
+    every batch admitted docs only after checking the full registry
+    — so there is nothing a repair could drop, yet it differs from
+    the batch answer in count AND membership; converging would
+    require resurrecting Y, whose vector is gone.
+  * Representative inversions: when a late-arriving doc x is
+    dropped against an earlier keeper k with x < k, the batch
+    operator keeps x and drops k. x's row is gone from the output,
+    so no drop-only pass can restore it. The ``keeper_inversions``
+    stat counts exactly these (cross-batch drops whose id is below
+    every matched keeper's) — a LOWER BOUND on the stream/batch
+    divergence, read per batch at no extra join cost; the exact
+    divergence is only computable by re-running the batch operator
+    over the input union, which is not a repair but the answer.
+
+  Operationally: a near-zero gauge certifies arrival order ≈ id
+  order (the common append-only case) where stream ≈ batch; a
+  growing gauge says re-run the batch operator at the next epoch
+  boundary if exact batch semantics matter.
 - Replay-idempotent: a keeper re-processing its own batch matches only
   its OWN registry rows (self-matches excluded), survives again, and
   re-registers identical rows that the registry resolve dedups; the
@@ -182,6 +215,7 @@ class SemDedupStream:
             "unembeddable": 0,
             "deduped_in_batch": 0,
             "deduped_cross_batch": 0,
+            "keeper_inversions": 0,
             "kept": 0,
         }
 
@@ -265,7 +299,10 @@ class SemDedupStream:
             cosine = _spark_dot("embedding", "k_emb") / (
                 F.col("nrm") * F.col("k_nrm")
             )
-            hits = (
+            # (vec_id, min matched keeper): the id set drives the
+            # anti-join; the min-keeper rides along for the
+            # keeper_inversions gauge below at zero extra join cost
+            hit_pairs = (
                 canon.join(
                     keepers,
                     "cell",
@@ -274,12 +311,13 @@ class SemDedupStream:
                     (F.col("keeper") != F.col("vec_id"))
                     & (cosine >= self.threshold)
                 )
-                .select("vec_id")
-                .distinct()
+                .groupBy("vec_id")
+                .agg(F.min("keeper").alias("_k_min"))
                 # ids-only: pin so the registry join runs once (same
                 # rationale as the drop set above)
                 .localCheckpoint(eager=True)
             )
+            hits = hit_pairs.select("vec_id")
             survivors = canon.join(hits, "vec_id", "left_anti")
             # cell cast pins the registry schema: codebooks with int
             # labels must not write int cells next to the long SCHEMA
@@ -329,11 +367,19 @@ class SemDedupStream:
             n_seen = df.count()
             n_emb = normed.count()
             n_canon = n_emb - dropped.count()
-            n_surv = n_canon - hits.count()
+            n_surv = n_canon - hit_pairs.count()
             self.stats["seen"] += n_seen
             self.stats["unembeddable"] += n_seen - n_emb
             self.stats["deduped_in_batch"] += n_emb - n_canon
             self.stats["deduped_cross_batch"] += n_canon - n_surv
+            # divergence gauge (see module doc "Greedy across batches"):
+            # a cross-batch drop whose doc id is SMALLER than every
+            # keeper it matched is a representative inversion — the
+            # batch operator would have kept this doc and dropped the
+            # keeper. Near-free: a filter-count on the pinned pairs.
+            self.stats["keeper_inversions"] += hit_pairs.filter(
+                F.col("vec_id") < F.col("_k_min")
+            ).count()
             self.stats["kept"] += n_surv + (n_seen - n_emb)
             return out
         finally:

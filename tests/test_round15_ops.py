@@ -436,3 +436,161 @@ class TestIncrementalRepair:
             for r in pipe.registry.totals().collect()
         }
         assert tot["0"] == 300_000_200
+
+
+class TestKeeperRegistryDivergenceGauges:
+    """r14 verdict #3: retro_mask/retro_thin repair their streams
+    exactly, but NO drop-only repair can converge SemDedupStream or
+    MediaDedupStream to the batch operator — the batch rule's
+    witnesses include docs the stream dropped and whose
+    vectors/fingerprints are retained NOWHERE (module docs carry the
+    argument). These tests demonstrate the impossibility concretely
+    and pin the shipped divergence gauge (`keeper_inversions`)."""
+
+    def _codebook(self, spark):
+        import pandas as pd
+
+        from propulsion_spark.operators.similarity import centroids_frame
+
+        seed = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (100, [1.0, 0.0, 0.0], 0),
+                    (101, [0.9, 0.1, 0.0], 0),
+                    (102, [0.0, 0.0, 1.0], 1),
+                    (103, [0.0, 0.1, 0.9], 1),
+                ],
+                columns=["vec_id", "embedding", "label"],
+            ),
+            "vec_id long, embedding array<float>, label int",
+        )
+        return centroids_frame(seed)
+
+    def _emb_docs(self, spark, rows):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "embedding"]),
+            "doc_id long, embedding array<float>",
+        )
+
+    def test_sem_representative_inversion_gauged(self, spark, tmp_path):
+        """Late-arriving LOWER id within ε of an earlier keeper: the
+        stream drops it (first-writer-wins), the batch operator keeps
+        it and drops the keeper instead. The dropped doc's row is in
+        no output — unrepairable — and the gauge counts exactly 1."""
+        from propulsion_spark.operators.similarity import (
+            assign_cells,
+            normed_frame,
+            semdedup_verdicts,
+        )
+        from propulsion_spark.pipelines import SemDedupStream
+
+        s = SemDedupStream(
+            spark, str(tmp_path / "reg"), self._codebook(spark),
+            threshold=0.95,
+        )
+        b1 = self._emb_docs(spark, [(10, [1.0, 0.0, 0.0])])
+        b2 = self._emb_docs(spark, [(5, [0.99, 0.01, 0.0])])
+        out1 = [r.doc_id for r in s.process_batch(b1, 0).collect()]
+        out2 = [r.doc_id for r in s.process_batch(b2, 1).collect()]
+        assert out1 == [10] and out2 == []
+        assert s.stats["keeper_inversions"] == 1
+        # the batch operator's answer over the union: keep 5, drop 10
+        union = b1.unionByName(b2).withColumnRenamed("doc_id", "vec_id")
+        dropped = {
+            r["b_id"]
+            for r in semdedup_verdicts(
+                normed_frame(union),
+                assign_cells(union, self._codebook(spark)),
+                threshold=0.95,
+            ).collect()
+        }
+        assert dropped == {10}
+        # stream emitted {10}; batch keeps {5}: a drop-only repair of
+        # the emitted output can never produce 5 — its row is gone
+
+    def test_sem_chain_overadmission_is_unrepairable(self, spark, tmp_path):
+        """The 3-doc chain from the module doc: ids X<Y<Z with
+        cos(X,Y) ≥ τ ≥ cos(Y,Z), cos(X,Z) < τ, arriving Z, Y, X. The
+        stream emits {Z, X} — pairwise NON-duplicate, so a repair has
+        nothing to drop — while the batch keeps only {X} (Z falls via
+        the DROPPED witness Y, whose vector survives nowhere)."""
+        import math
+
+        from propulsion_spark.operators.similarity import (
+            assign_cells,
+            normed_frame,
+            semdedup_verdicts,
+        )
+        from propulsion_spark.pipelines import SemDedupStream
+
+        def on_arc(deg):
+            r = math.radians(deg)
+            return [math.cos(r), math.sin(r), 0.0]
+
+        X, Y, Z = on_arc(0), on_arc(18), on_arc(36)
+        # cos(X,Y)=cos(Y,Z)=cos18° ≈ .951 ≥ τ; cos(X,Z)=cos36° ≈ .809 < τ
+        s = SemDedupStream(
+            spark, str(tmp_path / "reg"), self._codebook(spark),
+            threshold=0.95,
+        )
+        outs = []
+        for bid, (i, v) in enumerate([(3, Z), (2, Y), (1, X)]):
+            outs += [
+                r.doc_id
+                for r in s.process_batch(
+                    self._emb_docs(spark, [(i, v)]), bid
+                ).collect()
+            ]
+        assert sorted(outs) == [1, 3]  # stream: Z admitted, Y dropped, X admitted
+        assert s.stats["keeper_inversions"] == 1  # Y(2) dropped vs Z(3)
+        union = self._emb_docs(
+            spark, [(1, X), (2, Y), (3, Z)]
+        ).withColumnRenamed("doc_id", "vec_id")
+        dropped = {
+            r["b_id"]
+            for r in semdedup_verdicts(
+                normed_frame(union),
+                assign_cells(union, self._codebook(spark)),
+                threshold=0.95,
+            ).collect()
+        }
+        assert dropped == {2, 3}  # batch keeps only X — Z via witness Y
+        # the emitted pair (1, 3) is NOT an ε-pair (cos .809 < .95):
+        # nothing a drop-only pass could remove, yet the sets differ
+        # — the documented impossibility, demonstrated
+
+    def test_media_inversion_gauged(self, spark, tmp_path):
+        """The media twin: a late-arriving lower id whose fingerprint
+        sits inside an earlier keeper's hamming ball is dropped and
+        counted; the batch CC answer keeps the min id instead."""
+        from pyspark.sql import functions as F
+
+        from tests.test_multimodal_real import _media_df
+        from tests.test_perceptual import rand_img, to_bmp
+        from propulsion_spark.pipelines.media_dedup import MediaDedupStream
+
+        eng = MediaDedupStream(spark, str(tmp_path / "reg"))
+        g = rand_img(77)
+
+        def batch(rows):
+            return _media_df(spark, rows).select(
+                "doc_id", "media", F.col("meta.media_type").alias("media_type")
+            )
+
+        out = str(tmp_path / "kept")
+        eng.run_batch(
+            batch([(11, bytearray(to_bmp(g)), ("image/bmp", 0, 0))]), 1, out
+        )
+        # same image re-encoded with a brightness shift → same pHash
+        # ball; id 5 < keeper 11
+        eng.run_batch(
+            batch([(5, bytearray(to_bmp(g + 14.0)), ("image/bmp", 0, 0))]),
+            2,
+            out,
+        )
+        kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert kept == {11}
+        assert eng.stats["deduped_cross_batch"] == 1
+        assert eng.stats["keeper_inversions"] == 1
