@@ -913,6 +913,55 @@ class CurationPipeline:
     def curated(self) -> DataFrame:
         return self.spark.read.parquet(self.curated_path)
 
+    def rethin_curated(self) -> "dict":
+        """Converge the curated store's per-source share to the batch
+        bound exactly: re-filter every stored row with the monotone
+        admit rule against the count registry's FINAL totals and
+        rewrite the store. The cap stage is greedy (early batches
+        admit under a looser cap/N), and the curated store is an
+        APPEND table without ``_batch_id`` partitions, so the
+        partitioned ``retro_thin`` does not apply — this is its
+        whole-store twin, safe because the nested-set rule makes the
+        final admitted set a subset of everything emitted (drop-only
+        suffices, nothing needs resurrecting). One bounded job: a
+        scan of the store joined with the totals (AQE-sized, the
+        cap_per_source rationale); the survivors pin to blocks
+        before overwriting the files they were read from. Idempotent.
+        Run at epoch boundaries, not per batch."""
+        from propulsion_spark.streaming.source_cap import _admit_expr
+
+        if self._srccap is None:
+            raise ValueError(
+                "rethin_curated needs the pipeline's max_per_source "
+                "cap stage (no count registry exists without it)"
+            )
+        cur = self.curated()
+        tot = self._srccap.registry.totals()
+        kept = (
+            cur.join(tot, "source")
+            .filter(
+                _admit_expr(
+                    self._srccap.cap, self._srccap.salt, id_col="doc_id"
+                )
+            )
+            .drop("src_cnt")
+            .localCheckpoint(eager=True)  # rewrites the path it reads
+        )
+        n_before = cur.count()
+        n_after = kept.count()
+        if n_after == 0:
+            # all-dropped: remove outright (the repair-kernel
+            # discipline — never a file-less husk)
+            from propulsion_spark.fsio import fs_delete
+
+            fs_delete(self.spark, self.curated_path)
+        else:
+            kept.write.mode("overwrite").parquet(self.curated_path)
+        with self._lock:
+            self.stats["rejected_srccap"] += n_before - n_after
+            self.stats["kept"] -= n_before - n_after
+        return {"dropped": int(n_before - n_after), "kept": int(n_after)}
+
     def split_stats(self) -> DataFrame:
         """Docs/chars per (source, split) over the curated store —
         the corpus_split_assign rollup restricted to survivors."""

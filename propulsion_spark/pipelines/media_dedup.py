@@ -258,9 +258,17 @@ class MediaDedupStream:
         """process + idempotent write: the survivors land in the batch's
         own partition (dynamic overwrite — replays rewrite, never
         duplicate; the ann-append discipline)."""
+        if df.isEmpty():
+            return  # the zero-row partitionBy pitfall
+        kept_before = self.stats["kept"]
+        out = self.process_batch(df, batch_id)
+        if self.stats["kept"] == kept_before:
+            # every row deduped away: a zero-row partitionBy write on a
+            # fresh out_path would poison the dir (the srccap run_batch
+            # discipline); registry already counted, replay skips alike
+            return
         (
-            self.process_batch(df, batch_id)
-            .withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
+            out.withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")

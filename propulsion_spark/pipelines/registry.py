@@ -60,9 +60,14 @@ class FencedStoreLifecycle:
         self.lease_timeout_s = lease_timeout_s
         #: explicit fan-out request — validated against the persisted
         #: layout on first use (mismatch raises; None defers to the
-        #: stored value, falling back to DEFAULT_BUCKETS)
+        #: stored value, falling back to DEFAULT_BUCKETS). The request
+        #: guards the OPEN: once one validation has succeeded
+        #: (_validated_once), the persisted layout is authoritative
+        #: and refreshes adopt a later fenced rebucket instead of
+        #: re-raising against the stale construction-time value.
         self._requested_buckets = n_buckets
         self._fanout_cache: "int | None" = None
+        self._validated_once = False
 
     # ---- fencing -----------------------------------------------------------
     def _fenced(self):
@@ -92,6 +97,13 @@ class FencedStoreLifecycle:
             raise TypeError(f"{self.LABEL} has no bucketed layout")
         if refresh:
             self._fanout_cache = None
+            if self._validated_once:
+                # post-open the stored layout is authoritative: a
+                # fenced rebucket elsewhere must be ADOPTED by the
+                # serving path, not re-raised as a conflict with the
+                # construction-time request (which only exists to
+                # catch misconfiguration at open)
+                self._requested_buckets = None
         if self._fanout_cache is None:
             from propulsion_spark.pipelines.store_meta import resolve_fanout
 
@@ -102,6 +114,7 @@ class FencedStoreLifecycle:
                 self.DEFAULT_BUCKETS,
                 self.LABEL,
             )
+            self._validated_once = True
         return self._fanout_cache
 
     def _ensure_fanout(self) -> int:
@@ -116,6 +129,7 @@ class FencedStoreLifecycle:
             self.DEFAULT_BUCKETS,
             self.LABEL,
         )
+        self._validated_once = True
         return self._fanout_cache
 
     def _set_fanout(self, n: int) -> None:
@@ -130,6 +144,13 @@ class FencedStoreLifecycle:
         if read_fanout(self.spark, self.path) != n:
             write_fanout(self.spark, self.path, n)
         self._fanout_cache = n
+        # the rebucket supersedes any construction-time explicit
+        # request: without this, the instance that just performed the
+        # sanctioned fan-out change would fail ITS OWN next append as
+        # a stale-request conflict (caught by the r15 lifecycle
+        # conformance suite). Writing the meta IS a validation.
+        self._requested_buckets = n
+        self._validated_once = True
 
     # ---- lifecycle gauges / policy ------------------------------------------
     def n_batches(self) -> int:  # pragma: no cover - abstract

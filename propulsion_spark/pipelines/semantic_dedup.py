@@ -392,9 +392,18 @@ class SemDedupStream:
     def run_batch(self, df: DataFrame, batch_id: int, out_path: str) -> None:
         """process + idempotent write keyed by batch id (dynamic
         partition overwrite — replays rewrite, never duplicate)."""
+        if df.isEmpty():
+            return  # the zero-row partitionBy pitfall
+        kept_before = self.stats["kept"]
+        out = self.process_batch(df, batch_id)
+        if self.stats["kept"] == kept_before:
+            # every row deduped away: a zero-row partitionBy write on
+            # a fresh out_path would poison the dir (the srccap
+            # run_batch discipline); the registry already recorded the
+            # batch, and a replay skips identically
+            return
         (
-            self.process_batch(df, batch_id)
-            .withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
+            out.withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")

@@ -567,3 +567,33 @@ class TestCurationPerSourceCap:
             s["kept"] + s["rejected_quality"] + s["rejected_repetition"]
             + s["deduped"] + s["rejected_srccap"]
         )
+
+    def test_rethin_curated_converges_to_batch_bound(self, spark, tmp_path):
+        """The curated store's offline convergence twin of retro_thin:
+        re-filtering with the admit rule against the FINAL totals must
+        equal the batch reference (cap_per_source_monotone over the
+        gate/dedup survivor union) — provable here by running an
+        uncapped pipeline over the same batches as the reference."""
+        from propulsion_spark.streaming.source_cap import (
+            cap_per_source_monotone,
+        )
+
+        b1, b2 = self._batches(spark)
+        capped = CurationPipeline(
+            spark, str(tmp_path / "cap"), max_per_source=10
+        )
+        plain = CurationPipeline(spark, str(tmp_path / "plain"))
+        for i, b in enumerate((b1, b2)):
+            capped.process_batch(b, i + 1)
+            plain.process_batch(b, i + 1)
+        rep = capped.rethin_curated()
+        survivors = plain.curated().select("doc_id", "source")
+        want = sorted(
+            r["doc_id"]
+            for r in cap_per_source_monotone(survivors, 10).collect()
+        )
+        got = sorted(r["doc_id"] for r in capped.curated().collect())
+        assert got == want
+        assert capped.stats["kept"] == len(got)
+        rep2 = capped.rethin_curated()  # idempotent
+        assert rep2["dropped"] == 0

@@ -594,3 +594,76 @@ class TestKeeperRegistryDivergenceGauges:
         assert kept == {11}
         assert eng.stats["deduped_cross_batch"] == 1
         assert eng.stats["keeper_inversions"] == 1
+
+
+class TestAllDroppedBatchWriteGuards:
+    """Parity with the srccap/substr streams' r15 guards: a batch
+    whose survivors ALL dedup away must not zero-row-partitionBy a
+    fresh out_path into an unreadable dir."""
+
+    def test_semdedup_all_dropped_batch(self, spark, tmp_path):
+        import os
+
+        import pandas as pd
+
+        from propulsion_spark.operators.similarity import centroids_frame
+        from propulsion_spark.pipelines import SemDedupStream
+
+        seed = spark.createDataFrame(
+            pd.DataFrame(
+                [(100, [1.0, 0.0, 0.0], 0), (102, [0.0, 0.0, 1.0], 1)],
+                columns=["vec_id", "embedding", "label"],
+            ),
+            "vec_id long, embedding array<float>, label int",
+        )
+        s = SemDedupStream(
+            spark, str(tmp_path / "reg"), centroids_frame(seed),
+            threshold=0.9,
+        )
+
+        def docs(rows):
+            return spark.createDataFrame(
+                pd.DataFrame(rows, columns=["doc_id", "embedding"]),
+                "doc_id long, embedding array<float>",
+            )
+
+        out_a = str(tmp_path / "out_a")
+        s.run_batch(docs([(1, [1.0, 0.0, 0.0])]), 1, out_a)
+        # a FRESH out path whose whole batch is a cross-batch dup
+        out_b = str(tmp_path / "out_b")
+        s.run_batch(docs([(2, [0.99, 0.01, 0.0])]), 2, out_b)
+        assert not os.path.exists(out_b)  # skipped, not poisoned
+        assert s.stats["deduped_cross_batch"] == 1
+        # an empty micro-batch is skipped outright
+        s.run_batch(docs([]), 3, out_b)
+        assert not os.path.exists(out_b)
+
+    def test_media_all_dropped_batch(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from tests.test_multimodal_real import _media_df
+        from tests.test_perceptual import rand_img, to_bmp
+        from propulsion_spark.pipelines.media_dedup import MediaDedupStream
+
+        eng = MediaDedupStream(spark, str(tmp_path / "reg"))
+        g = rand_img(5)
+
+        def batch(rows):
+            return _media_df(spark, rows).select(
+                "doc_id", "media", F.col("meta.media_type").alias("media_type")
+            )
+
+        out_a = str(tmp_path / "out_a")
+        eng.run_batch(
+            batch([(1, bytearray(to_bmp(g)), ("image/bmp", 0, 0))]), 1, out_a
+        )
+        out_b = str(tmp_path / "out_b")
+        eng.run_batch(
+            batch([(2, bytearray(to_bmp(g + 9.0)), ("image/bmp", 0, 0))]),
+            2,
+            out_b,
+        )
+        assert not os.path.exists(out_b)
+        assert eng.stats["deduped_cross_batch"] == 1
