@@ -95,7 +95,11 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(orders, customer.c_custkey == orders.o_custkey)
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(supplier),
+            # supplier is SF-SCALED (10k·SF rows) — unhinted so AQE
+            # broadcasts it at bench scale but shuffles at 100 TB
+            # instead of OOMing; nation/region below stay hinted
+            # (constant 25/5 rows at every SF)
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -365,7 +369,8 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        # part is SF-scaled (200k·SF rows): unhinted, AQE-sized (r15)
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.0).cast("double")
@@ -448,7 +453,8 @@ def q_branded_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size").between(1, 15))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        # part is SF-scaled even post-filter: unhinted, AQE-sized (r15)
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(

@@ -98,7 +98,9 @@ def q_write_pos_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     se = stream_events(spark, sf_dir)
     wp = write_positions(se)
     return (
-        se.join(F.broadcast(wp), "stream_name", "left")
+        # unhinted (r15): wp is O(distinct streams) — corpus-scaled at
+        # 100 TB; AQE broadcasts while small, shuffles past the threshold
+        se.join(wp, "stream_name", "left")
         .filter(F.col("idx") >= F.coalesce(F.col("pos"), F.lit(0)))
         .select("stream_name", "idx", "event_type", "data", "event_id")
     )
@@ -195,7 +197,8 @@ def q_span_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = write_positions(se)
     pos = F.coalesce(F.col("pos"), F.lit(0))
     return (
-        se.join(F.broadcast(wp), "stream_name", "left")
+        # unhinted (r15): the write_pos_dedup rationale
+        se.join(wp, "stream_name", "left")
         .filter((F.col("idx") >= pos) & (F.col("idx") < pos + 5))
         .select("stream_name", "idx", "event_type")
     )
@@ -282,7 +285,8 @@ def q_prune_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("max(idx) div 2").alias("until_idx"))
     )
     return (
-        se.join(F.broadcast(req), "stream_name")
+        # unhinted (r15): req is O(distinct streams), the same class
+        se.join(req, "stream_name")
         .filter(F.col("idx") > F.col("until_idx"))
         .select("stream_name", "idx", "event_type")
     )

@@ -191,7 +191,11 @@ def q_embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), "label"
     )
     votes = (
-        topk.join(F.broadcast(labels), "neighbor_id")
+        # unhinted (r15 sweep, the cap_per_source rationale): the label
+        # table is the CORPUS's embeddings projection — AQE broadcasts
+        # it while small and degrades to a shuffle at corpus scale
+        # instead of force-collecting 100 TB of labels onto executors
+        topk.join(labels, "neighbor_id")
         .groupBy("query_id", "label")
         .agg(F.count("*").alias("votes"))
     )

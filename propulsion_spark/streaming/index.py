@@ -149,7 +149,13 @@ class AppendsIndex:
         )
         wm = self.watermarks()
         classified = (
-            batch.join(F.broadcast(wm), "stream_name", "left")
+            # unhinted (r15): the watermark table is O(streams the
+            # index has EVER seen) — 10^8 at crawl scale — while the
+            # left side is one batch's aggregate; AQE broadcasts wm
+            # while small and falls back to a shuffle join past the
+            # threshold instead of force-collecting the store's whole
+            # stream set
+            batch.join(wm, "stream_name", "left")
             .withColumn("watermark", F.coalesce(F.col("watermark"), F.lit(0)))
             .withColumn(
                 "verdict",

@@ -667,3 +667,32 @@ class TestAllDroppedBatchWriteGuards:
         )
         assert not os.path.exists(out_b)
         assert eng.stats["deduped_cross_batch"] == 1
+
+
+class TestUnhintedScaledBroadcasts:
+    """r15 sweep of the cap_per_source rationale across the repo's
+    remaining F.broadcast() hints on SF/corpus-SCALED tables (kNN
+    labels, TPC-H supplier/part, the index watermark table, the
+    per-stream wp/req tables): unhinted, AQE still broadcasts them at
+    bench scale — pinned here — and degrades to a shuffle at 100 TB
+    instead of bypassing the threshold into an OOM. Hints that remain
+    are bounded by construction (query sets, codebooks, 1-row stats,
+    nation/region's constant 25/5 rows, size-guarded CC)."""
+
+    def test_write_pos_dedup_still_broadcasts_at_bench_scale(self, spark):
+        from propulsion_spark.operators import load_all
+
+        out = load_all()["write_pos_dedup"].build(
+            spark, "/root/testdata/sf0.001"
+        )
+        out.collect()
+        assert "BroadcastHashJoin" in _plan(out)
+
+    def test_knn_labels_still_broadcast_at_bench_scale(self, spark):
+        from propulsion_spark.operators import load_all
+
+        out = load_all()["embedding_knn_classify"].build(
+            spark, "/root/testdata/sf0.001"
+        )
+        out.collect()
+        assert "BroadcastHashJoin" in _plan(out)
