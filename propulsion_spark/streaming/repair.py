@@ -90,6 +90,7 @@ def repair_partitions(
     registry_fp: str,
     repair_one,
     on_repaired=None,
+    chunk_size: int = 1,
 ) -> dict:
     """Run ``repair_one(partition_df) -> repaired_df`` over every
     ``_batch_id`` partition of ``out_path`` not yet repaired under
@@ -103,7 +104,15 @@ def repair_partitions(
     there too). Returns ``{"repaired": n, "skipped": n,
     "deleted_partitions": n, "rows_before": n, "rows_after": n}`` for
     THIS run (resumed-over partitions count as skipped and contribute
-    no row counts)."""
+    no row counts).
+
+    ``chunk_size`` trades blast radius for driver-job amortization:
+    the default 1 repairs strictly one partition per write (a crash
+    re-does at most one partition); an output with 10^3–10^4 batch
+    partitions pays ~2 sequential Spark jobs per partition at that
+    setting, so raise the chunk to repair K partitions per dynamic
+    overwrite — the failure unit becomes one CHUNK, still bounded and
+    resumable, while the job count drops K-fold (SCALE.md knob)."""
     from propulsion_spark.fsio import _fs_and_path, fs_delete
 
     # partition ids from the directory listing, not a Spark job: the
@@ -135,12 +144,17 @@ def repair_partitions(
     done = set(state["done"]) if state["fp"] == registry_fp else set()
     n_deleted = n_repaired = n_skipped = 0
     rows_before = rows_after = 0
+    pending = []
     for bid in ids:
         if bid in done:
             n_skipped += 1
-            continue
+        else:
+            pending.append(bid)
+    chunk_size = max(1, int(chunk_size))
+    for i in range(0, len(pending), chunk_size):
+        chunk = pending[i : i + chunk_size]
         part = spark.read.parquet(out_path).filter(
-            F.col("_batch_id") == bid
+            F.col("_batch_id").isin(chunk)
         )
         repaired = repair_one(part).localCheckpoint(eager=True)
         rows_before += part.count()
@@ -148,20 +162,28 @@ def repair_partitions(
         rows_after += n_after
         if on_repaired is not None:
             on_repaired(part, repaired)
-        if n_after == 0:
-            # zero-row dynamic overwrite writes nothing and leaves the
-            # stale partition alive — delete it explicitly instead
-            fs_delete(spark, f"{out_path.rstrip('/')}/_batch_id={bid}")
-            n_deleted += 1
-        else:
+        # a chunk member whose rows ALL dropped gets no partition from
+        # the dynamic overwrite — its stale dir must be deleted, else
+        # the old rows stay alive (the zero-row overwrite pitfall)
+        if n_after:
+            alive = {
+                r["_batch_id"]
+                for r in repaired.select("_batch_id").distinct().collect()
+            }
             (
                 repaired.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("_batch_id")
                 .parquet(out_path)
             )
-        done.add(bid)
-        n_repaired += 1
+        else:
+            alive = set()
+        for bid in chunk:
+            if bid not in alive:
+                fs_delete(spark, f"{out_path.rstrip('/')}/_batch_id={bid}")
+                n_deleted += 1
+        done.update(chunk)
+        n_repaired += len(chunk)
         _write_marker(spark, out_path, label, registry_fp, list(done))
     # every partition dropped (across THIS run and any resumed-over
     # predecessors): remove the file-less dir outright (ADVICE r14 —

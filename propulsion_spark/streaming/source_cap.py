@@ -351,7 +351,7 @@ class CapPerSourceStream:
             .start()
         )
 
-    def retro_thin(self, out_path: str) -> "dict":
+    def retro_thin(self, out_path: str, chunk_size: int = 1) -> "dict":
         """Repair pass: re-evaluate every EMITTED doc under the FINAL
         registry counts and drop the early over-admissions — after
         which the output is ``cap_per_source_monotone(input union)``
@@ -388,7 +388,10 @@ class CapPerSourceStream:
                 .drop("src_cnt")
             )
 
-        rep = repair_partitions(self.spark, out_path, "srccap", fp, _thin)
+        rep = repair_partitions(
+            self.spark, out_path, "srccap", fp, _thin,
+            chunk_size=chunk_size,
+        )
         return {
             "dropped": rep["rows_before"] - rep["rows_after"],
             "kept": rep["rows_after"],

@@ -403,7 +403,7 @@ class SubstrDedupStream:
         finally:
             grams.unpersist()
 
-    def retro_mask(self, out_path: str) -> "dict":
+    def retro_mask(self, out_path: str, chunk_size: int = 1) -> "dict":
         """Repair pass for the greedy prefix's mask debt (r13 verdict
         #3): re-mask the ALREADY-EMITTED output at ``out_path``
         against the FINAL registry, in place. The registry's min-folded
@@ -481,7 +481,8 @@ class SubstrDedupStream:
             stats["delta"] += int(d["d"] or 0)
 
         rep = repair_partitions(
-            self.spark, out_path, "substr", fp, _mask, on_repaired=_delta
+            self.spark, out_path, "substr", fp, _mask,
+            on_repaired=_delta, chunk_size=chunk_size,
         )
         return {
             "repaired_docs": stats["docs"],

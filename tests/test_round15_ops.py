@@ -696,3 +696,64 @@ class TestUnhintedScaledBroadcasts:
         )
         out.collect()
         assert "BroadcastHashJoin" in _plan(out)
+
+
+class TestChunkedRepair:
+    def test_chunked_equals_per_partition_with_all_dropped_member(
+        self, spark, tmp_path
+    ):
+        """chunk_size>1 repairs K partitions per dynamic overwrite —
+        identical result to per-partition repair, including a chunk
+        member whose rows ALL drop (its stale dir must be deleted;
+        the overwrite alone would leave it alive)."""
+        from propulsion_spark.streaming.source_cap import (
+            CapPerSourceStream,
+            SourceCountRegistry,
+            cap_per_source_monotone,
+        )
+
+        def docs(lo, hi, src):
+            return spark.range(lo, hi).select(
+                F.col("id").alias("doc_id"), F.lit(src).alias("source")
+            )
+
+        out = str(tmp_path / "out")
+        pipe = CapPerSourceStream(spark, str(tmp_path / "reg"), 8)
+        pipe.run_batch(docs(0, 50, "a"), 1, out)
+        # batch 2 is SINGLE-source 'kill' — we will inflate its count
+        # so the final rule drops the whole partition
+        pipe.run_batch(docs(100, 140, "kill"), 2, out)
+        pipe.run_batch(docs(200, 260, "a"), 3, out)
+        SourceCountRegistry(spark, str(tmp_path / "reg")).append_counts(
+            spark.createDataFrame(
+                [("kill", 400_000_000)], "source string, cnt long"
+            ),
+            99,
+        )
+        rep = pipe.retro_thin(out, chunk_size=2)
+        assert rep["repaired"] == 3
+        assert rep["deleted_partitions"] == 1  # the 'kill' partition
+        import os
+
+        assert not os.path.exists(os.path.join(out, "_batch_id=2"))
+        got = sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        )
+        union = (
+            docs(0, 50, "a")
+            .unionByName(docs(100, 140, "kill"))
+            .unionByName(docs(200, 260, "a"))
+            .unionByName(docs(1_000_000, 400_000_000 + 1_000_000 - 40, "kill").limit(0))
+        )
+        # batch reference: same totals the registry holds (kill source
+        # inflated) — emulate by filtering with the admit rule directly
+        from propulsion_spark.streaming.source_cap import _admit_expr
+
+        tot = pipe.registry.totals().withColumnRenamed("source", "source")
+        want = sorted(
+            r["doc_id"]
+            for r in union.join(tot, "source")
+            .filter(_admit_expr(8, "-srccap"))
+            .collect()
+        )
+        assert got == want
