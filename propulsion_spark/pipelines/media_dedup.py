@@ -241,10 +241,16 @@ class MediaDedupStream:
             self.stats["deduped_cross_batch"] += n_canon - n_surv
             # divergence lower bound vs the batch operator (module
             # doc): a drop whose id undercuts every matched keeper is
-            # a representative the batch rule would have kept
-            self.stats["keeper_inversions"] += hit_pairs.filter(
-                F.col("doc_id") < F.col("_k_min")
-            ).count()
+            # a representative the batch rule would have kept. One agg
+            # on the pinned pairs (the semantic_dedup single-job rule)
+            self.stats["keeper_inversions"] += int(
+                hit_pairs.agg(
+                    F.count_if(
+                        F.col("doc_id") < F.col("_k_min")
+                    ).alias("inv")
+                ).collect()[0]["inv"]
+                or 0
+            )
             self.stats["kept"] += n_surv + n_nofp
             return out
         finally:

@@ -367,19 +367,27 @@ class SemDedupStream:
             n_seen = df.count()
             n_emb = normed.count()
             n_canon = n_emb - dropped.count()
-            n_surv = n_canon - hit_pairs.count()
+            # ONE agg job on the pinned pairs covers both the hit
+            # count (for the cross-batch stat) and the divergence
+            # gauge (module doc "Greedy across batches"): a drop whose
+            # doc id is SMALLER than every keeper it matched is a
+            # representative inversion — the batch operator would
+            # have kept this doc and dropped the keeper. Same job
+            # count as the pre-gauge distinct+count shape (A/B'd:
+            # two separate counts cost +0.14 s/batch at sf0.1, the
+            # single agg is parity — ROUND_NOTES r15).
+            hp = hit_pairs.agg(
+                F.count("*").alias("n"),
+                F.count_if(
+                    F.col("vec_id") < F.col("_k_min")
+                ).alias("inv"),
+            ).collect()[0]
+            n_surv = n_canon - hp["n"]
             self.stats["seen"] += n_seen
             self.stats["unembeddable"] += n_seen - n_emb
             self.stats["deduped_in_batch"] += n_emb - n_canon
             self.stats["deduped_cross_batch"] += n_canon - n_surv
-            # divergence gauge (see module doc "Greedy across batches"):
-            # a cross-batch drop whose doc id is SMALLER than every
-            # keeper it matched is a representative inversion — the
-            # batch operator would have kept this doc and dropped the
-            # keeper. Near-free: a filter-count on the pinned pairs.
-            self.stats["keeper_inversions"] += hit_pairs.filter(
-                F.col("vec_id") < F.col("_k_min")
-            ).count()
+            self.stats["keeper_inversions"] += int(hp["inv"] or 0)
             self.stats["kept"] += n_surv + (n_seen - n_emb)
             return out
         finally:
