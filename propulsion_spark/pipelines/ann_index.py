@@ -393,23 +393,125 @@ class AnnIndex(FencedStoreLifecycle):
         codebooks."""
         from propulsion_spark.operators.similarity import _CENTROID_SCALE
 
-        expl = _explode_dims(vectors)
-        seed = vectors.select(
-            "vec_id", (F.col("vec_id") % n_cells).alias("cell")
-        )
-        scaled = F.floor(F.col("x") * _CENTROID_SCALE).cast("long")
-        codebook = (
-            expl.join(seed, "vec_id")
-            .groupBy("cell", "dim")
-            .agg(
-                (
-                    F.sum(scaled).cast("double")
-                    / (F.count("*") * _CENTROID_SCALE)
-                ).alias("c")
+        vectors = cls._right_size(spark, vectors)
+        dims = vectors.select(F.size("embedding").alias("d")).first()
+        dims = int(dims["d"]) if dims and dims["d"] is not None else 0
+        if 0 < dims <= 256:
+            # r15: per-dim element_at sums with map-side partial
+            # aggregation — the shuffle carries n_cells×dims partial
+            # aggregates per map task instead of the old dim-explode's
+            # n·dims ROWS (guide §2.3 "aggregate before you shuffle";
+            # measured 5.0 s → ~1.5 s on the 10× build at sf0.1, and at
+            # 100 TB the explode shuffle was O(corpus·dims)). Arithmetic
+            # is unchanged: the same floor(x·SCALE) longs are summed
+            # (integer addition is order-free, so partials are exact),
+            # counts are per-dim non-null (try_element_at) exactly like
+            # posexplode's one-row-per-existing-dim. Wide codebooks
+            # (>256 dims: 2·dims agg expressions strain codegen) keep
+            # the explode shape below.
+            scaled = [
+                F.floor(
+                    F.expr(f"try_element_at(embedding, {i})")
+                    * _CENTROID_SCALE
+                )
+                .cast("long")
+                .alias(f"_x{i}")
+                for i in range(1, dims + 1)
+            ]
+            sums = (
+                vectors.select(
+                    (F.col("vec_id") % n_cells).alias("label"), *scaled
+                )
+                .groupBy("label")
+                .agg(
+                    *[
+                        F.sum(f"_x{i}").alias(f"_s{i}")
+                        for i in range(1, dims + 1)
+                    ],
+                    *[
+                        F.count(f"_x{i}").alias(f"_n{i}")
+                        for i in range(1, dims + 1)
+                    ],
+                )
             )
-            .withColumnRenamed("cell", "label")
-        )
+            stacked = ", ".join(
+                f"{i}L, _s{i}, _n{i}" for i in range(1, dims + 1)
+            )
+            codebook = (
+                sums.selectExpr(
+                    "label", f"stack({dims}, {stacked}) AS (dim, _s, _n)"
+                )
+                # a (cell, dim) nobody populated (ragged input) has no
+                # row under the explode shape either
+                .filter(F.col("_n") > 0)
+                .select(
+                    "label",
+                    "dim",
+                    (
+                        F.col("_s").cast("double")
+                        / (F.col("_n") * _CENTROID_SCALE)
+                    ).alias("c"),
+                )
+            )
+        else:
+            expl = _explode_dims(vectors)
+            seed = vectors.select(
+                "vec_id", (F.col("vec_id") % n_cells).alias("cell")
+            )
+            scaled = F.floor(F.col("x") * _CENTROID_SCALE).cast("long")
+            codebook = (
+                expl.join(seed, "vec_id")
+                .groupBy("cell", "dim")
+                .agg(
+                    (
+                        F.sum(scaled).cast("double")
+                        / (F.count("*") * _CENTROID_SCALE)
+                    ).alias("c")
+                )
+                .withColumnRenamed("cell", "label")
+            )
         return cls._materialize(spark, vectors, codebook, path)
+
+    @staticmethod
+    def _right_size(spark: SparkSession, vectors: DataFrame) -> DataFrame:
+        """Right-size BUILD parallelism (r15): an input that arrives in
+        fewer partitions than the cluster has cores runs the whole
+        assignment/encode/write path on that many tasks — at bench
+        scale a one-file scan put the entire 10× build on ONE core
+        (measured: the assignment+encode stage alone was ~7 s of
+        single-task wall). Gated on ``partitions < defaultParallelism``
+        so it can never fire for a real at-scale corpus (those arrive
+        with ≫ cores partitions); when it fires the input is by
+        definition small, so the eager localCheckpoint that pins the
+        repartitioned rows (letting the PQ sample pass and the
+        assign+write pass both read blocks instead of re-running the
+        upstream lineage) is bounded. Narrow-lineage inputs only: a
+        frame whose logical plan already shuffles (join/aggregate/
+        window/sort/repartition/distinct) keeps its own partitioning —
+        probing ``.rdd`` under AQE would materialize those shuffle
+        stages as a side-effect job, and such plans chose their
+        partitioning deliberately."""
+        plan = vectors._jdf.queryExecution().logical().toString()
+        if any(
+            kw in plan
+            for kw in (
+                "Join",
+                "Aggregate",
+                "Window",
+                "Sort",
+                "Repartition",
+                "Deduplicate",
+            )
+        ):
+            return vectors
+        try:
+            nparts = vectors.rdd.getNumPartitions()
+        except Exception:  # noqa: BLE001 — sizing is best-effort
+            return vectors
+        par = spark.sparkContext.defaultParallelism
+        if 0 < nparts < par:
+            vectors = vectors.repartition(par).localCheckpoint(eager=True)
+        return vectors
 
     @classmethod
     def _materialize(
@@ -420,6 +522,7 @@ class AnnIndex(FencedStoreLifecycle):
         path: str,
         train_pq: bool = True,
     ) -> "AnnIndex":
+        vectors = cls._right_size(spark, vectors)
         codebook = codebook.persist()
         idx = cls(spark, path)
         with idx._fenced():
@@ -491,7 +594,21 @@ class AnnIndex(FencedStoreLifecycle):
                 tol = 1e-9 * (1.0 + np.abs(kth) + x2 + c2max)
                 amb = np.flatnonzero(nxt - kth <= tol)
                 if len(amb):
-                    exact = ((X[amb, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                    # r15: per-cell loop instead of the broadcast
+                    # (n_amb, cells, dims) 3-D temp. Same arithmetic per
+                    # element (same pairwise sum over the contiguous dims
+                    # axis → bit-identical exact distances), but peak
+                    # memory drops from n_amb·cells·dims to n_amb·dims
+                    # and the traversal is cache-linear — measured 6×
+                    # faster single-thread at (10k, 64, 64), and the 3-D
+                    # temp at a 10k-row Arrow batch was 327 MB per task
+                    # (the measured hot spot of the whole 10× build:
+                    # hash-seeded cells tie EVERY row into the rescore).
+                    Xa = X[amb]
+                    exact = np.empty((len(Xa), C.shape[0]), dtype=np.float64)
+                    for j in range(C.shape[0]):
+                        D = Xa - C[j]
+                        exact[:, j] = (D * D).sum(axis=1)
                     order[amb] = np.argsort(exact, axis=1, kind="stable")
             return pd.Series(list(labs[order[:, :kk]]))
 
@@ -585,8 +702,20 @@ class AnnIndex(FencedStoreLifecycle):
         # the same at-least-once contract as the streaming twins. A full
         # BUILD uses static overwrite so stale partitions from any prior
         # build (different cells/batches) cannot survive the rebuild.
+        #
+        # r15: hash-cluster the rows by their layout partition key
+        # before the write (the Iceberg write.distribution-mode=hash
+        # shape, guide §6): without it EVERY map task opens a file in
+        # EVERY cell dir it touches — tasks × cells files per build
+        # (measured at sf0.1: 32 tasks × 64 cells ≈ 2k near-empty
+        # parquet files, and the file-open overhead was the slowest
+        # piece of the whole 10× build). One exchange of the rows buys
+        # one-writer-per-(batch, cell): ≤ n_cells files, sized by the
+        # cell's actual rows — also exactly what the search-side
+        # pruned reads want to list.
         (
-            rows.write.mode("overwrite")
+            rows.repartition("_batch_id", "cell")
+            .write.mode("overwrite")
             .option(
                 "partitionOverwriteMode",
                 "dynamic" if mode == "append" else "static",
