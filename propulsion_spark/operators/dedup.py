@@ -1086,30 +1086,28 @@ CC_BROADCAST_NODES = 2_000_000
 
 
 def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
-    """Connected components by min-label propagation over an undirected
-    edge list ``(a_id, b_id)`` → ``(node, label)`` with label = the
-    smallest node id reachable from ``node``.
+    """Connected components over an undirected edge list ``(a_id,
+    b_id)`` → ``(node, label)`` with label = the smallest node id
+    reachable from ``node``.
 
-    Iterative plan (the GraphX/connected-components shape expressed in
-    DataFrames): each round (1) joins the current labels across the
-    edges and keeps the per-node minimum, then (2) compresses pointers
-    — l(x) ← l(l(x)), a label-table self-join — so the distance from
-    any node to its component minimum HALVES per round on top of the
-    one-hop propagation: O(log n) rounds even for adversarial
-    path-graph inputs (a pure one-hop loop needs O(diameter) — a
-    300-node chain converges here in ~9 rounds instead of 300, pinned
-    by test). Labels only ever decrease, so sum(label) is a
-    strictly-decreasing convergence witness and one single-row
-    aggregate per round is the only driver traffic. Near-dup graphs
-    from banded LSH are band-intersection cliques stitched at shared
-    docs (single-digit diameters); the compression step is what makes
-    the operator safe for arbitrary edge lists at 100 TB, the same
-    guarantee the large-star/small-star alternation (Kiveris et al.)
-    gives, with the same join primitive. Per-round cost: one shuffle
-    of the edge list + two of the label table; each round's state is
-    checkpointed and the previous round's evicted, so lineage stays
-    O(1) in rounds.
+    r15 shape: ONE graph-contraction step, then min-label propagation
+    on the quotient graph. The seed labeling l₀(x) = min(x, N(x)) is
+    computed in a single groupBy of the edge list; contracting every
+    edge to (l₀(u), l₀(v)) and dropping self-loops collapses the
+    band-intersection cliques LSH emits into single quotient nodes, so
+    the iterative loop runs over the (orders-of-magnitude smaller)
+    cluster-stitching graph instead of re-joining the FULL edge list
+    every round — at sf0.1 the 894k edge-directions contract to a few
+    hundred quotient edges, and at 100 TB per-round cost drops from
+    O(edges) to O(contracted edges), the standard contraction play
+    (Kiveris et al.'s alternation performs the same shrink). The
+    quotient preserves components (l₀(x) is always a member of x's
+    component), and the quotient component minima ARE the original
+    minima: the smallest node x* of a component has l₀(x*) = x*, and
+    every l₀ value is a component member ≥ x*. Final labels compose
+    the two maps with one (broadcast-guarded) join.
     """
+    spark = edges.sparkSession
     both = edges.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     ).unionByName(
@@ -1123,17 +1121,92 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     # queries (the whole query simply re-runs on failure — nothing
     # durable depends on these intermediates).
     both = both.localCheckpoint(eager=True)
-    spark = edges.sparkSession
-    # r15: seed labels at min(node, min(neighbors)) instead of node —
-    # the first propagation round folded into the SAME shuffle the old
-    # node-list distinct() paid (groupBy(src) vs distinct() hash the
-    # identical key), so typical near-dup graphs (clique-ish, diameter
-    # 2-3) converge one full round earlier: one fewer edge-join +
-    # groupBy + compression-join + checkpoint + convergence-agg pass.
-    # The fixpoint is unchanged (min-label propagation from ANY
-    # pointwise-≥ start converges to the same component minima), and
-    # the convergence witness stays sum(label): labels only decrease,
-    # so an unchanged sum still means an unchanged labeling.
+    # seed labels at min(node, min(neighbors)) — the first propagation
+    # round folded into the SAME shuffle a node-list distinct() would
+    # pay (groupBy(src) hashes the identical key). The fixpoint is
+    # unchanged (min-label propagation from ANY pointwise-≥ start
+    # converges to the same component minima).
+    labels0 = (
+        both.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("node", F.least(F.col("node"), F.col("_mn")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = labels0.count()
+    bcast = (
+        (lambda df: F.broadcast(df))
+        if n_nodes <= CC_BROADCAST_NODES
+        else (lambda df: df)
+    )
+    # contract: every edge to its endpoints' seed labels, self-loops
+    # dropped, canonical direction, deduped — the quotient edge list
+    # the loop below iterates on. One pass over the edge list (two
+    # label joins, broadcast-guarded like the loop's) + one distinct.
+    la = labels0.select(
+        F.col("node").alias("src"), F.col("label").alias("_la")
+    )
+    lb = labels0.select(
+        F.col("node").alias("dst"), F.col("label").alias("_lb")
+    )
+    cedges = (
+        both.join(bcast(la), "src")
+        .join(bcast(lb), "dst")
+        .filter(F.col("_la") != F.col("_lb"))
+        .select(
+            F.least("_la", "_lb").alias("a_id"),
+            F.greatest("_la", "_lb").alias("b_id"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if cedges.isEmpty():
+        # every component collapsed to one quotient node already
+        return labels0
+    quotient = _cc_min_label(spark, cedges, max_iters)
+    # compose: label(x) = quotient(l₀(x)), falling back to l₀(x) for
+    # quotient nodes the contracted graph never connected further
+    q = quotient.select(
+        F.col("node").alias("label"), F.col("label").alias("_q")
+    )
+    return (
+        labels0.join(bcast(q), "label", "left")
+        .select("node", F.coalesce("_q", "label").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _cc_min_label(
+    spark: SparkSession, edges: DataFrame, max_iters: int
+) -> DataFrame:
+    """Min-label propagation with pointer compression over a deduped
+    undirected edge list — each round (1) joins the current labels
+    across the edges and keeps the per-node minimum, then (2)
+    compresses pointers — l(x) ← l(l(x)), a label-table self-join — so
+    the distance from any node to its component minimum HALVES per
+    round on top of the one-hop propagation: O(log n) rounds even for
+    adversarial path-graph inputs (a pure one-hop loop needs
+    O(diameter) — a 300-node chain converges in ~O(log) rounds here,
+    pinned by test). Labels only ever decrease, so sum(label) is a
+    strictly-decreasing convergence witness and one single-row
+    aggregate per round is the only driver traffic. Per-round cost:
+    one shuffle of the edge list + the label-table joins; each round's
+    state is checkpointed and the previous round's evicted, so lineage
+    stays O(1) in rounds. localCheckpoint (not persist) on the
+    per-round state: persist caches the data but keeps the logical
+    plan, so round N re-analyzes a plan N joins deep — O(rounds²)
+    planning that dwarfs execution. The recompute-on-executor-loss
+    caveat is the accepted trade for iterative batch queries (the
+    whole query simply re-runs on failure — nothing durable depends on
+    these intermediates)."""
+    both = (
+        edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
     labels = (
         both.groupBy(F.col("src").alias("node"))
         .agg(F.min("dst").alias("_mn"))
