@@ -45,6 +45,21 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def fs_list_subdirs(spark: SparkSession, path: str) -> "list[str] | None":
+    """Names of the immediate child DIRECTORIES of ``path`` — a
+    driver-side Hadoop FS listing (~ms), never a Spark job — or None
+    when the path does not exist. Lets layout-partitioned stores answer
+    "which partitions does generation X have" without a distinct+collect
+    over the data (r15: the per-batch bucket-list job in the streaming
+    dedup paths)."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return None
+    return [
+        st.getPath().getName() for st in fs.listStatus(jpath) if st.isDirectory()
+    ]
+
+
 def fs_write_small(spark: SparkSession, path: str, line: str) -> None:
     """Overwrite a small control file (layout meta, repair markers)
     through the path's own filesystem — a driver-side Hadoop FS call

@@ -247,45 +247,87 @@ class CapPerSourceStream:
         exactly what :meth:`retro_thin` later drops, never the other
         way around."""
         src = F.col(self.source_col)
-        counts = df.groupBy(src.alias("source")).agg(
-            F.count("*").alias("cnt")
+        # persisted (r15): the empty probe inside append_counts and the
+        # registry write both evaluate this aggregate — cache computes
+        # the batch count shuffle once
+        counts = (
+            df.groupBy(src.alias("source"))
+            .agg(F.count("*").alias("cnt"))
+            .persist()
         )
-        self.registry.append_counts(counts, batch_id)
-        nb = self.registry.n_buckets()
-        buckets = [
-            r["b"]
-            for r in df.select(
-                F.pmod(
-                    F.expr(SPARK_H64.format(x=self.source_col)), F.lit(nb)
-                )
-                .cast("int")
-                .alias("b")
+        try:
+            self.registry.append_counts(counts, batch_id)
+            nb = self.registry.n_buckets()
+            # r15: the bucket list is the batch's just-written
+            # (_batch_id, _bkt) partition dirs — a driver FS listing,
+            # not a distinct+collect Spark job over the batch. Folded
+            # replays (dirs gone, append no-opped) fall back to the old
+            # derivation; so do empty batches (nothing written).
+            from propulsion_spark.fsio import fs_list_subdirs
+
+            bdirs = fs_list_subdirs(
+                self.spark,
+                os.path.join(
+                    self.registry._counts_path,
+                    f"_batch_id={int(batch_id)}",
+                ),
             )
-            .distinct()
-            .collect()
-        ]
-        # no broadcast hint: the totals table is O(distinct sources in
-        # this batch's buckets) — tiny for curated corpora (AQE still
-        # broadcasts it), 10^7+ rows for raw-web domain capping, where
-        # a forced broadcast would OOM exactly the target workload
-        tot = self.registry.totals(buckets)
-        flagged = df.join(
-            tot.withColumnRenamed("source", self.source_col),
-            self.source_col,
-        ).withColumn(
-            "_admit", _admit_expr(self.cap, self.salt, id_col=self.id_col)
-        )
-        agg = flagged.agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("_admit").cast("long")).alias("a"),
-        ).collect()[0]
-        self.stats["seen"] += agg["n"]
-        self.stats["admitted"] += int(agg["a"] or 0)
-        out = flagged.filter("_admit").drop("_admit", "src_cnt")
-        if self.auto_compact is not None:
-            out = out.localCheckpoint(eager=True)  # pin before any fold
-            self.registry.auto_compact(**self.auto_compact)
-        return out
+            if bdirs is not None:
+                buckets = [
+                    int(d.split("=", 1)[1])
+                    for d in bdirs
+                    if d.startswith("_bkt=")
+                ]
+            else:
+                buckets = [
+                    r["b"]
+                    for r in df.select(
+                        F.pmod(
+                            F.expr(SPARK_H64.format(x=self.source_col)),
+                            F.lit(nb),
+                        )
+                        .cast("int")
+                        .alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+            # no broadcast hint: the totals table is O(distinct sources
+            # in this batch's buckets) — tiny for curated corpora (AQE
+            # still broadcasts it), 10^7+ rows for raw-web domain
+            # capping, where a forced broadcast would OOM exactly the
+            # target workload
+            tot = self.registry.totals(buckets)
+            # persisted (r15): the stats aggregate and the admitted
+            # output pin below both evaluate this join — one compute
+            flagged = df.join(
+                tot.withColumnRenamed("source", self.source_col),
+                self.source_col,
+            ).withColumn(
+                "_admit",
+                _admit_expr(self.cap, self.salt, id_col=self.id_col),
+            ).persist()
+            agg = flagged.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("_admit").cast("long")).alias("a"),
+            ).collect()[0]
+            self.stats["seen"] += agg["n"]
+            self.stats["admitted"] += int(agg["a"] or 0)
+            # pinned (r15, previously only under auto_compact): the
+            # returned frame feeds run_batch's output write — without
+            # the pin that write re-ran the whole totals-join+admit
+            # chain a second time per batch
+            out = (
+                flagged.filter("_admit")
+                .drop("_admit", "src_cnt")
+                .localCheckpoint(eager=True)
+            )
+            flagged.unpersist()
+            if self.auto_compact is not None:
+                self.registry.auto_compact(**self.auto_compact)
+            return out
+        finally:
+            counts.unpersist()
 
     def run_batch(self, df: DataFrame, batch_id: int, out_path: str) -> None:
         if df.isEmpty():
