@@ -757,3 +757,56 @@ class TestChunkedRepair:
             .collect()
         )
         assert got == want
+
+
+class TestFoldedReplayBucketFallback:
+    """r15 optimization: per-batch bucket lists come from the batch's
+    just-written (_batch_id, _bkt) partition dirs (one driver FS
+    listing, no Spark job). A replay of a batch compact() already
+    FOLDED finds no dirs (append no-ops via the ledger) and must fall
+    back to deriving the list from the batch itself — the
+    register-then-read replay contract, now exercising the fallback."""
+
+    def test_substr_folded_replay_masks_identically(self, spark, tmp_path):
+        from propulsion_spark.streaming.substring_dedup import (
+            SubstrDedupStream,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta one two three four tail a"),
+                (2, "alpha beta gamma delta one two three four tail b"),
+                (3, "unrelated text with no repeats at all here okay"),
+            ],
+            "doc_id long, text string",
+        )
+        sub = SubstrDedupStream(spark, str(tmp_path / "reg"), n=8, min_dup=2)
+        first = {
+            r["doc_id"]: r["text"]
+            for r in sub.process_batch(docs, 1).collect()
+        }
+        sub.registry.compact()  # folds batch 1 into generation 0
+        # replay of the folded batch: append no-ops, its dirs are gone,
+        # the bucket list must come from the fallback derivation
+        replay = {
+            r["doc_id"]: r["text"]
+            for r in sub.process_batch(docs, 1).collect()
+        }
+        assert replay == first
+
+    def test_srccap_folded_replay_admits_identically(self, spark, tmp_path):
+        from propulsion_spark.streaming.source_cap import CapPerSourceStream
+
+        docs = spark.createDataFrame(
+            [(i, "s%d" % (i % 3)) for i in range(60)],
+            "doc_id long, source string",
+        )
+        cap = CapPerSourceStream(spark, str(tmp_path / "reg"), 5)
+        first = sorted(
+            r["doc_id"] for r in cap.process_batch(docs, 1).collect()
+        )
+        cap.registry.compact()
+        replay = sorted(
+            r["doc_id"] for r in cap.process_batch(docs, 1).collect()
+        )
+        assert replay == first
