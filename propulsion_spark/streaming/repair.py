@@ -158,7 +158,11 @@ def repair_partitions(
         )
         repaired = repair_one(part).localCheckpoint(eager=True)
         rows_before += part.count()
-        n_after = repaired.count()  # cheap: pinned to blocks
+        # one job over the pinned blocks yields BOTH the row count and
+        # the set of partitions the dynamic overwrite will emit (the
+        # survivors); a separate count + distinct-collect paid two
+        per = repaired.groupBy("_batch_id").count().collect()
+        n_after = sum(int(r["count"]) for r in per)
         rows_after += n_after
         if on_repaired is not None:
             on_repaired(part, repaired)
@@ -166,10 +170,7 @@ def repair_partitions(
         # the dynamic overwrite — its stale dir must be deleted, else
         # the old rows stay alive (the zero-row overwrite pitfall)
         if n_after:
-            alive = {
-                r["_batch_id"]
-                for r in repaired.select("_batch_id").distinct().collect()
-            }
+            alive = {r["_batch_id"] for r in per}
             (
                 repaired.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")

@@ -330,17 +330,19 @@ class CapPerSourceStream:
             counts.unpersist()
 
     def run_batch(self, df: DataFrame, batch_id: int, out_path: str) -> None:
-        if df.isEmpty():
-            return  # the zero-row partitionBy pitfall
         admitted_before = self.stats["admitted"]
         out = self.process_batch(df, batch_id)
         if self.stats["admitted"] == admitted_before:
-            # all-dropped batch (tiny cap over huge sources): the
-            # registry registered the counts, but a zero-row
-            # partitionBy write on a fresh out_path would poison the
-            # dir (r14 advice — the same pitfall as empty input). The
-            # admit rule is deterministic, so a replay skips the write
-            # identically; nothing to overwrite, nothing lost.
+            # all-dropped batch (tiny cap over huge sources) OR empty
+            # input — either way nothing was admitted: the registry
+            # registered any counts, but a zero-row partitionBy write
+            # on a fresh out_path would poison the dir (r14 advice).
+            # The admit rule is deterministic, so a replay skips the
+            # write identically; nothing to overwrite, nothing lost.
+            # (r15: this guard subsumes the old up-front df.isEmpty()
+            # probe — one fewer action against the input per batch;
+            # stream_into still short-circuits empty micro-batches
+            # before reaching here.)
             return
         (
             out.withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
