@@ -109,9 +109,10 @@ def repair_partitions(
     ``chunk_size`` trades blast radius for driver-job amortization:
     the default 1 repairs strictly one partition per write (a crash
     re-does at most one partition); an output with 10^3–10^4 batch
-    partitions pays ~2 sequential Spark jobs per partition at that
-    setting, so raise the chunk to repair K partitions per dynamic
-    overwrite — the failure unit becomes one CHUNK, still bounded and
+    partitions pays ~3 sequential Spark jobs per partition at that
+    setting (pin, post-repair count, overwrite — the pre-repair counts
+    are one job up front for the whole pass), so raise the chunk to
+    repair K partitions per dynamic overwrite — the failure unit becomes one CHUNK, still bounded and
     resumable, while the job count drops K-fold (SCALE.md knob)."""
     from propulsion_spark.fsio import _fs_and_path, fs_delete
 
@@ -151,13 +152,29 @@ def repair_partitions(
         else:
             pending.append(bid)
     chunk_size = max(1, int(chunk_size))
+    # pre-repair row counts for EVERY pending partition in ONE job up
+    # front (the per-chunk `part.count()` paid one job per chunk — at
+    # 10^4 batch partitions that was 10^4 driver-scheduled jobs); the
+    # counts are collected before any overwrite, so the loop's dynamic
+    # rewrites cannot skew them. A dir with zero data rows simply has
+    # no groupBy row — same 0 the per-chunk count returned.
+    before_per = {}
+    if pending:
+        before_per = {
+            r["_batch_id"]: int(r["count"])
+            for r in spark.read.parquet(out_path)
+            .filter(F.col("_batch_id").isin(pending))
+            .groupBy("_batch_id")
+            .count()
+            .collect()
+        }
     for i in range(0, len(pending), chunk_size):
         chunk = pending[i : i + chunk_size]
         part = spark.read.parquet(out_path).filter(
             F.col("_batch_id").isin(chunk)
         )
         repaired = repair_one(part).localCheckpoint(eager=True)
-        rows_before += part.count()
+        rows_before += sum(before_per.get(b, 0) for b in chunk)
         # one job over the pinned blocks yields BOTH the row count and
         # the set of partitions the dynamic overwrite will emit (the
         # survivors); a separate count + distinct-collect paid two

@@ -358,6 +358,61 @@ class TestIncrementalRepair:
         )
         assert got == want
 
+    def test_resume_row_stats_cover_only_pending(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """rows_before / rows_after on a RESUMED repair count only the
+        pending partitions — pins the r15 one-job upfront pre-repair
+        count (which must exclude resumed-over partitions) against the
+        crash-resume path."""
+        from propulsion_spark.streaming import repair
+
+        out = str(tmp_path / "out")
+        pipe = self._pipe(spark, tmp_path)
+        for i, b in enumerate(
+            (
+                self._docs(spark, 0, 400),
+                self._docs(spark, 400, 1200),
+                self._docs(spark, 1200, 2400),
+            )
+        ):
+            pipe.run_batch(b, i + 1, out)
+
+        real_write = repair._write_marker
+        calls = {"n": 0}
+
+        def crash_on_second(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected crash mid-repair")
+            return real_write(*a, **k)
+
+        monkeypatch.setattr(repair, "_write_marker", crash_on_second)
+        with pytest.raises(RuntimeError, match="injected"):
+            pipe.retro_thin(out)
+        monkeypatch.undo()
+        # partition 1 repaired + marked; 2 and 3 pending. The resume's
+        # rows_before must equal THEIR current rows (not the whole
+        # output's), exactly what the kernel's upfront count reads.
+        exp_before = (
+            spark.read.parquet(out)
+            .filter(F.col("_batch_id").isin([2, 3]))
+            .count()
+        )
+        rep = pipe.retro_thin(out)
+        assert rep["skipped"] == 1 and rep["repaired"] == 2
+        assert rep["rows_before"] == exp_before
+        kept = (
+            spark.read.parquet(out)
+            .filter(F.col("_batch_id").isin([2, 3]))
+            .count()
+        )
+        assert rep["rows_after"] == kept
+        # (no drop delta asserted: the crashed attempt already thinned
+        # partition 2 before failing its marker write, and the LAST
+        # batch was admitted against final counts — idempotent resume
+        # legitimately finds nothing left to drop)
+
     def test_registry_growth_invalidates_marker(self, spark, tmp_path):
         """A registry that ingested more batches after a completed
         repair changes the fingerprint: the next repair must re-visit
