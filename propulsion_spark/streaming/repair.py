@@ -112,8 +112,9 @@ def repair_partitions(
     partitions pays ~3 sequential Spark jobs per partition at that
     setting (pin, post-repair count, overwrite — the pre-repair counts
     are one job up front for the whole pass), so raise the chunk to
-    repair K partitions per dynamic overwrite — the failure unit becomes one CHUNK, still bounded and
-    resumable, while the job count drops K-fold (SCALE.md knob)."""
+    repair K partitions per dynamic overwrite — the failure unit
+    becomes one CHUNK, still bounded and resumable, while the job
+    count drops K-fold (SCALE.md knob)."""
     from propulsion_spark.fsio import _fs_and_path, fs_delete
 
     # partition ids from the directory listing, not a Spark job: the
