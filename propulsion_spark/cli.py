@@ -1615,18 +1615,22 @@ def cmd_semdedup(args) -> int:
     from propulsion_spark import get_spark
     from propulsion_spark.operators.similarity import (
         SEMDEDUP_COS,
+        _semdedup_verdicts_joined,
         ivf_cells,
         normed_frame,
-        semdedup_verdicts,
     )
 
     spark = get_spark("propulsion-semdedup")
     emb = spark.read.parquet(args.src)
     threshold = SEMDEDUP_COS if args.cos is None else args.cos
-    verdicts = semdedup_verdicts(
-        normed_frame(emb), ivf_cells(emb), threshold=threshold
-    )
-    verdicts.write.mode("overwrite").parquet(args.out)
+    # joined kernel over a persisted frame: the wrapper form would pay
+    # the cell assignment on both sides of its pair self-join (r15)
+    joined = normed_frame(emb).join(ivf_cells(emb), "vec_id").persist()
+    try:
+        verdicts = _semdedup_verdicts_joined(joined, threshold=threshold)
+        verdicts.write.mode("overwrite").parquet(args.out)
+    finally:
+        joined.unpersist()
     written = spark.read.parquet(args.out)
     print(
         json.dumps(

@@ -754,8 +754,25 @@ def semdedup_verdicts(
     one (cell) shuffle key — the exact trick the paper uses to run on
     LAION-scale corpora. Keep-lowest-id is the deterministic stand-in
     for the paper's keep-one-per-ε-group rule.
+
+    Callers that already hold the (vec_id, embedding, nrm, cell) join —
+    and especially ones that hold it CACHED — should call
+    ``_semdedup_verdicts_joined`` directly: this wrapper's self-join
+    evaluates ``normed ⨝ cells`` independently on both sides (Spark
+    does not dedupe common subplans), so an uncached ``cells`` pays its
+    assignment twice here (r15: SemDedupStream.process_batch paid it
+    three times per micro-batch before switching to the joined form).
     """
-    n = normed.join(cells, "vec_id")
+    return _semdedup_verdicts_joined(normed.join(cells, "vec_id"), threshold)
+
+
+def _semdedup_verdicts_joined(
+    n: DataFrame, threshold: float = SEMDEDUP_COS
+) -> DataFrame:
+    """``semdedup_verdicts`` over a pre-joined (vec_id, embedding, nrm,
+    cell) frame — identical expressions, identical results; exists so a
+    caller with a persisted join feeds BOTH sides of the pair self-join
+    from cache instead of re-deriving the cell assignment twice."""
     a = n.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),

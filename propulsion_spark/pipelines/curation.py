@@ -461,22 +461,37 @@ class CurationPipeline:
         if semdedup_embeddings is not None:
             from propulsion_spark.operators.similarity import (
                 SEMDEDUP_COS,
+                _semdedup_verdicts_joined,
                 ivf_cells,
                 normed_frame,
-                semdedup_verdicts,
             )
 
-            self._sem_drops = (
-                semdedup_verdicts(
-                    normed_frame(semdedup_embeddings),
-                    ivf_cells(semdedup_embeddings),
-                    threshold=(
-                        SEMDEDUP_COS if semdedup_cos is None else semdedup_cos
-                    ),
+            # the joined kernel over a persisted (vec_id, embedding,
+            # nrm, cell) frame: the wrapper's pair self-join evaluates
+            # its inputs on both sides, so the uncached form paid the
+            # cell assignment (centroid aggregate + O(corpus × cells)
+            # decimal-distance crossJoin + argmin window) TWICE here
+            # (r15). The persist window is bounded to this one
+            # computation — released as soon as the ids-only drop set
+            # is pinned.
+            _sem_joined = normed_frame(semdedup_embeddings).join(
+                ivf_cells(semdedup_embeddings), "vec_id"
+            ).persist()
+            try:
+                self._sem_drops = (
+                    _semdedup_verdicts_joined(
+                        _sem_joined,
+                        threshold=(
+                            SEMDEDUP_COS
+                            if semdedup_cos is None
+                            else semdedup_cos
+                        ),
+                    )
+                    .select(F.col("b_id").alias("doc_id"))
+                    .localCheckpoint(eager=True)
                 )
-                .select(F.col("b_id").alias("doc_id"))
-                .localCheckpoint(eager=True)
-            )
+            finally:
+                _sem_joined.unpersist()
         else:
             self._sem_drops = None
         # per-source (domain) cap — the RefinedWeb/Gopher share bound,

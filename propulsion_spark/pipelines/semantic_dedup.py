@@ -228,9 +228,9 @@ class SemDedupStream:
         for them, so they must degrade to "not deduped", not to data
         loss (the media-dedup null-fingerprint contract)."""
         from propulsion_spark.operators.similarity import (
+            _semdedup_verdicts_joined,
             _spark_dot,
             assign_cells,
-            semdedup_verdicts,
         )
 
         base = df.select(
@@ -243,11 +243,20 @@ class SemDedupStream:
         try:
             cells = assign_cells(normed, self.codebook)
             framed = normed.join(cells, "vec_id").persist()
-            # intra-batch: ε-ball keep-lowest-id. The drop set is
-            # ids-only and batch-bounded: localCheckpoint pins it so the
-            # pair join runs ONCE, not once per downstream count/write
+            # intra-batch: ε-ball keep-lowest-id over the PERSISTED
+            # join — the wrapper form evaluates normed ⨝ cells
+            # independently on both sides of its pair self-join (Spark
+            # does not dedupe common subplans), so the cell assignment
+            # (an O(batch × cells) decimal-distance crossJoin plus a
+            # row_number window exchange) ran THREE times per batch:
+            # a-side, b-side, and framed's own materialization. Feeding
+            # the joined kernel from framed runs it ONCE — this action
+            # also populates framed's cache for every later consumer.
+            # The drop set is ids-only and batch-bounded: localCheckpoint
+            # pins it so the pair join runs ONCE, not once per
+            # downstream count/write
             dropped = (
-                semdedup_verdicts(normed, cells, threshold=self.threshold)
+                _semdedup_verdicts_joined(framed, threshold=self.threshold)
                 .select(F.col("b_id").alias("vec_id"))
                 .localCheckpoint(eager=True)
             )

@@ -78,6 +78,30 @@ class TestSemDeDup:
         assert semdedup_verdicts(normed, cells, threshold=0.8).count() == 0
         assert semdedup_verdicts(normed, cells, threshold=0.7).count() == 1
 
+    def test_joined_kernel_matches_wrapper(self, spark):
+        """r15: the pre-joined kernel (what SemDedupStream feeds from
+        its persisted frame so the cell assignment runs once, not three
+        times per batch) is verdict-identical to the two-frame wrapper,
+        cached or not."""
+        from propulsion_spark.operators.similarity import (
+            _semdedup_verdicts_joined,
+        )
+
+        normed = _normed(
+            spark,
+            [(i, [float(i % 5 + 1), float(i % 3), 1.0]) for i in range(30)],
+        )
+        cells = _cells(spark, [(i, i % 3) for i in range(30)])
+        want = sorted(map(tuple, semdedup_verdicts(normed, cells).collect()))
+        joined = normed.join(cells, "vec_id").persist()
+        try:
+            got = sorted(
+                map(tuple, _semdedup_verdicts_joined(joined).collect())
+            )
+        finally:
+            joined.unpersist()
+        assert got == want and len(want) > 0
+
     def test_partition_invariant(self, spark):
         normed = _normed(
             spark,
