@@ -183,6 +183,13 @@ class MediaDedupStream:
                 dropped = d if dropped is None else dropped.unionByName(d)
             canon = fps
             if dropped is not None:
+                # pinned (r15 counting discipline, from semantic_dedup):
+                # ids-only and batch-bounded; every consumer (the
+                # anti-join below, evaluated once per downstream job,
+                # and the near-free count that replaces the old
+                # canon.count() join job) reads blocks instead of
+                # re-running the CC compose joins
+                dropped = dropped.localCheckpoint(eager=True)
                 canon = fps.join(dropped, "doc_id", "left_anti")
             # cross-batch: chunk equi-join vs the registry, hamming
             # verify vs the matched keeper's full fingerprint;
@@ -233,24 +240,29 @@ class MediaDedupStream:
             )
             n_seen = df.count()
             n_nofp = all_fps.filter(F.col("fp64").isNull()).count()
-            n_canon = canon.count()
-            n_surv = survivors_fp.count()
+            # counting discipline (r15, from semantic_dedup): the drop
+            # and hit sets are pinned ids-only frames — distinct by
+            # construction (CC nodes per disjoint modality; groupBy
+            # doc_id) and subsets of fps/canon respectively — so canon
+            # and survivor counts DERIVE from them instead of re-running
+            # the two anti-joins as two more jobs per batch. The hit
+            # count and the inversion gauge share ONE agg on the pinned
+            # pairs (the semantic_dedup single-job rule).
+            n_dropped = 0 if dropped is None else dropped.count()
+            hp = hit_pairs.agg(
+                F.count("*").alias("n"),
+                F.count_if(F.col("doc_id") < F.col("_k_min")).alias("inv"),
+            ).collect()[0]
+            n_canon = (n_seen - n_nofp) - n_dropped
+            n_surv = n_canon - hp["n"]
             self.stats["seen"] += n_seen
             self.stats["unfingerprintable"] += n_nofp
-            self.stats["deduped_in_batch"] += (n_seen - n_nofp) - n_canon
-            self.stats["deduped_cross_batch"] += n_canon - n_surv
+            self.stats["deduped_in_batch"] += n_dropped
+            self.stats["deduped_cross_batch"] += hp["n"]
             # divergence lower bound vs the batch operator (module
             # doc): a drop whose id undercuts every matched keeper is
-            # a representative the batch rule would have kept. One agg
-            # on the pinned pairs (the semantic_dedup single-job rule)
-            self.stats["keeper_inversions"] += int(
-                hit_pairs.agg(
-                    F.count_if(
-                        F.col("doc_id") < F.col("_k_min")
-                    ).alias("inv")
-                ).collect()[0]["inv"]
-                or 0
-            )
+            # a representative the batch rule would have kept
+            self.stats["keeper_inversions"] += int(hp["inv"] or 0)
             self.stats["kept"] += n_surv + n_nofp
             return out
         finally:
