@@ -1615,7 +1615,7 @@ def cmd_semdedup(args) -> int:
     from propulsion_spark import get_spark
     from propulsion_spark.operators.similarity import (
         SEMDEDUP_COS,
-        _semdedup_verdicts_joined,
+        semdedup_verdicts_joined,
         ivf_cells,
         normed_frame,
     )
@@ -1623,11 +1623,16 @@ def cmd_semdedup(args) -> int:
     spark = get_spark("propulsion-semdedup")
     emb = spark.read.parquet(args.src)
     threshold = SEMDEDUP_COS if args.cos is None else args.cos
-    # joined kernel over a persisted frame: the wrapper form would pay
-    # the cell assignment on both sides of its pair self-join (r15)
-    joined = normed_frame(emb).join(ivf_cells(emb), "vec_id").persist()
+    # persisted-join form (see semdedup_verdicts_joined): four columns
+    # only, so corpora with extra metadata columns don't bloat the cache
+    joined = (
+        normed_frame(emb)
+        .join(ivf_cells(emb), "vec_id")
+        .select("vec_id", "embedding", "nrm", "cell")
+        .persist()
+    )
     try:
-        verdicts = _semdedup_verdicts_joined(joined, threshold=threshold)
+        verdicts = semdedup_verdicts_joined(joined, threshold=threshold)
         verdicts.write.mode("overwrite").parquet(args.out)
     finally:
         joined.unpersist()

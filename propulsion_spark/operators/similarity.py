@@ -757,16 +757,16 @@ def semdedup_verdicts(
 
     Callers that already hold the (vec_id, embedding, nrm, cell) join —
     and especially ones that hold it CACHED — should call
-    ``_semdedup_verdicts_joined`` directly: this wrapper's self-join
+    ``semdedup_verdicts_joined`` directly: this wrapper's self-join
     evaluates ``normed ⨝ cells`` independently on both sides (Spark
     does not dedupe common subplans), so an uncached ``cells`` pays its
     assignment twice here (r15: SemDedupStream.process_batch paid it
     three times per micro-batch before switching to the joined form).
     """
-    return _semdedup_verdicts_joined(normed.join(cells, "vec_id"), threshold)
+    return semdedup_verdicts_joined(normed.join(cells, "vec_id"), threshold)
 
 
-def _semdedup_verdicts_joined(
+def semdedup_verdicts_joined(
     n: DataFrame, threshold: float = SEMDEDUP_COS
 ) -> DataFrame:
     """``semdedup_verdicts`` over a pre-joined (vec_id, embedding, nrm,

@@ -461,25 +461,25 @@ class CurationPipeline:
         if semdedup_embeddings is not None:
             from propulsion_spark.operators.similarity import (
                 SEMDEDUP_COS,
-                _semdedup_verdicts_joined,
+                semdedup_verdicts_joined,
                 ivf_cells,
                 normed_frame,
             )
 
-            # the joined kernel over a persisted (vec_id, embedding,
-            # nrm, cell) frame: the wrapper's pair self-join evaluates
-            # its inputs on both sides, so the uncached form paid the
-            # cell assignment (centroid aggregate + O(corpus × cells)
-            # decimal-distance crossJoin + argmin window) TWICE here
-            # (r15). The persist window is bounded to this one
-            # computation — released as soon as the ids-only drop set
-            # is pinned.
-            _sem_joined = normed_frame(semdedup_embeddings).join(
-                ivf_cells(semdedup_embeddings), "vec_id"
-            ).persist()
+            # persisted-join form (see semdedup_verdicts_joined — the
+            # uncached wrapper would pay the cell assignment twice);
+            # projected to the kernel's four columns so extra metadata
+            # columns on the embeddings frame don't bloat the cache,
+            # and released as soon as the ids-only drop set is pinned
+            _sem_joined = (
+                normed_frame(semdedup_embeddings)
+                .join(ivf_cells(semdedup_embeddings), "vec_id")
+                .select("vec_id", "embedding", "nrm", "cell")
+                .persist()
+            )
             try:
                 self._sem_drops = (
-                    _semdedup_verdicts_joined(
+                    semdedup_verdicts_joined(
                         _sem_joined,
                         threshold=(
                             SEMDEDUP_COS

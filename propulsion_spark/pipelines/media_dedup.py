@@ -247,7 +247,12 @@ class MediaDedupStream:
             # and survivor counts DERIVE from them instead of re-running
             # the two anti-joins as two more jobs per batch. The hit
             # count and the inversion gauge share ONE agg on the pinned
-            # pairs (the semantic_dedup single-job rule).
+            # pairs (the semantic_dedup single-job rule). The arithmetic
+            # additionally assumes one row per doc_id in the batch (the
+            # stream's id contract — a duplicated id would already make
+            # the keep_ids join fan out); a violating batch only skews
+            # these gauges (always high — never a silent empty-write),
+            # the kept rows themselves stay anti-join-exact.
             n_dropped = 0 if dropped is None else dropped.count()
             hp = hit_pairs.agg(
                 F.count("*").alias("n"),

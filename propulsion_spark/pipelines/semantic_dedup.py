@@ -228,7 +228,7 @@ class SemDedupStream:
         for them, so they must degrade to "not deduped", not to data
         loss (the media-dedup null-fingerprint contract)."""
         from propulsion_spark.operators.similarity import (
-            _semdedup_verdicts_joined,
+            semdedup_verdicts_joined,
             _spark_dot,
             assign_cells,
         )
@@ -256,7 +256,7 @@ class SemDedupStream:
             # pins it so the pair join runs ONCE, not once per
             # downstream count/write
             dropped = (
-                _semdedup_verdicts_joined(framed, threshold=self.threshold)
+                semdedup_verdicts_joined(framed, threshold=self.threshold)
                 .select(F.col("b_id").alias("vec_id"))
                 .localCheckpoint(eager=True)
             )

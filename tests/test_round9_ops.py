@@ -84,7 +84,7 @@ class TestSemDeDup:
         times per batch) is verdict-identical to the two-frame wrapper,
         cached or not."""
         from propulsion_spark.operators.similarity import (
-            _semdedup_verdicts_joined,
+            semdedup_verdicts_joined,
         )
 
         normed = _normed(
@@ -96,7 +96,7 @@ class TestSemDeDup:
         joined = normed.join(cells, "vec_id").persist()
         try:
             got = sorted(
-                map(tuple, _semdedup_verdicts_joined(joined).collect())
+                map(tuple, semdedup_verdicts_joined(joined).collect())
             )
         finally:
             joined.unpersist()
