@@ -238,8 +238,16 @@ class MediaDedupStream:
                 keep_ids.withColumnRenamed("doc_id", self.id_col),
                 self.id_col,
             )
-            n_seen = df.count()
-            n_nofp = all_fps.filter(F.col("fp64").isNull()).count()
+            # seen + unfingerprintable in ONE agg over the persisted
+            # fingerprints (media_fingerprints is map-only and row-1:1
+            # with df, so count(*) here IS the batch size); the old
+            # shape was two jobs, one of them a full source re-scan
+            fc = all_fps.agg(
+                F.count("*").alias("n"),
+                F.count_if(F.col("fp64").isNull()).alias("nofp"),
+            ).collect()[0]
+            n_seen = int(fc["n"])
+            n_nofp = int(fc["nofp"])
             # counting discipline (r15, from semantic_dedup): the drop
             # and hit sets are pinned ids-only frames — distinct by
             # construction (CC nodes per disjoint modality; groupBy

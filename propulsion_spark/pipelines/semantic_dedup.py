@@ -233,13 +233,23 @@ class SemDedupStream:
             assign_cells,
         )
 
-        base = df.select(
-            F.col(self.id_col).alias("vec_id"),
-            F.col(self.emb_col).alias("embedding"),
-        ).withColumn("nrm", F.sqrt(_spark_dot("embedding", "embedding")))
-        normed = base.filter(
-            F.col("embedding").isNotNull() & (F.col("nrm") > 0)
-        ).persist()
+        # the persist sits on BASE (all rows, nrm attached), not on the
+        # embeddable filter below: the batch stats then come from ONE
+        # near-free agg over this cache instead of a df.count() that
+        # re-scanned the micro-batch source as its own job (r15
+        # counting discipline); the filter itself is a per-row
+        # predicate over cached blocks, so every normed consumer pays
+        # what it paid before
+        _embeddable = F.col("embedding").isNotNull() & (F.col("nrm") > 0)
+        base = (
+            df.select(
+                F.col(self.id_col).alias("vec_id"),
+                F.col(self.emb_col).alias("embedding"),
+            )
+            .withColumn("nrm", F.sqrt(_spark_dot("embedding", "embedding")))
+            .persist()
+        )
+        normed = base.filter(_embeddable)
         try:
             cells = assign_cells(normed, self.codebook)
             framed = normed.join(cells, "vec_id").persist()
@@ -373,8 +383,16 @@ class SemDedupStream:
             # construction), so their counts are near-free — canon and
             # survivors counts DERIVE from them instead of re-running
             # the anti-joins as two more jobs per batch
-            n_seen = df.count()
-            n_emb = normed.count()
+            # seen + embeddable in ONE agg over the persisted base
+            # (count_if's condition is the normed filter verbatim, so
+            # the split is exactly the one the frames use); the old
+            # shape was two jobs, one of them a full source re-scan
+            bc = base.agg(
+                F.count("*").alias("seen"),
+                F.count_if(_embeddable).alias("emb"),
+            ).collect()[0]
+            n_seen = int(bc["seen"])
+            n_emb = int(bc["emb"])
             n_canon = n_emb - dropped.count()
             # ONE agg job on the pinned pairs covers both the hit
             # count (for the cross-batch stat) and the divergence
@@ -400,7 +418,7 @@ class SemDedupStream:
             self.stats["kept"] += n_surv + (n_seen - n_emb)
             return out
         finally:
-            normed.unpersist()
+            base.unpersist()
             try:
                 framed.unpersist()
             except NameError:
