@@ -246,12 +246,11 @@ class AnnIndex(FencedStoreLifecycle):
         schemas would poison later reads)."""
         import numpy as np
 
-        from propulsion_spark.fsio import read_parquet_if_exists
+        from propulsion_spark.fsio import fs_exists
 
-        pq = read_parquet_if_exists(self.spark, self._pq_path)
-        if pq is None:
+        if not fs_exists(self.spark, self._pq_path):
             return None
-        rows = pq.collect()
+        rows = self._read_store(self._pq_path).collect()
         if not rows:  # present-but-empty dir: treat as legacy, not crash
             return None
         m = max(r["sub"] for r in rows) + 1
@@ -1036,12 +1035,14 @@ class AnnIndex(FencedStoreLifecycle):
 
     # ---- search ----------------------------------------------------------
     def codebook(self) -> DataFrame:
-        return self.spark.read.parquet(self._codebook_path)
+        # _read_store (r15): the per-call schema inference was one
+        # fixed driver job on every search
+        return self._read_store(self._codebook_path)
 
     def probed_vectors(self, cells: list) -> DataFrame:
         """The cell-filtered scan — isolated so tests can assert the
         partition pruning on ``inputFiles()``."""
-        return self.spark.read.parquet(self._vectors_path).filter(
+        return self._read_store(self._vectors_path).filter(
             F.col("cell").isin(cells)
         )
 
@@ -1099,20 +1100,32 @@ class AnnIndex(FencedStoreLifecycle):
                 self._cells_topk_udf(codebook, n_probes)("embedding")
             ).alias("cell"),
         )
-        # bounded driver list → static partition pruning on the scan
-        cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+        # ONE collect of the (query_id, cell) probe pairs — bounded at
+        # queries × n_probes rows, strictly SMALLER than the q frame
+        # below (same rows plus each query's embedding) that this path
+        # already builds on the driver as a broadcast relation, so
+        # driver-side by construction. Collecting the pairs instead of
+        # the distinct cell list (r15) drops the distinct shuffle from
+        # the collect AND takes the probe UDF out of the executed
+        # plan: the main job re-evaluated the ArrowEvalPython probe
+        # ranking a second time just to rebuild rows the driver
+        # already had. The bounded list still drives static partition
+        # pruning on the scan.
+        probe_rows = probes.collect()
+        cells = sorted({r["cell"] for r in probe_rows})
         if len(cells) > MAX_PROBE_CELLS:
             raise ValueError(
                 f"{len(cells)} probed cells exceeds MAX_PROBE_CELLS="
                 f"{MAX_PROBE_CELLS}; batch the query set"
             )
+        probes_local = self.spark.createDataFrame(probe_rows, probes.schema)
         q = (
             queries.select(
                 F.col("query_id"),
                 F.col("embedding").alias("q_emb"),
                 F.sqrt(_spark_dot("embedding", "embedding")).alias("q_nrm"),
             )
-            .join(probes, "query_id")
+            .join(probes_local, "query_id")
             .select("query_id", "q_emb", "q_nrm", F.col("cell").alias("q_cell"))
         )
         vectors = self.probed_vectors(cells)

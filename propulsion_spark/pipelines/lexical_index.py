@@ -297,14 +297,13 @@ class LexicalIndex(FencedStoreLifecycle):
 
     # ---- search ----------------------------------------------------------
     def stats(self) -> "tuple[int, int]":
-        from propulsion_spark.fsio import read_parquet_if_exists
+        from propulsion_spark.fsio import fs_exists
 
         # never-written (empty) index — the _load_pq rule: ONLY a
         # missing path means empty; real read failures re-raise
-        st = read_parquet_if_exists(self.spark, self._stats_path)
-        if st is None:
+        if not fs_exists(self.spark, self._stats_path):
             return (0, 0)
-        rows = st.collect()
+        rows = self._read_store(self._stats_path).collect()
         return (
             sum(r["n_docs"] for r in rows),
             sum(r["total_dl"] for r in rows),
@@ -319,7 +318,9 @@ class LexicalIndex(FencedStoreLifecycle):
         # fenced rebucket, not keep its construction-time cache
         nb = self.n_buckets_layout(refresh=True)
         buckets = sorted({_bucket_py(t, nb) for t in terms})
-        return self.spark.read.parquet(path).filter(
+        # _read_store (r15): the per-call spark.read.parquet schema
+        # inference was one fixed driver job per table per query
+        return self._read_store(path).filter(
             F.col("bucket").isin(buckets) & F.col("token").isin(list(terms))
         )
 
@@ -622,7 +623,7 @@ class LexicalIndex(FencedStoreLifecycle):
         list at ingest). Neither is applied silently here: search()
         stays bit-identical to the scan-path bm25_topk."""
         n_docs, _ = self.stats()
-        dfq = self.spark.read.parquet(self._df_path).groupBy("token").agg(
+        dfq = self._read_store(self._df_path).groupBy("token").agg(
             F.sum("doc_freq").alias("doc_freq")
         )
         return (
@@ -652,9 +653,15 @@ class LexicalIndex(FencedStoreLifecycle):
         qt = queries.select(
             "query_id", F.explode("terms").alias("token")
         ).distinct()
-        terms = tuple(
-            r["token"] for r in qt.select("token").distinct().collect()
-        )
+        # ONE collect of the distinct (query_id, token) pairs — the
+        # exact rows the broadcast join below ships to every executor,
+        # so they fit on the driver by the same argument that lets the
+        # join broadcast. Collecting the PAIRS (not just the token
+        # list, r15) lets the join consume a literal local frame: the
+        # executed plan no longer re-runs the explode+distinct shuffle
+        # against the query source on every serving call.
+        qt_rows = qt.collect()
+        terms = tuple(sorted({r["token"] for r in qt_rows}))
         if max_df_share is not None and terms:
             # df shares are a corpus property, so one split covers the
             # whole batch; a query left with no terms yields no rows
@@ -662,7 +669,7 @@ class LexicalIndex(FencedStoreLifecycle):
             # dropped set via split_saturated — the lever is explicit.
             terms, dropped = self.split_saturated(terms, max_df_share)
             if dropped:
-                qt = qt.filter(~F.col("token").isin(list(dropped)))
+                qt_rows = [r for r in qt_rows if r["token"] not in dropped]
         if not terms:
             return self.spark.createDataFrame(
                 [], "query_id long, doc_id long, rank long"
@@ -686,9 +693,10 @@ class LexicalIndex(FencedStoreLifecycle):
             (1.0 - BM25_B) + BM25_B * (F.col("dl").cast("double") / F.lit(avgdl))
         )
         score = idf * ((F.col("tf").cast("double") * (BM25_K1 + 1.0)) / denom)
+        qt_local = self.spark.createDataFrame(qt_rows, qt.schema)
         scored = (
             postings.join(F.broadcast(dfq), "token")
-            .join(F.broadcast(qt), "token")
+            .join(F.broadcast(qt_local), "token")
             .select("query_id", "doc_id", score.alias("score"))
             .groupBy("query_id", "doc_id")
             .agg(F.sum("score").alias("score"))

@@ -30,6 +30,8 @@ one bounded control partition) where it was:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -68,19 +70,58 @@ class FencedStoreLifecycle:
         self._requested_buckets = n_buckets
         self._fanout_cache: "int | None" = None
         self._validated_once = False
+        #: serving-read schema cache — see :meth:`_read_store`
+        self._schema_cache: "dict[str, object]" = {}
 
     # ---- fencing -----------------------------------------------------------
+    @contextmanager
     def _fenced(self):
         """Mutation fence on the store root — every write path runs
         inside it, so in-place maintenance and concurrent ingest
         SERIALIZE (or fail loudly on timeout) instead of silently
         losing partitions / double-counting (the r12 verdict's
-        headline, single-sourced here in r14)."""
+        headline, single-sourced here in r14). Entering and leaving
+        the fence drops the serving-read schema cache: the mutation
+        about to run (or that just ran) is exactly what could change
+        a table's shape."""
         from propulsion_spark.pipelines.fencing import index_lease
 
-        return index_lease(
-            self.path, self.lease_counters, timeout_s=self.lease_timeout_s
-        )
+        self._schema_cache.clear()
+        try:
+            with index_lease(
+                self.path, self.lease_counters, timeout_s=self.lease_timeout_s
+            ) as lease:
+                yield lease
+        finally:
+            self._schema_cache.clear()
+
+    # ---- serving reads -------------------------------------------------------
+    def _read_store(self, path: str) -> "DataFrame":
+        """Parquet read for SERVING paths with the table's schema
+        cached per instance. Every bare ``spark.read.parquet`` call
+        re-infers the schema — a driver-scheduled footer-read job —
+        which puts one fixed Spark job PER TABLE on every serving
+        request (measured ~0.08 s each warm on local[32]; at scale a
+        full driver round trip per query batch). The first read per
+        path pays it once; later reads pass the cached schema and
+        launch no job.
+
+        Staleness contract: same-instance mutations clear the cache
+        (every write path runs inside :meth:`_fenced`). A CROSS-process
+        append/compact keeps the schema shape, so the cache stays
+        valid under the store's maintenance operations; only a full
+        cross-process REBUILD that changes the table's column set
+        (e.g. an AnnIndex rebuilt without PQ under a live reader
+        handle) can leave a stale shape — construct a fresh handle
+        after such a rebuild, like every other serving deployment
+        swaps index handles on redeploy. Mutation/maintenance paths
+        deliberately keep bare reads (they read what they just wrote)."""
+        sch = self._schema_cache.get(path)
+        if sch is None:
+            df = self.spark.read.parquet(path)
+            self._schema_cache[path] = df.schema
+            return df
+        return self.spark.read.schema(sch).parquet(path)
 
     # ---- persisted bucket fan-out (store_meta) ------------------------------
     def n_buckets(self, refresh: bool = False) -> int:
