@@ -1083,6 +1083,62 @@ CC_MAX_ITERS = 50
 #: edge-list join (2 longs/row → ≈32 MB at the cap); larger graphs use
 #: the shuffle join
 CC_BROADCAST_NODES = 2_000_000
+#: edge lists at or below this row count (collect-capped probe, two
+#: longs per row → ≈64 MB at the cap) resolve on the DRIVER with the
+#: vectorized numpy kernel below: a distributed iterative loop costs
+#: ~4 driver-scheduled jobs PER ROUND plus ~10 fixed jobs for the
+#: contraction — pure fixed cost for any graph one process can hold
+#: (the GraphFrames/GraphX systems make the same small-graph trade).
+#: Larger graphs take the contraction + quotient-loop path unchanged.
+CC_LOCAL_EDGES = 4_000_000
+
+
+def _cc_local_numpy(spark: SparkSession, rows, max_iters: int) -> DataFrame:
+    """Exact connected components on the driver: vectorized min-label
+    propagation with pointer jumping over a sorted adjacency layout —
+    O(E) per round, ≤ ~log₂(n)+1 rounds, all numpy C kernels. Labels
+    are component-minimum node ids, bit-identical to the distributed
+    loop's fixpoint (both compute min reachable id). The round scheme
+    mirrors the distributed loop exactly — seed at min(node, N(node)),
+    then ``max_iters`` rounds of one-hop propagation + pointer
+    compression, failing loudly past the cap — so the caller-visible
+    convergence contract does not depend on which path ran."""
+    import numpy as np
+    import pandas as pd
+
+    if not rows:
+        return spark.createDataFrame([], "node bigint, label bigint")
+    e = np.asarray([[r[0], r[1]] for r in rows], dtype=np.int64)
+    ids = np.unique(e)  # sorted: index order == id order
+    u = np.searchsorted(ids, e[:, 0])
+    v = np.searchsorted(ids, e[:, 1])
+    src = np.concatenate([u, v])
+    dst = np.concatenate([v, u])
+    order = np.argsort(src, kind="stable")
+    sdst = dst[order]
+    ssrc = src[order]
+    starts = np.flatnonzero(np.r_[True, ssrc[1:] != ssrc[:-1]])
+    # every node appears as a src in the doubled edge list, so the
+    # group list covers all n nodes in index order
+    own = np.arange(len(ids), dtype=np.int64)
+    # seed l0(x) = min(x, N(x)) — the labels0 step, not a loop round
+    lab = np.minimum(own, np.minimum.reduceat(sdst, starts))
+    converged = False
+    for _ in range(max_iters):
+        neigh_min = np.minimum.reduceat(lab[sdst], starts)
+        new = np.minimum(lab, neigh_min)
+        new = new[new]  # pointer jump: halves distance-to-minimum
+        if np.array_equal(new, lab):
+            converged = True
+            break
+        lab = new
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters="
+            f"{max_iters}; raise the cap (rounds needed ~ log2(diameter))"
+        )
+    pdf = pd.DataFrame({"node": ids, "label": ids[lab]})
+    return spark.createDataFrame(pdf)
 
 
 def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
@@ -1106,8 +1162,26 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     minima: the smallest node x* of a component has l₀(x*) = x*, and
     every l₀ value is a component member ≥ x*. Final labels compose
     the two maps with one (broadcast-guarded) join.
+
+    r16: edge lists that fit on the driver (collect capped at
+    ``CC_LOCAL_EDGES``; numeric ids only, so driver and engine orderings
+    cannot diverge) skip the distributed loop entirely — one bounded
+    collect + the vectorized numpy kernel + one local-relation return
+    replace ~10 fixed jobs plus ~4 jobs per propagation round. The
+    limit+collect probe reads at most cap+1 rows, so an at-scale edge
+    list pays one cheap partial scan before taking the loop below.
     """
     spark = edges.sparkSession
+    dt = dict(edges.dtypes)
+    if dt.get("a_id") in ("bigint", "int") and dt.get("b_id") in (
+        "bigint",
+        "int",
+    ):
+        head = (
+            edges.select("a_id", "b_id").limit(CC_LOCAL_EDGES + 1).collect()
+        )
+        if len(head) <= CC_LOCAL_EDGES:
+            return _cc_local_numpy(spark, head, max_iters)
     both = edges.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     ).unionByName(

@@ -717,17 +717,48 @@ def assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, cell): nearest-centroid assignment of a (vec_id,
     embedding) frame against a broadcast (label, dim, c) codebook —
     exact decimal distance sums, deterministic argmin (ties → lowest
-    label). Rides the map-only zip_with distance path (bit-identical
-    to the long-form aggregate — see _D2_EXPR); the argmin window
-    shuffles (vec, cells) rows only."""
-    dist = _dist_to_codebook_arrays(
-        emb.select("vec_id", "embedding"), cent
+    label). Rides the MAP-ONLY argmin (r16, see
+    :func:`assign_cells_inline`): no per-(vector, cell) row blowup, no
+    argmin window shuffle, no join back."""
+    return assign_cells_inline(emb.select("vec_id", "embedding"), cent).select(
+        "vec_id", "cell"
     )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("label"))
+
+
+def assign_cells_inline(
+    framed: DataFrame,
+    cent: "DataFrame | None" = None,
+    cb_row: "DataFrame | None" = None,
+) -> DataFrame:
+    """``framed`` (any frame with an ``embedding`` column) + a ``cell``
+    column: nearest-centroid assignment as ONE map-only projection
+    (r16). The old shape crossJoined every row with every codebook cell
+    (n·cells rows), shuffled them through a row_number window for the
+    argmin, and callers then paid a join to re-attach the cell — three
+    plan legs for what is per-row arithmetic against a small broadcast
+    codebook. Here the whole codebook rides ONE broadcast row (a
+    label-sorted ``array<struct<label, c_arr>>``) and the argmin is
+    ``array_min`` over (d2, label) structs: struct ordering compares
+    d2 first then label, exactly the window's ``ORDER BY d2, label``
+    with ties to the lowest label. The per-cell d2 is the same
+    decimal(20,12)/decimal(30,12) zip_with fold as ``_D2_EXPR``, so
+    distances — and therefore assignments — are bit-identical to the
+    window path (pinned by the oracle and the parity tests).
+
+    Long-lived callers (streams assigning every micro-batch) pass a
+    pinned ``cb_row`` (:func:`_codebook_row`, localCheckpointed once)
+    so the one-row fold is not re-aggregated per action."""
+    if cb_row is None:
+        cb_row = _codebook_row(cent)
+    cell_expr = (
+        "array_min(transform(_cb, s -> struct("
+        + _d2_sql("s.c_arr")
+        + " AS d2, s.label AS label))).label"
+    )
     return (
-        dist.withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("label").alias("cell"))
+        framed.crossJoin(F.broadcast(cb_row))
+        .withColumn("cell", F.expr(cell_expr))
+        .drop("_cb")
     )
 
 
@@ -980,6 +1011,15 @@ def _codebook_arrays(cent: DataFrame) -> DataFrame:
     )
 
 
+def _codebook_row(cent: DataFrame) -> DataFrame:
+    """ONE row holding the whole codebook as a label-ordered
+    ``array<struct<label, c_arr>>`` — the broadcast shape the map-only
+    argmin (:func:`assign_cells_inline`) consumes."""
+    return _codebook_arrays(cent).agg(
+        F.expr("array_sort(collect_list(struct(label, c_arr)))").alias("_cb")
+    )
+
+
 # per-(vector, centroid) squared distance as ONE array expression:
 # zip_with pairs each component with its centroid coordinate, every
 # (x−c)² term is rounded to DECIMAL(20,12) exactly like the long-form
@@ -987,15 +1027,23 @@ def _codebook_arrays(cent: DataFrame) -> DataFrame:
 # arithmetic — order-independent, hence bit-identical to the former
 # explode → broadcast-join → groupBy-sum plan while being MAP-ONLY
 # (the n·dims·cells pre-aggregation blowup and its shuffle are gone).
-_D2_EXPR = (
-    "cast(aggregate("
-    "zip_with(embedding, c_arr, (xf, c) -> "
-    "cast((cast(xf as double) - c) * (cast(xf as double) - c) "
-    "as decimal(20,12))), "
-    "cast(0 as decimal(30,12)), "
-    "(acc, v) -> cast(acc + v as decimal(30,12))"
-    ") as double)"
-)
+def _d2_sql(c_arr: str = "c_arr", emb: str = "embedding") -> str:
+    """The squared-distance fold with the centroid-array operand
+    parameterized — same expression whether the centroid array is a
+    column (``c_arr``) or a struct field of the one-row codebook
+    (``s.c_arr``, see :func:`assign_cells_inline`)."""
+    return (
+        "cast(aggregate("
+        f"zip_with({emb}, {c_arr}, (xf, c) -> "
+        "cast((cast(xf as double) - c) * (cast(xf as double) - c) "
+        "as decimal(20,12))), "
+        "cast(0 as decimal(30,12)), "
+        "(acc, v) -> cast(acc + v as decimal(30,12))"
+        ") as double)"
+    )
+
+
+_D2_EXPR = _d2_sql()
 
 
 def _spark_ivf_dist(spark: SparkSession, sf_dir: str) -> DataFrame:

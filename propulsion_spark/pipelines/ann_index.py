@@ -45,6 +45,14 @@ from propulsion_spark.operators.similarity import (
 #: guard: probed-cell lists stay bounded driver control-plane
 MAX_PROBE_CELLS = 10_000
 
+#: guard: the serving path collects the (query_id, cell) probe pairs to
+#: the driver (so the probe UDF runs once, not re-evaluated inside the
+#: main job); the pairs are queries × n_probes rows of two longs, which
+#: is UNBOUNDED in the query-batch size — cap the collect so an
+#: oversized batch (a knn-join-shaped query set) fails with the
+#: batch-the-query-set error instead of OOMing the driver
+MAX_PROBE_PAIRS = 4_000_000
+
 # Product quantization (the IVF-PQ composition every billion-scale ANN
 # deployment runs): each vector's dims split into PQ_M subspaces, each
 # subspace vector-quantized to one of PQ_K centroids → PQ_M 4-bit-class
@@ -392,7 +400,6 @@ class AnnIndex(FencedStoreLifecycle):
         codebooks."""
         from propulsion_spark.operators.similarity import _CENTROID_SCALE
 
-        vectors = cls._right_size(spark, vectors)
         dims = vectors.select(F.size("embedding").alias("d")).first()
         dims = int(dims["d"]) if dims and dims["d"] is not None else 0
         if 0 < dims <= 256:
@@ -471,47 +478,6 @@ class AnnIndex(FencedStoreLifecycle):
             )
         return cls._materialize(spark, vectors, codebook, path)
 
-    @staticmethod
-    def _right_size(spark: SparkSession, vectors: DataFrame) -> DataFrame:
-        """Right-size BUILD parallelism (r15): an input that arrives in
-        fewer partitions than the cluster has cores runs the whole
-        assignment/encode/write path on that many tasks — at bench
-        scale a one-file scan put the entire 10× build on ONE core
-        (measured: the assignment+encode stage alone was ~7 s of
-        single-task wall). Gated on ``partitions < defaultParallelism``
-        so it can never fire for a real at-scale corpus (those arrive
-        with ≫ cores partitions); when it fires the input is by
-        definition small, so the eager localCheckpoint that pins the
-        repartitioned rows (letting the PQ sample pass and the
-        assign+write pass both read blocks instead of re-running the
-        upstream lineage) is bounded. Narrow-lineage inputs only: a
-        frame whose logical plan already shuffles (join/aggregate/
-        window/sort/repartition/distinct) keeps its own partitioning —
-        probing ``.rdd`` under AQE would materialize those shuffle
-        stages as a side-effect job, and such plans chose their
-        partitioning deliberately."""
-        plan = vectors._jdf.queryExecution().logical().toString()
-        if any(
-            kw in plan
-            for kw in (
-                "Join",
-                "Aggregate",
-                "Window",
-                "Sort",
-                "Repartition",
-                "Deduplicate",
-            )
-        ):
-            return vectors
-        try:
-            nparts = vectors.rdd.getNumPartitions()
-        except Exception:  # noqa: BLE001 — sizing is best-effort
-            return vectors
-        par = spark.sparkContext.defaultParallelism
-        if 0 < nparts < par:
-            vectors = vectors.repartition(par).localCheckpoint(eager=True)
-        return vectors
-
     @classmethod
     def _materialize(
         cls,
@@ -521,7 +487,6 @@ class AnnIndex(FencedStoreLifecycle):
         path: str,
         train_pq: bool = True,
     ) -> "AnnIndex":
-        vectors = cls._right_size(spark, vectors)
         codebook = codebook.persist()
         idx = cls(spark, path)
         with idx._fenced():
@@ -1100,18 +1065,23 @@ class AnnIndex(FencedStoreLifecycle):
                 self._cells_topk_udf(codebook, n_probes)("embedding")
             ).alias("cell"),
         )
-        # ONE collect of the (query_id, cell) probe pairs — bounded at
-        # queries × n_probes rows, strictly SMALLER than the q frame
-        # below (same rows plus each query's embedding) that this path
-        # already builds on the driver as a broadcast relation, so
-        # driver-side by construction. Collecting the pairs instead of
-        # the distinct cell list (r15) drops the distinct shuffle from
-        # the collect AND takes the probe UDF out of the executed
-        # plan: the main job re-evaluated the ArrowEvalPython probe
-        # ranking a second time just to rebuild rows the driver
-        # already had. The bounded list still drives static partition
-        # pruning on the scan.
-        probe_rows = probes.collect()
+        # ONE collect of the (query_id, cell) probe pairs — capped at
+        # MAX_PROBE_PAIRS rows (the limit+collect stops at the cap, so
+        # an oversized query batch raises the batch-the-query-set error
+        # instead of materializing an unbounded row list on the
+        # driver). Collecting the pairs instead of the distinct cell
+        # list drops the distinct shuffle from the collect AND takes
+        # the probe UDF out of the executed plan: the main job
+        # re-evaluated the ArrowEvalPython probe ranking a second time
+        # just to rebuild rows the driver already had. The bounded
+        # list still drives static partition pruning on the scan.
+        probe_rows = probes.limit(MAX_PROBE_PAIRS + 1).collect()
+        if len(probe_rows) > MAX_PROBE_PAIRS:
+            raise ValueError(
+                f"query batch probes more than MAX_PROBE_PAIRS="
+                f"{MAX_PROBE_PAIRS} (query_id, cell) pairs; batch the "
+                "query set"
+            )
         cells = sorted({r["cell"] for r in probe_rows})
         if len(cells) > MAX_PROBE_CELLS:
             raise ValueError(

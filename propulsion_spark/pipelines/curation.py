@@ -117,6 +117,16 @@ class _DeltaRegistry(FencedStoreLifecycle):
         self.compact_after = compact_after
         self.manifest = JsonManifest(path)
         self._write_lock = threading.Lock()
+        #: one inferred segment schema per instance (r16): every
+        #: segment of a registry is written with the same column set
+        #: (``novel.select(*COLS)`` + the derived partition columns)
+        #: and segment dirs are immutable once manifest-visible (new
+        #: uuid per segment), so a bare ``spark.read.parquet`` — one
+        #: driver-scheduled footer-inference job PER SEGMENT PER READ —
+        #: only ever needs to run once per instance. Deliberately NOT
+        #: cleared by ``_fenced``: mutations add/retire segments, they
+        #: never change the shape.
+        self._seg_schema = None
         os.makedirs(path, exist_ok=True)
 
     def _resolve(self, df: DataFrame) -> DataFrame:  # pragma: no cover
@@ -144,14 +154,19 @@ class _DeltaRegistry(FencedStoreLifecycle):
 
     def _read_segments(self, segs: "list[str]") -> DataFrame:
         paths = [os.path.join(self.path, s) for s in segs]
+        if self._seg_schema is None:
+            self._seg_schema = self.spark.read.parquet(paths[0]).schema
         if not self.PARTITION_BY:
-            return self.spark.read.parquet(*paths)
+            return self.spark.read.schema(self._seg_schema).parquet(*paths)
         # each partitioned segment is its own table root — one multi-path
         # scan would need a common basePath it doesn't have, so union
         # per-segment scans (the manifest bounds segments at
         # compact_after + 1, so the plan stays narrow) and partition
         # pruning applies within every branch
-        frames = [self.spark.read.parquet(p) for p in paths]
+        frames = [
+            self.spark.read.schema(self._seg_schema).parquet(p)
+            for p in paths
+        ]
         out = frames[0]
         for df in frames[1:]:
             out = out.unionByName(df)

@@ -57,6 +57,13 @@ from propulsion_spark.pipelines.registry import FencedStoreLifecycle
 #: ``compact(n_buckets=...)`` rebucket.
 N_BUCKETS = 64
 
+#: guard: ``search_many`` collects the distinct (query_id, token)
+#: pairs to the driver so the scoring join consumes a literal local
+#: frame (no re-run of the explode+distinct shuffle per serving call).
+#: The pair count is UNBOUNDED in the query-batch size, so the collect
+#: is capped — an oversized batch raises instead of OOMing the driver.
+MAX_QUERY_TERM_PAIRS = 2_000_000
+
 
 def _bucket_py(token: str, n_buckets: int = N_BUCKETS) -> int:
     """Driver-side twin of the Spark-side bucket expression — the
@@ -653,14 +660,21 @@ class LexicalIndex(FencedStoreLifecycle):
         qt = queries.select(
             "query_id", F.explode("terms").alias("token")
         ).distinct()
-        # ONE collect of the distinct (query_id, token) pairs — the
-        # exact rows the broadcast join below ships to every executor,
-        # so they fit on the driver by the same argument that lets the
-        # join broadcast. Collecting the PAIRS (not just the token
-        # list, r15) lets the join consume a literal local frame: the
-        # executed plan no longer re-runs the explode+distinct shuffle
-        # against the query source on every serving call.
-        qt_rows = qt.collect()
+        # ONE collect of the distinct (query_id, token) pairs — capped
+        # at MAX_QUERY_TERM_PAIRS (limit+collect stops at the cap, so
+        # an oversized batch fails cleanly instead of materializing an
+        # unbounded row list on the driver). Collecting the PAIRS (not
+        # just the token list, r15) lets the join consume a literal
+        # local frame: the executed plan no longer re-runs the
+        # explode+distinct shuffle against the query source on every
+        # serving call.
+        qt_rows = qt.limit(MAX_QUERY_TERM_PAIRS + 1).collect()
+        if len(qt_rows) > MAX_QUERY_TERM_PAIRS:
+            raise ValueError(
+                f"query batch carries more than MAX_QUERY_TERM_PAIRS="
+                f"{MAX_QUERY_TERM_PAIRS} distinct (query_id, token) "
+                "pairs; batch the query set"
+            )
         terms = tuple(sorted({r["token"] for r in qt_rows}))
         if max_df_share is not None and terms:
             # df shares are a corpus property, so one split covers the

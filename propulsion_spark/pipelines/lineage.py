@@ -61,6 +61,22 @@ def content_batch_id(df, *cols: str) -> int:
     return (int(h) & ((1 << 62) - 1)) + 1
 
 
+def content_batch_id_nonempty(df, *cols: str) -> "int | None":
+    """:func:`content_batch_id` fused with the emptiness probe — ONE
+    agg job instead of ``df.isEmpty()`` + the hash agg per micro-batch
+    (r16: the two probes were separate driver-scheduled jobs on every
+    foreachBatch invocation). Returns None for an empty batch (the
+    caller skips it), else exactly the id ``content_batch_id`` would
+    derive (same decimal xxhash64 sum, same masking)."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    if not int(row["n"]):
+        return None
+    return (int(row["h"] or 0) & ((1 << 62) - 1)) + 1
+
+
 def _marker_path(index_path: str) -> str:
     return os.path.join(index_path, "folded")
 

@@ -193,26 +193,35 @@ class MediaDedupStream:
                 canon = fps.join(dropped, "doc_id", "left_anti")
             # cross-batch: chunk equi-join vs the registry, hamming
             # verify vs the matched keeper's full fingerprint;
-            # keeper == own id is a replay seeing its own registration
-            chunks = self._chunks(canon).persist()
-            table = self.registry.read()
-            # (doc_id, min matched keeper): ids drive the anti-join,
-            # the min-keeper rides along for the keeper_inversions
-            # gauge (see module doc) at zero extra join cost
-            hit_pairs = (
-                chunks.alias("n")
-                .join(table.alias("t"), ["chunk_idx", "chunk_val", "media_type"])
-                .filter(
-                    (F.col("t.keeper") != F.col("n.doc_id"))
-                    & (
-                        F.expr("bit_count(n.fp64 ^ t.fp64)")
-                        <= self.max_hamming
+            # keeper == own id is a replay seeing its own registration.
+            # An EMPTY registry short-circuits to a literal empty hit
+            # set (r16) — no registry scan, no join, no checkpoint job.
+            if self.registry.manifest.load([]):
+                table = self.registry.read()
+                # (doc_id, min matched keeper): ids drive the anti-join,
+                # the min-keeper rides along for the keeper_inversions
+                # gauge (see module doc) at zero extra join cost
+                hit_pairs = (
+                    self._chunks(canon).alias("n")
+                    .join(
+                        table.alias("t"),
+                        ["chunk_idx", "chunk_val", "media_type"],
                     )
+                    .filter(
+                        (F.col("t.keeper") != F.col("n.doc_id"))
+                        & (
+                            F.expr("bit_count(n.fp64 ^ t.fp64)")
+                            <= self.max_hamming
+                        )
+                    )
+                    .groupBy(F.col("n.doc_id").alias("doc_id"))
+                    .agg(F.min("t.keeper").alias("_k_min"))
+                    .localCheckpoint(eager=True)  # ids-only, batch-bounded
                 )
-                .groupBy(F.col("n.doc_id").alias("doc_id"))
-                .agg(F.min("t.keeper").alias("_k_min"))
-                .localCheckpoint(eager=True)  # ids-only, batch-bounded
-            )
+            else:
+                hit_pairs = self.spark.createDataFrame(
+                    [], "doc_id long, _k_min long"
+                )
             hits = hit_pairs.select("doc_id")
             survivors_fp = canon.join(hits, "doc_id", "left_anti")
             new_rows = self._chunks(survivors_fp).select(
@@ -223,67 +232,70 @@ class MediaDedupStream:
                 "fp64",
             )
             self.registry.register(new_rows)
-            # original rows back: fingerprinted survivors + null-fp rows
+            # original rows back: fingerprinted survivors + null-fp
+            # rows, expressed as ONE chain off the cached fingerprints
+            # (all_fps ids minus the two pinned drop/hit sets — dropped
+            # and hits are subsets of the non-null-fp rows, so the
+            # null-fp rows ride through the anti-joins untouched).
             # localCheckpoint pins the (ids-only) keep set: the returned
             # frame is consumed after the finally block unpersists, and
             # a lazy lineage would re-fingerprint the whole batch
-            keep_ids = (
-                survivors_fp.select("doc_id")
-                .unionByName(
-                    all_fps.filter(F.col("fp64").isNull()).select("doc_id")
-                )
-                .localCheckpoint(eager=True)
-            )
+            keep_chain = all_fps.select("doc_id")
+            if dropped is not None:
+                keep_chain = keep_chain.join(dropped, "doc_id", "left_anti")
+            keep_ids = keep_chain.join(
+                hits, "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)
             out = df.join(
                 keep_ids.withColumnRenamed("doc_id", self.id_col),
                 self.id_col,
             )
-            # seen + unfingerprintable in ONE agg over the persisted
+            # counting discipline (r16): ONE fused job computes every
+            # batch stat — seen + unfingerprintable from the persisted
             # fingerprints (media_fingerprints is map-only and row-1:1
-            # with df, so count(*) here IS the batch size); the old
-            # shape was two jobs, one of them a full source re-scan
-            fc = all_fps.agg(
+            # with df, so count(*) here IS the batch size), the drop
+            # count and the hit/inversion gauge from the pinned
+            # ids-only sets (each agg is a single row, the crossJoins
+            # are trivial; the r15 shape was three separate jobs). The
+            # derived canon/survivor arithmetic assumes one row per
+            # doc_id in the batch (the stream's id contract — a
+            # duplicated id would already make the keep_ids join fan
+            # out); a violating batch only skews these gauges (always
+            # high — never a silent empty-write), the kept rows
+            # themselves stay anti-join-exact.
+            stf = all_fps.agg(
                 F.count("*").alias("n"),
                 F.count_if(F.col("fp64").isNull()).alias("nofp"),
+            )
+            if dropped is not None:
+                stf = stf.crossJoin(dropped.agg(F.count("*").alias("nd")))
+            else:
+                stf = stf.withColumn("nd", F.lit(0))
+            st = stf.crossJoin(
+                hit_pairs.agg(
+                    F.count("*").alias("nhit"),
+                    F.count_if(
+                        F.col("doc_id") < F.col("_k_min")
+                    ).alias("inv"),
+                )
             ).collect()[0]
-            n_seen = int(fc["n"])
-            n_nofp = int(fc["nofp"])
-            # counting discipline (r15, from semantic_dedup): the drop
-            # and hit sets are pinned ids-only frames — distinct by
-            # construction (CC nodes per disjoint modality; groupBy
-            # doc_id) and subsets of fps/canon respectively — so canon
-            # and survivor counts DERIVE from them instead of re-running
-            # the two anti-joins as two more jobs per batch. The hit
-            # count and the inversion gauge share ONE agg on the pinned
-            # pairs (the semantic_dedup single-job rule). The arithmetic
-            # additionally assumes one row per doc_id in the batch (the
-            # stream's id contract — a duplicated id would already make
-            # the keep_ids join fan out); a violating batch only skews
-            # these gauges (always high — never a silent empty-write),
-            # the kept rows themselves stay anti-join-exact.
-            n_dropped = 0 if dropped is None else dropped.count()
-            hp = hit_pairs.agg(
-                F.count("*").alias("n"),
-                F.count_if(F.col("doc_id") < F.col("_k_min")).alias("inv"),
-            ).collect()[0]
+            n_seen = int(st["n"])
+            n_nofp = int(st["nofp"])
+            n_dropped = int(st["nd"])
             n_canon = (n_seen - n_nofp) - n_dropped
-            n_surv = n_canon - hp["n"]
+            n_surv = n_canon - int(st["nhit"])
             self.stats["seen"] += n_seen
             self.stats["unfingerprintable"] += n_nofp
             self.stats["deduped_in_batch"] += n_dropped
-            self.stats["deduped_cross_batch"] += hp["n"]
+            self.stats["deduped_cross_batch"] += int(st["nhit"])
             # divergence lower bound vs the batch operator (module
             # doc): a drop whose id undercuts every matched keeper is
             # a representative the batch rule would have kept
-            self.stats["keeper_inversions"] += int(hp["inv"] or 0)
+            self.stats["keeper_inversions"] += int(st["inv"] or 0)
             self.stats["kept"] += n_surv + n_nofp
             return out
         finally:
             all_fps.unpersist()
-            try:
-                chunks.unpersist()
-            except NameError:
-                pass
 
     def run_batch(self, df: DataFrame, batch_id: int, out_path: str) -> None:
         """process + idempotent write: the survivors land in the batch's

@@ -207,6 +207,14 @@ class SemDedupStream:
         # freeze the codebook for the stream's life: small (cells×dims),
         # lineage cut so no batch re-runs the seed aggregation
         self.codebook = codebook.localCheckpoint(eager=True)
+        # the one-row array<struct<label, c_arr>> shape the map-only
+        # argmin consumes (r16) — pinned once so no batch re-aggregates
+        # the codebook fold
+        from propulsion_spark.operators.similarity import _codebook_row
+
+        self._cb_row = _codebook_row(self.codebook).localCheckpoint(
+            eager=True
+        )
         self.threshold = SEMDEDUP_COS if threshold is None else threshold
         self.id_col = id_col
         self.emb_col = emb_col
@@ -230,41 +238,39 @@ class SemDedupStream:
         from propulsion_spark.operators.similarity import (
             semdedup_verdicts_joined,
             _spark_dot,
-            assign_cells,
+            assign_cells_inline,
         )
 
-        # the persist sits on BASE (all rows, nrm attached), not on the
-        # embeddable filter below: the batch stats then come from ONE
-        # near-free agg over this cache instead of a df.count() that
-        # re-scanned the micro-batch source as its own job (r15
-        # counting discipline); the filter itself is a per-row
-        # predicate over cached blocks, so every normed consumer pays
-        # what it paid before
+        # ONE persist carries the whole batch state: every row with its
+        # norm AND its cell (r16 — the assignment is a map-only argmin
+        # against the one-row broadcast codebook, so attaching it here
+        # costs no join, no window shuffle, and no second cache; the
+        # r15 shape paid an O(batch × cells) crossJoin + argmin window
+        # + join-back and a SECOND persist for the joined frame).
+        # Unembeddable rows get a junk-but-unread cell (every consumer
+        # filters on _embeddable first); batch stats come from one agg
+        # over this cache.
         _embeddable = F.col("embedding").isNotNull() & (F.col("nrm") > 0)
         base = (
-            df.select(
-                F.col(self.id_col).alias("vec_id"),
-                F.col(self.emb_col).alias("embedding"),
+            assign_cells_inline(
+                df.select(
+                    F.col(self.id_col).alias("vec_id"),
+                    F.col(self.emb_col).alias("embedding"),
+                ).withColumn(
+                    "nrm", F.sqrt(_spark_dot("embedding", "embedding"))
+                ),
+                cb_row=self._cb_row,
             )
-            .withColumn("nrm", F.sqrt(_spark_dot("embedding", "embedding")))
             .persist()
         )
-        normed = base.filter(_embeddable)
+        framed = base.filter(_embeddable)
         try:
-            cells = assign_cells(normed, self.codebook)
-            framed = normed.join(cells, "vec_id").persist()
-            # intra-batch: ε-ball keep-lowest-id over the PERSISTED
-            # join — the wrapper form evaluates normed ⨝ cells
-            # independently on both sides of its pair self-join (Spark
-            # does not dedupe common subplans), so the cell assignment
-            # (an O(batch × cells) decimal-distance crossJoin plus a
-            # row_number window exchange) ran THREE times per batch:
-            # a-side, b-side, and framed's own materialization. Feeding
-            # the joined kernel from framed runs it ONCE — this action
-            # also populates framed's cache for every later consumer.
-            # The drop set is ids-only and batch-bounded: localCheckpoint
-            # pins it so the pair join runs ONCE, not once per
-            # downstream count/write
+            # intra-batch: ε-ball keep-lowest-id over the cached
+            # assignment — both sides of the kernel's pair self-join
+            # read base's cache. The drop set is ids-only and
+            # batch-bounded: localCheckpoint pins it so the pair join
+            # runs ONCE, not once per downstream count/write (and the
+            # pin is what makes post-register re-evaluation safe)
             dropped = (
                 semdedup_verdicts_joined(framed, threshold=self.threshold)
                 .select(F.col("b_id").alias("vec_id"))
@@ -278,6 +284,8 @@ class SemDedupStream:
             # (a tiny control-plane collect of ≤ N_BUCKETS ints — same
             # class as the codebook read): a batch touching one cell
             # reads one bucket subdir per segment, never the registry.
+            # An EMPTY registry short-circuits to a literal empty hit
+            # set — no bucket collect, no scan, no checkpoint job.
             if self.registry.manifest.load([]):
                 # route by the registry's PERSISTED fan-out (store_meta)
                 # — a module constant here would mis-prune an existing
@@ -294,48 +302,51 @@ class SemDedupStream:
                     .distinct()
                     .collect()
                 ]
-            else:
-                batch_buckets = []  # empty registry: skip collect AND scan
-            table = self.registry.read_buckets(batch_buckets)
-            if self.int8_registry:
-                # asymmetric verify: dequantize the keeper side only
-                keepers = table.select(
-                    "cell",
-                    F.col("keeper"),
-                    F.expr(
-                        "transform(qvec, v -> cast(v as double)"
-                        " * qscale / 127.0D)"
-                    ).alias("k_emb"),
-                    F.col("nrm").alias("k_nrm"),
+                table = self.registry.read_buckets(batch_buckets)
+                if self.int8_registry:
+                    # asymmetric verify: dequantize the keeper side only
+                    keepers = table.select(
+                        "cell",
+                        F.col("keeper"),
+                        F.expr(
+                            "transform(qvec, v -> cast(v as double)"
+                            " * qscale / 127.0D)"
+                        ).alias("k_emb"),
+                        F.col("nrm").alias("k_nrm"),
+                    )
+                else:
+                    keepers = table.select(
+                        "cell",
+                        F.col("keeper"),
+                        F.col("embedding").alias("k_emb"),
+                        F.col("nrm").alias("k_nrm"),
+                    )
+                cosine = _spark_dot("embedding", "k_emb") / (
+                    F.col("nrm") * F.col("k_nrm")
+                )
+                # (vec_id, min matched keeper): the id set drives the
+                # anti-join; the min-keeper rides along for the
+                # keeper_inversions gauge below at zero extra join cost
+                hit_pairs = (
+                    canon.join(
+                        keepers,
+                        "cell",
+                    )
+                    .filter(
+                        (F.col("keeper") != F.col("vec_id"))
+                        & (cosine >= self.threshold)
+                    )
+                    .groupBy("vec_id")
+                    .agg(F.min("keeper").alias("_k_min"))
+                    # ids-only: pin so the registry join runs once (same
+                    # rationale as the drop set above)
+                    .localCheckpoint(eager=True)
                 )
             else:
-                keepers = table.select(
-                    "cell",
-                    F.col("keeper"),
-                    F.col("embedding").alias("k_emb"),
-                    F.col("nrm").alias("k_nrm"),
+                idt = dict(framed.dtypes)["vec_id"]
+                hit_pairs = self.spark.createDataFrame(
+                    [], f"vec_id {idt}, _k_min {idt}"
                 )
-            cosine = _spark_dot("embedding", "k_emb") / (
-                F.col("nrm") * F.col("k_nrm")
-            )
-            # (vec_id, min matched keeper): the id set drives the
-            # anti-join; the min-keeper rides along for the
-            # keeper_inversions gauge below at zero extra join cost
-            hit_pairs = (
-                canon.join(
-                    keepers,
-                    "cell",
-                )
-                .filter(
-                    (F.col("keeper") != F.col("vec_id"))
-                    & (cosine >= self.threshold)
-                )
-                .groupBy("vec_id")
-                .agg(F.min("keeper").alias("_k_min"))
-                # ids-only: pin so the registry join runs once (same
-                # rationale as the drop set above)
-                .localCheckpoint(eager=True)
-            )
             hits = hit_pairs.select("vec_id")
             survivors = canon.join(hits, "vec_id", "left_anti")
             # cell cast pins the registry schema: codebooks with int
@@ -363,66 +374,60 @@ class SemDedupStream:
                     "nrm",
                 )
             self.registry.register(novel)
-            # localCheckpoint pins the (ids-only, batch-bounded) keep
-            # set: the returned frame is consumed AFTER the finally
-            # block releases the persists, and a lazy lineage would
-            # re-run the whole assignment+verdict+registry chain
+            # the keep set NEEDS NO checkpoint (r16): base ids minus
+            # the two PINNED id sets is exactly
+            # survivors ∪ unembeddable (dropped ⊆ framed, hits ⊆ framed
+            # ⊆ base), and its lineage — source scan + two broadcast
+            # anti-joins against checkpointed frames — never re-reads
+            # the registry, so consuming it after register() (or after
+            # the finally block drops base's cache) recomputes the
+            # same rows deterministically
             keep_ids = (
-                survivors.select("vec_id")
-                .unionByName(
-                    base.join(normed.select("vec_id"), "vec_id", "left_anti")
-                    .select("vec_id")
-                )
-                .localCheckpoint(eager=True)
+                base.select("vec_id")
+                .join(dropped, "vec_id", "left_anti")
+                .join(hits, "vec_id", "left_anti")
             )
             out = df.join(
                 keep_ids.withColumnRenamed("vec_id", self.id_col), self.id_col
             )
-            # counting discipline: the drop and hit sets are pinned
-            # ids-only frames (one row per dropped/hit id by
-            # construction), so their counts are near-free — canon and
-            # survivors counts DERIVE from them instead of re-running
-            # the anti-joins as two more jobs per batch
-            # seen + embeddable in ONE agg over the persisted base
-            # (count_if's condition is the normed filter verbatim, so
-            # the split is exactly the one the frames use); the old
-            # shape was two jobs, one of them a full source re-scan
-            bc = base.agg(
-                F.count("*").alias("seen"),
-                F.count_if(_embeddable).alias("emb"),
+            # counting discipline (r16): ONE fused job computes every
+            # batch stat — seen + embeddable from the persisted base,
+            # the drop count and the hit/inversion gauge from the
+            # pinned ids-only sets (each agg is a single row, the
+            # crossJoins are trivial). The r15 shape was three separate
+            # driver-scheduled jobs for the same five numbers.
+            # keeper_inversions (module doc "Greedy across batches"):
+            # a drop whose doc id is SMALLER than every keeper it
+            # matched is a representative inversion — the batch
+            # operator would have kept this doc and dropped the keeper.
+            st = (
+                base.agg(
+                    F.count("*").alias("seen"),
+                    F.count_if(_embeddable).alias("emb"),
+                )
+                .crossJoin(dropped.agg(F.count("*").alias("ndrop")))
+                .crossJoin(
+                    hit_pairs.agg(
+                        F.count("*").alias("nhit"),
+                        F.count_if(
+                            F.col("vec_id") < F.col("_k_min")
+                        ).alias("inv"),
+                    )
+                )
             ).collect()[0]
-            n_seen = int(bc["seen"])
-            n_emb = int(bc["emb"])
-            n_canon = n_emb - dropped.count()
-            # ONE agg job on the pinned pairs covers both the hit
-            # count (for the cross-batch stat) and the divergence
-            # gauge (module doc "Greedy across batches"): a drop whose
-            # doc id is SMALLER than every keeper it matched is a
-            # representative inversion — the batch operator would
-            # have kept this doc and dropped the keeper. Same job
-            # count as the pre-gauge distinct+count shape (A/B'd:
-            # two separate counts cost +0.14 s/batch at sf0.1, the
-            # single agg is parity — ROUND_NOTES r15).
-            hp = hit_pairs.agg(
-                F.count("*").alias("n"),
-                F.count_if(
-                    F.col("vec_id") < F.col("_k_min")
-                ).alias("inv"),
-            ).collect()[0]
-            n_surv = n_canon - hp["n"]
+            n_seen = int(st["seen"])
+            n_emb = int(st["emb"])
+            n_canon = n_emb - int(st["ndrop"])
+            n_surv = n_canon - int(st["nhit"])
             self.stats["seen"] += n_seen
             self.stats["unembeddable"] += n_seen - n_emb
             self.stats["deduped_in_batch"] += n_emb - n_canon
             self.stats["deduped_cross_batch"] += n_canon - n_surv
-            self.stats["keeper_inversions"] += int(hp["inv"] or 0)
+            self.stats["keeper_inversions"] += int(st["inv"] or 0)
             self.stats["kept"] += n_surv + (n_seen - n_emb)
             return out
         finally:
             base.unpersist()
-            try:
-                framed.unpersist()
-            except NameError:
-                pass
 
     def run_batch(self, df: DataFrame, batch_id: int, out_path: str) -> None:
         """process + idempotent write keyed by batch id (dynamic

@@ -156,7 +156,17 @@ class SourceCountRegistry(FencedStoreLifecycle):
     def _read(self) -> "DataFrame | None":
         from propulsion_spark.fsio import read_parquet_if_exists
 
-        return read_parquet_if_exists(self.spark, self._counts_path)
+        # the counts table's shape is a write-path contract (every
+        # append/compact produces the same columns), so the schema
+        # inferred on the first read serves every later one — one
+        # footer-inference job per instance instead of per batch (r16).
+        # Deliberately NOT fence-cleared: mutations add/replace
+        # partitions, they never change the shape.
+        sch = getattr(self, "_counts_schema", None)
+        df = read_parquet_if_exists(self.spark, self._counts_path, schema=sch)
+        if df is not None and sch is None:
+            self._counts_schema = df.schema
+        return df
 
     def totals(self, buckets: "list[int] | None" = None) -> DataFrame:
         """(source, src_cnt) summed across batches; ``buckets`` prunes
@@ -378,15 +388,17 @@ class CapPerSourceStream:
         OVER-thinning (the conservative direction for a cap) and is
         repaired exactly by clearing+rebuilding the registry, never
         silently under-counted as the old counter-keyed scheme did."""
-        from propulsion_spark.pipelines.lineage import content_batch_id
+        from propulsion_spark.pipelines.lineage import (
+            content_batch_id_nonempty,
+        )
 
         def _run(df: DataFrame, _bid: int) -> None:
-            if df.isEmpty():
+            # ONE agg probes emptiness AND derives the content id
+            # (r16) — the separate isEmpty was its own job per batch
+            bid = content_batch_id_nonempty(df, self.id_col, self.source_col)
+            if bid is None:
                 return
-            self.run_batch(
-                df, content_batch_id(df, self.id_col, self.source_col),
-                out_path,
-            )
+            self.run_batch(df, bid, out_path)
 
         return (
             stream_df.writeStream.foreachBatch(_run)

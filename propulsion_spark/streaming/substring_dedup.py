@@ -126,7 +126,14 @@ class GramRegistry(FencedStoreLifecycle):
     def _read(self) -> "DataFrame | None":
         from propulsion_spark.fsio import read_parquet_if_exists
 
-        return read_parquet_if_exists(self.spark, self._counts_path)
+        # one footer-inference job per instance, not per batch (r16):
+        # the counts table's shape is a write-path contract — see
+        # SourceCountRegistry._read for the rationale
+        sch = getattr(self, "_counts_schema", None)
+        df = read_parquet_if_exists(self.spark, self._counts_path, schema=sch)
+        if df is not None and sch is None:
+            self._counts_schema = df.schema
+        return df
 
     def totals(self, buckets: "list[int] | None" = None) -> DataFrame:
         """Resolved corpus-wide view: ``(gh, gh2, cnt, first_doc,
@@ -556,12 +563,17 @@ class SubstrDedupStream:
         ``maxFilesPerTrigger=1``); differently-bounded overlapping
         deliveries inflate gram counts, erring toward OVER-masking —
         conservative, and repaired by rebuilding the registry."""
-        from propulsion_spark.pipelines.lineage import content_batch_id
+        from propulsion_spark.pipelines.lineage import (
+            content_batch_id_nonempty,
+        )
 
         def _run(df: DataFrame, _bid: int) -> None:
-            if df.isEmpty():
+            # ONE agg probes emptiness AND derives the content id
+            # (r16) — the separate isEmpty was its own job per batch
+            bid = content_batch_id_nonempty(df, "doc_id", "text")
+            if bid is None:
                 return
-            self.run_batch(df, content_batch_id(df, "doc_id", "text"), out_path)
+            self.run_batch(df, bid, out_path)
 
         return (
             stream_df.writeStream.foreachBatch(_run)
