@@ -2,12 +2,15 @@
 
 from __future__ import annotations
 
+import io
 import json
+import os
 import subprocess
 import sys
+from contextlib import redirect_stdout
 
 
-def run_cli(*args, timeout=240, expect_rc=0):
+def _run_cli_subprocess(*args, timeout=240, expect_rc=0):
     proc = subprocess.run(
         [sys.executable, "-m", "propulsion_spark.cli", *args],
         capture_output=True,
@@ -17,6 +20,44 @@ def run_cli(*args, timeout=240, expect_rc=0):
     )
     assert proc.returncode == expect_rc, proc.stderr[-2000:]
     return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def run_cli(*args, timeout=240, expect_rc=0):
+    """Drive a CLI verb IN-PROCESS against the suite's shared JVM.
+
+    The old shape spawned ``python -m propulsion_spark.cli`` per call —
+    a fresh ~20 s JVM for each of ~70 invocations across the suite,
+    which pushed a serial ``pytest tests/`` run past the verification
+    window (VERIFY_r15 ``tests_ok: false``). The verbs themselves use
+    ``get_spark`` (getOrCreate), so in-process they reuse the active
+    session; the only process-level behavior to neutralize is the
+    verbs' exit-time ``spark.stop()``, which must not tear down the
+    shared session. ``PROPULSION_TEST_CLI_SUBPROCESS=1`` restores the
+    subprocess shape, and
+    ``test_hybrid_search_batched_matches_single`` still drives one
+    true cold-process ``python -m propulsion_spark.cli`` invocation so
+    the real entrypoint contract stays covered."""
+    if os.environ.get("PROPULSION_TEST_CLI_SUBPROCESS"):
+        return _run_cli_subprocess(
+            *args, timeout=timeout, expect_rc=expect_rc
+        )
+    import propulsion_spark.cli as cli_mod
+    from pyspark.sql import SparkSession
+
+    buf = io.StringIO()
+    real_stop = SparkSession.stop
+    SparkSession.stop = lambda self: None  # keep the shared JVM alive
+    try:
+        with redirect_stdout(buf):
+            try:
+                rc = cli_mod.main(list(args))
+            except SystemExit as exc:  # argparse error paths
+                rc = int(exc.code or 0)
+    finally:
+        SparkSession.stop = real_stop
+    out = buf.getvalue()
+    assert rc == expect_rc, out[-2000:]
+    return json.loads(out.strip().splitlines()[-1])
 
 
 class TestCli:
